@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set. Each query is
+forced with a count() (no driver-side materialization of results — we
+measure the plan, not Arrow transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mimic_iv_data_pipeline_spark import get_spark  # noqa: E402
+from mimic_iv_data_pipeline_spark.queries import all_queries  # noqa: E402
+
+# Headline set: one per operator family — scan/agg, join, as-of, window,
+# temporal bucketing, pivot, dedup, text, similarity.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q08_outer_join_fill",
+    "q15_mode_per_group",
+    "q16_outlier_clamp",
+    "q18_readmission_label",
+    "q19_asof_join",
+    "q20_ffill_bfill",
+    "q29_bucketize_hourly",
+    "q31_dense_grid",
+    "q32_pivot_wide",
+    "q34_dedup_exact",
+    "q37_lang_id",
+    "q39_ngram_jaccard",
+    "q42_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

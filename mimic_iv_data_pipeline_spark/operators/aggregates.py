@@ -1,0 +1,205 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Each replaces an imperative per-group python loop in the reference with
+a partial-aggregatable Spark plan (map-side combine comes free from
+Catalyst's two-phase hash aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cols(x: str | list[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_by: str | list[str],
+    value_col: str,
+    share_col: str = "share",
+) -> DataFrame:
+    """A7: modal value per group with its share.
+
+    Reference: ``drop_wrong_uom`` (``utils/uom_conversion.py:11-28``)
+    loops itemids and keeps rows whose unit equals the majority unit when
+    its share exceeds a cutoff. Here: count per (group, value) →
+    ``row_number`` by (count desc, value asc — deterministic tie-break)
+    → share = top count / group total. Two hash aggregates + one window,
+    all partitioned by the group key (single shuffle chain).
+
+    Returns one row per group: group cols, ``value_col`` (the mode),
+    ``share_col`` (fraction in [0,1]).
+    """
+    groups = _cols(group_by)
+    counts = df.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*groups).orderBy(F.col("__cnt").desc(), F.col(value_col).asc())
+    wt = Window.partitionBy(*groups)
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__total", F.sum("__cnt").over(wt))
+        .filter(F.col("__rn") == 1)
+        .withColumn(share_col, F.col("__cnt") / F.col("__total"))
+        .drop("__cnt", "__rn", "__total")
+    )
+
+
+def filter_majority_unit(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    cutoff: float = 0.95,
+) -> DataFrame:
+    """A7 applied: keep rows whose unit is the group's majority unit, for
+    groups whose majority share exceeds ``cutoff``; groups below the
+    cutoff are kept untouched (exact ``drop_wrong_uom`` semantics,
+    ``utils/uom_conversion.py:14-25``)."""
+    modes = mode_per_group(df, group_col, unit_col).withColumnRenamed(
+        unit_col, "__mode_unit"
+    )
+    return (
+        df.join(F.broadcast(modes), on=group_col, how="left")
+        .filter(
+            (F.col("share") <= cutoff) | (F.col(unit_col) == F.col("__mode_unit"))
+        )
+        .drop("__mode_unit", "share")
+    )
+
+
+def clamp_outliers(
+    df: DataFrame,
+    group_by: str | list[str],
+    value_col: str,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+    mode: str = "clamp",
+    exact: bool = True,
+) -> DataFrame:
+    """A8: per-group percentile outlier handling.
+
+    Reference: ``outlier_removal.py:11-37`` computes ``np.percentile``
+    per itemid in a loop and either clamps (impute_outlier) or drops.
+    Here: one grouped percentile aggregate, broadcast back, ``when``
+    clamp. ``exact=True`` uses sort-based exact ``percentile`` (linear
+    interpolation — matches numpy/DuckDB ``quantile_cont`` for oracle
+    parity); ``exact=False`` uses ``percentile_approx`` for the 100 TB
+    path where a t-digest sketch is the right trade.
+    """
+    groups = _cols(group_by)
+    fn = "percentile" if exact else "percentile_approx"
+    bounds = df.groupBy(*groups).agg(
+        F.expr(f"{fn}({value_col}, {lower_pct})").alias("__lo"),
+        F.expr(f"{fn}({value_col}, {upper_pct})").alias("__hi"),
+    )
+    out = df.join(F.broadcast(bounds), on=groups, how="left")
+    if mode == "clamp":
+        clamped = F.when(F.col(value_col) < F.col("__lo"), F.col("__lo")).when(
+            F.col(value_col) > F.col("__hi"), F.col("__hi")
+        ).otherwise(F.col(value_col))
+        return out.withColumn(value_col, clamped).drop("__lo", "__hi")
+    if mode == "drop":
+        return out.filter(
+            F.col(value_col).between(F.col("__lo"), F.col("__hi"))
+        ).drop("__lo", "__hi")
+    raise ValueError(f"unknown outlier mode: {mode}")
+
+
+def quantile_bins(
+    df: DataFrame,
+    group_by: str | list[str],
+    value_col: str,
+    tie_break: str | list[str],
+    n_bins: int = 4,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """A9: per-group quantile binning (pandas ``qcut`` in the BEHRT
+    tokenizer, ``model/tokenization.py:111-119``) as ``ntile`` over a
+    deterministic total order."""
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in _cols(tie_break)]
+    w = Window.partitionBy(*_cols(group_by)).orderBy(*order)
+    return df.withColumn(bin_col, F.ntile(n_bins).over(w))
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    agg_exprs: list[Column],
+    bin_col: str = "bin",
+) -> DataFrame:
+    """A10: fixed-width histogram binning + per-bin aggregates
+    (``np.digitize`` calibration bins, ``model/evaluation.py:219-236``).
+    ``floor(value / width)`` keeps the expression in codegen (no UDF,
+    portable to any SQL oracle)."""
+    binned = df.withColumn(bin_col, F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
+    return binned.groupBy(bin_col).agg(*agg_exprs)
+
+
+def confusion_by_group(
+    df: DataFrame,
+    group_col: str,
+    label_expr: Column,
+    pred_expr: Column,
+) -> DataFrame:
+    """A11: per-sensitive-group confusion matrix + rates
+    (``model/fairness.py:32-79``) in ONE pass — conditional sums instead
+    of the reference's four boolean-mask scans per group."""
+    y = label_expr.cast("int")
+    p = pred_expr.cast("int")
+    tp = F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp")
+    tn = F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn")
+    fp = F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp")
+    fn = F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn")
+    out = df.groupBy(group_col).agg(tp, tn, fp, fn)
+    return out.select(
+        group_col,
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("tpr"),
+        F.round(F.col("fp") / F.nullif(F.col("fp") + F.col("tn"), F.lit(0)), 6).alias("fpr"),
+    )
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """A12: ROC-AUC via the rank (Mann-Whitney U) formula — a fully
+    distributed replacement for sklearn's ``roc_auc_score``
+    (``model/evaluation.py:95-141``):
+
+        AUC = (sum of average ranks of positives − n_pos(n_pos+1)/2)
+              / (n_pos · n_neg)
+
+    Average ranks handle score ties exactly like sklearn. One global
+    sort (rank window without partition) + one aggregate; for 100 TB,
+    swap the global rank for a per-partition rank + offset pass — the
+    formula is associative over rank sums.
+    """
+    # midrank = min_rank + (ties-1)/2, identical to scipy rankdata 'average'.
+    w = Window.orderBy(F.col(score_col).asc())
+    cnt = Window.partitionBy(score_col)
+    ranked = (
+        df.withColumn("__minr", F.rank().over(w))
+        .withColumn("__ties", F.count(F.lit(1)).over(cnt))
+        .withColumn("__r", F.col("__minr") + (F.col("__ties") - 1) / 2.0)
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.when(F.col(label_col) == 1, F.col("__r")).otherwise(0.0))
+                - (
+                    F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+                    * (F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)) + 1)
+                )
+                / 2.0
+            )
+            / (
+                F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+                * F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0))
+            ),
+            6,
+        ).alias("auc")
+    )

@@ -1,0 +1,138 @@
+"""Temporal operators (SURVEY.md §2.9 — the heart of the reference).
+
+The reference's time-series generator (``model/data_generation_icu.py``)
+loops python-side over buckets (``:286-345``) and over stay_ids
+(``:441-729``). Every operator here is a set-level DataFrame transform
+keyed by (id, itemid, bucket) — the shapes that parallelize to 1000
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hours_between(end: Column, start: Column) -> Column:
+    """F8/F10: elapsed whole hours, floored toward zero.
+
+    The reference converts timedeltas via *string split* on
+    ``'3 days 04:05:06'`` (``day_intervals_cohort.py:48-52``,
+    ``data_generation_icu.py:64-66``) which floors the hour component.
+    ``floor(seconds/3600)`` reproduces that exactly without the string
+    round-trip (SURVEY §7.3 hard part d).
+    """
+    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 3600).cast("long")
+
+
+def normalize_event_time(
+    df: DataFrame,
+    event_ts: str,
+    anchor_ts: str,
+    out_col: str = "event_hour",
+    max_hours_col: str | None = None,
+) -> DataFrame:
+    """T1: event-time normalization — hours since admission, with the
+    reference's "sanity" filters (drop events before admit or after
+    discharge, ``data_generation_icu.py:83-93``)."""
+    out = df.withColumn(out_col, hours_between(F.col(event_ts), F.col(anchor_ts)))
+    out = out.filter(F.col(out_col) >= 0)
+    if max_hours_col:
+        out = out.filter(F.col(out_col) <= F.col(max_hours_col))
+    return out
+
+
+def truncate_observation_window(
+    df: DataFrame,
+    time_col: str,
+    los_col: str,
+    include_hours: int,
+    anchor: str = "first",
+    start_col: str | None = None,
+) -> DataFrame:
+    """T2: observation-window truncation.
+
+    ``anchor='first'`` keeps the first ``include_hours`` (mortality/LOS
+    tasks, ``data_generation_icu.py:172-241``); ``anchor='last'`` shifts
+    events by ``select_time = los - include_hours`` and clamps negative
+    starts to 0 (readmission task, ``:243-283``). Interval rows pass
+    ``start_col`` so both endpoints shift together.
+    """
+    if anchor == "first":
+        return df.filter(F.col(time_col) <= F.lit(include_hours))
+    if anchor != "last":
+        raise ValueError(f"unknown anchor: {anchor}")
+    shift = F.col(los_col) - F.lit(include_hours)
+    out = df.withColumn(time_col, F.col(time_col) - shift)
+    if start_col:
+        out = out.withColumn(start_col, F.greatest(F.col(start_col) - shift, F.lit(0)))
+    return out.filter(F.col(time_col) >= 0)
+
+
+def bucketize_events(
+    df: DataFrame,
+    time_col: str,
+    bucket_hours: int,
+    group_by: list[str],
+    agg_exprs: list[Column],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """T3: tumbling-window bucket aggregation (``smooth_meds``).
+
+    The reference loops bucket-by-bucket python-side
+    (``data_generation_icu.py:286-345``): for each bucket b it filters
+    ``b*size <= t < (b+1)*size`` and aggregates. One ``floor(t/size)``
+    derivation + ONE hash aggregate has identical semantics with a
+    single shuffle. The streaming twin is
+    ``streaming.events.stream_bucketize`` (``window(ts, '1 hour')``).
+    """
+    binned = df.withColumn(
+        bucket_col, F.floor(F.col(time_col) / F.lit(bucket_hours)).cast("long")
+    )
+    return binned.groupBy(*group_by, bucket_col).agg(*agg_exprs)
+
+
+def densify_time_grid(
+    anchors: DataFrame,
+    id_col: str,
+    length_col: str,
+    time_col: str = "t",
+) -> DataFrame:
+    """T4: dense per-id time grid 0..length-1.
+
+    The reference reindexes each pivoted per-visit frame to
+    ``range(los)`` inside the per-stay loop
+    (``data_generation_icu.py:396-399,480-483``). Distributed form:
+    ``explode(sequence(0, length-1))`` — one narrow generate, no shuffle;
+    rows stay co-partitioned with their id for the subsequent left join.
+    """
+    return anchors.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col(length_col).cast("long") - 1)).alias(time_col),
+    )
+
+
+def interval_signal(
+    grid: DataFrame,
+    intervals: DataFrame,
+    id_col: str,
+    time_col: str = "t",
+    start_col: str = "start_time",
+    stop_col: str = "stop_time",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """T5: interval → per-hour activity signal.
+
+    Reference builds it by pivoting stop_time, forward-filling, then
+    comparing (``data_generation_icu.py:478-501``). Equivalent set form:
+    grid LEFT JOIN intervals on id, signal = 1 iff any interval covers
+    the grid hour (``t between start and stop``), aggregated with max so
+    overlapping administrations collapse.
+    """
+    j = grid.join(intervals, on=id_col, how="left")
+    covered = (
+        F.col(time_col) >= F.col(start_col)
+    ) & (F.col(time_col) < F.col(stop_col))
+    return j.groupBy(id_col, time_col).agg(
+        F.max(F.when(covered, 1).otherwise(0)).alias(signal_col)
+    )

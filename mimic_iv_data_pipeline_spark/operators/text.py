@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Scale extensions beyond the reference (BASELINE.json north star): all
+pure Column expressions over ``documents(text)`` — tokenization, quality
+scoring, language ID, fingerprinting — so they run JVM-side in
+whole-stage codegen with zero Python in the hot path. The reference's
+only text surface is the medspacy notes pipeline
+(``preprocessing/notes_preproc.py:108-224``), which maps to
+mapInPandas (see operators/multimodal.py for the same plumbing pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker-word lists for the language-ID heuristic. Tiny on
+# purpose: broadcast as literal arrays into the expression, no join.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is"],
+    "es": ["el", "la", "es"],
+    "de": ["der", "die", "ist"],
+    "fr": ["le", "la", "est"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (BPE-ish regex split).
+
+    ``\\s+`` split of the trimmed string — identical semantics in any
+    ANSI engine, used by every operator below so token counts agree.
+    """
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def marker_hits(text: Column, words: list[str]) -> Column:
+    """Count tokens that are exact matches of any marker word."""
+    markers = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(text), lambda t: F.array_contains(markers, t))
+    ).cast("long")
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio metrics.
+
+    Mirrors the usual pretraining-corpus filters (C4/Gopher-style rules)
+    with engine-portable expressions: char count, token count, mean
+    token length, alpha ratio, stopword ratio.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    stop_hits = marker_hits(t, LANG_MARKERS["en"])
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.round((n_chars - (n_tokens - 1)) / F.nullif(n_tokens, F.lit(0)), 6),
+        )
+        .withColumn("alpha_ratio", F.round(alpha_chars / F.nullif(n_chars, F.lit(0)), 6))
+        .withColumn("stopword_ratio", F.round(stop_hits / F.nullif(n_tokens, F.lit(0)), 6))
+    )
+
+
+def language_scores(text: Column) -> list[Column]:
+    """Per-language marker-hit counts, one aliased column per language."""
+    return [
+        marker_hits(text, words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+def predict_language(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Language ID: argmax of marker-hit counts with deterministic
+    alphabetical tie-break (ties → first language name in order).
+
+    Expressed as a greatest-of-structs trick: max over
+    ``struct(score, reverse_alphabetical_rank)`` picks the winner without
+    a UDF or an explode.
+    """
+    langs = sorted(LANG_MARKERS)
+    t = F.col(text_col)
+    # struct ordering compares fields in sequence: score first, then the
+    # tie-break (later-alphabet languages lose because we negate rank).
+    candidates = [
+        F.struct(
+            marker_hits(t, LANG_MARKERS[lang]).alias("score"),
+            F.lit(-i).alias("tie"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    return df.withColumn(out_col, F.greatest(*candidates).getField("lang"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalization-canonical form
+    (lowercase, all non-alphanumerics stripped). Dedup on this catches
+    whitespace/punctuation-only variants that exact md5(text) misses.
+    """
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))

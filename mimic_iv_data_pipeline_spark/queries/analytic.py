@@ -1,0 +1,418 @@
+"""Window / ordered-analytics / statistical queries (SURVEY.md §2.4-2.6).
+
+These exercise the operator library (operators/windows.py,
+operators/aggregates.py, operators/joins.py) against the driver's star
+schema, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mimic_iv_data_pipeline_spark.operators.aggregates import (
+    clamp_outliers,
+    confusion_by_group,
+    mode_per_group,
+    quantile_bins,
+    rank_auc,
+)
+from mimic_iv_data_pipeline_spark.operators.joins import asof_join
+from mimic_iv_data_pipeline_spark.operators.windows import (
+    bfill,
+    ffill,
+    label_readmission,
+    sessionize,
+    topk_per_group,
+)
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- q15: mode per group (A7 — drop_wrong_uom's majority-unit) -------------
+@register(
+    "q15_mode_per_group",
+    oracle="""
+    SELECT l_partkey, l_returnflag AS mode_flag, round(share, 6) AS share
+    FROM (
+      SELECT l_partkey, l_returnflag, cnt,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY cnt DESC, l_returnflag ASC) AS rn,
+             cnt * 1.0 / sum(cnt) OVER (PARTITION BY l_partkey) AS share
+      FROM (SELECT l_partkey, l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1, 2)
+    ) WHERE rn = 1
+    """,
+)
+def q15_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    out = mode_per_group(li, "l_partkey", "l_returnflag")
+    return out.select(
+        "l_partkey",
+        F.col("l_returnflag").alias("mode_flag"),
+        F.round("share", 6).alias("share"),
+    )
+
+
+# --- q16: per-group percentile outlier clamp (A8, exact percentiles) -------
+@register(
+    "q16_outlier_clamp",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           round(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END, 6) AS value_clamped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q16_outlier_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = clamp_outliers(e, "event_type", "value", 0.05, 0.95, mode="clamp", exact=True)
+    return out.select("event_id", F.round("value", 6).alias("value_clamped"))
+
+
+# --- q17: top-k per group (W6) ---------------------------------------------
+@register(
+    "q17_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, rev
+    FROM (
+      SELECT p.p_brand, p.p_partkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+             row_number() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC, p.p_partkey ASC
+             ) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey
+    ) WHERE rn <= 3
+    """,
+)
+def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
+        )
+    )
+    return topk_per_group(
+        per_part, "p_brand", [F.col("rev").desc(), F.col("p_partkey").asc()], k=3
+    ).select("p_brand", "p_partkey", "rev")
+
+
+# --- q18: readmission lookahead label (J8/W2) ------------------------------
+# The reference's partition_by_readmit loop (day_intervals_cohort.py:136-177)
+# on orders-as-visits: label 1 iff a later order lands within 90 days.
+@register(
+    "q18_readmission_label",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN next_dt IS NOT NULL AND next_dt > o_orderdate
+                     AND date_diff('second', o_orderdate, next_dt) <= 90 * 86400
+                THEN 1 ELSE 0 END AS label
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             min(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_dt
+      FROM orders
+    )
+    """,
+)
+def q18_readmission_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    out = label_readmission(
+        o,
+        subject_col="o_custkey",
+        admit_col="o_orderdate",
+        disch_col="o_orderdate",
+        gap_days=90,
+        tie_break="o_orderkey",
+    )
+    return out.select("o_orderkey", "o_custkey", F.col("label").cast("int").alias("label"))
+
+
+# --- q19: as-of join (J7 — hadm_imputer semantics) -------------------------
+# For each purchase, the latest signup of the same user at-or-before it
+# and within 7 days; deterministic tie-break; unmatched stay null.
+@register(
+    "q19_asof_join",
+    oracle="""
+    SELECT p.event_id, s.event_id AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+         AND date_diff('second', s.ts, p.ts) <= 604800
+    QUALIFY row_number() OVER (
+      PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC
+    ) = 1
+    """,
+)
+def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").drop("event_type")
+    signups = e.filter(F.col("event_type") == "signup").drop("event_type")
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_start="ts",
+        direction="backward",
+        tolerance_expr=(
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("ts_r")) <= 604800
+        ),
+        tie_break=[F.col("event_id_r").desc()],
+    )
+    return out.select("event_id", F.col("event_id_r").alias("signup_event_id"))
+
+
+# --- q20: forward/backward fill (W3) ---------------------------------------
+# ffill/bfill over the per-user event sequence; 'error' values masked to
+# null first so the fill has real gaps to cross (the reference fills
+# pivoted hour grids the same way, data_generation_icu.py:404-412).
+@register(
+    "q20_ffill_bfill",
+    oracle="""
+    SELECT event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill,
+           round(first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS v_bfill
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+)
+def q20_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")).alias("v"),
+    )
+    out = ffill(e, "v", "user_id", ["ts", "event_id"], out_col="v_ffill")
+    out = bfill(out, "v", "user_id", ["ts", "event_id"], out_col="v_bfill")
+    return out.select(
+        "event_id",
+        F.round("v_ffill", 6).alias("v_ffill"),
+        F.round("v_bfill", 6).alias("v_bfill"),
+    )
+
+
+# --- q21: sessionization (gap-based; scale extension) ----------------------
+@register(
+    "q21_sessionize",
+    oracle="""
+    SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = sessionize(e, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    return out.groupBy("user_id").agg(F.max("session_id").cast("long").alias("n_sessions"))
+
+
+# --- q22: quantile binning (A9 — BEHRT qcut) -------------------------------
+@register(
+    "q22_quantile_bins",
+    oracle="""
+    SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+           round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+    FROM (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+      FROM events
+    ) GROUP BY event_type, bin
+    """,
+)
+def q22_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    binned = quantile_bins(e, "event_type", "value", "event_id", n_bins=4)
+    return binned.groupBy("event_type", F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+# --- q23: histogram bins / calibration (A10) -------------------------------
+@register(
+    "q23_calibration_bins",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value,
+           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q23_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.aggregates import histogram_bins
+
+    e = _t(spark, sf_dir, "events")
+    return histogram_bins(
+        e,
+        "value",
+        50.0,
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)), 6
+            ).alias("purchase_rate"),
+        ],
+    )
+
+
+# --- q24: fairness confusion matrix by group (A11) -------------------------
+@register(
+    "q24_fairness_confusion",
+    oracle="""
+    SELECT c.c_mktsegment,
+           sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS tn,
+           sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn,
+           round(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0), 6) AS tpr,
+           round(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 0), 6) AS fpr
+    FROM (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS p
+      FROM orders
+    ) o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q24_fairness_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return confusion_by_group(
+        joined,
+        "c_mktsegment",
+        label_expr=(F.col("o_totalprice") > 150000),
+        pred_expr=F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+    )
+
+
+# --- q25: rank-based ROC-AUC (A12) -----------------------------------------
+@register(
+    "q25_rank_auc",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label = 2 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ), r AS (
+      SELECT y,
+             rank() OVER (ORDER BY score) AS minr,
+             count(*) OVER (PARTITION BY score) AS ties
+      FROM t
+    )
+    SELECT round(
+      (sum(CASE WHEN y = 1 THEN minr + (ties - 1) / 2.0 ELSE 0 END)
+       - sum(y) * (sum(y) + 1) / 2.0)
+      / (sum(y) * sum(1 - y)), 6) AS auc
+    FROM r
+    """,
+)
+def q25_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") == 2, 1).otherwise(0).alias("y"),
+    )
+    return rank_auc(scored, "score", "y")
+
+
+# --- q26: vocabulary build (A15) -------------------------------------------
+@register(
+    "q26_vocab_build",
+    oracle="""
+    SELECT event_type AS token,
+           CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS id
+    FROM (SELECT DISTINCT event_type FROM events)
+    """,
+)
+def q26_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    return (
+        e.select("event_type")
+        .distinct()
+        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        .select(F.col("event_type").alias("token"), "id")
+    )
+
+
+# --- q27: global top-k (§2.6) ----------------------------------------------
+@register(
+    "q27_global_topk",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY rev DESC, l_partkey ASC
+    LIMIT 5
+    """,
+)
+def q27_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .limit(5)
+    )
+
+
+# --- q28: rollup / grouping sets (A14 — free extension) --------------------
+@register(
+    "q28_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q28_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )

@@ -1,0 +1,384 @@
+"""Core relational queries (SURVEY.md §2.1-2.4, §2.7-2.8).
+
+Each query exercises one operator family from the inventory against the
+driver's star schema, with a DuckDB oracle. Sites cited are the
+reference behaviors being re-expressed (see SURVEY.md for context).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- q01: scan + filter + multi-aggregate (S1, P3, A1-A4, F10) -------------
+# The reference's summary aggregations (feature_selection_hosp.py:129-147)
+# are two-level count/mean passes; this is the same shape at TPC-H Q1 scale.
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- q02: projection + predicates + derive (P1-P3, P8, F8) -----------------
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice * 0.9, 4) AS discounted,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate_str,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END AS priority_class
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 0.9, 4).alias("discounted"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            ).otherwise("low").alias("priority_class"),
+        )
+    )
+
+
+# --- q03: multi-way join + broadcast dims (J1, J2) -------------------------
+# Fact×dim shape of the cohort joins (day_intervals_cohort.py:35,73-79):
+# region/nation broadcast exactly like the patients-dim joins.
+@register(
+    "q03_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- q04: left-semi membership (P6/J6) -------------------------------------
+# The reference's isin-against-cohort filters (day_intervals_cohort.py:39).
+@register(
+    "q04_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ids = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(ids, on="c_custkey", how="left_semi").select("c_custkey", "c_name")
+
+
+# --- q05: anti join (U5 complement) ----------------------------------------
+@register(
+    "q05_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ids = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(ids, on="c_custkey", how="left_anti").select("c_custkey", "c_mktsegment")
+
+
+# --- q06: deterministic dedup / first-per-group (P7, W7) -------------------
+# dropDuplicates with an explicit total order — the reference's
+# drop_duplicates (icu_preprocess_util.py:134) keeps first-seen, which
+# only has meaning under a declared ordering.
+@register(
+    "q06_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q06_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.windows import first_row_per_group
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts")
+    out = first_row_per_group(
+        e, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return out.select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+
+
+# --- q07: conditional update / clamp (P8) ----------------------------------
+# The stop_time>los clamp (data_generation_icu.py:164) as least()/when().
+@register(
+    "q07_conditional_clamp",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_quantity, 25.0) AS qty_clamped,
+           CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS high_disc
+    FROM lineitem
+    """,
+)
+def q07_conditional_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_clamped"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("high_disc"),
+    )
+
+
+# --- q08: outer join + null fill (J4/J5, P5) -------------------------------
+# Summary right-merge shape (feature_selection_hosp.py:145-146): every
+# part appears even with zero lineitems; aggregate-then-join keeps the
+# join input small (partial agg before the shuffle).
+@register(
+    "q08_outer_join_fill",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           coalesce(s.cnt, 0) AS n_items,
+           round(coalesce(s.qty, 0.0), 4) AS total_qty
+    FROM part p
+    LEFT JOIN (
+      SELECT l_partkey, count(*) AS cnt, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey
+    ) s ON p.p_partkey = s.l_partkey
+    """,
+)
+def q08_outer_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        p.join(s, p.p_partkey == s.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_items"),
+            F.round(F.coalesce(F.col("qty"), F.lit(0.0)), 4).alias("total_qty"),
+        )
+    )
+
+
+# --- q09: union of labeled branches (U1) -----------------------------------
+# case∪control concat (day_intervals_cohort.py:245) as unionByName.
+@register(
+    "q09_union_branches",
+    oracle="""
+    SELECT c_custkey, 'high' AS tier FROM customer WHERE c_acctbal >= 5000
+    UNION ALL
+    SELECT c_custkey, 'low' AS tier FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q09_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    high = c.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey", F.lit("high").alias("tier")
+    )
+    low = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("low").alias("tier")
+    )
+    return high.unionByName(low)
+
+
+# --- q10: distinct counts (A5) ---------------------------------------------
+@register(
+    "q10_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q10_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- q11: string scalar functions (F1-F7) ----------------------------------
+@register(
+    "q11_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           lower(trim(p_name)) AS name_norm,
+           substr(p_type, 1, 3) AS type_root,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           p_brand || '/' || p_type AS brand_type
+    FROM part
+    """,
+)
+def q11_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim(F.col("p_name"))).alias("name_norm"),
+        F.substring("p_type", 1, 3).alias("type_root"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# --- q12: date functions (F8) ----------------------------------------------
+@register(
+    "q12_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q12_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# --- q13: json extraction (props column; F-ext) ----------------------------
+@register(
+    "q13_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# --- q14: code mapping via broadcast dim with fallback (J9, W5) ------------
+# ICD9→10 root mapping (hosp_preprocess_util.py:402-426) modeled on
+# p_type roots: an inline dim maps known roots, unmapped fall back.
+@register(
+    "q14_code_mapping",
+    oracle="""
+    WITH m(type_root, type_group) AS (
+      VALUES ('ECO','economy'), ('STA','standard'), ('PRO','promotional')
+    )
+    SELECT p.p_partkey,
+           coalesce(m.type_group, substr(p.p_type, 1, 3)) AS type_group
+    FROM part p
+    LEFT JOIN m ON substr(p.p_type, 1, 3) = m.type_root
+    """,
+)
+def q14_code_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.joins import map_codes
+    from mimic_iv_data_pipeline_spark.functions.scalars import icd_root
+
+    p = _t(spark, sf_dir, "part").withColumn("type_root_key", icd_root(F.col("p_type")))
+    mapping = spark.createDataFrame(
+        [("ECO", "economy"), ("STA", "standard"), ("PRO", "promotional")],
+        ["type_root", "type_group"],
+    )
+    out = map_codes(
+        p.withColumn("p_type_root", F.col("type_root_key")),
+        mapping,
+        code_col="p_type_root",
+        map_key="type_root",
+        map_value="type_group",
+        out_col="type_group",
+        key_expr=F.col("type_root_key"),
+    )
+    return out.select("p_partkey", "type_group")

@@ -1,0 +1,73 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.similarity import (
+    ann_lsh_topk,
+    as_double_vec,
+    cosine_topk,
+    l2_norm,
+)
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- q42: brute-force cosine top-k (exact ANN baseline) ---------------------
+@register(
+    "q42_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+      FROM q, c
+      WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+    ) <= 5
+    """,
+)
+def q42_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, k=5)
+
+
+# --- q43: embedding statistics per label ------------------------------------
+@register(
+    "q43_embedding_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q43_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm(as_double_vec(F.col("embedding")))), 6).alias("avg_norm"),
+    )
+
+
+# --- q44: LSH-bucketed approximate NN (scale path; no SQL twin) -------------
+@register("q44_ann_lsh")
+def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(queries, emb, dims=64, bits=8, k=5)

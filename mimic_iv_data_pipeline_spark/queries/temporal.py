@@ -1,0 +1,185 @@
+"""Temporal / time-series queries (SURVEY.md §2.9 T1-T7).
+
+The events table stands in for the reference's chartevents stream:
+(user_id, ts, itemid-ish event_type, valuenum-ish value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.temporal import (
+    bucketize_events,
+    densify_time_grid,
+    hours_between,
+    normalize_event_time,
+)
+from mimic_iv_data_pipeline_spark.operators.pivot import pivot_features
+from mimic_iv_data_pipeline_spark.queries import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- q29: tumbling-window bucket aggregation (T3 — smooth_meds) ------------
+# The reference loops bucket-by-bucket (data_generation_icu.py:286-345);
+# here: one derivation + one hash aggregate.
+@register(
+    "q29_bucketize_hourly",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q29_bucketize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "bucket", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+# --- q30: integer-bucket aggregation keyed by hours-since-epoch (T3) -------
+# Same operator via the numeric path (floor(t/bucket)), 6-hour buckets.
+@register(
+    "q30_bucketize_6h",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(floor(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0) / 6.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q30_bucketize_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hours = e.withColumn(
+        "t",
+        hours_between(F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")),
+    )
+    return bucketize_events(
+        hours,
+        time_col="t",
+        bucket_hours=6,
+        group_by=["user_id"],
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    ).select("user_id", "bucket", "n", "avg_value")
+
+
+# --- q31: dense time grid + left join + zero fill (T4, P5) -----------------
+# The reference reindexes each per-visit pivot to range(los)
+# (data_generation_icu.py:396-399); here explode(sequence) per user.
+@register(
+    "q31_dense_grid",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, g.t
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(range(0, 720)) AS t) g
+    ), counts AS (
+      SELECT user_id,
+             CAST(floor(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0) AS BIGINT) AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grid.user_id, CAST(grid.t AS BIGINT) AS t, coalesce(counts.cnt, 0) AS cnt
+    FROM grid LEFT JOIN counts ON grid.user_id = counts.user_id AND grid.t = counts.t
+    """,
+)
+def q31_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    anchors = e.select("user_id").distinct().withColumn("grid_len", F.lit(720))
+    grid = densify_time_grid(anchors, "user_id", "grid_len", time_col="t")
+    counts = (
+        e.withColumn(
+            "t", hours_between(F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return grid.join(counts, on=["user_id", "t"], how="left").select(
+        "user_id", "t", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+
+
+# --- q32: wide pivot with fixed domain (T7) --------------------------------
+# pivot_table(index=user, columns=event_type, values=value, aggfunc=mean)
+# with an explicit pivot domain (no distinct-scan job, stable schema).
+@register(
+    "q32_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           round(avg(value) FILTER (WHERE event_type = 'click'), 6)    AS click,
+           round(avg(value) FILTER (WHERE event_type = 'error'), 6)    AS error,
+           round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+           round(avg(value) FILTER (WHERE event_type = 'signup'), 6)   AS signup,
+           round(avg(value) FILTER (WHERE event_type = 'view'), 6)     AS "view"
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q32_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    out = pivot_features(
+        e,
+        index_cols=["user_id"],
+        pivot_col="event_type",
+        agg_expr=F.round(F.avg("value"), 6),
+        values=EVENT_TYPES,
+    )
+    return out
+
+
+# --- q33: event-time normalization vs per-key anchor (T1) ------------------
+# t = hours since the user's first event (the admit-time anchor in
+# data_generation_icu.py:83-93), with the sanity filter t >= 0.
+@register(
+    "q33_event_time_normalize",
+    oracle="""
+    WITH anchored AS (
+      SELECT user_id, value,
+             CAST(floor(date_diff('second', min(ts) OVER (PARTITION BY user_id), ts) / 3600.0) AS BIGINT) AS t
+      FROM events
+    )
+    SELECT user_id, t, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM anchored
+    WHERE t >= 0 AND t <= 168
+    GROUP BY user_id, t
+    """,
+)
+def q33_event_time_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    anchored = e.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    normed = normalize_event_time(
+        anchored, event_ts="ts", anchor_ts="first_ts", out_col="t"
+    ).filter(F.col("t") <= 168)
+    return normed.groupBy("user_id", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

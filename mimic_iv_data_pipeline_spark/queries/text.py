@@ -1,0 +1,184 @@
+"""Text-analysis + dedup queries over the documents table.
+
+LLM-training-data operators (BASELINE.json north star) — exact dedup,
+fingerprinting, token/quality stats, language ID, n-gram Jaccard
+near-dup — each with a DuckDB oracle built from the SAME portable
+semantics (regexp '\\s+' tokenization, concat_ws shingles, md5 digests).
+MinHash-LSH and SimHash use xxhash64 (no DuckDB twin) → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mimic_iv_data_pipeline_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    predict_language,
+    token_count,
+    with_quality_metrics,
+)
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- q34: exact dedup via content digest -----------------------------------
+@register(
+    "q34_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id")
+
+
+# --- q35: token counting ----------------------------------------------------
+@register(
+    "q35_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m
+    FROM documents
+    """,
+)
+def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+# --- q36: quality scoring ---------------------------------------------------
+@register(
+    "q36_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+             CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> list_contains(['the', 'a', 'is'], x))) AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           round((n_chars_m - (n_tokens - 1)) * 1.0 / nullif(n_tokens, 0), 6) AS mean_token_len,
+           round(alpha * 1.0 / nullif(n_chars_m, 0), 6) AS alpha_ratio,
+           round(stop_hits * 1.0 / nullif(n_tokens, 0), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def q36_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_quality_metrics(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_token_len", "alpha_ratio", "stopword_ratio"
+    )
+
+
+# --- q37: language ID heuristic ---------------------------------------------
+def _lang_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n             ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], x))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    # alphabetical argmax with ties → first language
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cases.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases[:-1]) + " " + cases[-1] + " END"
+    return rf"""
+    WITH toked AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {score_exprs}
+      FROM toked
+    )
+    SELECT doc_id, lang, {case_sql} AS pred_lang
+    FROM scored
+    """
+
+
+@register("q37_lang_id", oracle=_lang_oracle())
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = predict_language(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang", "pred_lang")
+
+
+# --- q38: document fingerprint ----------------------------------------------
+@register(
+    "q38_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --- q39: n-gram Jaccard near-dup pairs -------------------------------------
+@register(
+    "q39_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
+    """,
+)
+def q39_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.2)
+
+
+# --- q40: MinHash + LSH near-dup candidates (no SQL twin: xxhash64) ---------
+@register("q40_minhash_lsh")
+def q40_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", n=3, num_hashes=64, bands=16, verify_threshold=0.2
+    )
+
+
+# --- q41: SimHash signatures (no SQL twin: xxhash64) ------------------------
+@register("q41_simhash")
+def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), "doc_id")

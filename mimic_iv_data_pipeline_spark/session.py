@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pipeline hand-manages memory with chunked pandas scans
+(``utils/hosp_preprocess_util.py:296-327``) and an 8-process pool
+(``utils/labs_preprocess_util.py:119-126``). On Spark all of that is
+the engine's job; what we own is the configuration: AQE on (runtime
+coalesce + skew-join handling), Arrow for the pandas boundary, UTC
+session time zone so timestamp semantics are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local[32]/128GiB test harness; on a real cluster the
+# submitter overrides master/memory and shuffle partitions scale with
+# executor count (AQE coalesces the excess at runtime either way).
+DEFAULT_CONFIG: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/mapping tables, cohort id lists) should
+    # broadcast; 64 MB covers every dimension table in this workload.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+
+def get_spark(app_name: str = "mimic_iv_data_pipeline_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``overrides`` are raw Spark conf key/values and win over defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = {**DEFAULT_CONFIG, **overrides}
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

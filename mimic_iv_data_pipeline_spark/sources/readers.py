@@ -1,0 +1,112 @@
+"""Sources (SURVEY.md §2.1).
+
+The reference reads gzip CSV with ``usecols``/``dtype``/``parse_dates``
+(S1: ``day_intervals_cohort.py:30,43,63,88``), tab/latin-1 mapping TSVs
+(S3: ``hosp_preprocess_util.py:152-155,242-247``), hand-rolled 5-10M-row
+chunked scans (S2: ``hosp_preprocess_util.py:296-327``) and csv globs
+(S8: ``preprocess_outcomes.py:48-53``).
+
+On Spark: S2 disappears entirely (partitioned scans bound memory), and
+S1/S3/S8 are one-liner declarative reads with *explicit* schemas — never
+``inferSchema`` in production, so the scan is single-pass and the plan's
+``ReadSchema`` only carries the projected columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan, tolerant of nanosecond parquet timestamps.
+
+    The driver's events table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). We read nanos as
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+    microsecond timestamp with exact integer division — the same
+    truncation DuckDB applies when reading TIMESTAMP_NS, so oracle
+    comparisons agree to the microsecond.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Single-table loader; routes ``events`` through the nanos shim."""
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet star schema as a dict of DataFrames.
+
+    Parquet scans get column pruning and predicate pushdown for free;
+    callers should still ``.select`` early so ``ReadSchema`` stays narrow.
+    """
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def read_csv_gz(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    usecols: list[str] | None = None,
+) -> DataFrame:
+    """S1: schema-full CSV scan (gzip decoded automatically by codec).
+
+    ``usecols`` mirrors the reference's projection pushdown
+    (``day_intervals_cohort.py:34``); with an explicit select Catalyst
+    prunes the parse to those columns.
+    """
+    df = spark.read.schema(schema).option("header", "true").csv(path)
+    return df.select(*usecols) if usecols else df
+
+
+def read_tsv_map(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """S3: mapping-table scan (ICD9→10 TSV, NDC latin-1 TSV).
+
+    Mapping tables are broadcast-sized (the real ICD map is 24,286 rows,
+    ``utils/mappings/ICD9_to_ICD10_mapping.txt``); consumers wrap them in
+    ``F.broadcast`` at the join site.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("encoding", encoding)
+        .csv(path)
+    )
+
+
+def read_glob_csv(spark: SparkSession, glob: str, schema: T.StructType) -> DataFrame:
+    """S8: multi-file glob source (``glob(dataFile+'/*.csv')`` concat)."""
+    return spark.read.schema(schema).option("header", "true").csv(glob)

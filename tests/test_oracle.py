@@ -1,0 +1,89 @@
+"""Oracle-differential tests mirroring the driver's compare.
+
+For every registered query with an oracle: run the Spark DataFrame and
+the DuckDB SQL on the same parquet tables, compare row count, column
+names, and an order-insensitive value multiset (columns sorted by name,
+rows sorted, NaN/None normalized) — the same contract as
+CORRECTNESS_r{N}.json, so a red here predicts a red there.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mimic_iv_data_pipeline_spark.queries import all_oracles, all_queries
+from mimic_iv_data_pipeline_spark.sources.readers import TESTDATA_TABLES
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # absorb -0.0 vs 0.0 and representation noise beyond round(…, 6)
+        return round(v, 6) + 0.0
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_canon = _canon(spark_rows, spark_cols)
+    d_canon = _canon(duck_rows, duck_cols)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_no_oracle_queries_run(spark, sf_dir, name):
+    """Rows-only check for non-SQL-expressible ops (matches driver)."""
+    sdf = QUERIES[name](spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
