@@ -110,35 +110,63 @@ def label_readmission(
     gap_days: int = 30,
     label_col: str = "label",
     tie_break: str | None = None,
+    assume_nonoverlapping: bool = False,
 ) -> DataFrame:
     """J8/W2: readmission lookahead labeling.
 
     Reference: ``partition_by_readmit`` (``day_intervals_cohort.py:136-177``)
-    loops visits per subject and labels a visit 1 iff a *later* admission
-    starts within ``gap_days`` of this discharge. Because visits are
-    ordered by admit time, the MIN following admit decides — so a single
-    window over ``ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING``
-    replaces the loop (property-tested equivalence in
-    ``tests/test_windows.py``).
+    loops visits per subject and labels a visit 1 iff another admission
+    starts after this discharge and within ``gap_days`` of it. Any such
+    admission is automatically *later* in admit order (admit₂ > disch₁ ≥
+    admit₁), so the loop is exactly an EXISTS over a per-subject range
+    self-join — the default here (property-tested against a brute-force
+    loop in tests/test_cohort_pipeline.py, including overlapping visits).
+
+    ``assume_nonoverlapping=True`` takes the cheaper single-window path
+    (MIN admit over ROWS 1 FOLLOWING..UNBOUNDED decides): one shuffle
+    instead of two, valid when no admit falls inside another visit of
+    the same subject — true for real hospital admissions.
     """
-    order = [F.col(admit_col).asc()]
-    if tie_break:
-        order.append(F.col(tie_break).asc())
-    w = (
-        Window.partitionBy(subject_col)
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+    if assume_nonoverlapping:
+        order = [F.col(admit_col).asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        w = (
+            Window.partitionBy(subject_col)
+            .orderBy(*order)
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        next_admit = F.min(admit_col).over(w)
+        within_gap = (
+            next_admit.isNotNull()
+            & (next_admit > F.col(disch_col))
+            & (
+                (F.unix_timestamp(next_admit) - F.unix_timestamp(disch_col))
+                <= gap_days * 86400
+            )
+        )
+        return visits.withColumn(
+            label_col, F.when(within_gap, 1).otherwise(0).cast("int")
+        )
+
+    later = visits.select(
+        F.col(subject_col).alias("__rs"), F.col(admit_col).alias("__radmit")
     )
-    next_admit = F.min(admit_col).over(w)
-    within_gap = (
-        next_admit.isNotNull()
-        & (next_admit > F.col(disch_col))
+    cond = (
+        (F.col(subject_col) == F.col("__rs"))
+        & (F.col("__radmit") > F.col(disch_col))
         & (
-            (F.unix_timestamp(next_admit) - F.unix_timestamp(disch_col))
+            (F.unix_timestamp("__radmit") - F.unix_timestamp(disch_col))
             <= gap_days * 86400
         )
     )
-    return visits.withColumn(label_col, F.when(within_gap, 1).otherwise(0).cast("int"))
+    pos = visits.join(later, on=cond, how="left_semi").withColumn(
+        label_col, F.lit(1).cast("int")
+    )
+    neg = visits.join(later, on=cond, how="left_anti").withColumn(
+        label_col, F.lit(0).cast("int")
+    )
+    return pos.unionByName(neg)
 
 
 def sessionize(

@@ -118,18 +118,14 @@ def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_readmission_label",
     oracle="""
-    SELECT o_orderkey, o_custkey,
-           CASE WHEN next_dt IS NOT NULL AND next_dt > o_orderdate
-                     AND date_diff('second', o_orderdate, next_dt) <= 90 * 86400
-                THEN 1 ELSE 0 END AS label
-    FROM (
-      SELECT o_orderkey, o_custkey, o_orderdate,
-             min(o_orderdate) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
-             ) AS next_dt
-      FROM orders
-    )
+    SELECT v.o_orderkey, v.o_custkey,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM orders w
+             WHERE w.o_custkey = v.o_custkey
+               AND w.o_orderdate > v.o_orderdate
+               AND date_diff('second', v.o_orderdate, w.o_orderdate) <= 90 * 86400
+           ) THEN 1 ELSE 0 END AS label
+    FROM orders v
     """,
 )
 def q18_readmission_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +136,6 @@ def q18_readmission_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         admit_col="o_orderdate",
         disch_col="o_orderdate",
         gap_days=90,
-        tie_break="o_orderkey",
     )
     return out.select("o_orderkey", "o_custkey", F.col("label").cast("int").alias("label"))
 

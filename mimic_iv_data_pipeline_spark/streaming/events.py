@@ -1,0 +1,89 @@
+"""Structured Streaming twins of the batch temporal operators.
+
+The reference is pure batch (SURVEY.md §2.9: no watermarks, no late
+data) — its "streaming" is hand-rolled 10M-row chunk folding. These are
+the real streaming counterparts for the ``events`` surface: the same
+tumbling-bucket aggregation (T3) and sessionization as incremental
+queries with watermark-bounded state, so the engine's temporal
+semantics carry over to a live feed unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-based streaming source over an events directory. Explicit
+    schema (streaming readers cannot infer), one file per trigger by
+    default is left to the caller's options."""
+    return spark.readStream.schema(EVENT_STREAM_SCHEMA).format(fmt).load(path)
+
+
+def stream_bucketize(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T3's streaming twin: tumbling event-time window aggregation with
+    a watermark bounding late data (and state size — state for windows
+    older than the watermark is dropped, which is what makes this run
+    forever at 100 TB/day).
+
+    Batch equivalence: for fully-arrived data this produces exactly
+    ``bucketize_events(df, floor(t/1h))`` — asserted in
+    tests/test_streaming.py by running the same input through both.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "avg_value",
+            "max_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows (the streaming twin of
+    operators.windows.sessionize): ``session_window`` merges events
+    closer than ``gap`` into one growing window per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,94 @@
+"""Tests for the multimodal mapInPandas plumbing and the Structured
+Streaming twins (batch-equivalence of the tumbling-window aggregate)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    frame_sample,
+)
+from mimic_iv_data_pipeline_spark.sources.readers import read_events
+from mimic_iv_data_pipeline_spark.streaming.events import (
+    read_event_stream,
+    stream_bucketize,
+)
+
+
+def test_decode_media_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = documents_as_media(docs)
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    # byte_len equals the document char length (ascii corpus)
+    lens = {r["media_id"]: r["byte_len"] for r in rows}
+    for d in docs.collect():
+        assert lens[d["doc_id"]] == len(d["text"])
+    # features are unit-normalized byte histograms — deterministic
+    for r in rows:
+        assert r["media_type"] == "text/plain"
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+
+
+def test_decode_media_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    a = decode_media(documents_as_media(docs)).collect()
+    b = decode_media(documents_as_media(docs.repartition(4))).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    frames = frame_sample(documents_as_media(docs), n_frames=4)
+    assert frames.count() == 20
+    per_media = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    assert all(r["n"] == 4 for r in per_media.collect())
+
+
+def test_stream_bucketize_matches_batch(spark, sf_smoke):
+    """T3 streaming twin: availableNow over a file source produces the
+    same buckets as the batch aggregate on the same data."""
+    events = read_events(spark, sf_smoke)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_src")
+        events.write.parquet(src)
+
+        stream = read_event_stream(spark, src)
+        agg = stream_bucketize(stream, window_duration="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_buckets")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["bucket_start"], r["event_type"]): (r["n"], round(r["avg_value"], 6))
+            for r in spark.sql("SELECT * FROM stream_buckets").collect()
+        }
+        expect = {
+            (r["bucket_start"], r["event_type"]): (r["n"], round(r["avg_value"], 6))
+            for r in events.groupBy(
+                F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+            .collect()
+        }
+        # append mode emits only windows closed by the watermark; every
+        # emitted window must match batch exactly, and most windows close
+        # (the final watermark sits 1h behind max ts)
+        assert len(got) >= len(expect) - 2
+        for k, v in got.items():
+            assert expect[k] == v, f"window {k}: stream {v} != batch {expect[k]}"
