@@ -49,6 +49,10 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # Warm up JVM/codegen/shuffle machinery so timings measure the
+    # queries, not first-use initialization.
+    spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count().count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

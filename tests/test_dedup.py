@@ -1,0 +1,111 @@
+"""Property tests for the dedup family: prefix-filtered Jaccard equals
+the naive quadratic join; MinHash-LSH candidates recover high-Jaccard
+pairs; SimHash invariance."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    variants = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different text about spark query engines and shuffles here"),
+        (4, base + " with a small suffix appended"),
+        (5, "another unrelated document mentioning the quick brown fox only briefly"),
+    ]
+    return spark.createDataFrame(variants, "doc_id long, text string")
+
+
+def _brute_force_jaccard(docs, n=3):
+    """Reference implementation in plain python."""
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {d: shingles(t) for d, t in docs}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        if inter:
+            out[(a, b)] = round(inter / (len(sa) + len(sb) - inter), 6)
+    return out
+
+
+def test_prefix_filter_matches_bruteforce(spark, near_dup_docs):
+    docs = [(r["doc_id"], r["text"]) for r in near_dup_docs.collect()]
+    expect = {
+        k: v for k, v in _brute_force_jaccard(docs).items() if v >= 0.3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dup_docs, "doc_id", threshold=0.3).collect()
+    }
+    assert got == expect
+
+
+def test_prefix_filter_matches_bruteforce_on_corpus(spark, sf_dir):
+    """Same property on the real documents table at a saturating
+    threshold — validates the prefix bound under heavy shingle reuse."""
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    docs = [(r["doc_id"], r["text"]) for r in docs_df.collect()]
+    expect = {k: v for k, v in _brute_force_jaccard(docs).items() if v >= 0.2}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "doc_id", threshold=0.2).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_lsh_recovers_near_dups(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            near_dup_docs, "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup always found
+    assert (0, 2) in pairs  # single-word change → high jaccard, banded together
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_simhash_properties(spark, near_dup_docs):
+    sigs = {r["doc"]: r["simhash"] for r in simhash(near_dup_docs, "doc_id").collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signature
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near dup differs in few bits; unrelated doc differs in many
+    assert hamming(sigs[0], sigs[2]) < hamming(sigs[0], sigs[3])
+    assert hamming(sigs[0], sigs[2]) <= 16
+
+
+def test_exact_dedup_groups(spark, near_dup_docs):
+    groups = exact_dedup_groups(near_dup_docs, "doc_id").collect()
+    by_canonical = {r["canonical_id"]: r["group_size"] for r in groups}
+    assert by_canonical[0] == 2  # docs 0 and 1 collapse
+    assert len(groups) == 5
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    row = df.select(word_shingles(F.col("text"), 3).alias("s")).first()
+    assert row["s"] == ["two words"]  # partial gram for shorter-than-n docs
