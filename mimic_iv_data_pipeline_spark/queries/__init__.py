@@ -32,6 +32,7 @@ _MODULES = [
     "temporal",
     "text",
     "similarity",
+    "coverage",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Coverage queries for the remaining SURVEY.md §2 inventory lines:
+row-set operations (U-family), one-hot/label encoding (F12/F13),
+grouped maxima (A6), and the interval→signal operator (T5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --- q45: intersect / except (U5, §2.7) ------------------------------------
+# k-fold style id-set algebra (ml_models.py:71) as real row-set ops.
+@register(
+    "q45_set_ops",
+    oracle="""
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT c_custkey, 'only_1995' AS tag FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    """,
+)
+def q45_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = y95.intersect(y96).withColumn("tag", F.lit("both"))
+    # subtract = SQL set EXCEPT (exceptAll is bag difference — a custkey
+    # with 3 orders in 1995 and 1 in 1996 must NOT survive)
+    only95 = y95.subtract(y96).withColumn("tag", F.lit("only_1995"))
+    return both.unionByName(only95)
+
+
+# --- q46: one-hot encoding (F12) -------------------------------------------
+# MultiLabelBinarizer / pd.get_dummies (ml_models.py:147-167) as a pivot
+# with an explicit domain and 0-fill.
+@register(
+    "q46_one_hot",
+    oracle="""
+    SELECT c_custkey,
+           CAST(max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS INT) AS seg_automobile,
+           CAST(max(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS INT)   AS seg_building,
+           CAST(max(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS INT)  AS seg_furniture,
+           CAST(max(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS INT)  AS seg_household,
+           CAST(max(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS INT)  AS seg_machinery
+    FROM customer
+    GROUP BY c_custkey
+    """,
+)
+def q46_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    aggs = [
+        F.max(
+            F.when(F.col("c_mktsegment") == s, 1).otherwise(0)
+        ).cast("int").alias(f"seg_{s.lower()}")
+        for s in segs
+    ]
+    return c.groupBy("c_custkey").agg(*aggs)
+
+
+# --- q47: label encoding via vocabulary join (F13, A15) --------------------
+# LabelEncoder / vocab-dict replace (ml_models.py:105-116,
+# dl_train.py:347-351) as a broadcast join against a derived vocab.
+@register(
+    "q47_label_encode",
+    oracle="""
+    WITH vocab AS (
+      SELECT event_type AS token,
+             CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS type_id
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_id, v.type_id
+    FROM events e JOIN vocab v ON e.event_type = v.token
+    """,
+)
+def q47_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    vocab = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_id", (F.row_number().over(Window.orderBy("event_type")) - 1).cast("long")
+        )
+    )
+    return e.join(F.broadcast(vocab), on="event_type").select("event_id", "type_id")
+
+
+# --- q48: grouped maxima / two-level max (A6) ------------------------------
+# cond.groupby('stay_id').size().max() (data_generation_icu.py:77):
+# per-entity counts, then per-group max of those counts.
+@register(
+    "q48_group_max",
+    oracle="""
+    SELECT l_returnflag,
+           max(per_order) AS max_items_per_order,
+           round(max(l_quantity), 4) AS max_qty
+    FROM (
+      SELECT l_returnflag, l_orderkey, count(*) OVER (PARTITION BY l_returnflag, l_orderkey) AS per_order, l_quantity
+      FROM lineitem
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q48_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_orderkey")
+    return (
+        li.withColumn("per_order", F.count(F.lit(1)).over(w))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("per_order").alias("max_items_per_order"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        )
+    )
+
+
+# --- q49: interval → per-bucket signal (T5) --------------------------------
+# Med-administration signal (data_generation_icu.py:478-501): each
+# purchase opens a 6-hour "active" interval; signal=1 for any covered
+# 6-hour grid bucket within the first week per user.
+@register(
+    "q49_interval_signal",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, g.t
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(range(0, 28)) AS t) g
+    ), intervals AS (
+      SELECT user_id,
+             CAST(floor(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 21600.0) AS BIGINT) AS b_start
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT grid.user_id, CAST(grid.t AS BIGINT) AS t,
+           CAST(max(CASE WHEN intervals.b_start IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS signal
+    FROM grid LEFT JOIN intervals
+      ON grid.user_id = intervals.user_id
+     AND grid.t >= intervals.b_start AND grid.t < intervals.b_start + 2
+    GROUP BY grid.user_id, grid.t
+    """,
+)
+def q49_interval_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.temporal import (
+        densify_time_grid,
+        hours_between,
+        interval_signal,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    anchors = e.select("user_id").distinct().withColumn("grid_len", F.lit(28))
+    grid = densify_time_grid(anchors, "user_id", "grid_len", time_col="t")
+    intervals = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "hours",
+            hours_between(F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")),
+        )
+        .select(
+            "user_id",
+            F.floor(F.col("hours") / 6).cast("long").alias("start_time"),
+        )
+        .withColumn("stop_time", F.col("start_time") + 2)
+    )
+    out = interval_signal(
+        grid, intervals, id_col="user_id", time_col="t",
+        start_col="start_time", stop_col="stop_time",
+    )
+    return out.select("user_id", "t", F.col("signal").cast("int").alias("signal"))
