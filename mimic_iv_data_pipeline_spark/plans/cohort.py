@@ -135,6 +135,41 @@ def extract_cohort(
     raise ValueError(f"unknown label task: {label}")
 
 
+def filter_by_diagnosis(
+    cohort: DataFrame,
+    diagnoses: DataFrame,
+    icd_map: DataFrame,
+    icd10_prefix: str,
+    id_col: str = "hadm_id",
+) -> DataFrame:
+    """Disease-phenotype cohort filter (``disease_cohort.
+    extract_diag_cohort``, ``preprocessing/day_intervals_preproc/
+    disease_cohort.py:29-91``): keep visits with ≥1 diagnosis whose
+    ICD-10(-converted) code starts with ``icd10_prefix`` (e.g. 'I50'
+    heart failure, 'N18' CKD).
+
+    The reference re-reads diagnoses from disk and scans the map per
+    code (O(codes×map)); here: broadcast-map conversion (J9) + prefix
+    filter + semi join — diagnoses are scanned once.
+    """
+    from mimic_iv_data_pipeline_spark.operators.joins import map_codes, semi_filter
+    from mimic_iv_data_pipeline_spark.functions.scalars import icd_root
+
+    converted = map_codes(
+        diagnoses.withColumn("root_icd10", F.col("icd_code")),
+        icd_map,
+        code_col="root_icd10",
+        map_key="icd9cm_root",
+        map_value="icd10cm",
+        out_col="root_icd10",
+        key_expr=F.when(F.col("icd_version") == 9, icd_root(F.col("icd_code"))),
+    )
+    matching_ids = converted.filter(
+        F.col("root_icd10").startswith(icd10_prefix)
+    ).select(id_col)
+    return semi_filter(cohort, matching_ids, on=id_col)
+
+
 def cohort_summary(cohort: DataFrame) -> DataFrame:
     """S7/A13: label-prevalence summary
     (``day_intervals_cohort.py:355-361``) as a tiny aggregate."""
