@@ -122,14 +122,15 @@ def frame_sample(
     ``explode`` on the JVM side; a real implementation swaps the slice
     for codec frame extraction inside ``decode_media``-style mapInPandas.
     """
-    total = F.length("payload")
     idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
     out = media.select("media_id", "payload", idx)
-    chunk = (total / n_frames).cast("int")
+    # expr-level substring keeps BinaryType end to end (no string cast —
+    # a real codec's bytes are not UTF-8)
     return out.select(
         "media_id",
         "frame_idx",
-        F.substring(
-            F.col("payload").cast("string"), (F.col("frame_idx") * chunk + 1).cast("int"), chunk
+        F.expr(
+            "substring(payload, cast(frame_idx * cast(length(payload) / {n} AS INT) + 1 AS INT), "
+            "cast(length(payload) / {n} AS INT))".format(n=n_frames)
         ).alias("frame_payload"),
     )

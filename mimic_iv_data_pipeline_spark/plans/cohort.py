@@ -104,6 +104,7 @@ def extract_cohort(
     gap_days: int = 30,
     los_threshold_hours: int = 72,
     min_age: int = 18,
+    disease_filter: tuple[DataFrame, DataFrame, str] | None = None,
 ) -> DataFrame:
     """``extract_data`` (``day_intervals_cohort.py:252-370``): build the
     labeled cohort for one of the three tasks.
@@ -111,9 +112,17 @@ def extract_cohort(
     Readmission task additionally drops visits where the patient died
     before discharge (``day_intervals_cohort.py:34-36,57`` — you cannot
     be readmitted if you died), exactly like the reference.
+
+    ``disease_filter=(diagnoses, icd_map, icd10_prefix)`` restricts the
+    cohort to visits carrying a matching diagnosis (the reference's
+    ``disease_label`` path, ``:342-348``), applied before labeling like
+    ``disease_cohort.extract_diag_cohort`` at ``:37-40``.
     """
     admit_col, disch_col = ("intime", "outtime") if use_icu else ("admittime", "dischtime")
     cohort = visits_with_demographics(visits, patients, admissions, use_icu, min_age)
+    if disease_filter is not None:
+        diagnoses, icd_map, prefix = disease_filter
+        cohort = filter_by_diagnosis(cohort, diagnoses, icd_map, prefix)
     if label == "mortality":
         return label_mortality(cohort, admit_col, disch_col)
     if label == "los":
