@@ -166,40 +166,34 @@ def confusion_by_group(
 
 
 def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
-    """A12: ROC-AUC via the rank (Mann-Whitney U) formula — a fully
+    """A12: ROC-AUC as the Mann-Whitney probability — a fully
     distributed replacement for sklearn's ``roc_auc_score``
     (``model/evaluation.py:95-141``):
 
-        AUC = (sum of average ranks of positives − n_pos(n_pos+1)/2)
-              / (n_pos · n_neg)
+        AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+            = Σ_s [ n_pos(s)·(cum_neg_below(s) + ½·n_neg(s)) ] / (P·N)
 
-    Average ranks handle score ties exactly like sklearn. One global
-    sort (rank window without partition) + one aggregate; for 100 TB,
-    swap the global rank for a per-partition rank + offset pass — the
-    formula is associative over rank sums.
+    Identical to the average-rank formula (ties → midranks). Scale
+    shape: first a hash aggregate collapses rows to DISTINCT score
+    values with (n_pos, n_neg) counts — the only global-order window
+    then runs over that (tiny) relation, not the raw rows. A naive
+    ``rank() OVER (ORDER BY score)`` on raw rows funnels 100 TB through
+    one partition; this funnels |distinct scores| rows.
     """
-    # midrank = min_rank + (ties-1)/2, identical to scipy rankdata 'average'.
-    w = Window.orderBy(F.col(score_col).asc())
-    cnt = Window.partitionBy(score_col)
-    ranked = (
-        df.withColumn("__minr", F.rank().over(w))
-        .withColumn("__ties", F.count(F.lit(1)).over(cnt))
-        .withColumn("__r", F.col("__minr") + (F.col("__ties") - 1) / 2.0)
+    per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__np"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__nn"),
     )
-    return ranked.agg(
+    w = Window.orderBy(F.col("__s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_score.withColumn(
+        "__cum_nn", F.coalesce(F.sum("__nn").over(w), F.lit(0))
+    )
+    return cum.agg(
         F.round(
-            (
-                F.sum(F.when(F.col(label_col) == 1, F.col("__r")).otherwise(0.0))
-                - (
-                    F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
-                    * (F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)) + 1)
-                )
-                / 2.0
-            )
-            / (
-                F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
-                * F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0))
-            ),
+            F.sum(F.col("__np") * (F.col("__cum_nn") + F.col("__nn") / 2.0))
+            / (F.sum("__np") * F.sum("__nn")),
             6,
         ).alias("auc")
     )

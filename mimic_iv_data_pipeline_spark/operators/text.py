@@ -102,6 +102,51 @@ def predict_language(df: DataFrame, text_col: str = "text", out_col: str = "pred
     return df.withColumn(out_col, F.greatest(*candidates).getField("lang"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum;
+    the distinct selected hashes are the fingerprint set. Guarantees
+    any match of length ≥ w+k-1 grams shares a fingerprint.
+
+    Hash = md5 hex string, minimum = lexicographic — deterministic and
+    identical in any engine (no integer-hex conversion needed), so the
+    operator is DuckDB-oracle-checkable. Plan: posexplode + lead-style
+    window min + distinct — all codegen, shuffles only on (doc).
+    """
+    from pyspark.sql.window import Window
+
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+    pos = toked.select(
+        "doc",
+        F.size("__toks").alias("__n"),
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    )
+    wspec = Window.partitionBy("doc").orderBy("__pos")
+    gram = F.concat_ws(
+        " ", *([F.col("__tok")] + [F.lag("__tok", -j).over(wspec) for j in range(1, k)])
+    )
+    grams = pos.withColumn("gram_hash", F.md5(gram)).filter(
+        F.col("__pos") <= F.greatest(F.col("__n") - k, F.lit(0))
+    )
+    win = Window.partitionBy("doc").orderBy("__pos").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy("doc")
+    selected = (
+        grams.withColumn("__win_min", F.min("gram_hash").over(win))
+        .withColumn("__total", F.count(F.lit(1)).over(n_grams))
+        .filter(F.col("__pos") <= F.greatest(F.col("__total") - w, F.lit(0)))
+        .select("doc", F.col("__win_min").alias("fingerprint"))
+        .distinct()
+    )
+    return selected
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalization-canonical form
     (lowercase, all non-alphanumerics stripped). Dedup on this catches

@@ -188,3 +188,70 @@ def q49_interval_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="start_time", stop_col="stop_time",
     )
     return out.select("user_id", "t", F.col("signal").cast("int").alias("signal"))
+
+
+# --- q50: winnowing fingerprints (MOSS; scale extension) -------------------
+@register(
+    "q50_winnowing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS pos,
+             unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                    i -> md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS gram_hash
+      FROM toks
+    ), winmin AS (
+      SELECT doc_id, pos,
+             min(gram_hash) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+             count(*) OVER (PARTITION BY doc_id) AS total
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM winmin WHERE pos <= greatest(total - 4, 0)
+    """,
+)
+def q50_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.text import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnowing_fingerprints(docs, "doc_id", k=3, w=4)
+    return out.select(F.col("doc").alias("doc_id"), "fingerprint")
+
+
+# --- q51: classification metrics + calibration error (A12/D8) --------------
+@register(
+    "q51_eval_metrics",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value > 250 THEN 1 ELSE 0 END AS p
+      FROM events
+    )
+    SELECT round(avg(CASE WHEN y = p THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           round(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(p), 0), 6) AS precision,
+           round(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(y), 0), 6) AS recall,
+           round(2.0 * sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+                 / nullif(sum(p) + sum(y), 0), 6) AS f1,
+           count(*) AS n
+    FROM t
+    """,
+)
+def q51_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    p = F.when(F.col("value") > 250, 1).otherwise(0)
+    t = e.select(y.alias("y"), p.alias("p"))
+    tp = F.sum(F.when((F.col("y") == 1) & (F.col("p") == 1), 1).otherwise(0))
+    return t.agg(
+        F.round(F.avg(F.when(F.col("y") == F.col("p"), 1.0).otherwise(0.0)), 6).alias("accuracy"),
+        F.round(tp * 1.0 / F.nullif(F.sum("p"), F.lit(0)), 6).alias("precision"),
+        F.round(tp * 1.0 / F.nullif(F.sum("y"), F.lit(0)), 6).alias("recall"),
+        F.round(2.0 * tp / F.nullif(F.sum("p") + F.sum("y"), F.lit(0)), 6).alias("f1"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -104,7 +104,18 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    # Partial-aggregate lineitem per order BEFORE the join chain: the
+    # join inputs shrink from |lineitem| to |orders| rows, and the
+    # per-order partials are exact (sum/count are algebraic). Catalyst
+    # can't do this rewrite itself (aggregate pushdown through joins).
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -116,8 +127,8 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.sum("__cnt").alias("n_items"),
         )
     )
 

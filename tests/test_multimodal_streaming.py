@@ -92,3 +92,71 @@ def test_stream_bucketize_matches_batch(spark, sf_smoke):
         assert len(got) >= len(expect) - 2
         for k, v in got.items():
             assert expect[k] == v, f"window {k}: stream {v} != batch {expect[k]}"
+
+
+def test_stream_locf_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the last value per user must survive
+    micro-batch boundaries — two sequential file drops, second batch's
+    leading null fills from the FIRST batch's last value."""
+    from pyspark.sql import types as T
+
+    from mimic_iv_data_pipeline_spark.streaming.events import read_event_stream
+    from mimic_iv_data_pipeline_spark.streaming.stateful import stream_locf
+
+    src = tmp_path / "locf_src"
+    ckpt = str(tmp_path / "locf_ckpt")
+    src.mkdir()
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def write_batch(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+    out_dir = str(tmp_path / "locf_out")
+
+    def run_available():
+        # file sink (memory sink cannot recover from a checkpoint, and
+        # cross-batch state is exactly what this test exercises)
+        stream = read_event_stream(spark, str(src) + "/*")
+        q = (
+            stream_locf(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from datetime import datetime, timedelta
+
+    ts0 = datetime(2024, 1, 1)
+    # batch 1: user 1 sees 5.0 then a null (fills to 5.0)
+    write_batch(str(src / "b1"), [
+        (1, ts0, 1, "click", 5.0, "{}"),
+        (2, ts0 + timedelta(minutes=1), 1, "error", None, "{}"),
+    ])
+    run_available()
+    # batch 2: user 1's first event is null — must fill from batch 1's 5.0
+    write_batch(str(src / "b2"), [
+        (3, ts0 + timedelta(minutes=2), 1, "error", None, "{}"),
+        (4, ts0 + timedelta(minutes=3), 1, "view", 7.0, "{}"),
+    ])
+    run_available()
+
+    got = {
+        r["event_id"]: r["value_filled"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[3] == 5.0, "state must carry the last value across micro-batches"
+    assert got[4] == 7.0
