@@ -165,6 +165,40 @@ def confusion_by_group(
     )
 
 
+def fit_temperature(
+    df: DataFrame,
+    logit_col: str,
+    label_col: str,
+    grid: list[float] | None = None,
+) -> DataFrame:
+    """D8: temperature-scaling calibration (Guo et al., "On Calibration
+    of Modern Neural Networks", ICML'17) as a distributed grid search.
+
+    The reference fits T with torch LBFGS on driver-collected logits
+    (``model/callibrate_output.py:29-83``). Distributed form: explode a
+    literal T grid against every row (narrow — no shuffle), one hash
+    aggregate computes NLL(T) for ALL temperatures in a single pass
+    over the data, argmin picks T. Returns one row (T, nll). For
+    continuous refinement run again with a tighter grid around the
+    winner — each pass is one scan.
+    """
+    ts = grid or [0.5 + 0.25 * i for i in range(11)]
+    exploded = df.select(
+        F.col(logit_col).alias("__z"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode(F.array(*[F.lit(float(t)) for t in ts])).alias("T"),
+    )
+    p = 1.0 / (1.0 + F.exp(-F.col("__z") / F.col("T")))
+    nll = -(F.col("__y") * F.log(p) + (1.0 - F.col("__y")) * F.log(1.0 - p))
+    per_t = exploded.groupBy("T").agg(F.round(F.avg(nll), 6).alias("nll"))
+    w = Window.orderBy(F.col("nll").asc(), F.col("T").asc())
+    return (
+        per_t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.round("T", 6).alias("T"), "nll")
+    )
+
+
 def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """A12: ROC-AUC as the Mann-Whitney probability — a fully
     distributed replacement for sklearn's ``roc_auc_score``

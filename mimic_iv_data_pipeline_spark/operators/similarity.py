@@ -107,6 +107,158 @@ def hyperplane_signature(vec: Column, dims: int, bits: int = 16) -> Column:
     ).cast("long")
 
 
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized brute-force top-k: the scale path for wide corpora.
+
+    The expression-tree cosine (``cosine_topk``) evaluates its
+    higher-order lambdas interpreted, per element — fine for thousands
+    of pairs, dominated at millions. This variant broadcasts the query
+    matrix to every executor and scores each corpus partition as ONE
+    numpy matmul per Arrow batch (``mapInPandas``), then keeps the
+    per-partition top-k before the final global top-k window — the
+    classic map-side-combine for top-k. Identical results (same
+    rounding, same tie-break), asserted in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ qn.T  # |corpus_batch| × |queries|
+            n_q = len(ids)
+            frame = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(c_ids)),
+                    "neighbor_id": np.tile(c_ids, n_q),
+                    "cos_sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+            frame = frame[frame.query_id != frame.neighbor_id]
+            # per-batch top-k: bound the shuffle to k rows per query per batch
+            frame = frame.sort_values(
+                ["query_id", "cos_sim", "neighbor_id"],
+                ascending=[True, False, True],
+            ).groupby("query_id").head(k)
+            yield frame
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
+
+    Train ``n_cells`` centroids (Spark ML KMeans — distributed Lloyd),
+    assign every corpus vector to its nearest cell, and search each
+    query only in its ``n_probe`` closest cells. Recall/throughput trade
+    is (n_probe / n_cells); the join is an equi-join on cell id, so the
+    pairwise work drops from |Q|·|C| to |Q|·|C|·(n_probe/n_cells) and
+    shuffles stay keyed. This is the standard IVF-Flat scheme (public:
+    Johnson et al., "Billion-scale similarity search with GPUs", 2017).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(as_double_vec(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+
+    centers = model.clusterCenters()  # small: n_cells × dims on driver
+
+    def assign_cells(df: DataFrame, n: int) -> DataFrame:
+        """Distance to every centroid via one literal-array expression;
+        top-n cell ids per vector (n=1 for corpus, n_probe for queries)."""
+        import numpy as np
+
+        dv = as_double_vec(F.col(vec_col))
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    dv,
+                    F.array(*[F.lit(float(c)) for c in center]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"__d{i}")
+            for i, center in enumerate(centers)
+        ]
+        with_d = df.select(id_col, vec_col, *dists)
+        cell_structs = F.array(
+            *[F.struct(F.col(f"__d{i}").alias("d"), F.lit(i).alias("cell")) for i in range(len(centers))]
+        )
+        return with_d.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.slice(F.array_sort(cell_structs), 1, n)
+            ).alias("__dc"),
+        ).select(id_col, vec_col, F.col("__dc.cell").alias("cell"))
+
+    c_assigned = assign_cells(corpus, 1).select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv"), "cell"
+    )
+    q_assigned = assign_cells(queries, n_probe).select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv"), "cell"
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .distinct()  # a pair can meet in several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

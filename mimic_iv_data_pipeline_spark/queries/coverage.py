@@ -255,3 +255,36 @@ def q51_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * tp / F.nullif(F.sum("p") + F.sum("y"), F.lit(0)), 6).alias("f1"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- q52: temperature-scaling calibration (D8) -----------------------------
+@register(
+    "q52_temperature_scaling",
+    oracle="""
+    WITH grid AS (
+      SELECT unnest([0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75, 3.0]) AS T
+    ), scored AS (
+      SELECT g.T,
+             (e.value - 250.0) / 50.0 AS z,
+             CASE WHEN e.event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events e CROSS JOIN grid g
+    ), per_t AS (
+      SELECT T,
+             round(avg(-(y * ln(1.0 / (1.0 + exp(-z / T)))
+                       + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-z / T))))), 6) AS nll
+      FROM scored GROUP BY T
+    )
+    SELECT round(T, 6) AS T, nll
+    FROM per_t
+    QUALIFY row_number() OVER (ORDER BY nll ASC, T ASC) = 1
+    """,
+)
+def q52_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.aggregates import fit_temperature
+
+    e = _t(spark, sf_dir, "events")
+    preds = e.select(
+        ((F.col("value") - 250.0) / 50.0).alias("logit"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return fit_temperature(preds, "logit", "y")
