@@ -70,6 +70,16 @@ def load_tables(
     return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES
+) -> None:
+    """Register every table as a temp view so callers can work purely in
+    SQL (``spark.sql("SELECT ... FROM lineitem")``) — the engine's SQL
+    surface; Catalyst treats views and DataFrames identically."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def read_csv_gz(
     spark: SparkSession,
     path: str,

@@ -79,3 +79,19 @@ def test_align_columns_version_drift(spark):
     assert "ethnicity" in aligned.columns and "race" not in aligned.columns
     v1 = spark.createDataFrame([(1, "WHITE")], "subject_id long, ethnicity string")
     assert align_columns(v1, version="v1").columns == v1.columns
+
+
+def test_register_views_sql_surface(spark, sf_smoke):
+    from mimic_iv_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_smoke)
+    row = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 1
+        """
+    ).first()
+    assert row["n"] > 0
+    # events view carries the nanos→micros shim
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
