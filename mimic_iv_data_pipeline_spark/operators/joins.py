@@ -42,6 +42,9 @@ def asof_join(
     direction: str = "nearest_after_start",
     suffix: str = "_r",
     tie_break: list[Column] | None = None,
+    strategy: str = "join",
+    union_tie_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """J7: as-of / interval join with deterministic tie-break.
 
@@ -60,6 +63,18 @@ def asof_join(
 
     ``direction='backward'`` (no ``right_end``) gives classic trading
     as-of semantics: latest right event at-or-before ``left_time``.
+
+    ``strategy='union'`` (backward only): instead of a range join —
+    whose output is Σ_key |left|·|right-before| rows, quadratic per hot
+    key — union both sides, sort once per key, and carry the latest
+    right row forward with ``last(…, ignorenulls)``. One shuffle,
+    O(n log n) per key, measured ~20× the join strategy at 2M×2M rows
+    per 15k keys (PERF.md). Tie-break under 'union' uses
+    ``union_tie_cols`` (right-side column names, ascending order —
+    the LAST row in frame order wins, i.e. the max), matching the join
+    strategy's ``ORDER BY ts DESC, tie DESC → rn=1``. Tolerance is
+    applied post-match (valid: for backward as-of the latest match is
+    the only candidate — anything older is farther).
     """
     keys = [on] if isinstance(on, str) else list(on)
     # Disambiguate overlapping column names before the non-equi condition.
@@ -70,6 +85,16 @@ def asof_join(
     renamed = right
     for c in overlapping:
         renamed = renamed.withColumnRenamed(c, c + suffix)
+
+    if strategy == "union":
+        if direction != "backward" or right_end is not None:
+            raise ValueError("strategy='union' supports backward as-of only")
+        return _asof_backward_union(
+            left, renamed, keys, left_time,
+            right_start + suffix if right_start in overlapping else right_start,
+            union_tie_cols or [], tolerance_seconds,
+        )
+
     for k in keys:
         renamed = renamed.withColumnRenamed(k, "__asof_key_" + k)
 
@@ -105,6 +130,60 @@ def asof_join(
         .filter(F.col("__asof_rn") == 1)
         .drop("__asof_row", "__asof_rn")
     )
+
+
+def _asof_backward_union(
+    left: DataFrame,
+    renamed_right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    tie_cols_asc: list[str],
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Union + last-value carry: the linear backward as-of.
+
+    Right rows carry their payload as a struct; after a single
+    per-key sort (right rows ordered before left rows at equal
+    timestamps — inclusive `<=` semantics), ``last(ignorenulls)``
+    attaches the latest right payload to every left row.
+    """
+    payload_cols = [c for c in renamed_right.columns if c not in keys]
+    r = renamed_right.select(
+        *keys,
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__rval"),
+        *[F.col(c).alias(f"__tie_{i}") for i, c in enumerate(tie_cols_asc)],
+    )
+    l_side = left.select(
+        "*",
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+    )
+    unioned = l_side.unionByName(r, allowMissingColumns=True)
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()] + [
+        F.col(f"__tie_{i}").asc_nulls_first() for i in range(len(tie_cols_asc))
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("__m", F.last("__rval", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_timestamp(F.col(left_time))
+            - F.unix_timestamp(F.col(f"__m.{right_time}"))
+        ) <= tolerance_seconds
+        out = out.withColumn("__m", F.when(within, F.col("__m")))
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(f"__m.{c}"))
+    drop = ["__ts", "__is_left", "__m", "__rval"] + [
+        f"__tie_{i}" for i in range(len(tie_cols_asc))
+    ]
+    return out.drop(*[c for c in drop if c in out.columns])
 
 
 def map_codes(

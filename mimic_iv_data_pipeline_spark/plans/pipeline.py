@@ -1,0 +1,127 @@
+"""Full-pipeline orchestrator: the reference's ``mainPipeline.ipynb``
+flow (cohort → features → cleaning → time series → ML assembly) as one
+function with Parquet stage boundaries.
+
+The reference hands off csv.gz files between stages and re-reads them
+(``feature_selection_*.py``); here each stage is a lazy DAG and the
+caller chooses which boundaries to materialize — by default each stage
+is written once (checkpointing the lineage, enabling stage-level
+restarts) exactly where the reference wrote its files (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mimic_iv_data_pipeline_spark.plans.cohort import cohort_summary, extract_cohort
+from mimic_iv_data_pipeline_spark.plans.features import (
+    clean_events,
+    generate_summary,
+    preproc_events,
+)
+from mimic_iv_data_pipeline_spark.plans.ml_assembly import (
+    dl_tensor_frame,
+    ml_feature_matrix,
+)
+from mimic_iv_data_pipeline_spark.plans.timeseries import generate_timeseries
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the ipywidget knobs of ``mainPipeline.ipynb`` cells 5-25."""
+
+    use_icu: bool = True
+    label: str = "mortality"          # mortality | readmission | los
+    gap_days: int = 30                 # readmission window
+    los_threshold_hours: int = 72      # los task threshold
+    min_age: int = 18
+    include_hours: int = 24            # observation window (T2)
+    bucket_hours: int = 1              # tumbling bucket size (T3)
+    impute: str | None = "mean"        # None | mean | median (T6)
+    uom_cutoff: float = 0.95           # A7 majority-unit cutoff
+    outlier_pcts: tuple[float, float] | None = (0.02, 0.98)  # A8
+    feature_codes: list = field(default_factory=list)  # allow-list; [] = all
+
+
+def run_pipeline(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    config: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Execute the full flow; returns the per-stage DataFrames and
+    writes each stage under ``out_dir`` (cohort/, events/, summary/,
+    timeseries/, features/, tensors/).
+
+    ``tables`` needs: visits (icustays or admissions), patients,
+    admissions, events (chart or lab shaped: id + charttime + itemid +
+    valuenum + valueuom).
+    """
+    cfg = config or PipelineConfig()
+    id_col = "stay_id" if cfg.use_icu else "hadm_id"
+    anchor = "intime" if cfg.use_icu else "admittime"
+
+    cohort = extract_cohort(
+        tables["visits"],
+        tables["patients"],
+        tables.get("admissions"),
+        use_icu=cfg.use_icu,
+        label=cfg.label,
+        gap_days=cfg.gap_days,
+        los_threshold_hours=cfg.los_threshold_hours,
+        min_age=cfg.min_age,
+    )
+    cohort.write.mode("overwrite").parquet(os.path.join(out_dir, "cohort"))
+    cohort = spark.read.parquet(os.path.join(out_dir, "cohort"))
+
+    events = preproc_events(tables["events"], cohort, id_col, "charttime", anchor)
+    events = clean_events(
+        events, uom_cutoff=cfg.uom_cutoff, outlier_pcts=cfg.outlier_pcts
+    )
+    if cfg.feature_codes:
+        from mimic_iv_data_pipeline_spark.plans.features import features_selection
+
+        allow = spark.createDataFrame([(c,) for c in cfg.feature_codes], "itemid long")
+        events = features_selection(events, allow, "itemid")
+    events.write.mode("overwrite").parquet(os.path.join(out_dir, "events"))
+    events = spark.read.parquet(os.path.join(out_dir, "events"))
+
+    summary = generate_summary(events, id_col, "itemid", "valuenum")
+    summary.write.mode("overwrite").parquet(os.path.join(out_dir, "summary"))
+
+    dense = generate_timeseries(
+        events.withColumnRenamed("event_time_from_admit", "t"),
+        cohort,
+        id_col=id_col,
+        time_col="t",
+        include_hours=cfg.include_hours,
+        bucket_hours=cfg.bucket_hours,
+        anchor="last" if cfg.label == "readmission" else "first",
+        impute=cfg.impute,
+    )
+    dense.write.mode("overwrite").parquet(os.path.join(out_dir, "timeseries"))
+    dense = spark.read.parquet(os.path.join(out_dir, "timeseries"))
+
+    codes = cfg.feature_codes or [
+        r["itemid"] for r in dense.select("itemid").distinct().collect()
+    ]
+    features = ml_feature_matrix(
+        dense, id_col=id_col, feature_codes=codes, agg="mean"
+    )
+    features.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
+
+    tensors = dl_tensor_frame(dense, id_col=id_col)
+    tensors.write.mode("overwrite").parquet(os.path.join(out_dir, "tensors"))
+
+    return {
+        "cohort": cohort,
+        "cohort_summary": cohort_summary(cohort),
+        "events": events,
+        "summary": summary,
+        "timeseries": dense,
+        "features": features,
+        "tensors": tensors,
+    }

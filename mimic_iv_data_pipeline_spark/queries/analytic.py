@@ -160,6 +160,8 @@ def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
     purchases = e.filter(F.col("event_type") == "purchase").drop("event_type")
     signups = e.filter(F.col("event_type") == "signup").drop("event_type")
+    # union strategy: linear single-shuffle backward as-of (the join
+    # strategy is quadratic per key — see PERF.md scale-up table)
     out = asof_join(
         purchases,
         signups,
@@ -167,10 +169,9 @@ def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_start="ts",
         direction="backward",
-        tolerance_expr=(
-            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("ts_r")) <= 604800
-        ),
-        tie_break=[F.col("event_id_r").desc()],
+        strategy="union",
+        union_tie_cols=["event_id_r"],
+        tolerance_seconds=604800,
     )
     return out.select("event_id", F.col("event_id_r").alias("signup_event_id"))
 

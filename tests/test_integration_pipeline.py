@@ -175,3 +175,36 @@ def test_full_icu_mortality_pipeline(spark, mimic_fixture):
 
     train, test = train_test_split_ids(cohort, weights=(0.7, 0.3))
     assert train.count() + test.count() == n_cohort
+
+
+def test_run_pipeline_orchestrator(spark, mimic_fixture, tmp_path):
+    """The one-call pipeline writes every stage and returns consistent
+    frames (the reference's mainPipeline flow end to end)."""
+    import os
+
+    from mimic_iv_data_pipeline_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    out = str(tmp_path / "pipe")
+    stages = run_pipeline(
+        spark,
+        {
+            "visits": mimic_fixture["icustays"],
+            "patients": mimic_fixture["patients"],
+            "admissions": mimic_fixture["admissions"],
+            "events": mimic_fixture["chartevents"],
+        },
+        out,
+        PipelineConfig(include_hours=24, bucket_hours=2, outlier_pcts=(0.05, 0.95)),
+    )
+    for stage in ["cohort", "events", "summary", "timeseries", "features", "tensors"]:
+        assert os.path.isdir(os.path.join(out, stage)), stage
+        assert spark.read.parquet(os.path.join(out, stage)).count() > 0, stage
+
+    # stage consistency: features and tensors cover the same visits
+    assert stages["features"].count() == stages["tensors"].count()
+    n_buckets = 12
+    row = stages["tensors"].first()
+    assert all(len(v) == n_buckets for v in row["series"].values())

@@ -156,3 +156,38 @@ def test_mode_per_group_property(spark, data):
         top = min([v for v, c in counts.items() if c == best[1]])
         assert got[k][0] == top
         assert got[k][1] == pytest.approx(counts[top] / len(vals))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=asof_events, intervals=asof_intervals)
+def test_asof_union_strategy_equals_join_strategy(spark, events, intervals):
+    """Backward as-of: the linear union+last strategy must equal the
+    range-join strategy row for row (same tolerance, same tie-break)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2150, 1, 1)
+    left = spark.createDataFrame(
+        [(k, base + timedelta(hours=t), i) for i, (k, t) in enumerate(events)],
+        "k long, t timestamp, eid long",
+    )
+    right = spark.createDataFrame(
+        [(k, base + timedelta(hours=s), j) for j, (k, s, _d) in enumerate(intervals)],
+        "k long, s timestamp, rid long",
+    )
+    tol = 10 * 3600
+    join_out = asof_join(
+        left, right, on="k", left_time="t", right_start="s",
+        direction="backward",
+        tolerance_expr=(
+            F.unix_timestamp(F.col("t")) - F.unix_timestamp(F.col("s")) <= tol
+        ),
+        tie_break=[F.col("rid").desc()],
+    )
+    union_out = asof_join(
+        left, right, on="k", left_time="t", right_start="s",
+        direction="backward", strategy="union",
+        union_tie_cols=["rid"], tolerance_seconds=tol,
+    )
+    j = {r["eid"]: r["rid"] for r in join_out.collect()}
+    u = {r["eid"]: r["rid"] for r in union_out.collect()}
+    assert j == u
