@@ -56,6 +56,13 @@ def epc_classes(pharm_classes: Column) -> Column:
     )
 
 
+def anchor_group_end_year(anchor_year_group: Column) -> Column:
+    """F2: last-4-chars slice of MIMIC's ``anchor_year_group``
+    ('2008 - 2010' → 2010; ``day_intervals_cohort.py:67`` derives
+    ``min_valid_year`` from it)."""
+    return F.substring(anchor_year_group, -4, 4).cast("int")
+
+
 def age_years(anchor_age: Column, anchor_year: Column, at_year: Column) -> Column:
     """F10: age at a visit year from MIMIC anchor columns
     (``day_intervals_cohort.py:66,84``)."""

@@ -11,7 +11,7 @@ actually wants).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mimic_iv_data_pipeline_spark.functions.scalars import (
@@ -134,7 +134,11 @@ def preproc_meds(
     return out
 
 
-def impute_hadm_ids(labs: DataFrame, admissions: DataFrame) -> DataFrame:
+def impute_hadm_ids(
+    labs: DataFrame,
+    admissions: DataFrame,
+    assume_nonnested: bool = False,
+) -> DataFrame:
     """D3/J7: fill missing ``hadm_id`` on lab rows by locating the
     admission of the same subject whose ``[admittime, dischtime]``
     contains ``charttime``; ties → smallest ``charttime − admittime``.
@@ -144,18 +148,43 @@ def impute_hadm_ids(labs: DataFrame, admissions: DataFrame) -> DataFrame:
     (``labs_preprocess_util.py:13-60,83-126``) with ONE as-of join.
     Rows that already have an hadm_id pass through untouched; unmatched
     rows keep null (the reference drops them later).
+
+    ``assume_nonnested=True`` takes the linear union-strategy path
+    (one shuffle instead of a range join — 46× at 10M rows, PERF.md):
+    since the tie-break IS "latest admit ≤ charttime", that admission
+    is the only candidate unless visits nest (an earlier admission's
+    discharge covering a later admission's span). MIMIC hospital
+    admissions do not nest; keep the default for arbitrary intervals.
     """
     missing = labs.filter(F.col("hadm_id").isNull()).drop("hadm_id")
     have = labs.filter(F.col("hadm_id").isNotNull())
-    imputed = asof_join(
-        missing,
-        admissions.select("subject_id", "hadm_id", "admittime", "dischtime"),
-        on="subject_id",
-        left_time="charttime",
-        right_start="admittime",
-        right_end="dischtime",
-        tie_break=[F.col("hadm_id").asc()],
-    ).drop("admittime", "dischtime")
+    adm = admissions.select("subject_id", "hadm_id", "admittime", "dischtime")
+    if assume_nonnested:
+        matched = asof_join(
+            missing,
+            adm,
+            on="subject_id",
+            left_time="charttime",
+            right_start="admittime",
+            direction="backward",
+            strategy="union",
+            union_tie_cols=["hadm_id"],
+        )
+        imputed = matched.withColumn(
+            "hadm_id",
+            F.when(F.col("charttime") <= F.col("dischtime"), F.col("hadm_id")),
+        ).drop("admittime", "dischtime")
+    else:
+        imputed = asof_join(
+            missing,
+            adm,
+            on="subject_id",
+            left_time="charttime",
+            right_start="admittime",
+            right_end="dischtime",
+            # equal-admit ties → max hadm_id, matching the union path
+            tie_break=[F.col("hadm_id").desc()],
+        ).drop("admittime", "dischtime")
     return have.unionByName(imputed.select(*have.columns))
 
 

@@ -206,3 +206,59 @@ def test_features_selection(spark):
     allow = spark.createDataFrame([(10,), (30,)], "itemid long")
     out = features_selection(events, allow, "itemid")
     assert sorted(r["itemid"] for r in out.collect()) == [10, 30]
+
+
+def test_impute_hadm_fast_path_matches_exact(spark):
+    """assume_nonnested union path == exact range join on realistic
+    (overlapping but non-nested) admissions."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(3)
+    base = datetime(2150, 1, 1)
+    adm_rows, lab_rows = [], []
+    hadm = 0
+    for s in range(40):
+        t = 0
+        for _ in range(rng.randint(1, 4)):
+            hadm += 1
+            start = t + rng.randint(0, 20)
+            end = start + rng.randint(1, 15)
+            # next admission may start before this one ends (overlap)
+            # but never inside-and-ending-inside (no nesting)
+            adm_rows.append((s, hadm, base + timedelta(days=start), base + timedelta(days=end)))
+            t = end - rng.randint(0, 1)
+        for _ in range(6):
+            lab_rows.append((s, None, 1, base + timedelta(days=rng.randint(0, 90)), 1.0, "u"))
+    admissions = spark.createDataFrame(
+        [(s, h, a, d, None, 0, "P", "W") for (s, h, a, d) in adm_rows],
+        "subject_id long, hadm_id long, admittime timestamp, dischtime timestamp, deathtime timestamp, hospital_expire_flag int, insurance string, ethnicity string",
+    )
+    labs = spark.createDataFrame(
+        lab_rows,
+        "subject_id long, hadm_id long, itemid long, charttime timestamp, valuenum double, valueuom string",
+    )
+    exact = {
+        (r["subject_id"], r["charttime"]): r["hadm_id"]
+        for r in impute_hadm_ids(labs, admissions).collect()
+    }
+    fast = {
+        (r["subject_id"], r["charttime"]): r["hadm_id"]
+        for r in impute_hadm_ids(labs, admissions, assume_nonnested=True).collect()
+    }
+    assert exact == fast
+
+
+def test_write_summary_text(tmp_path):
+    from mimic_iv_data_pipeline_spark.sources.sinks import write_summary_text
+
+    p = str(tmp_path / "summary.txt")
+    write_summary_text(["n_visits: 10", "positives: 3"], p)
+    assert open(p).read() == "n_visits: 10\npositives: 3\n"
+
+
+def test_anchor_group_end_year(spark):
+    from mimic_iv_data_pipeline_spark.functions.scalars import anchor_group_end_year
+
+    df = spark.createDataFrame([("2008 - 2010",)], "g string")
+    assert df.select(anchor_group_end_year(F.col("g")).alias("y")).first()["y"] == 2010
