@@ -288,3 +288,60 @@ def q52_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     return fit_temperature(preds, "logit", "y")
+
+
+# --- q53: cube grouping sets (A14, the other grouping-set form) ------------
+@register(
+    "q54_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q54_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- q55: per-series trend slope (clinical trend feature; T8 adjunct) ------
+# Slope of value over time per (user, event_type): the "is the vital
+# trending up" feature a clinical model wants — one JVM-native
+# regr_slope aggregate, no UDF.
+@register(
+    "q55_trend_slope",
+    oracle="""
+    SELECT user_id, event_type,
+           round(regr_slope(value, date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0), 6) AS slope,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 2
+    """,
+)
+def q55_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    t_hours = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ) / 3600.0
+    return (
+        e.withColumn("t_h", t_hours)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), F.col("t_h")), 6).alias("slope"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+# --- q56: sketch-based distinct counting (100 TB path; approximate →
+# rows-only check: HLL estimates differ across engines by design) -----------
+@register("q56_approx_distinct")
+def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
