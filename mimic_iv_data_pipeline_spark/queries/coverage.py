@@ -290,7 +290,7 @@ def q52_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_temperature(preds, "logit", "y")
 
 
-# --- q53: cube grouping sets (A14, the other grouping-set form) ------------
+# --- q54: cube grouping sets (A14, the other grouping-set form) ------------
 @register(
     "q54_cube",
     oracle="""
@@ -337,7 +337,9 @@ def q55_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q56: sketch-based distinct counting (100 TB path; approximate →
-# rows-only check: HLL estimates differ across engines by design) -----------
+# rows-only check: HLL estimates differ across engines by design; the
+# exact column exists to eyeball estimator error and is differentially
+# covered by q10's oracle over the same table) -------------------------------
 @register("q56_approx_distinct")
 def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
