@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
 
@@ -160,8 +162,8 @@ def confusion_by_group(
         "tn",
         "fp",
         "fn",
-        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("tpr"),
-        F.round(F.col("fp") / F.nullif(F.col("fp") + F.col("tn"), F.lit(0)), 6).alias("fpr"),
+        dround(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("tpr"),
+        dround(F.col("fp") / F.nullif(F.col("fp") + F.col("tn"), F.lit(0)), 6).alias("fpr"),
     )
 
 
@@ -190,12 +192,12 @@ def fit_temperature(
     )
     p = 1.0 / (1.0 + F.exp(-F.col("__z") / F.col("T")))
     nll = -(F.col("__y") * F.log(p) + (1.0 - F.col("__y")) * F.log(1.0 - p))
-    per_t = exploded.groupBy("T").agg(F.round(F.avg(nll), 6).alias("nll"))
+    per_t = exploded.groupBy("T").agg(dround(F.avg(nll), 6).alias("nll"))
     w = Window.orderBy(F.col("nll").asc(), F.col("T").asc())
     return (
         per_t.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.round("T", 6).alias("T"), "nll")
+        .select(dround("T", 6).alias("T"), "nll")
     )
 
 
@@ -225,7 +227,7 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "__cum_nn", F.coalesce(F.sum("__nn").over(w), F.lit(0))
     )
     return cum.agg(
-        F.round(
+        dround(
             F.sum(F.col("__np") * (F.col("__cum_nn") + F.col("__nn") / 2.0))
             / (F.sum("__np") * F.sum("__nn")),
             6,

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
 from mimic_iv_data_pipeline_spark.operators.text import tokens
@@ -136,7 +138,7 @@ def _score_pairs(candidates: DataFrame, sets_df: DataFrame) -> DataFrame:
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(inter / (F.col("size_a") + F.col("size_b") - inter), 6),
+            dround(inter / (F.col("size_a") + F.col("size_b") - inter), 6),
         )
         .select("id_a", "id_b", "jaccard")
     )
@@ -201,7 +203,7 @@ def ngram_jaccard_pairs(
             .join(F.broadcast(sb), "id_b")
             .withColumn(
                 "jaccard",
-                F.round(
+                dround(
                     F.col("common")
                     / (F.col("size_a") + F.col("size_b") - F.col("common")),
                     6,

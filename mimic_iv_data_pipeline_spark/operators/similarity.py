@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
 
@@ -65,7 +67,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -245,7 +247,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
         .distinct()  # a pair can meet in several probed cells
     )
@@ -284,7 +286,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

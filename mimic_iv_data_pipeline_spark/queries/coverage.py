@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
 from mimic_iv_data_pipeline_spark.queries import register
 
 
@@ -132,7 +134,7 @@ def q48_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.max("per_order").alias("max_items_per_order"),
-            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+            dround(F.max("l_quantity"), 4).alias("max_qty"),
         )
     )
 
@@ -249,10 +251,10 @@ def q51_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(y.alias("y"), p.alias("p"))
     tp = F.sum(F.when((F.col("y") == 1) & (F.col("p") == 1), 1).otherwise(0))
     return t.agg(
-        F.round(F.avg(F.when(F.col("y") == F.col("p"), 1.0).otherwise(0.0)), 6).alias("accuracy"),
-        F.round(tp * 1.0 / F.nullif(F.sum("p"), F.lit(0)), 6).alias("precision"),
-        F.round(tp * 1.0 / F.nullif(F.sum("y"), F.lit(0)), 6).alias("recall"),
-        F.round(2.0 * tp / F.nullif(F.sum("p") + F.sum("y"), F.lit(0)), 6).alias("f1"),
+        dround(F.avg(F.when(F.col("y") == F.col("p"), 1.0).otherwise(0.0)), 6).alias("accuracy"),
+        dround(tp * 1.0 / F.nullif(F.sum("p"), F.lit(0)), 6).alias("precision"),
+        dround(tp * 1.0 / F.nullif(F.sum("y"), F.lit(0)), 6).alias("recall"),
+        dround(2.0 * tp / F.nullif(F.sum("p") + F.sum("y"), F.lit(0)), 6).alias("f1"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -312,7 +314,7 @@ def q54_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_trend_slope",
     oracle="""
     SELECT user_id, event_type,
-           round(regr_slope(value, date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0), 6) AS slope,
+           round(regr_slope(value, date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0), 4) AS slope,
            count(*) AS n
     FROM events
     GROUP BY user_id, event_type
@@ -329,7 +331,7 @@ def q55_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("t_h", t_hours)
         .groupBy("user_id", "event_type")
         .agg(
-            F.round(F.regr_slope(F.col("value"), F.col("t_h")), 6).alias("slope"),
+            dround(F.regr_slope(F.col("value"), F.col("t_h")), 4).alias("slope"),
             F.count(F.lit(1)).alias("n"),
         )
         .filter(F.col("n") >= 2)

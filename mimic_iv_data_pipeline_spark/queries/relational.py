@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
 from mimic_iv_data_pipeline_spark.queries import register
 
 
@@ -30,9 +32,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(l_extendedprice), 4)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -46,13 +48,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dround(F.sum("l_quantity"), 4).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            dround(F.sum(disc_price), 4).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,7 +79,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.round(F.col("o_totalprice") * 0.9, 4).alias("discounted"),
+            dround(F.col("o_totalprice") * 0.9, 4).alias("discounted"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
             F.when(
                 F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
@@ -127,7 +129,7 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum("__rev"), 2).alias("revenue"),
+            dround(F.sum("__rev"), 2).alias("revenue"),
             F.sum("__cnt").alias("n_items"),
         )
     )
@@ -244,7 +246,7 @@ def q08_outer_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_brand",
             F.coalesce(F.col("cnt"), F.lit(0)).alias("n_items"),
-            F.round(F.coalesce(F.col("qty"), F.lit(0.0)), 4).alias("total_qty"),
+            dround(F.coalesce(F.col("qty"), F.lit(0.0)), 4).alias("total_qty"),
         )
     )
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
 from mimic_iv_data_pipeline_spark.operators.similarity import (
     ann_lsh_topk,
     as_double_vec,
@@ -56,7 +58,7 @@ def q42_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_embedding_stats",
     oracle="""
     SELECT label, count(*) AS n,
-           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
     FROM embeddings
     GROUP BY label
     """,
@@ -65,7 +67,7 @@ def q43_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(l2_norm(as_double_vec(F.col("embedding")))), 6).alias("avg_norm"),
+        dround(F.avg(l2_norm(as_double_vec(F.col("embedding")))), 4).alias("avg_norm"),
     )
 
 

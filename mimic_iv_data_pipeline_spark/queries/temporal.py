@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
 from mimic_iv_data_pipeline_spark.operators.temporal import (
     bucketize_events,
     densify_time_grid,
@@ -36,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value,
+           round(avg(value), 4) AS avg_value,
            round(max(value), 6) AS max_value
     FROM events
     GROUP BY 1, 2
@@ -51,8 +53,8 @@ def q29_bucketize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
+            dround(F.avg("value"), 4).alias("avg_value"),
+            dround(F.max("value"), 6).alias("max_value"),
         )
     )
 
@@ -65,7 +67,7 @@ def q29_bucketize_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(floor(floor(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0) / 6.0) AS BIGINT) AS bucket,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value
+           round(avg(value), 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -83,7 +85,7 @@ def q30_bucketize_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["user_id"],
         agg_exprs=[
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dround(F.avg("value"), 4).alias("avg_value"),
         ],
     ).select("user_id", "bucket", "n", "avg_value")
 
@@ -131,11 +133,11 @@ def q31_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_pivot_wide",
     oracle="""
     SELECT user_id,
-           round(avg(value) FILTER (WHERE event_type = 'click'), 6)    AS click,
-           round(avg(value) FILTER (WHERE event_type = 'error'), 6)    AS error,
-           round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
-           round(avg(value) FILTER (WHERE event_type = 'signup'), 6)   AS signup,
-           round(avg(value) FILTER (WHERE event_type = 'view'), 6)     AS "view"
+           round(avg(value) FILTER (WHERE event_type = 'click'), 4)    AS click,
+           round(avg(value) FILTER (WHERE event_type = 'error'), 4)    AS error,
+           round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+           round(avg(value) FILTER (WHERE event_type = 'signup'), 4)   AS signup,
+           round(avg(value) FILTER (WHERE event_type = 'view'), 4)     AS "view"
     FROM events
     GROUP BY user_id
     """,
@@ -146,7 +148,7 @@ def q32_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         index_cols=["user_id"],
         pivot_col="event_type",
-        agg_expr=F.round(F.avg("value"), 6),
+        agg_expr=dround(F.avg("value"), 4),
         values=EVENT_TYPES,
     )
     return out
@@ -181,5 +183,5 @@ def q33_event_time_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("t") <= 168)
     return normed.groupBy("user_id", "t").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        dround(F.sum("value"), 4).alias("sum_value"),
     )
