@@ -160,3 +160,51 @@ def test_stream_locf_carries_state_across_batches(spark, tmp_path):
     }
     assert got[3] == 5.0, "state must carry the last value across micro-batches"
     assert got[4] == 7.0
+
+
+def test_stream_sessionize(spark, sf_smoke, tmp_path):
+    """session_window streaming: emitted sessions match the batch
+    sessionizer's per-user session count on the same closed data."""
+    from mimic_iv_data_pipeline_spark.operators.windows import sessionize
+    from mimic_iv_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        stream_sessionize,
+    )
+
+    events = read_events(spark, sf_smoke)
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    q = (
+        stream_sessionize(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("SELECT user_id, count(*) AS n FROM sess_out GROUP BY user_id")
+        .collect()
+    )
+    got_counts = {r["user_id"]: r["n"] for r in got}
+
+    batch = sessionize(events, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    expect = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id")
+        .agg(F.max("session_id").alias("n"))
+        .collect()
+    }
+    # append mode withholds sessions not yet closed by the watermark;
+    # emitted counts can be at most the batch count, and most users'
+    # sessions close (watermark trails max ts by 1h)
+    assert got_counts, "stream emitted no sessions"
+    for user, n in got_counts.items():
+        assert n <= expect[user]
+    closed_exactly = sum(1 for u, n in got_counts.items() if n == expect[u])
+    assert closed_exactly >= len(expect) * 0.6
