@@ -115,6 +115,7 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Vectorized brute-force top-k: the scale path for wide corpora.
 
@@ -126,12 +127,28 @@ def cosine_topk_pandas(
     per-partition top-k before the final global top-k window — the
     classic map-side-combine for top-k. Identical results (same
     rounding, same tie-break), asserted in tests/test_similarity.py.
+
+    The query side is collected to the driver and broadcast — correct
+    for the intended serving shape (a bounded query batch against a huge
+    corpus), but a driver OOM if a caller passes a corpus-sized query
+    DataFrame. ``max_query_rows`` guards that: a query side larger than
+    the cap raises with a pointer to the bucketed join paths
+    (``ann_lsh_topk`` / ``ivf_topk``), which never materialize either
+    side on the driver.
     """
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # limit(cap+1) bounds the check itself: never pulls more than cap+1
+    # rows regardless of the query side's true size.
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_pandas broadcasts the query side to every executor; "
+            f"got > {max_query_rows} query rows. For large query sides use the "
+            f"bucketed paths (ann_lsh_topk / ivf_topk) or raise max_query_rows."
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -176,6 +193,56 @@ def cosine_topk_pandas(
     )
 
 
+def _assign_cells_pandas(
+    df: DataFrame, id_col: str, vec_col: str, centers, n: int
+) -> DataFrame:
+    """Nearest-cell assignment: broadcast the centroid matrix once and
+    score each Arrow batch as one numpy matmul (``d² = |v|² + |c|² − 2v·c``).
+
+    Replaces the earlier literal-expression plan (one
+    ``aggregate(zip_with(...))`` per centroid, each inlining ``dims``
+    float literals) whose Catalyst tree grew O(n_cells × dims) — fatal at
+    the 1k–64k cells real IVF uses. This path has O(1) plan size at any
+    ``n_cells``; the per-batch cost is a dense (batch × cells) matmul,
+    exactly the shape BLAS is fastest at. Emits each vector's ``n``
+    nearest cell ids (n=1 for corpus vectors, n_probe for queries); ties
+    break on the lower cell id (stable argsort), matching the previous
+    struct-sort ordering.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    centers_np = np.asarray(centers, dtype=np.float64)
+    c_sq = (centers_np**2).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((centers_np, c_sq))
+
+    narrow = df.select(id_col, vec_col)
+    out_schema = StructType(
+        list(narrow.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, cc2 = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (v * v).sum(axis=1)[:, None] + cc2[None, :] - 2.0 * (v @ cent.T)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n]
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), reps),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), reps),
+                    "cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    return narrow.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -206,34 +273,7 @@ def ivf_topk(
     centers = model.clusterCenters()  # small: n_cells × dims on driver
 
     def assign_cells(df: DataFrame, n: int) -> DataFrame:
-        """Distance to every centroid via one literal-array expression;
-        top-n cell ids per vector (n=1 for corpus, n_probe for queries)."""
-        import numpy as np
-
-        dv = as_double_vec(F.col(vec_col))
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    dv,
-                    F.array(*[F.lit(float(c)) for c in center]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias(f"__d{i}")
-            for i, center in enumerate(centers)
-        ]
-        with_d = df.select(id_col, vec_col, *dists)
-        cell_structs = F.array(
-            *[F.struct(F.col(f"__d{i}").alias("d"), F.lit(i).alias("cell")) for i in range(len(centers))]
-        )
-        return with_d.select(
-            id_col,
-            vec_col,
-            F.explode(
-                F.slice(F.array_sort(cell_structs), 1, n)
-            ).alias("__dc"),
-        ).select(id_col, vec_col, F.col("__dc.cell").alias("cell"))
+        return _assign_cells_pandas(df, id_col, vec_col, centers, n)
 
     c_assigned = assign_cells(corpus, 1).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv"), "cell"

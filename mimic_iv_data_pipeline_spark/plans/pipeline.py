@@ -44,6 +44,29 @@ class PipelineConfig:
     uom_cutoff: float = 0.95           # A7 majority-unit cutoff
     outlier_pcts: tuple[float, float] | None = (0.02, 0.98)  # A8
     feature_codes: list = field(default_factory=list)  # allow-list; [] = all
+    max_feature_vocab: int = 50_000    # cap on the pivoted feature vocabulary
+
+
+def _collect_feature_vocab(dense: DataFrame, cap: int = 50_000) -> list:
+    """Distinct feature codes for the pivot, with a hard cap.
+
+    Spark's pivot needs an explicit value list, so a driver collect is
+    unavoidable here — but it must be bounded: a pathological events
+    table (free-text itemids, corrupted codes) could otherwise return
+    millions of codes and OOM the driver AND produce a million-column
+    pivot no engine survives. ``limit(cap + 1)`` bounds the collect
+    itself; exceeding the cap is an error telling the caller to pass an
+    explicit ``feature_codes`` allow-list (the reference's feature
+    selection files serve the same role, feature_selection_hosp.py).
+    """
+    rows = dense.select("itemid").distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"feature vocabulary exceeds {cap} distinct itemids; pass an "
+            f"explicit PipelineConfig.feature_codes allow-list (or raise "
+            f"max_feature_vocab) — an unbounded pivot is a driver-OOM risk."
+        )
+    return [r["itemid"] for r in rows]
 
 
 def run_pipeline(
@@ -105,9 +128,9 @@ def run_pipeline(
     dense.write.mode("overwrite").parquet(os.path.join(out_dir, "timeseries"))
     dense = spark.read.parquet(os.path.join(out_dir, "timeseries"))
 
-    codes = cfg.feature_codes or [
-        r["itemid"] for r in dense.select("itemid").distinct().collect()
-    ]
+    codes = cfg.feature_codes or _collect_feature_vocab(
+        dense, cap=cfg.max_feature_vocab
+    )
     features = ml_feature_matrix(
         dense, id_col=id_col, feature_codes=codes, agg="mean"
     )

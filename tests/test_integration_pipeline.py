@@ -208,3 +208,16 @@ def test_run_pipeline_orchestrator(spark, mimic_fixture, tmp_path):
     n_buckets = 12
     row = stages["tensors"].first()
     assert all(len(v) == n_buckets for v in row["series"].values())
+
+
+def test_feature_vocab_cap(spark):
+    """An unbounded distinct-itemid collect is a driver-OOM risk; the cap
+    must raise (pointing at feature_codes) instead of materializing."""
+    from mimic_iv_data_pipeline_spark.plans.pipeline import _collect_feature_vocab
+
+    dense = spark.range(100).select(F.col("id").alias("itemid"))
+    with pytest.raises(ValueError, match="feature_codes"):
+        _collect_feature_vocab(dense, cap=10)
+    # under the cap: returns the full vocabulary
+    small = spark.range(5).select(F.col("id").alias("itemid"))
+    assert sorted(_collect_feature_vocab(small, cap=10)) == [0, 1, 2, 3, 4]

@@ -50,3 +50,30 @@ def test_ivf_prunes_work(spark, emb):
     # count scored pairs by disabling the top-k cut
     scored = ivf_topk(queries, emb, n_cells=8, n_probe=2, k=10**9)
     assert scored.count() < 20 * (n_corpus - 1)
+
+
+def test_ivf_many_cells_plan_stays_small(spark, emb):
+    """n_cells=256: the centroid assignment must not inline centroids
+    into the Catalyst plan (the r1 literal-expression plan grew
+    O(n_cells × dims) and fell over at real IVF cell counts). With the
+    broadcast+Arrow-batch assignment the plan is O(1) in n_cells and the
+    query still returns sane exact-scored neighbors."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(queries, emb, n_cells=256, n_probe=32, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000, "plan size grew with n_cells"
+    rows = out.collect()
+    assert len(rows) > 0
+    # scores are exact for whatever candidates IVF surfaces
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(queries, emb, k=10**6).collect()
+    }
+    for r in rows:
+        assert r["cos_sim"] == exact[(r["query_id"], r["neighbor_id"])]
+
+
+def test_cosine_pandas_query_guard(spark, emb):
+    """A corpus-sized query side must raise, not OOM the driver."""
+    with pytest.raises(ValueError, match="query rows"):
+        cosine_topk_pandas(emb, emb, k=5, max_query_rows=10).collect()
