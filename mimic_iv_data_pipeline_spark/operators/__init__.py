@@ -15,6 +15,7 @@ from mimic_iv_data_pipeline_spark.operators.windows import (
 from mimic_iv_data_pipeline_spark.operators.aggregates import (
     clamp_outliers,
     confusion_by_group,
+    ece_mce,
     filter_majority_unit,
     fit_temperature,
     histogram_bins,
@@ -75,6 +76,7 @@ __all__ = [
     "topk_per_group",
     "clamp_outliers",
     "confusion_by_group",
+    "ece_mce",
     "filter_majority_unit",
     "fit_temperature",
     "histogram_bins",

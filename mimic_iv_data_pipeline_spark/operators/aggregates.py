@@ -146,9 +146,13 @@ def confusion_by_group(
     label_expr: Column,
     pred_expr: Column,
 ) -> DataFrame:
-    """A11: per-sensitive-group confusion matrix + rates
-    (``model/fairness.py:32-79``) in ONE pass — conditional sums instead
-    of the reference's four boolean-mask scans per group."""
+    """A11: per-sensitive-group confusion matrix + the FULL rate set the
+    reference's fairness report emits — tp/tn/fp/fn counts plus
+    tpr/tnr/fpr/fnr, predicted-positive/negative rates and accuracy
+    (``model/fairness.py:32-79``, returned at ``:69-79``) — in ONE pass:
+    conditional sums instead of the reference's boolean-mask scans per
+    group. Zero-denominator rates are NULL, matching the reference's
+    ``except ZeroDivisionError: None``."""
     y = label_expr.cast("int")
     p = pred_expr.cast("int")
     tp = F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp")
@@ -156,14 +160,62 @@ def confusion_by_group(
     fp = F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp")
     fn = F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn")
     out = df.groupBy(group_col).agg(tp, tn, fp, fn)
+    n = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")
+
+    def rate(num: Column, den: Column, name: str) -> Column:
+        return dround(num / F.nullif(den, F.lit(0)), 6).alias(name)
+
     return out.select(
         group_col,
         "tp",
         "tn",
         "fp",
         "fn",
-        dround(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("tpr"),
-        dround(F.col("fp") / F.nullif(F.col("fp") + F.col("tn"), F.lit(0)), 6).alias("fpr"),
+        rate(F.col("tp"), F.col("tp") + F.col("fn"), "tpr"),
+        rate(F.col("tn"), F.col("tn") + F.col("fp"), "tnr"),
+        rate(F.col("fp"), F.col("fp") + F.col("tn"), "fpr"),
+        rate(F.col("fn"), F.col("fn") + F.col("tp"), "fnr"),
+        rate(F.col("tp") + F.col("fp"), n, "pr"),
+        rate(F.col("tn") + F.col("fn"), n, "nr"),
+        rate(F.col("tp") + F.col("tn"), n, "accuracy"),
+    )
+
+
+def ece_mce(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """D8: expected / maximum calibration error
+    (``model/evaluation.py:219-250``: ``calb_bins`` + ``calb_metrics``).
+
+    Reference binning is ``np.digitize(preds, linspace(0.1, 1, 10))``,
+    i.e. ``floor(pred·10)`` for pred ∈ [0, 1); a prediction of exactly
+    1.0 falls past the last reference bin and is silently dropped there —
+    here it clamps into the top bin (deviation documented; measure-zero
+    for real probabilities). Two tiny aggregations: per-bin
+    accuracy/confidence (shuffle keyed on ≤ num_bins rows), then the
+    weighted-|acc−conf| reduction to one (ece, mce) row. Empty bins
+    contribute 0, matching the reference's zero-initialized arrays.
+    """
+    pred = F.col(pred_col).cast("double")
+    binned = df.select(
+        F.least(
+            F.floor(pred * num_bins).cast("long"), F.lit(num_bins - 1).cast("long")
+        ).alias("__bin"),
+        pred.alias("__p"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__y").alias("__acc"),
+        F.avg("__p").alias("__conf"),
+    )
+    diff = F.abs(F.col("__acc") - F.col("__conf"))
+    return per_bin.agg(
+        dround(F.sum(F.col("__n") * diff) / F.sum("__n"), 6).alias("ece"),
+        dround(F.max(diff), 6).alias("mce"),
     )
 
 

@@ -295,22 +295,28 @@ def q23_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q24_fairness_confusion",
     oracle="""
-    SELECT c.c_mktsegment,
-           sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS tn,
-           sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp,
-           sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn,
-           round(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) * 1.0
-                 / nullif(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0), 6) AS tpr,
-           round(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) * 1.0
-                 / nullif(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 0), 6) AS fpr
+    SELECT c_mktsegment, tp, tn, fp, fn,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS tpr,
+           round(tn * 1.0 / nullif(tn + fp, 0), 6) AS tnr,
+           round(fp * 1.0 / nullif(fp + tn, 0), 6) AS fpr,
+           round(fn * 1.0 / nullif(fn + tp, 0), 6) AS fnr,
+           round((tp + fp) * 1.0 / nullif(tp + tn + fp + fn, 0), 6) AS pr,
+           round((tn + fn) * 1.0 / nullif(tp + tn + fp + fn, 0), 6) AS nr,
+           round((tp + tn) * 1.0 / nullif(tp + tn + fp + fn, 0), 6) AS accuracy
     FROM (
-      SELECT o_custkey,
-             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
-             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS p
-      FROM orders
-    ) o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
+      SELECT c.c_mktsegment,
+             sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS tn,
+             sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn
+      FROM (
+        SELECT o_custkey,
+               CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS p
+        FROM orders
+      ) o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
     """,
 )
 def q24_fairness_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:

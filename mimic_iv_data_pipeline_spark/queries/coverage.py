@@ -349,3 +349,33 @@ def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# --- q57: ECE / MCE calibration scalars (D8; reference
+# model/evaluation.py:219-250 calb_bins + calb_metrics) ----------------------
+@register(
+    "q57_ece_mce",
+    oracle="""
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + exp(-(value - 250.0) / 50.0)) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ), per_bin AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             count(*) AS n, avg(y) AS acc, avg(p) AS conf
+      FROM scored GROUP BY 1
+    )
+    SELECT round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
+           round(max(abs(acc - conf)), 6) AS mce
+    FROM per_bin
+    """,
+)
+def q57_ece_mce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.aggregates import ece_mce
+
+    e = _t(spark, sf_dir, "events")
+    preds = e.select(
+        (1.0 / (1.0 + F.exp(-(F.col("value") - 250.0) / 50.0))).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    return ece_mce(preds, "p", "y", num_bins=10)
