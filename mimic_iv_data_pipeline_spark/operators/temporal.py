@@ -124,15 +124,41 @@ def interval_signal(
     """T5: interval → per-hour activity signal.
 
     Reference builds it by pivoting stop_time, forward-filling, then
-    comparing (``data_generation_icu.py:478-501``). Equivalent set form:
-    grid LEFT JOIN intervals on id, signal = 1 iff any interval covers
-    the grid hour (``t between start and stop``), aggregated with max so
-    overlapping administrations collapse.
+    comparing (``data_generation_icu.py:478-501``). Signal = 1 iff any
+    interval covers the grid hour (``start <= t < stop``).
+
+    Scale shape: each interval is EXPLODED into the integer grid times it
+    covers — clamped to the id's own grid extent, so the generate is
+    bounded by the grid size — then equi-joined on ``(id, t)``. The
+    earlier form joined grid × intervals on id alone, a per-id cross
+    product (los_hours × n_intervals rows before re-aggregation) that
+    blows up on long stays at scale; this form's row count is at most
+    Σ covered-buckets and every shuffle is keyed on (id, t) or id.
+    Assumes integer grid times (what ``densify_time_grid`` emits);
+    fractional interval endpoints are handled exactly
+    (``t >= start ⟺ t >= ceil(start)``, ``t < stop ⟺ t <= ceil(stop)-1``
+    for integer t).
     """
-    j = grid.join(intervals, on=id_col, how="left")
+    bounds = grid.groupBy(id_col).agg(
+        F.min(time_col).alias("__tmin"), F.max(time_col).alias("__tmax")
+    )
+    lo = F.greatest(F.ceil(F.col(start_col)).cast("long"), F.col("__tmin").cast("long"))
+    hi = F.least(
+        F.ceil(F.col(stop_col)).cast("long") - 1, F.col("__tmax").cast("long")
+    )
     covered = (
-        F.col(time_col) >= F.col(start_col)
-    ) & (F.col(time_col) < F.col(stop_col))
-    return j.groupBy(id_col, time_col).agg(
-        F.max(F.when(covered, 1).otherwise(0)).alias(signal_col)
+        intervals.join(bounds, on=id_col)
+        .select(id_col, lo.alias("__lo"), hi.alias("__hi"))
+        .filter(F.col("__lo") <= F.col("__hi"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(time_col),
+        )
+        .groupBy(id_col, time_col)  # collapse overlapping intervals
+        .agg(F.lit(1).alias("__on"))
+    )
+    return grid.join(covered, on=[id_col, time_col], how="left").select(
+        id_col,
+        time_col,
+        F.coalesce(F.col("__on"), F.lit(0)).alias(signal_col),
     )

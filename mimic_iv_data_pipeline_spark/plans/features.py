@@ -138,6 +138,7 @@ def impute_hadm_ids(
     labs: DataFrame,
     admissions: DataFrame,
     assume_nonnested: bool = False,
+    granularity: str = "day",
 ) -> DataFrame:
     """D3/J7: fill missing ``hadm_id`` on lab rows by locating the
     admission of the same subject whose ``[admittime, dischtime]``
@@ -149,6 +150,15 @@ def impute_hadm_ids(
     Rows that already have an hadm_id pass through untouched; unmatched
     rows keep null (the reference drops them later).
 
+    ``granularity='day'`` (default) matches the reference exactly: it
+    ``.normalize()``-s all three timestamps to midnight before comparing
+    (``labs_preprocess_util.py:40-57``), i.e. DAY-level containment —
+    a lab charted on the admission day but before the admit timestamp
+    still imputes, and the tie-break is the smallest chart-date −
+    admit-date (equal admit-date ties → max hadm_id, a deterministic
+    stand-in for the reference's dict-order stable sort).
+    ``granularity='exact'`` tightens to full-timestamp containment.
+
     ``assume_nonnested=True`` takes the linear union-strategy path
     (one shuffle instead of a range join — 46× at 10M rows, PERF.md):
     since the tie-break IS "latest admit ≤ charttime", that admission
@@ -156,35 +166,50 @@ def impute_hadm_ids(
     discharge covering a later admission's span). MIMIC hospital
     admissions do not nest; keep the default for arbitrary intervals.
     """
+    if granularity not in ("day", "exact"):
+        raise ValueError("granularity must be 'day' or 'exact'")
     missing = labs.filter(F.col("hadm_id").isNull()).drop("hadm_id")
     have = labs.filter(F.col("hadm_id").isNotNull())
     adm = admissions.select("subject_id", "hadm_id", "admittime", "dischtime")
+    if granularity == "day":
+        missing = missing.withColumn(
+            "__chart_t", F.to_date("charttime").cast("timestamp")
+        )
+        adm = adm.select(
+            "subject_id",
+            "hadm_id",
+            F.to_date("admittime").cast("timestamp").alias("__adm_t"),
+            F.to_date("dischtime").cast("timestamp").alias("__dis_t"),
+        )
+        t_chart, t_adm, t_dis = "__chart_t", "__adm_t", "__dis_t"
+    else:
+        t_chart, t_adm, t_dis = "charttime", "admittime", "dischtime"
     if assume_nonnested:
         matched = asof_join(
             missing,
             adm,
             on="subject_id",
-            left_time="charttime",
-            right_start="admittime",
+            left_time=t_chart,
+            right_start=t_adm,
             direction="backward",
             strategy="union",
             union_tie_cols=["hadm_id"],
         )
         imputed = matched.withColumn(
             "hadm_id",
-            F.when(F.col("charttime") <= F.col("dischtime"), F.col("hadm_id")),
-        ).drop("admittime", "dischtime")
+            F.when(F.col(t_chart) <= F.col(t_dis), F.col("hadm_id")),
+        )
     else:
         imputed = asof_join(
             missing,
             adm,
             on="subject_id",
-            left_time="charttime",
-            right_start="admittime",
-            right_end="dischtime",
+            left_time=t_chart,
+            right_start=t_adm,
+            right_end=t_dis,
             # equal-admit ties → max hadm_id, matching the union path
             tie_break=[F.col("hadm_id").desc()],
-        ).drop("admittime", "dischtime")
+        )
     return have.unionByName(imputed.select(*have.columns))
 
 
@@ -197,22 +222,26 @@ def generate_summary(
     """A1-A3: per-code summary — mean per-visit frequency, total count,
     and (when a value column exists) missing share
     (``feature_selection_hosp.py:125-186``). One pass + one two-level
-    aggregate; the reference re-reads csv.gz per modality."""
+    aggregate; the reference re-reads csv.gz per modality.
+
+    "Missing" is ``value == 0`` ONLY — the reference's pandas filter
+    (``labs['valuenum']==0``, ``feature_selection_hosp.py:177``)
+    evaluates NaN == 0 as False, so null values do NOT count as missing.
+    Rounded outputs use ``dround`` (the repo's engine-consistent binary
+    rounding, commit b2309dd convention) so a DuckDB twin matches."""
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
     per_visit = events.groupBy(code_col, visit_col).agg(
         F.count(F.lit(1)).alias("per_visit_cnt")
     )
     freq = per_visit.groupBy(code_col).agg(
-        F.round(F.avg("per_visit_cnt"), 6).alias("mean_frequency")
+        dround(F.avg("per_visit_cnt"), 6).alias("mean_frequency")
     )
     aggs = [F.count(F.lit(1)).alias("total_count")]
     if value_col is not None:
         aggs.append(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col(value_col).isNull() | (F.col(value_col) == 0), 1
-                    ).otherwise(0)
-                )
+            dround(
+                F.sum(F.when(F.col(value_col) == 0, 1).otherwise(0))
                 * 100.0
                 / F.count(F.lit(1)),
                 6,

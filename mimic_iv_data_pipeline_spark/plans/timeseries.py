@@ -109,18 +109,22 @@ def medication_signal(
     ``sequence`` (bounded by include_hours — no unbounded blowup), then
     max per (id, code, bucket) collapses overlapping orders.
     """
-    clamped = meds.withColumn(
-        stop_col, F.least(F.col(stop_col), F.lit(include_hours))
-    ).filter(F.col(start_col) < F.col(stop_col))
+    clamped = (
+        meds.withColumn(start_col, F.greatest(F.col(start_col), F.lit(0)))
+        .withColumn(stop_col, F.least(F.col(stop_col), F.lit(include_hours)))
+        .filter(F.col(start_col) < F.col(stop_col))
+    )
+    # bucket b covers [b·bh, (b+1)·bh); [start, stop) intersects it for
+    # b in [floor(start/bh), ceil(stop/bh)-1]; stop > start ≥ 0 guarantees
+    # hi ≥ lo. The ceil form is exact for fractional stops too (the prior
+    # floor((stop-1)/bh) assumed integer hours: start=0.2, stop=0.5 made
+    # the sequence descend and emit a spurious bucket -1).
+    lo = F.floor(F.col(start_col) / bucket_hours).cast("long")
+    hi = F.ceil(F.col(stop_col) / bucket_hours).cast("long") - 1
     buckets = clamped.select(
         id_col,
         code_col,
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bucket_hours).cast("long"),
-                F.floor((F.col(stop_col) - 1) / bucket_hours).cast("long"),
-            )
-        ).alias("bucket"),
+        F.explode(F.sequence(lo, hi)).alias("bucket"),
     )
     return buckets.groupBy(id_col, code_col, "bucket").agg(
         F.lit(1).alias("signal")

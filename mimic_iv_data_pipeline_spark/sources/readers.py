@@ -66,8 +66,12 @@ def load_tables(
 
     Parquet scans get column pruning and predicate pushdown for free;
     callers should still ``.select`` early so ``ReadSchema`` stays narrow.
+    Routes through :func:`load_table` so ``events`` always gets the
+    nanos shim — a bare ``spark.read.parquet`` here made the result
+    depend on whether ``read_events`` had already set the session conf
+    (order-dependent public API).
     """
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+    return {name: load_table(spark, sf_dir, name) for name in names}
 
 
 def register_views(

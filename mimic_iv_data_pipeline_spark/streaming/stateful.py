@@ -31,18 +31,26 @@ def _locf_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-key LOCF: nulls take the last non-null value seen, across
-    micro-batch boundaries via the state handle."""
+    micro-batch boundaries via the state handle.
+
+    ``applyInPandasWithState`` gives NO ordering guarantee across the
+    Arrow chunks of one group within a micro-batch, so sorting each
+    chunk independently fills later-chunk rows with earlier timestamps
+    out of order. Concatenate every chunk for the group first, sort
+    ONCE by (ts, event_id), fill, and yield a single frame. Memory is
+    one group's micro-batch slice — the same bound Spark already
+    accepts to hand the group to Python.
+    """
     (last,) = state.get if state.exists else (None,)
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         filled = []
         for v in pdf["value"]:
             if pd.notna(v):
                 last = float(v)
-                filled.append(last)
-            else:
-                filled.append(last)
-        out = pd.DataFrame(
+            filled.append(last)
+        yield pd.DataFrame(
             {
                 "user_id": pdf["user_id"].values,
                 "event_id": pdf["event_id"].values,
@@ -51,7 +59,6 @@ def _locf_fn(
                 "value_filled": filled,
             }
         )
-        yield out
     if last is not None:
         state.update((last,))
 

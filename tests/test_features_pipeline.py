@@ -106,6 +106,37 @@ def test_impute_hadm_ids(spark):
     assert out.count() == 4
 
 
+def test_impute_hadm_ids_day_granularity(spark):
+    """Reference parity (ADVICE r1): hadm_imputer .normalize()s all
+    three timestamps to midnight, so a lab charted on the admission DAY
+    but before the admit timestamp still imputes; granularity='exact'
+    keeps the tightened timestamp containment."""
+    admissions = spark.createDataFrame(
+        [(1, 101, ts("2150-01-05T14:00:00"), ts("2150-01-10T09:00:00"), None, 0, "P", "W")],
+        "subject_id long, hadm_id long, admittime timestamp, dischtime timestamp, deathtime timestamp, hospital_expire_flag int, insurance string, ethnicity string",
+    )
+    labs = spark.createDataFrame(
+        [
+            # admission day, BEFORE admit timestamp → day: 101, exact: null
+            (1, None, 50912, ts("2150-01-05T08:00:00"), 1.0, "mg/dL"),
+            # discharge day, AFTER discharge timestamp → day: 101, exact: null
+            (1, None, 50912, ts("2150-01-10T23:00:00"), 2.0, "mg/dL"),
+            # day after discharge → null under both
+            (1, None, 50912, ts("2150-01-11T00:30:00"), 3.0, "mg/dL"),
+        ],
+        "subject_id long, hadm_id long, itemid long, charttime timestamp, valuenum double, valueuom string",
+    )
+    for nonnested in (False, True):
+        day = impute_hadm_ids(labs, admissions, assume_nonnested=nonnested)
+        got = {r["valuenum"]: r["hadm_id"] for r in day.collect()}
+        assert got == {1.0: 101, 2.0: 101, 3.0: None}, f"nonnested={nonnested}"
+        exact = impute_hadm_ids(
+            labs, admissions, assume_nonnested=nonnested, granularity="exact"
+        )
+        got = {r["valuenum"]: r["hadm_id"] for r in exact.collect()}
+        assert got == {1.0: None, 2.0: None, 3.0: None}, f"nonnested={nonnested}"
+
+
 def test_preproc_events_sanity_filters(spark):
     cohort = spark.createDataFrame(
         [(201, ts("2150-01-01T00:00:00"), 48)],
@@ -188,7 +219,7 @@ def test_generate_summary(spark):
             (101, 10, 5.0),
             (101, 10, 0.0),   # zero → missing
             (102, 10, 3.0),
-            (101, 20, None),  # null → missing
+            (101, 20, None),  # null → NOT missing (pandas NaN==0 is False)
         ],
         "hadm_id long, itemid long, valuenum double",
     )
@@ -196,7 +227,7 @@ def test_generate_summary(spark):
     assert out[10]["total_count"] == 3
     assert out[10]["mean_frequency"] == 1.5  # (2 in 101 + 1 in 102) / 2 visits
     assert abs(out[10]["missing_pct"] - 100 / 3) < 1e-4
-    assert out[20]["missing_pct"] == 100.0
+    assert out[20]["missing_pct"] == 0.0  # reference: only value==0 counts
 
 
 def test_features_selection(spark):

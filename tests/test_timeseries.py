@@ -134,3 +134,73 @@ def test_bucketize_partition_invariance(spark, chart_events):
         )
 
     assert run(chart_events.repartition(1)) == run(chart_events.repartition(7, "itemid"))
+
+
+def test_medication_signal_fractional(spark):
+    """Fractional endpoints and negative starts (ADVICE r1): a
+    sub-bucket interval hits exactly its containing bucket(s), never a
+    spurious bucket -1; negative starts clamp to 0."""
+    meds = spark.createDataFrame(
+        [
+            (1, 1, 0.2, 0.5),    # inside bucket 0
+            (1, 2, 1.9, 2.1),    # straddles buckets 1 and 2
+            (1, 3, -3.0, 1.5),   # negative start → clamped, buckets 0,1
+            (1, 4, 2.5, 7.0),    # bucket_hours=1 → buckets 2..6
+        ],
+        "stay_id long, itemid long, start_hours double, stop_hours double",
+    )
+    out = medication_signal(meds, include_hours=12, bucket_hours=1)
+    got = sorted((r["itemid"], r["bucket"]) for r in out.collect())
+    assert got == [
+        (1, 0),
+        (2, 1), (2, 2),
+        (3, 0), (3, 1),
+        (4, 2), (4, 3), (4, 4), (4, 5), (4, 6),
+    ]
+    # bucket_hours > 1 with fractional stop: [0.2, 2.5) on 2h buckets
+    # covers buckets 0 and 1 (the old floor((stop-1)/bh) missed bucket 1)
+    meds2 = spark.createDataFrame(
+        [(1, 1, 0.2, 2.5)],
+        "stay_id long, itemid long, start_hours double, stop_hours double",
+    )
+    out2 = medication_signal(meds2, include_hours=12, bucket_hours=2)
+    assert sorted(r["bucket"] for r in out2.collect()) == [0, 1]
+
+
+def test_interval_signal_matches_join_form(spark):
+    """The exploded equi-join form must agree with the direct
+    definition (signal=1 iff any interval satisfies start <= t < stop)
+    on randomized intervals, including fractional/negative endpoints and
+    ids with no intervals at all."""
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.temporal import (
+        densify_time_grid,
+        interval_signal,
+    )
+
+    rng = random.Random(7)
+    anchors = spark.createDataFrame(
+        [(i, rng.randint(1, 20)) for i in range(30)], "id long, glen long"
+    )
+    grid = densify_time_grid(anchors, "id", "glen", time_col="t")
+    ivs = [
+        (rng.randint(0, 24), rng.uniform(-5, 25), rng.uniform(0, 8))
+        for _ in range(120)
+    ]
+    intervals = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in ivs],
+        "id long, start_time double, stop_time double",
+    )
+    out = {
+        (r["id"], r["t"]): r["signal"]
+        for r in interval_signal(grid, intervals, "id").collect()
+    }
+    # brute-force reference on the driver
+    grid_rows = [(r["id"], r["t"]) for r in grid.collect()]
+    assert len(out) == len(grid_rows)
+    for gid, t in grid_rows:
+        want = int(
+            any(i == gid and s <= t < e for i, s, d in ivs for e in [s + d])
+        )
+        assert out[(gid, t)] == want, (gid, t)
