@@ -23,7 +23,9 @@ from mimic_iv_data_pipeline_spark import get_spark  # noqa: E402
 from mimic_iv_data_pipeline_spark.queries import all_queries  # noqa: E402
 
 # Headline set: one per operator family — scan/agg, join, as-of, window,
-# temporal bucketing, pivot, dedup, text, similarity.
+# temporal bucketing, pivot, dedup, text, similarity — plus the two
+# LLM-ops scale paths (MinHash-LSH banding, IVF ANN) so they are tracked
+# round-over-round.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_revenue_by_nation",
@@ -39,7 +41,9 @@ HEADLINE = [
     "q34_dedup_exact",
     "q37_lang_id",
     "q39_ngram_jaccard",
+    "q40_minhash_lsh",
     "q42_cosine_topk",
+    "q53_ann_ivf",
 ]
 
 

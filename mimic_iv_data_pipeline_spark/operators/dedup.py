@@ -152,6 +152,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     prefix_filter: bool | None = None,
     reuse: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard near-dup pairs above ``threshold``.
 
@@ -175,6 +176,18 @@ def ngram_jaccard_pairs(
 
     Both produce identical output (property-tested against a
     brute-force python implementation in tests/test_dedup.py).
+
+    ``max_df`` hardens low-threshold corpus-wide runs against the Σdf²
+    wall: shingles with document frequency above the cap are dropped
+    from the *candidate index* (they are exactly the quadratic-blowup
+    keys and the least discriminative), and every surviving candidate
+    pair is re-verified on its FULL shingle sets — so reported scores
+    stay exact. Recall bound: a true pair is missed only if EVERY
+    shingle the two documents share has df > max_df; on natural text
+    near-dup pairs share many rare shingles, so a cap in the hundreds
+    loses essentially nothing while bounding index fan-out to
+    Σ min(df, max_df)². Property-tested: capped and uncapped agree on
+    the fixture corpus above threshold.
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
@@ -185,6 +198,28 @@ def ngram_jaccard_pairs(
         # once (~1s saved per call at 5k docs; LRU-evicted under
         # pressure). Pass reuse=False to keep the plan fully lazy.
         exploded = exploded.persist()
+
+    if max_df is not None:
+        # candidate index without hot shingles; exact verify below
+        freq_cap = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        capped = exploded.join(freq_cap, "shingle")
+        a = capped.alias("a")
+        b = capped.alias("b")
+        candidates = (
+            a.join(b, on="shingle")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
+        )
+        sets_df = shingle_sets(df, id_col, text_col, n)
+        return _score_pairs(candidates, sets_df).filter(
+            F.col("jaccard") >= threshold
+        )
 
     if not prefix_filter:
         a = exploded.alias("a")

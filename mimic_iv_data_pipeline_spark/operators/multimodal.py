@@ -2,12 +2,15 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed
 metadata structs; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages. The heavy codecs (PIL/ffmpeg
-etc.) are NOT in this container, so the decode step is a clearly-marked
-deterministic fake behind ``decode_fn`` — the Spark-side plumbing
-(schema, batch shape, partition behavior) is real and tested, and a
-production deployment swaps ``_fake_decode`` for a real codec without
-touching the plan.
+as Arrow-batched ``mapInPandas`` stages. The image modality is REAL:
+:func:`image_header_decode` parses PNG/GIF/JPEG container headers
+(stdlib-only) for width/height/mode, golden-tested on actual PNG bytes;
+:func:`pil_decode` adds full pixel decode when Pillow is installed
+(import-gated — not in this container). Audio/video keep the
+deterministic ``_fake_decode`` stand-in behind ``decode_fn`` — the
+Spark-side plumbing (schema, batch shape, partition behavior) is real
+and a production deployment swaps in ffmpeg etc. without touching the
+plan.
 
 This mirrors the reference's one Python-heavy surface — the medspacy
 notes pipeline (``preprocessing/notes_preproc.py:108-224``) — which has
@@ -40,6 +43,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("byte_len", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
         T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
@@ -65,6 +69,87 @@ def _fake_decode(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "feature": [h / total for h in hist],
+    }
+
+
+def image_header_decode(payload: bytes) -> dict:
+    """REAL image decode for the metadata surface: parse PNG / GIF /
+    JPEG container headers (pure stdlib — no PIL needed) for
+    width/height/mode, plus the byte-histogram feature.
+
+    PNG: IHDR chunk at fixed offset 16 (big-endian u32 pair), mode from
+    the color-type byte. GIF: logical screen descriptor at offset 6
+    (little-endian u16 pair). JPEG: scan markers for the first SOF0-15
+    frame header (big-endian height, width at +5). Anything else raises
+    ValueError — a caller who needs pixels (resize, embeddings) plugs
+    PIL via :func:`pil_decode`.
+    """
+    import struct
+
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 26:
+        width, height = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        mode = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}.get(
+            color_type, f"png_ct{color_type}"
+        )
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        width, height = struct.unpack("<HH", payload[6:10])
+        mode = "P"
+    elif payload[:2] == b"\xff\xd8":  # JPEG SOI
+        width = height = None
+        mode = "RGB"
+        i = 2
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+                mode = "L" if payload[i + 9] == 1 else "RGB"
+                break
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        if width is None:
+            raise ValueError("JPEG without SOF frame header")
+    else:
+        raise ValueError("unrecognized image container (want PNG/GIF/JPEG)")
+    hist = [0.0] * 8
+    for b in payload:
+        hist[b % 8] += 1.0
+    total = float(n) or 1.0
+    return {
+        "byte_len": n,
+        "width": int(width),
+        "height": int(height),
+        "mode": mode,
+        "feature": [h / total for h in hist],
+    }
+
+
+def pil_decode(payload: bytes) -> dict:
+    """Full pixel decode via PIL when it is installed (import-gated:
+    this container does not ship it). Returns the same dict shape as
+    :func:`image_header_decode` but with pixel-derived stats in
+    ``feature`` (mean channel intensities, normalized)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise ImportError(
+            "pil_decode needs Pillow; use image_header_decode for "
+            "dimensions/mode without pixel access"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover - PIL absent
+    stats = [sum(ch) / (255.0 * img.width * img.height) for ch in img.split()]
+    return {
+        "byte_len": len(payload),
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "feature": stats,
     }
 
 
@@ -94,6 +179,7 @@ def decode_media(
                     "byte_len": [d["byte_len"] for d in decoded],
                     "width": [d["width"] for d in decoded],
                     "height": [d["height"] for d in decoded],
+                    "mode": [d.get("mode") for d in decoded],
                     "feature": [d["feature"] for d in decoded],
                 }
             )

@@ -109,28 +109,64 @@ def _extract(text: str, targets: list[str]) -> list[dict]:
     return entities
 
 
+def lexicon_model_factory(
+    targets: list[str] | None = None,
+) -> "Extractor":
+    """Default dependency-free model: the rule-lexicon ConText matcher
+    above. A factory returns an *extractor* — ``text -> list[dict]``
+    with keys matching :data:`ENTITY_SCHEMA`'s entity fields
+    (section/term/negated/family_context/offset)."""
+    target_list = targets or DEFAULT_TARGETS
+
+    def extractor(text: str) -> list[dict]:
+        return _extract(text or "", target_list)
+
+    return extractor
+
+
+# An Extractor maps note text to entity dicts; a ModelFactory builds one
+# (loading models, compiling matchers) ONCE per Spark task.
+Extractor = "Callable[[str], list[dict]]"
+ModelFactory = "Callable[[], Extractor]"
+
+
 def extract_entities(
     notes: DataFrame,
     targets: list[str] | None = None,
+    model_factory=None,
 ) -> DataFrame:
     """Exploded entity rows from a notes DataFrame
     (note_id, subject_id, text).
 
-    Arrow-batched ``mapInPandas``; 1 note → N entity rows. A real
-    medspacy/spaCy pipeline initializes its nlp object at the marked
-    point (once per task, NOT per row — the reference pays spaCy
-    pipeline setup once per process too).
+    Arrow-batched ``mapInPandas``; 1 note → N entity rows.
+
+    ``model_factory`` makes the pipeline injectable: pass a zero-arg
+    callable that loads a REAL model and returns an extractor
+    (``text -> list[entity dict]``) — e.g. for the reference's medspacy
+    pipeline (``notes_preproc.py:108-224``)::
+
+        def medspacy_factory():
+            import medspacy
+            nlp = medspacy.load(...)          # heavy init, once per task
+            return lambda text: to_entity_dicts(nlp(text))
+
+        extract_entities(notes, model_factory=medspacy_factory)
+
+    The factory is invoked ONCE per Spark task, before the first Arrow
+    batch — never per row or per batch (the reference pays spaCy setup
+    once per process too; tests assert the single-init property). The
+    default is the dependency-free rule lexicon.
     """
-    target_list = targets or DEFAULT_TARGETS
+    factory = model_factory or (lambda: lexicon_model_factory(targets))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # (real deployment: nlp = medspacy.load(...) HERE, once per task)
+        extractor = factory()  # per-task init point (model load happens here)
         for pdf in batches:
             rows = []
             for note_id, subject_id, text in zip(
                 pdf["note_id"], pdf["subject_id"], pdf["text"]
             ):
-                for ent in _extract(text or "", target_list):
+                for ent in extractor(text):
                     rows.append(
                         {
                             "note_id": note_id,

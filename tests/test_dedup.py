@@ -74,6 +74,33 @@ def test_prefix_filter_matches_bruteforce_on_corpus(spark, sf_dir):
     assert got == expect
 
 
+def test_df_cap_agrees_with_uncapped(spark, sf_dir):
+    """max_df candidate capping: scores stay exact (full-set verify) and
+    with a cap comfortably above the corpus's rare-shingle df, capped ==
+    uncapped on the fixture corpus above threshold."""
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "doc_id", threshold=0.2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs_df, "doc_id", threshold=0.2, max_df=30
+        ).collect()
+    }
+    assert capped == uncapped
+    # an aggressive cap can only LOSE pairs, never invent or mis-score
+    tight = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs_df, "doc_id", threshold=0.2, max_df=1
+        ).collect()
+    }
+    assert set(tight) <= set(uncapped)
+    assert all(uncapped[k] == v for k, v in tight.items())
+
+
 def test_minhash_lsh_recovers_near_dups(spark, near_dup_docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]

@@ -208,3 +208,74 @@ def test_stream_sessionize(spark, sf_smoke, tmp_path):
         assert n <= expect[user]
     closed_exactly = sum(1 for u, n in got_counts.items() if n == expect[u])
     assert closed_exactly >= len(expect) * 0.6
+
+
+def _tiny_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """Build a real, spec-valid PNG in-test (stdlib only): signature +
+    IHDR + one zlib IDAT of zero scanlines + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x00" * (width * bpp) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_header_decode_golden(spark):
+    """Golden test on actual image bytes: the decode step is real for
+    the image modality (round-2 upgrade from the r1 _fake_decode-only
+    surface)."""
+    from mimic_iv_data_pipeline_spark.operators.multimodal import (
+        image_header_decode,
+    )
+
+    png = _tiny_png(13, 7, color_type=2)
+    d = image_header_decode(png)
+    assert (d["width"], d["height"], d["mode"]) == (13, 7, "RGB")
+    assert d["byte_len"] == len(png)
+    assert abs(sum(d["feature"]) - 1.0) < 1e-9
+
+    rgba = image_header_decode(_tiny_png(640, 480, color_type=6))
+    assert (rgba["width"], rgba["height"], rgba["mode"]) == (640, 480, "RGBA")
+
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    g = image_header_decode(gif)
+    assert (g["width"], g["height"], g["mode"]) == (300, 200, "P")
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_header_decode(b"not an image at all")
+
+
+def test_decode_media_with_real_images(spark):
+    """The mapInPandas plumbing carries the real decoder end to end:
+    binary media column in, typed (width, height, mode) out."""
+    from mimic_iv_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        image_header_decode,
+    )
+
+    rows = [
+        (1, _tiny_png(32, 16, 2), "image/png", {"k": "a"}),
+        (2, _tiny_png(8, 8, 0), "image/png", {"k": "b"}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    out = {r["media_id"]: r for r in decode_media(media, image_header_decode).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (32, 16, "RGB")
+    assert (out[2]["width"], out[2]["height"], out[2]["mode"]) == (8, 8, "L")

@@ -75,6 +75,40 @@ def lab_fixture(spark):
     return spark.createDataFrame(rows, "subject_id long, itemid long, valuenum double, t long")
 
 
+def test_injected_model_factory_inits_once(spark):
+    """The factory must run ONCE per task (model-load cost), never per
+    row/batch. The fake extractor stamps each entity with the number of
+    factory invocations seen in its worker process; with one partition
+    every stamp must be 1."""
+    notes = spark.createDataFrame(
+        [(f"n{i}", i, "note text") for i in range(40)],
+        "note_id string, subject_id long, text string",
+    ).repartition(1)
+
+    def counting_factory():
+        import builtins
+
+        n = getattr(builtins, "_nlp_fake_inits", 0) + 1
+        builtins._nlp_fake_inits = n
+
+        def extractor(text):
+            return [
+                {
+                    "section": "s",
+                    "term": "t",
+                    "negated": False,
+                    "family_context": False,
+                    "offset": n,  # factory-invocation count at init time
+                }
+            ]
+
+        return extractor
+
+    ents = extract_entities(notes, model_factory=counting_factory).collect()
+    assert len(ents) == 40
+    assert {r["offset"] for r in ents} == {1}
+
+
 def test_lab_tokens_quartiles(spark, lab_fixture):
     toks = lab_tokens(lab_fixture).collect()
     by_val = {}
