@@ -19,6 +19,10 @@ from mimic_iv_data_pipeline_spark.plans.ml_assembly import (
     train_test_split_ids,
 )
 from mimic_iv_data_pipeline_spark.plans.pipeline import PipelineConfig, run_pipeline
+from mimic_iv_data_pipeline_spark.plans.survival import (
+    extend_code_vocab,
+    survival_sequences,
+)
 from mimic_iv_data_pipeline_spark.plans.timeseries import (
     generate_timeseries,
     medication_signal,
@@ -46,6 +50,8 @@ __all__ = [
     "ml_feature_matrix",
     "train_test_split_ids",
     "PipelineConfig",
+    "extend_code_vocab",
+    "survival_sequences",
     "run_pipeline",
     "generate_timeseries",
     "medication_signal",

@@ -72,12 +72,25 @@ def dl_tensor_frame(
 def train_test_split_ids(
     cohort: DataFrame,
     id_col: str = "stay_id",
-    weights: tuple[float, float] = (0.8, 0.2),
+    weights: tuple[float, ...] = (0.8, 0.2),
     seed: int = 42,
-) -> tuple[DataFrame, DataFrame]:
+    predefined: list[DataFrame] | None = None,
+) -> tuple[DataFrame, ...]:
     """U5: id-level split (``ml_models.py:71`` does set-difference on
     python lists) — ``randomSplit`` on the distinct id relation so the
-    split is reproducible and label-leakage-free (ids, not rows)."""
+    split is reproducible and label-leakage-free (ids, not rows).
+
+    ``predefined`` mirrors the reference's pre-split patient files
+    (``preprocess_outcomes.py:210-217`` loads ``.train/.valid/.test``
+    pickles and intersects): pass one id relation per subset and each is
+    semi-joined against the cohort's ids — the returned tuple matches
+    ``predefined``'s length and order, ``weights``/``seed`` are ignored.
+    ``weights`` may have any number of parts (e.g. 0.7/0.1/0.2 for
+    train/valid/test, the reference's random path)."""
     ids = cohort.select(id_col).distinct()
-    train_ids, test_ids = ids.randomSplit(list(weights), seed=seed)
-    return train_ids, test_ids
+    if predefined is not None:
+        return tuple(
+            ids.join(p.select(id_col).distinct(), on=id_col, how="semi")
+            for p in predefined
+        )
+    return tuple(ids.randomSplit(list(weights), seed=seed))

@@ -379,3 +379,71 @@ def q57_ece_mce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
     )
     return ece_mce(preds, "p", "y", num_bins=10)
+
+
+# --- q58: survival-format sequence export, flattened for the oracle
+# (reference preprocess_outcomes.py:48-140; nested visits verified by
+# golden tests, this differential checks Δt/encoding/label arithmetic
+# end to end on the events table) -------------------------------------------
+@register(
+    "q58_survival_export",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS pt, event_type AS code, CAST(ts AS DATE) AS vdate
+      FROM events
+    ), vocab AS (
+      SELECT code, row_number() OVER (ORDER BY code) AS id
+      FROM (SELECT DISTINCT code FROM ev)
+    ), lbl AS (
+      SELECT pt,
+             CAST(max(CASE WHEN code = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS label_event,
+             CAST(date_diff('day', min(vdate), max(vdate)) AS DOUBLE) AS label_tte
+      FROM ev GROUP BY pt
+    )
+    SELECT ev.pt,
+           CAST(count(DISTINCT ev.vdate) AS BIGINT) AS n_visits,
+           CAST(count(*) AS BIGINT) AS total_codes,
+           CAST(date_diff('day', min(ev.vdate), max(ev.vdate)) AS BIGINT) AS sum_dt,
+           CAST(sum(vocab.id) AS BIGINT) AS codes_sum,
+           any_value(lbl.label_event) AS label_event,
+           any_value(lbl.label_tte) AS label_tte
+    FROM ev JOIN vocab USING (code) JOIN lbl USING (pt)
+    GROUP BY ev.pt
+    """,
+)
+def q58_survival_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.plans.survival import survival_sequences
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("user_id").alias("pt_id"),
+        F.col("event_type").alias("code"),
+        F.to_date("ts").alias("visit_date"),
+    )
+    labels = ev.groupBy("pt_id").agg(
+        F.max(F.when(F.col("code") == "purchase", 1).otherwise(0)).alias("event_label"),
+        F.datediff(F.max("visit_date"), F.min("visit_date")).alias("time_to_event"),
+    )
+    seqs, _vocab = survival_sequences(ev, labels)
+    sum_codes = F.aggregate(
+        F.col("visits"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.size(v["codes"]).cast("long"),
+    )
+    sum_dt = F.aggregate(
+        F.col("visits"), F.lit(0).cast("long"), lambda acc, v: acc + v["dt"]
+    )
+    codes_sum = F.aggregate(
+        F.flatten(F.transform(F.col("visits"), lambda v: v["codes"])),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c,
+    )
+    return seqs.select(
+        "pt",
+        F.size("visits").cast("long").alias("n_visits"),
+        sum_codes.alias("total_codes"),
+        sum_dt.alias("sum_dt"),
+        codes_sum.alias("codes_sum"),
+        F.col("label")[0].alias("label_event"),
+        F.col("label")[1].alias("label_tte"),
+    )
