@@ -284,16 +284,21 @@ def minhash_signatures(
     num_hashes: int = 64,
 ) -> DataFrame:
     """MinHash sketch: for each of ``num_hashes`` seeded hash functions,
-    the min over the doc's shingle set of ``xxhash64(shingle, seed)``.
+    the min over the doc's shingle set of that function's hash.
 
-    One explode + one hash aggregate; signature is an array column,
-    fully codegen'd (xxhash64 columns + min aggregates).
+    The shingle STRING is hashed once (``xxhash64``); the per-function
+    hashes re-hash the resulting long with the seed — equivalent
+    independence for minhash purposes at a fraction of the cost of
+    hashing the variable-length string 64×. All codegen — hash columns
+    + min aggregates, no UDFs; the single shuffle is the groupBy(doc)
+    with map-side partial mins.
     """
     shingled = exploded_shingles(df, id_col, text_col, n)
-    hashed = shingled.select(
+    base = shingled.select("doc", F.xxhash64("shingle").alias("__h"))
+    hashed = base.select(
         "doc",
         *[
-            F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}")
+            F.xxhash64(F.col("__h"), F.lit(seed)).alias(f"h{seed}")
             for seed in range(num_hashes)
         ],
     )

@@ -29,6 +29,14 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
+    # LOCAL-HARNESS value: split small parquet inputs so scan stages use
+    # every core even when a table is a single file (the default 128 MB
+    # leaves a 10 MB documents table on 1-2 tasks, so heavy per-row scan
+    # work — shingling, hashing — runs nearly single-threaded). A real
+    # cluster submitter MUST override back to 128-256 MB: at 100 TB this
+    # value would mean ~12M scan tasks, pure scheduler poison. The
+    # scale-invariant rule is partitions ≈ a few × total cores.
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
 }
 
 
