@@ -36,6 +36,7 @@ from mimic_iv_data_pipeline_spark.operators.pivot import (
     pivot_features,
 )
 from mimic_iv_data_pipeline_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -92,6 +93,7 @@ __all__ = [
     "assemble_map_tensor",
     "pivot_features",
     "exact_dedup_groups",
+    "embedding_near_dup_pairs",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

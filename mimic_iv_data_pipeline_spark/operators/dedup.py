@@ -390,3 +390,108 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
         start=F.lit(0).cast("long"),
     )
     return summed.select("doc", sig.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    dims: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    max_exact_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    ``id_a < id_b`` and ``cos_sim >= threshold`` — the embedding-space
+    member of the dedup family (exact text dup → fingerprint → Jaccard →
+    MinHash → SimHash → THIS).
+
+    ``method='exact'``: all-pairs via the broadcast-matrix numpy path —
+    one matmul per (corpus-batch × corpus) block, pairs filtered at the
+    batch level so only survivors shuffle. |C|² work: the verification /
+    small-corpus baseline, guarded by ``max_exact_rows``.
+
+    ``method='lsh'``: hyperplane-signature buckets (zero-state planes,
+    ``similarity.hyperplane_signature``) generate candidates; a pair at
+    angle θ collides in one table with probability ``(1 − θ/π)^bits``,
+    and ``tables`` independent plane families amplify recall to
+    ``1 − (1 − p)^tables`` (standard LSH OR-amplification) — then
+    candidates are EXACT-scored, so output rows are never false
+    positives. Tuning: bits ↓ or tables ↑ → recall ↑, compute ↑. Every
+    shuffle is an equi-join on the (table, bucket) key and candidates
+    are deduped before scoring: the 100 TB path.
+    """
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        hyperplane_signature,
+    )
+
+    if method == "exact":
+        import numpy as np
+        import pandas as pd
+        from collections.abc import Iterator
+
+        rows = df.select(id_col, vec_col).limit(max_exact_rows + 1).collect()
+        if len(rows) > max_exact_rows:
+            raise ValueError(
+                f"exact all-pairs over > {max_exact_rows} vectors; use "
+                f"method='lsh' (bucketed) for corpus-scale near-dup."
+            )
+        ids = np.array([r[id_col] for r in rows])
+        mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bq = df.sparkSession.sparkContext.broadcast((ids, norm))
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            all_ids, all_norm = bq.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                b_ids = pdf[id_col].to_numpy()
+                b_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                b_norm = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+                sims = b_norm @ all_norm.T
+                li, ri = np.nonzero(np.round(sims, 6) >= threshold)
+                ia, ib = b_ids[li], all_ids[ri]
+                keep = ia < ib
+                yield pd.DataFrame(
+                    {
+                        "id_a": ia[keep],
+                        "id_b": ib[keep],
+                        "cos_sim": np.round(sims[li, ri][keep], 6),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            score, schema="id_a long, id_b long, cos_sim double"
+        )
+
+    if method != "lsh":
+        raise ValueError("method must be 'exact' or 'lsh'")
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        as_double_vec(F.col(vec_col)).alias("__v"),
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_signature(F.col(vec_col), dims, bits, table=t)
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__table", "__bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, on=["__table", "__bucket"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            dround(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

@@ -80,16 +80,20 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dims: int, bits: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, dims: int, bits: int = 16, table: int = 0
+) -> Column:
     """Random-hyperplane LSH signature as a packed long.
 
     Plane p's component for dimension d is a deterministic ±1 derived
-    from ``xxhash64(p * dims + d)`` parity — no stored plane matrix, any
-    executor can recompute it (the 100 TB-friendly property: zero
-    broadcast state). Bit p = 1 iff vec · plane_p > 0.
+    from ``xxhash64((table·bits + p)·dims + d)`` parity — no stored
+    plane matrix, any executor can recompute it (the 100 TB-friendly
+    property: zero broadcast state). Bit p = 1 iff vec · plane_p > 0.
+    ``table`` selects an independent plane family for multi-table LSH
+    amplification (table 0 reproduces the single-table signature).
     """
     def plane_component(p: int, d: Column) -> Column:
-        h = F.xxhash64(F.lit(p * dims) + d)
+        h = F.xxhash64(F.lit((table * bits + p) * dims) + d)
         return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
     def bit_for_plane(p: int) -> Column:

@@ -447,3 +447,111 @@ def q58_survival_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label")[0].alias("label_event"),
         F.col("label")[1].alias("label_tte"),
     )
+
+
+# --- q61: BEHRT sequence assembly, flattened differential (D7;
+# build_sequences → build_vocab → encode_sequences over the events
+# table; nested token arrays are reduced to order-insensitive
+# aggregates the oracle can reproduce — the nested shape itself is
+# golden-tested in tests/test_nlp_tokenization.py) ---------------------------
+@register(
+    "q61_behrt_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT user_id AS subject_id,
+             CAST(floor(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0) AS BIGINT) AS t,
+             event_type AS token
+      FROM events
+    ), vocab AS (
+      -- 5 specials occupy ids 0-4; corpus tokens follow alphabetically
+      SELECT token, row_number() OVER (ORDER BY token) - 1 + 5 AS id
+      FROM (SELECT DISTINCT token FROM toks)
+    ), ordered AS (
+      SELECT t.subject_id, v.id,
+             row_number() OVER (
+               PARTITION BY t.subject_id ORDER BY t.t, t.token, v.id
+             ) AS pos
+      FROM toks t JOIN vocab v USING (token)
+    )
+    SELECT subject_id,
+           CAST(count(*) AS BIGINT) AS seq_len,
+           count(*) > 512 AS truncated,
+           CAST(sum(CASE WHEN pos <= 512 THEN id ELSE 0 END) AS BIGINT) AS ids_sum
+    FROM ordered
+    GROUP BY subject_id
+    """,
+)
+def q61_behrt_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.temporal import hours_between
+    from mimic_iv_data_pipeline_spark.plans.tokenization import (
+        build_sequences,
+        build_vocab,
+        encode_sequences,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    stream = e.select(
+        F.col("user_id").alias("subject_id"),
+        F.floor(
+            hours_between(
+                F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("event_type").alias("token"),
+        F.lit("event").alias("modality"),
+    )
+    seqs = build_sequences([stream], id_col="subject_id", time_col="t")
+    vocab = build_vocab(seqs)
+    encoded = encode_sequences(seqs, vocab)
+    ids_sum = F.aggregate(
+        F.col("token_ids"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        seqs.select("subject_id", "seq_len", "truncated")
+        .join(encoded, on="subject_id")
+        .select(
+            "subject_id",
+            "seq_len",
+            "truncated",
+            ids_sum.alias("ids_sum"),
+        )
+    )
+
+
+# --- q62: horizontal concat on (id, t) (U3: the reference's pd.concat of
+# per-feature frames sharing a time index, data_generation_icu.py:396-420) ---
+@register(
+    "q62_horizontal_concat",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             round(avg(value), 4) AS click_avg
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             round(avg(value), 4) AS purchase_avg
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           coalesce(a.day, b.day) AS day,
+           a.click_avg, b.purchase_avg
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.day = b.day
+    """,
+)
+def q62_horizontal_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def branch(etype: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy(
+                "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+            )
+            .agg(dround(F.avg("value"), 4).alias(out))
+        )
+
+    a = branch("click", "click_avg")
+    b = branch("purchase", "purchase_avg")
+    return a.join(b, on=["user_id", "day"], how="full")

@@ -85,3 +85,41 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, n_cells=16, n_probe=4, k=5)
+
+
+# --- q59: embedding-cosine near-dup pairs (exact; dedup family) -------------
+@register(
+    "q59_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+)
+def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, method="exact"
+    )
+
+
+# --- q60: embedding near-dup via LSH buckets (scale path; candidate set is
+# probabilistic → rows-only check, exactness of scores property-tested) ------
+@register("q60_embedding_neardup_lsh")
+def q60_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, method="lsh", dims=64, bits=4
+    )

@@ -1,7 +1,15 @@
 from mimic_iv_data_pipeline_spark.streaming.events import (
     read_event_stream,
     stream_bucketize,
+    stream_exact_dedup,
     stream_sessionize,
 )
+from mimic_iv_data_pipeline_spark.streaming.stateful import stream_locf
 
-__all__ = ["read_event_stream", "stream_bucketize", "stream_sessionize"]
+__all__ = [
+    "read_event_stream",
+    "stream_bucketize",
+    "stream_exact_dedup",
+    "stream_sessionize",
+    "stream_locf",
+]

@@ -87,3 +87,25 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+def stream_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact dedup's streaming twin: first occurrence per key wins,
+    duplicates arriving within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS it once the watermark passes — bounded state, so a forever-
+    running feed can dedup at 100 TB/day where a plain
+    ``dropDuplicates`` on a stream would accumulate state without
+    bound. Semantics vs batch: within any window shorter than the
+    watermark the kept set equals batch ``dropDuplicates(key_cols)``
+    (asserted in tests); duplicates farther apart than the watermark
+    re-emit — the documented horizon trade-off every streaming dedup
+    makes.
+    """
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -136,3 +136,34 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
     row = df.select(word_shingles(F.col("text"), 3).alias("s")).first()
     assert row["s"] == ["two words"]  # partial gram for shorter-than-n docs
+
+
+def test_embedding_near_dup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs are a subset of exact pairs with
+    IDENTICAL scores (candidates approximate, scores never), and the
+    exact path's all-pairs guard refuses corpus-sized inputs."""
+    from mimic_iv_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, method="lsh", dims=64, bits=4, tables=8
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    assert all(a < b for a, b in exact)
+    # 8 tables of 4-bit buckets: expected recall ~1-(1-p)^8 ≈ 0.66 at
+    # cos 0.3 — assert well below expectation to stay deterministic-safe
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3
+
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dup_pairs(emb, method="exact", max_exact_rows=10)

@@ -279,3 +279,38 @@ def test_decode_media_with_real_images(spark):
     out = {r["media_id"]: r for r in decode_media(media, image_header_decode).collect()}
     assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (32, 16, "RGB")
     assert (out[2]["width"], out[2]["height"], out[2]["mode"]) == (8, 8, "L")
+
+
+def test_stream_exact_dedup_matches_batch(spark, sf_smoke, tmp_path):
+    """Streaming dedup (dropDuplicatesWithinWatermark) keeps exactly one
+    row per key for data inside the watermark horizon — equal to batch
+    dropDuplicates on the same input."""
+    from mimic_iv_data_pipeline_spark.sources.readers import read_events
+    from mimic_iv_data_pipeline_spark.streaming.events import (
+        EVENT_STREAM_SCHEMA,
+        read_event_stream,
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    batch = (
+        read_events(spark, sf_smoke)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", F.lit(None).cast("string"))
+        # inject duplicates: every row twice
+    )
+    batch.unionAll(batch).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    deduped = stream_exact_dedup(stream, key_cols=["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink")
+    assert got.count() == batch.count()  # one survivor per event_id
+    assert got.select("event_id").distinct().count() == batch.count()

@@ -21,6 +21,7 @@ def test_every_oracle_has_a_query():
         "q44_ann_lsh",
         "q53_ann_ivf",
         "q56_approx_distinct",
+        "q60_embedding_neardup_lsh",
     }
 
 
