@@ -495,3 +495,46 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: per benchmark document, the share
+    of its distinct word n-grams that appear ANYWHERE in the training
+    corpus (the standard eval-leakage check run before training —
+    GPT-3 App. C / PaLM-style n-gram overlap).
+
+    Returns (doc, n_grams, n_contaminated, contamination) with
+    ``contamination = n_contaminated / n_grams`` rounded to 6dp.
+
+    Scale shape: both sides reduce to distinct (doc, shingle) /
+    (shingle) relations via the codegen'd ``exploded_shingles`` path;
+    the corpus side collapses to its DISTINCT shingle set *before* the
+    join (vocabulary-bounded, typically ≪ corpus), and the membership
+    test is a left-semi-style aggregation on the shingle equi-key — no
+    all-pairs, no skew beyond hot shingles (which a ``max_df`` stop-
+    list upstream would cap, cf. ``ngram_jaccard_pairs``).
+    """
+    bench_grams = exploded_shingles(benchmark, id_col, text_col, n)
+    corpus_grams = (
+        exploded_shingles(corpus, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = bench_grams.join(
+        corpus_grams.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    return hits.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        dround(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count("*"),
+            6,
+        ).alias("contamination"),
+    )

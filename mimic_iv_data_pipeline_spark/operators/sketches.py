@@ -1,0 +1,118 @@
+"""Frequency sketches over token streams: exact heavy hitters and a
+Count-Min sketch built as a DataFrame aggregation.
+
+Corpus-frequency questions ("what are the most common tokens / boiler-
+plate lines?") drive stop-lists and dedup heuristics. The exact path
+is a single hash aggregate on the token (vocabulary-bounded, so fine
+even at 100 TB); the Count-Min path bounds the *state* instead —
+``depth × width`` counters regardless of vocabulary size — which is
+the shape you want when the keys are unbounded (URLs, 13-gram
+fingerprints) and an ε-overestimate is acceptable.
+
+Spark-first design: the sketch IS a tiny DataFrame ``(depth, bucket,
+cnt)`` produced by one map-side-combinable groupBy — no driver
+accumulator, no custom UDAF, mergeable across corpora by a further
+groupBy-sum (the classic CM merge = counter-wise add). Hashing is the
+same portable md5-prefix primitive as ``sampling._hash_long`` so the
+whole construction has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["token_stream", "heavy_hitters", "cm_sketch", "cm_estimate"]
+
+
+def token_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per token occurrence (lowercased, ``\\s+`` split —
+    identical semantics to ``operators.text.tokens``)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(F.explode(toks).alias("token")).filter(F.col("token") != "")
+
+
+def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Exact global top-k tokens with deterministic tie-break.
+
+    groupBy(token) first (shuffle bounded by vocabulary, map-side
+    partial aggregation does the heavy lifting), then a row_number
+    over the *aggregated* relation. The single-partition window only
+    ever sees |vocab| rows, not the corpus — the standard two-phase
+    top-k; for truly unbounded vocabs rank within hash-buckets first
+    and take the global k from the per-bucket top-k union.
+    """
+    counts = token_stream(df, text_col).groupBy("token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket(token: Column, row: int, width: int) -> Column:
+    """Row-``row``'s CM bucket for a token: md5-prefix hash mod width."""
+    digest = F.md5(F.concat(F.lit(f"{row}:"), token))
+    h = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cm_sketch(
+    occ: DataFrame, token_col: str = "token", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a Count-Min sketch ``(depth, bucket, cnt)`` from a token-
+    occurrence stream.
+
+    The explode to ``depth`` rows happens *before* the hash aggregate,
+    so partial (map-side) combine collapses each partition to at most
+    ``depth × width`` rows before the one tiny shuffle. State is
+    O(depth × width) — independent of corpus size.
+    """
+    rows = F.array(*[
+        F.struct(
+            F.lit(d).cast("long").alias("depth"),
+            _bucket(F.col(token_col), d, width).alias("bucket"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        occ.select(F.explode(rows).alias("r"))
+        .select("r.depth", "r.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each probe token: min over rows of
+    the counter at that row's bucket (the CM estimate — an
+    overestimate with classical ε·N / e^-depth guarantees).
+
+    The sketch is tiny → broadcast join; probes stream through without
+    a shuffle on their side.
+    """
+    keyed = probes.select(
+        F.col(token_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("depth"),
+                    _bucket(F.col(token_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("r"),
+    ).select(token_col, "r.depth", "r.bucket")
+    joined = keyed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy(token_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cm_est")
+    )

@@ -155,3 +155,48 @@ def fingerprint(text: Column) -> Column:
     whitespace/punctuation-only variants that exact md5(text) misses.
     """
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def with_repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition profile — the Rae et al. (Gopher,
+    2021) style quality filters: token-level duplication ratio and the
+    most-frequent-token share. High values flag boilerplate / spam /
+    degenerate generations for corpus filtering.
+
+    Returns (id, n_tokens, n_distinct, dup_ratio, top_token, top_share):
+      * dup_ratio  = 1 − n_distinct / n_tokens
+      * top_token  = lexicographically-smallest token among the argmax
+                     (deterministic tie-break, engine-portable)
+      * top_share  = occurrences(top_token) / n_tokens
+
+    Plan: explode → (doc, token) count → per-doc window max → one
+    aggregate. Shuffles key on the document id only; all codegen.
+    """
+    from pyspark.sql.window import Window
+
+    occ = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    wc = occ.groupBy("doc", "token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc")
+    stats = wc.select(
+        "doc",
+        "token",
+        "c",
+        F.sum("c").over(w).alias("n_tokens"),
+        F.count("*").over(w).alias("n_distinct"),
+        F.max("c").over(w).alias("max_c"),
+    )
+    return (
+        stats.filter(F.col("c") == F.col("max_c"))
+        .groupBy("doc")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            F.first("n_distinct").cast("long").alias("n_distinct"),
+            dround(1 - F.first("n_distinct") / F.first("n_tokens"), 6).alias("dup_ratio"),
+            F.min("token").alias("top_token"),
+            dround(F.first("max_c") / F.first("n_tokens"), 6).alias("top_share"),
+        )
+    )

@@ -33,6 +33,7 @@ _MODULES = [
     "text",
     "similarity",
     "coverage",
+    "llmops",
 ]
 
 

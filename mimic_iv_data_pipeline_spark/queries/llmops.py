@@ -1,0 +1,301 @@
+r"""LLM-training-data pipeline queries: PII scrub, deterministic
+splits/sampling, benchmark contamination, frequency sketches, sequence
+packing, repetition filters.
+
+Second wave of the BASELINE.json north-star surface (first wave:
+q34-q44 dedup/similarity/text in ``queries.text`` / ``queries.similarity``).
+Every query here is oracle-checked: the hashing primitive is the
+md5-hex-prefix trick (Spark ``conv(substr(md5(x),1,8),16,10)`` ≡ DuckDB
+``cast('0x' || substr(md5(x),1,8) as bigint)``), so even the sketch and
+split operators — normally "no SQL twin" territory — get exact
+value-hash compares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+from mimic_iv_data_pipeline_spark.operators.dedup import ngram_contamination
+from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
+from mimic_iv_data_pipeline_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+from mimic_iv_data_pipeline_spark.operators.sketches import (
+    cm_estimate,
+    cm_sketch,
+    heavy_hitters,
+    token_stream,
+)
+from mimic_iv_data_pipeline_spark.operators.text import (
+    token_count,
+    with_repetition_metrics,
+)
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- q63: PII redaction -----------------------------------------------------
+# The synthetic corpus carries no PII, so the query plants one instance
+# of each class per document (deterministically, from doc_id) and then
+# scrubs — exercising both the counters and the replacement order.
+@register(
+    "q63_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text,
+                    ' contact user', cast(doc_id AS varchar), '@example.com',
+                    ' tel 555-', lpad(cast(doc_id % 1000 AS varchar), 3, '0'),
+                    '-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
+                    ' ip 10.', cast(doc_id % 256 AS varchar), '.0.1',
+                    ' ssn 123-45-', lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+             ) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_email,
+           cast(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS bigint) AS n_ssn,
+           cast(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS bigint) AS n_phone,
+           cast(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS bigint) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')) AS red_digest
+    FROM aug
+    """,
+)
+def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" tel 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1"),
+            F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = with_pii_scrub(aug, "text")
+    return scrubbed.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5("redacted").alias("red_digest"),
+    )
+
+
+# --- q64: deterministic hash split -----------------------------------------
+@register(
+    "q64_hash_split",
+    oracle=r"""
+    WITH h AS (
+      SELECT n_chars,
+             cast(concat('0x', substr(md5(concat('split:', cast(doc_id AS varchar))), 1, 8)) AS bigint)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split,
+           cast(count(*) AS bigint) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM h GROUP BY 1
+    """,
+)
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = hash_split(
+        _docs(spark, sf_dir), "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+    )
+    return d.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        dround(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# --- q65: benchmark contamination ------------------------------------------
+# src0 plays the held-out benchmark; the other 19 sources are the
+# training corpus. 3-gram overlap — same shingle semantics as q39.
+@register(
+    "q65_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, source, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS shingle
+      FROM toks
+    ), bench AS (
+      SELECT doc_id AS doc, shingle FROM grams WHERE source = 'src0'
+    ), corpus AS (
+      SELECT DISTINCT shingle FROM grams WHERE source <> 'src0'
+    ), hits AS (
+      SELECT b.doc, CASE WHEN c.shingle IS NULL THEN 0 ELSE 1 END AS hit
+      FROM bench b LEFT JOIN corpus c ON b.shingle = c.shingle
+    )
+    SELECT doc, cast(count(*) AS bigint) AS n_grams,
+           cast(sum(hit) AS bigint) AS n_contaminated,
+           round(sum(hit) * 1.0 / count(*), 6) AS contamination
+    FROM hits GROUP BY 1
+    """,
+)
+def q65_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return ngram_contamination(corpus, bench, "doc_id", "text", n=3)
+
+
+# --- q66: exact heavy hitters ----------------------------------------------
+@register(
+    "q66_heavy_hitters",
+    oracle=r"""
+    WITH occ AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents
+    ), f AS (
+      SELECT token, cast(count(*) AS bigint) AS cnt FROM occ WHERE token <> '' GROUP BY 1
+    ), r AS (
+      SELECT token, cnt,
+             cast(row_number() OVER (ORDER BY cnt DESC, token) AS bigint) AS rank
+      FROM f
+    )
+    SELECT token, cnt, rank FROM r WHERE rank <= 50
+    """,
+)
+def q66_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(_docs(spark, sf_dir), "text", k=50)
+
+
+# --- q67: Count-Min sketch estimates ---------------------------------------
+# Builds the 4x256 sketch AND probes it for every distinct token,
+# returning exact vs estimated counts — the estimate is engine-
+# deterministic (same hashes), so the compare is exact.
+@register(
+    "q67_cms_freq",
+    oracle=r"""
+    WITH occ AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents
+    ), occ2 AS (
+      SELECT token FROM occ WHERE token <> ''
+    ), d AS (
+      SELECT unnest([0, 1, 2, 3]) AS depth
+    ), hashed AS (
+      SELECT token, depth,
+             cast(concat('0x', substr(md5(concat(cast(depth AS varchar), ':', token)), 1, 8)) AS bigint) % 256 AS bucket
+      FROM occ2 CROSS JOIN d
+    ), sketch AS (
+      SELECT depth, bucket, cast(count(*) AS bigint) AS cnt FROM hashed GROUP BY 1, 2
+    ), words AS (
+      SELECT token, cast(count(*) AS bigint) AS exact_cnt FROM occ2 GROUP BY 1
+    ), probe AS (
+      SELECT w.token, d.depth,
+             cast(concat('0x', substr(md5(concat(cast(d.depth AS varchar), ':', w.token)), 1, 8)) AS bigint) % 256 AS bucket
+      FROM (SELECT DISTINCT token FROM occ2) w CROSS JOIN d
+    ), est AS (
+      SELECT p.token, min(s.cnt) AS cm_est
+      FROM probe p JOIN sketch s USING (depth, bucket) GROUP BY 1
+    )
+    SELECT w.token, w.exact_cnt, cast(e.cm_est AS bigint) AS cm_est
+    FROM words w JOIN est e USING (token)
+    """,
+)
+def q67_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = token_stream(_docs(spark, sf_dir), "text")
+    occ = occ.persist()
+    sketch = cm_sketch(occ, "token", depth=4, width=256)
+    words = occ.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = cm_estimate(sketch, words.select("token"), "token", depth=4, width=256)
+    return words.join(est, "token")
+
+
+# --- q68: deterministic stratified sampling --------------------------------
+# Rebalances the corpus: downsample the dominant language, keep more
+# of the rest — row-level output so the compare checks the exact
+# per-key keep/drop decisions, not just totals.
+@register(
+    "q68_stratified_sample",
+    oracle=r"""
+    SELECT doc_id, lang FROM documents
+    WHERE cast(concat('0x', substr(md5(concat('sample:', cast(doc_id AS varchar))), 1, 8)) AS bigint)
+            / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.7 WHEN 'fr' THEN 0.7
+                      WHEN 'es' THEN 0.7 WHEN 'zh' THEN 0.7 ELSE 0.0 END
+    """,
+)
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sampled = stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"en": 0.3, "de": 0.7, "fr": 0.7, "es": 0.7, "zh": 0.7},
+    )
+    return sampled.select("doc_id", "lang")
+
+
+# --- q69: sequence packing --------------------------------------------------
+# Concat-and-chunk packing into 512-token context windows, sharded by
+# source (the shard key is what keeps this scalable: no global sort).
+@register(
+    "q69_sequence_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS n_toks
+      FROM documents
+    ), p AS (
+      SELECT source, n_toks,
+             cast(floor(coalesce(sum(n_toks) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS bigint) AS window_id
+      FROM t
+    )
+    SELECT source, window_id, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_toks) AS bigint) AS window_tokens
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q69_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    packed = pack_sequences(d, "source", "doc_id", "n_toks", budget=512)
+    return packed.groupBy("source", "window_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("window_tokens"),
+    )
+
+
+# --- q70: within-document repetition ---------------------------------------
+@register(
+    "q70_repetition",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), occ2 AS (
+      SELECT * FROM occ WHERE token <> ''
+    ), wc AS (
+      SELECT doc, token, count(*) AS c FROM occ2 GROUP BY 1, 2
+    ), st AS (
+      SELECT doc, token, c,
+             sum(c) OVER (PARTITION BY doc) AS n_tokens,
+             count(*) OVER (PARTITION BY doc) AS n_distinct,
+             max(c) OVER (PARTITION BY doc) AS max_c
+      FROM wc
+    )
+    SELECT doc, cast(min(n_tokens) AS bigint) AS n_tokens,
+           cast(min(n_distinct) AS bigint) AS n_distinct,
+           round(1 - min(n_distinct) * 1.0 / min(n_tokens), 6) AS dup_ratio,
+           min(token) AS top_token,
+           round(min(max_c) * 1.0 / min(n_tokens), 6) AS top_share
+    FROM st WHERE c = max_c GROUP BY doc
+    """,
+)
+def q70_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_repetition_metrics(_docs(spark, sf_dir), "doc_id", "text")

@@ -1,0 +1,143 @@
+"""Unit tests for the LLM-ops second wave: PII scrub, deterministic
+splits/sampling, contamination, sketches, packing, repetition.
+
+(The oracle-differential check for q63-q70 runs in test_oracle.py via
+the shared registry; these tests pin the operator-level semantics on
+crafted inputs.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.dedup import ngram_contamination
+from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
+from mimic_iv_data_pipeline_spark.operators.sampling import (
+    hash_split,
+    hash_unit,
+    pack_sequences,
+    stratified_sample,
+)
+from mimic_iv_data_pipeline_spark.operators.sketches import (
+    cm_estimate,
+    cm_sketch,
+    heavy_hitters,
+    token_stream,
+)
+from mimic_iv_data_pipeline_spark.operators.text import with_repetition_metrics
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user@example.org and b@x.io, ip 192.168.0.1"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 clean tail"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 1 and out[1]["n_ssn"] == 0
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[3]["redacted"] == "nothing sensitive here"
+    assert "<EMAIL>" in out[1]["redacted"] and "<IPV4>" in out[1]["redacted"]
+    assert "123-45-6789" not in out[2]["redacted"]
+    assert "<SSN>" in out[2]["redacted"] and "<PHONE>" in out[2]["redacted"]
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = hash_split(df, "k", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    s2 = hash_split(df.repartition(7), "k", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    # stable under repartitioning (unlike F.rand)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    frac = {r["split"]: r["c"] for r in s1.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(frac.values()) == 2000
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.06 < frac["valid"] / 2000 < 0.14
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.6})
+
+
+def test_hash_unit_range_and_same_key_same_fate(spark):
+    df = spark.createDataFrame([(5,), (5,), (9,)], ["k"])
+    vals = [r[0] for r in df.select(hash_unit(F.col("k"), "s")).collect()]
+    assert all(0.0 <= v < 1.0 for v in vals)
+    assert vals[0] == vals[1]
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    kept = stratified_sample(df, "k", "lang", {"en": 0.25, "de": 0.75})
+    counts = {r["lang"]: r["c"] for r in kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert 0.20 < counts["en"] / 2000 < 0.30
+    assert 0.70 < counts["de"] / 2000 < 0.80
+    # unlisted stratum defaults to rate 0
+    df2 = spark.createDataFrame([(1, "fr")], ["k", "lang"])
+    assert stratified_sample(df2, "k", "lang", {"en": 1.0}).count() == 0
+
+
+def test_pack_sequences_budget_and_order(spark):
+    rows = [("s", i, t) for i, t in enumerate([300, 300, 300, 300, 100])]
+    df = spark.createDataFrame(rows, ["shard", "ord", "n_toks"])
+    out = {r["ord"]: r["window_id"] for r in pack_sequences(df, "shard", "ord", "n_toks", 512).collect()}
+    # cumulative starts: 0,300,600,900,1200 → windows 0,0,1,1,2
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    # shards pack independently
+    df2 = df.union(spark.createDataFrame([("t", 0, 5000)], ["shard", "ord", "n_toks"]))
+    out2 = pack_sequences(df2, "shard", "ord", "n_toks", 512)
+    assert out2.filter((F.col("shard") == "t") & (F.col("window_id") == 0)).count() == 1
+
+
+def test_contamination_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma unseen words here"), (2, "fully novel tokens only")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in ngram_contamination(corpus, bench, n=3).collect()}
+    # bench doc 1: 4 shingles, exactly 1 ("alpha beta gamma") in corpus
+    assert out[1]["n_grams"] == 4 and out[1]["n_contaminated"] == 1
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_heavy_hitters_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], ["doc_id", "text"]
+    )
+    rows = heavy_hitters(df, "text", k=3).collect()
+    got = [(r["token"], r["cnt"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # a and b tie at 3 → lexicographic tie-break
+    assert got == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+
+
+def test_cms_overestimates_never_under(spark):
+    df = spark.createDataFrame(
+        [(i, "x " * (i + 1) + "unique" + str(i)) for i in range(20)], ["doc_id", "text"]
+    )
+    occ = token_stream(df, "text")
+    sketch = cm_sketch(occ, depth=4, width=64)
+    exact = occ.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = cm_estimate(sketch, exact.select("token"), depth=4, width=64)
+    joined = exact.join(est, "token").collect()
+    assert len(joined) == 21  # 'x' + 20 unique tokens
+    for r in joined:
+        assert r["cm_est"] >= r["exact_cnt"]  # CM never underestimates
+    # sketch state is bounded by depth × width regardless of input
+    assert sketch.count() <= 4 * 64
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam ham"), (2, "all distinct tokens here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in with_repetition_metrics(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 2
+    assert out[1]["top_token"] == "spam" and out[1]["top_share"] == 0.75
+    assert out[2]["dup_ratio"] == 0.0 and out[2]["n_distinct"] == 4
