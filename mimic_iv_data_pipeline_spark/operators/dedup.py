@@ -325,7 +325,30 @@ def minhash_lsh_pairs(
     with exact n-gram Jaccard so the output has no false positives.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # One shingle pass serves BOTH the sketch and the exact verify:
+    # a single groupBy(doc) aggregates the minhash mins AND collects the
+    # shingle set (min over the non-distinct stream equals min over the
+    # set, and collect_list here sees the already-distinct relation).
+    # Halves the explode/window/distinct/aggregate work vs building
+    # signatures and verify sets independently.
+    exploded = exploded_shingles(df, id_col, text_col, n)
+    base = exploded.withColumn("__h", F.xxhash64("shingle"))
+    per_doc = (
+        base.groupBy("doc")
+        .agg(
+            F.collect_list("shingle").alias("shingles"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            *[
+                F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"__mh{seed}")
+                for seed in range(num_hashes)
+            ],
+        )
+        .withColumn(
+            "signature", F.array(*[F.col(f"__mh{seed}") for seed in range(num_hashes)])
+        )
+        .persist()
+    )
+    sig = per_doc.select("doc", "signature")
     banded = sig.select(
         "doc",
         F.explode(
@@ -349,8 +372,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification only on candidates — |candidates| joins, never
-    # the full quadratic pair space
-    sets_df = shingle_sets(df, id_col, text_col, n)
+    # the full quadratic pair space; reuses the cached per_doc relation
+    sets_df = per_doc.select("doc", "shingles", "n_shingles")
     return _score_pairs(candidates, sets_df).filter(
         F.col("jaccard") >= verify_threshold
     )
