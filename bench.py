@@ -44,6 +44,7 @@ HEADLINE = [
     "q40_minhash_lsh",
     "q42_cosine_topk",
     "q53_ann_ivf",
+    "q65_contamination",
 ]
 
 
