@@ -6,11 +6,13 @@ as Arrow-batched ``mapInPandas`` stages. The image modality is REAL:
 :func:`image_header_decode` parses PNG/GIF/JPEG container headers
 (stdlib-only) for width/height/mode, golden-tested on actual PNG bytes;
 :func:`pil_decode` adds full pixel decode when Pillow is installed
-(import-gated — not in this container). Audio/video keep the
-deterministic ``_fake_decode`` stand-in behind ``decode_fn`` — the
-Spark-side plumbing (schema, batch shape, partition behavior) is real
-and a production deployment swaps in ffmpeg etc. without touching the
-plan.
+(import-gated — not in this container). The audio modality is REAL for
+WAV/RIFF: :func:`wav_decode` parses the container and computes PCM
+features with stdlib ``wave`` + numpy (rms/peak/mean/zero-crossing),
+tested on genuine generated WAV bytes. Video keeps the deterministic
+``_fake_decode`` stand-in behind ``decode_fn`` — the Spark-side
+plumbing (schema, batch shape, partition behavior) is real and a
+production deployment swaps in ffmpeg without touching the plan.
 
 This mirrors the reference's one Python-heavy surface — the medspacy
 notes pipeline (``preprocessing/notes_preproc.py:108-224``) — which has
@@ -220,3 +222,84 @@ def frame_sample(
             "cast(length(payload) / {n} AS INT))".format(n=n_frames)
         ).alias("frame_payload"),
     )
+
+
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL audio decode for WAV/RIFF payloads — stdlib only (``wave`` +
+    numpy over the raw PCM): sample rate, channel count, exact sample
+    count, duration, and a 4-dim PCM feature [rms, peak, mean, zero-
+    crossing rate] normalized to [-1, 1] full scale. 8/16/32-bit PCM
+    widths supported; compressed codecs (mp3 etc.) need ffmpeg and
+    should go through a swapped ``decode_fn`` — same plumbing.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, channels = w.getframerate(), w.getnchannels()
+        n, width = w.getnframes(), w.getsampwidth()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x = x - 128.0  # 8-bit WAV is unsigned
+    x /= float(2 ** (8 * width - 1))
+    zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+    feature = [
+        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+        float(np.max(np.abs(x))) if len(x) else 0.0,
+        float(np.mean(x)) if len(x) else 0.0,
+        zcr,
+    ]
+    return {
+        "byte_len": len(payload),
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n,
+        "duration_s": n / float(rate),
+        "feature": feature,
+    }
+
+
+def decode_audio(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict] = wav_decode,
+) -> DataFrame:
+    """Audio twin of :func:`decode_media`: Arrow-batched narrow map,
+    1 row in → 1 row out, no shuffle — linear in executors. Swap
+    ``decode_fn`` for an ffmpeg-backed callable for compressed codecs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_fn(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "byte_len": [d["byte_len"] for d in decoded],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "duration_s": [d["duration_s"] for d in decoded],
+                    "feature": [d["feature"] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_DECODED_SCHEMA)

@@ -314,3 +314,51 @@ def test_stream_exact_dedup_matches_batch(spark, sf_smoke, tmp_path):
     got = spark.table("dedup_sink")
     assert got.count() == batch.count()  # one survivor per event_id
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def _wav_bytes(rate=8000, freq=440.0, seconds=0.05, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [
+            int(16000 * math.sin(2 * math.pi * freq * i / rate))
+            for i in range(n)
+            for _ in range(channels)
+        ]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue(), n
+
+
+def test_wav_decode_real_bytes(spark):
+    import math
+
+    from mimic_iv_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        wav_decode,
+    )
+
+    payload, n = _wav_bytes()
+    d = wav_decode(payload)
+    assert d["sample_rate"] == 8000 and d["channels"] == 1 and d["n_samples"] == n
+    assert abs(d["duration_s"] - 0.05) < 1e-9
+    # full-scale sine at 16000/32768 → rms ≈ amp/√2, peak ≈ amp
+    amp = 16000 / 32768.0
+    assert abs(d["feature"][0] - amp / math.sqrt(2)) < 0.01
+    assert abs(d["feature"][1] - amp) < 0.01
+
+    stereo, n2 = _wav_bytes(rate=16000, channels=2)
+    media = spark.createDataFrame(
+        [(1, payload, "audio/wav"), (2, stereo, "audio/wav")],
+        ["media_id", "payload", "media_type"],
+    )
+    rows = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert rows[1]["n_samples"] == n and rows[2]["channels"] == 2
+    assert rows[2]["sample_rate"] == 16000
