@@ -36,19 +36,27 @@ def token_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
 def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Exact global top-k tokens with deterministic tie-break.
 
-    groupBy(token) first (shuffle bounded by vocabulary, map-side
-    partial aggregation does the heavy lifting), then a row_number
-    over the *aggregated* relation. The single-partition window only
-    ever sees |vocab| rows, not the corpus — the standard two-phase
-    top-k; for truly unbounded vocabs rank within hash-buckets first
-    and take the global k from the per-bucket top-k union.
+    Three-phase: groupBy(token) (shuffle bounded by vocabulary,
+    map-side partial aggregation does the heavy lifting), then a
+    bucket-local rank prunes each of 256 hash-buckets to its own top-k
+    (parallel windows — any global top-k member is top-k within its
+    bucket, so nothing true is dropped), and only the ≤ 256·k
+    survivors pass through the final single-partition row_number. The
+    serial step is O(buckets·k) regardless of vocabulary size.
     """
     counts = token_stream(df, text_col).groupBy("token").agg(
         F.count("*").cast("long").alias("cnt")
     )
+    wb = Window.partitionBy("__b").orderBy(F.desc("cnt"), F.asc("token"))
+    pruned = (
+        counts.withColumn("__b", F.pmod(F.hash("token"), F.lit(256)))
+        .withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= k)
+        .drop("__b", "__r")
+    )
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
