@@ -36,6 +36,77 @@ _MODULES = [
     "llmops",
 ]
 
+# Driver-window rotation (round 3). The correctness driver checks the FIRST
+# 50 registry entries per round; the registry had grown to 70, so 20 oracled
+# queries (q48-q52, q54-q58, q61-q70) never received a driver row in r1/r2.
+# This explicit order puts (a) the never-driver-checked queries first,
+# (b) the freshly-fixed q24 next, (c) a stable previously-green core covering
+# every operator family for regression signal, and (d) the no-oracle
+# (rows-only) similarity entries last. Queries registered but not named here
+# are appended in registration order after the named ones.
+_PRIORITY = [
+    # (a) never driver-checked (oracled) — the r2 verdict's item 2
+    "q48_group_max",
+    "q49_interval_signal",
+    "q50_winnowing",
+    "q51_eval_metrics",
+    "q52_temperature_scaling",
+    "q54_cube",
+    "q55_trend_slope",
+    "q56_approx_distinct",
+    "q57_ece_mce",
+    "q58_survival_export",
+    "q61_behrt_sequences",
+    "q62_horizontal_concat",
+    "q63_pii_redaction",
+    "q64_hash_split",
+    "q65_contamination",
+    "q66_heavy_hitters",
+    "q67_cms_freq",
+    "q68_stratified_sample",
+    "q69_sequence_packing",
+    "q70_repetition",
+    # (b) the only red row in r2, oracle type bug fixed this round
+    "q24_fairness_confusion",
+    # (c) stable green core, one per operator family where possible
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q04_semi_join",
+    "q06_dedup_first",
+    "q08_outer_join_fill",
+    "q09_union_branches",
+    "q12_date_fns",
+    "q14_code_mapping",
+    "q15_mode_per_group",
+    "q17_topk_per_group",
+    "q18_readmission_label",
+    "q19_asof_join",
+    "q20_ffill_bfill",
+    "q22_quantile_bins",
+    "q23_calibration_bins",
+    "q25_rank_auc",
+    "q26_vocab_build",
+    "q28_rollup",
+    "q29_bucketize_hourly",
+    "q31_dense_grid",
+    "q32_pivot_wide",
+    "q34_dedup_exact",
+    "q38_fingerprint",
+    "q39_ngram_jaccard",
+    "q42_cosine_topk",
+    "q45_set_ops",
+    "q46_one_hot",
+    "q47_label_encode",
+    "q59_embedding_neardup",
+]
+
+
+def _ordered(d: dict) -> dict:
+    named = {k: d[k] for k in _PRIORITY if k in d}
+    rest_oracle = {k: v for k, v in d.items() if k not in named and k in _ORACLES}
+    rest_noracle = {k: v for k, v in d.items() if k not in named and k not in _ORACLES}
+    return {**named, **rest_oracle, **rest_noracle}
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: register a spark query and its oracle SQL."""
@@ -56,9 +127,9 @@ def _load() -> None:
 
 def all_queries() -> dict[str, SparkQuery]:
     _load()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)

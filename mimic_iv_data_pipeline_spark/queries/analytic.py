@@ -305,10 +305,10 @@ def q23_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((tp + tn) * 1.0 / nullif(tp + tn + fp + fn, 0), 6) AS accuracy
     FROM (
       SELECT c.c_mktsegment,
-             sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,
-             sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS tn,
-             sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp,
-             sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn
+             CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
       FROM (
         SELECT o_custkey,
                CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,

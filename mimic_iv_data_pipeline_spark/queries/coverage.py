@@ -264,7 +264,7 @@ def q51_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_temperature_scaling",
     oracle="""
     WITH grid AS (
-      SELECT unnest([0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75, 3.0]) AS T
+      SELECT CAST(unnest([0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75, 3.0]) AS DOUBLE) AS T
     ), scored AS (
       SELECT g.T,
              (e.value - 250.0) / 50.0 AS z,
