@@ -45,6 +45,9 @@ HEADLINE = [
     "q42_cosine_topk",
     "q53_ann_ivf",
     "q65_contamination",
+    "q66_heavy_hitters",
+    "q69_sequence_packing",
+    "q70_repetition",
 ]
 
 
@@ -58,18 +61,22 @@ def main() -> None:
     # queries, not first-use initialization.
     spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count().count()
 
-    # Warm timing: run each query twice, report the second run — the
-    # first pays one-off Janino whole-stage-codegen compilation (~1.5s
-    # per novel plan shape), which is amortized away in any real
-    # deployment running more than one query per plan.
+    # Warm timing: one untimed run pays one-off Janino whole-stage-codegen
+    # compilation (~1.5s per novel plan shape), then two timed runs with
+    # min() reported — min is robust to transient host contention, which
+    # produced a phantom +45% "regression" on q15 in round 2 (same plan,
+    # same code; re-measured at parity).
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, sf_dir).count()  # codegen warm-up run
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
 

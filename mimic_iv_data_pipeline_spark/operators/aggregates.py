@@ -201,8 +201,14 @@ def ece_mce(
     """
     pred = F.col(pred_col).cast("double")
     binned = df.select(
-        F.least(
-            F.floor(pred * num_bins).cast("long"), F.lit(num_bins - 1).cast("long")
+        # clamp BOTH ends: underflow (pred < 0) folds into bin 0 like the
+        # reference's np.digitize, overflow (pred = 1.0) into the top bin
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.floor(pred * num_bins).cast("long"),
+                F.lit(num_bins - 1).cast("long"),
+            ),
         ).alias("__bin"),
         pred.alias("__p"),
         F.col(label_col).cast("double").alias("__y"),

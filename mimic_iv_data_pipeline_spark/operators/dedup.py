@@ -316,6 +316,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float = 0.5,
+    reuse: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs, exact-verified.
 
@@ -323,6 +324,12 @@ def minhash_lsh_pairs(
     docs sharing any band hash become candidates (linear generation —
     explode bands, groupBy band bucket); candidates are then verified
     with exact n-gram Jaccard so the output has no false positives.
+
+    ``reuse`` persists the shared per-doc relation (feeds the banding
+    AND the verify join). Spark's CacheManager dedups identical plans,
+    so repeated calls reuse one cache entry rather than accumulating;
+    pass ``reuse=False`` for a fully lazy plan (e.g. one-shot batch
+    jobs where executor memory is tighter than recompute cost).
     """
     rows_per_band = num_hashes // bands
     # One shingle pass serves BOTH the sketch and the exact verify:
@@ -346,8 +353,9 @@ def minhash_lsh_pairs(
         .withColumn(
             "signature", F.array(*[F.col(f"__mh{seed}") for seed in range(num_hashes)])
         )
-        .persist()
     )
+    if reuse:
+        per_doc = per_doc.persist()
     sig = per_doc.select("doc", "signature")
     banded = sig.select(
         "doc",
@@ -477,14 +485,18 @@ def embedding_near_dup_pairs(
                 b_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 b_norm = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
                 sims = b_norm @ all_norm.T
-                li, ri = np.nonzero(np.round(sims, 6) >= threshold)
+                # same half-up rule as functions.rounding.dround (and the
+                # LSH path / DuckDB oracles) — np.round is half-even and
+                # can disagree with them exactly at threshold boundaries
+                sims_r = np.floor(sims * 1e6 + 0.5) / 1e6
+                li, ri = np.nonzero(sims_r >= threshold)
                 ia, ib = b_ids[li], all_ids[ri]
                 keep = ia < ib
                 yield pd.DataFrame(
                     {
                         "id_a": ia[keep],
                         "id_b": ib[keep],
-                        "cos_sim": np.round(sims[li, ri][keep], 6),
+                        "cos_sim": sims_r[li, ri][keep],
                     }
                 )
 

@@ -144,8 +144,10 @@ def pil_decode(payload: bytes) -> dict:
         ) from exc
     import io
 
-    img = Image.open(io.BytesIO(payload))  # pragma: no cover - PIL absent
-    stats = [sum(ch) / (255.0 * img.width * img.height) for ch in img.split()]
+    img = Image.open(io.BytesIO(payload))
+    stats = [
+        sum(ch.getdata()) / (255.0 * img.width * img.height) for ch in img.split()
+    ]
     return {
         "byte_len": len(payload),
         "width": img.width,

@@ -4,9 +4,11 @@ A training-data pipeline must scrub direct identifiers before a corpus
 ships; the reference works on de-identified MIMIC exports and so never
 needs this (its only privacy surface is the date-shifting already baked
 into MIMIC), but any 100 TB web/clinical corpus does. Patterns are
-deliberately conservative, anchored regexes over four high-precision
-identifier classes — the same class list as common scrubbers (emails,
-phone numbers, IPv4 addresses, US SSNs).
+deliberately conservative, anchored regexes over seven high-precision
+identifier classes: emails, grouped 16-digit payment-card numbers
+(shape-only — no Luhn check, so no digit arithmetic in the hot path and
+no lookaround), US SSNs, international (+CC) phone numbers, US phone
+numbers, full-form IPv6 addresses, and IPv4 addresses.
 
 Everything is a narrow per-row column expression (regexp in whole-stage
 codegen — no UDF, no shuffle), so redaction streams at scan speed on
@@ -23,25 +25,38 @@ from pyspark.sql import functions as F
 __all__ = ["PII_PATTERNS", "pii_counts", "redact_pii", "with_pii_scrub"]
 
 # Ordered: earlier classes are redacted first, so overlapping matches
-# (an email's local part containing digits, say) are consumed before
-# later patterns can see them. Keep SSN before PHONE: both are dash
-# digit runs but with disjoint group shapes (3-2-4 vs 3-3-4).
+# (an email's local part containing digits, a card number containing a
+# phone-shaped run) are consumed before later patterns can see them.
+# Keep CC before SSN/PHONE (all are dashed digit runs; CC is the
+# longest), SSN before PHONE (3-2-4 vs 3-3-4 group shapes), IPv6 before
+# IPv4 (hex groups can embed decimal runs).
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("cc", r"\b\d{4}(?:[- ]\d{4}){3}\b"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone_intl", r"\+\d{1,3}(?:[- ]?\d{3,4}){2,4}\b"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
 ]
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-class match counts (computed on the raw text, pre-redaction)."""
-    return {
-        # idx=0 (whole match) — Spark's default group index is 1, DuckDB's
-        # regexp_extract_all defaults to 0; pin both to the whole match.
-        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")
-        for name, pat in PII_PATTERNS
-    }
+    """Per-class match counts, each computed on the text with EARLIER
+    classes already redacted — so ``n_<class>`` always equals the number
+    of ``<CLASS>`` placeholders ``redact_pii`` emits, even when matches
+    overlap across classes (e.g. a phone-shaped digit run inside an
+    email local part is counted as email, not phone)."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for name, pat in PII_PATTERNS:
+        counts[name] = F.size(
+            # idx=0 (whole match) — Spark's default group index is 1,
+            # DuckDB's regexp_extract_all defaults to 0; pin both.
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+        ).cast("long")
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return counts
 
 
 def redact_pii(text: Column) -> Column:

@@ -116,6 +116,7 @@ def pack_sequences(
     tokens_col: str,
     budget: int,
     out_col: str = "window_id",
+    split_oversized: bool = False,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget context windows
     (GPT-style concat-and-chunk packing, document boundaries kept).
@@ -132,6 +133,15 @@ def pack_sequences(
     TB packs as long as no single shard is huge (shard by file/source,
     never a constant). This is deliberately NOT a global
     ``Window.orderBy`` — that would serialize on one task.
+
+    ``split_oversized=True`` switches to real concat-and-chunk
+    semantics: a document spanning a window boundary is split, emitting
+    one row per covered window with ``chunk_index`` (0-based within the
+    doc) and ``chunk_tokens`` (its token share in that window) — so
+    every window holds EXACTLY ``budget`` tokens except each shard's
+    last. The explode is a narrow op after the same single shuffle
+    (``F.sequence`` over first..last covered window; a doc emits
+    ``ceil(tokens/budget) + 1`` rows at most).
     """
     w = (
         Window.partitionBy(shard_col)
@@ -139,4 +149,26 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    return df.withColumn(out_col, F.floor(before / F.lit(budget)).cast("long"))
+    if not split_oversized:
+        return df.withColumn(out_col, F.floor(before / F.lit(budget)).cast("long"))
+
+    tokens = F.col(tokens_col).cast("long")
+    b = F.col("__before")
+    first_w = F.floor(b / F.lit(budget)).cast("long")
+    last_w = F.floor((b + tokens - F.lit(1)) / F.lit(budget)).cast("long")
+    # materialize the running sum BEFORE the explode: a generator and a
+    # window function cannot share one projection
+    exploded = df.withColumn("__before", before).withColumn(
+        out_col,
+        # empty docs (tokens=0) still land in their start window
+        F.explode(F.sequence(first_w, F.greatest(first_w, last_w))),
+    )
+    wid = F.col(out_col)
+    lo = F.greatest(wid * budget, b)
+    hi = F.least((wid + 1) * budget, b + tokens)
+    return exploded.select(
+        *[c for c in df.columns],
+        wid.alias(out_col),
+        (wid - F.floor(b / F.lit(budget)).cast("long")).cast("long").alias("chunk_index"),
+        F.greatest(hi - lo, F.lit(0)).cast("long").alias("chunk_tokens"),
+    )

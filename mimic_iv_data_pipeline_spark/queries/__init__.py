@@ -66,6 +66,8 @@ _PRIORITY = [
     "q68_stratified_sample",
     "q69_sequence_packing",
     "q70_repetition",
+    # new this round (chunk-splitting packing) — never driver-checked
+    "q71_pack_chunked",
     # (b) the only red row in r2, oracle type bug fixed this round
     "q24_fairness_confusion",
     # (c) stable green core, one per operator family where possible
@@ -96,7 +98,6 @@ _PRIORITY = [
     "q42_cosine_topk",
     "q45_set_ops",
     "q46_one_hot",
-    "q47_label_encode",
     "q59_embedding_neardup",
 ]
 

@@ -338,16 +338,36 @@ def q55_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q56: sketch-based distinct counting (100 TB path; approximate →
-# rows-only check: HLL estimates differ across engines by design; the
-# exact column exists to eyeball estimator error and is differentially
-# covered by q10's oracle over the same table) -------------------------------
-@register("q56_approx_distinct")
+# --- q56: sketch-based distinct counting (100 TB path). HLL++ estimates
+# differ across engines by design, so the raw estimate is not hashable —
+# instead the query emits the exact distinct count (oracle-checked
+# exactly) plus a BOOLEAN asserting the estimate landed within 10% of
+# exact (rsd=0.02, so ±10% is ~5σ); the oracle pins that column to TRUE.
+# Spark's HLL++ is deterministic for fixed input+rsd, so the hash is
+# stable — this upgrades q56 from rows-only to a real oracle row that
+# still exercises the sketch path. ------------------------------------------
+@register(
+    "q56_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS approx_within_tol
+    FROM lineitem GROUP BY 1
+    """,
+)
 def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("approx_within_tol"),
     )
 
 

@@ -43,8 +43,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q63: PII redaction -----------------------------------------------------
 # The synthetic corpus carries no PII, so the query plants one instance
-# of each class per document (deterministically, from doc_id) and then
-# scrubs — exercising both the counters and the replacement order.
+# of each of the seven classes per document (deterministically, from
+# doc_id) and then scrubs — exercising the counters, the replacement
+# order, AND the count-on-progressively-redacted-text semantics (each
+# class is counted on text with earlier classes already redacted, so
+# counts always equal placeholders emitted).
 @register(
     "q63_pii_redaction",
     oracle=r"""
@@ -52,24 +55,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              concat(text,
                     ' contact user', cast(doc_id AS varchar), '@example.com',
+                    ' card 4111-1111-1111-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
                     ' tel 555-', lpad(cast(doc_id % 1000 AS varchar), 3, '0'),
                     '-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
+                    ' intl +91-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
+                    '-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
                     ' ip 10.', cast(doc_id % 256 AS varchar), '.0.1',
+                    ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:', lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
                     ' ssn 123-45-', lpad(cast(doc_id % 10000 AS varchar), 4, '0')
-             ) AS text
+             ) AS t0
       FROM documents
-    )
+    ),
+    r1 AS (SELECT *, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM aug),
+    r2 AS (SELECT *, regexp_replace(t1, '\b\d{4}(?:[- ]\d{4}){3}\b', '<CC>', 'g') AS t2 FROM r1),
+    r3 AS (SELECT *, regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t3 FROM r2),
+    r4 AS (SELECT *, regexp_replace(t3, '\+\d{1,3}(?:[- ]?\d{3,4}){2,4}\b', '<PHONE_INTL>', 'g') AS t4 FROM r3),
+    r5 AS (SELECT *, regexp_replace(t4, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t5 FROM r4),
+    r6 AS (SELECT *, regexp_replace(t5, '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b', '<IPV6>', 'g') AS t6 FROM r5),
+    r7 AS (SELECT *, regexp_replace(t6, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t7 FROM r6)
     SELECT doc_id,
-           cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_email,
-           cast(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS bigint) AS n_ssn,
-           cast(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS bigint) AS n_phone,
-           cast(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS bigint) AS n_ipv4,
-           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')) AS red_digest
-    FROM aug
+           cast(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_email,
+           cast(len(regexp_extract_all(t1, '\b\d{4}(?:[- ]\d{4}){3}\b')) AS bigint) AS n_cc,
+           cast(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS bigint) AS n_ssn,
+           cast(len(regexp_extract_all(t3, '\+\d{1,3}(?:[- ]?\d{3,4}){2,4}\b')) AS bigint) AS n_phone_intl,
+           cast(len(regexp_extract_all(t4, '\b\d{3}-\d{3}-\d{4}\b')) AS bigint) AS n_phone,
+           cast(len(regexp_extract_all(t5, '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b')) AS bigint) AS n_ipv6,
+           cast(len(regexp_extract_all(t6, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS bigint) AS n_ipv4,
+           md5(t7) AS red_digest
+    FROM r7
     """,
 )
 def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,15 +93,21 @@ def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" card 4111-1111-1111-"), F.lpad((did % 10000).cast("string"), 4, "0"),
             F.lit(" tel 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
             F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" intl +91-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
             F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1"),
+            F.lit(" v6 2001:0db8:85a3:0000:0000:8a2e:0370:"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
             F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"),
         ).alias("text"),
     )
     scrubbed = with_pii_scrub(aug, "text")
     return scrubbed.select(
-        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        "doc_id", "n_email", "n_cc", "n_ssn", "n_phone_intl", "n_phone",
+        "n_ipv6", "n_ipv4",
         F.md5("redacted").alias("red_digest"),
     )
 
@@ -268,6 +287,58 @@ def q69_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "window_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("window_tokens"),
+    )
+
+
+# --- q71: chunk-splitting sequence packing ----------------------------------
+# Real concat-and-chunk semantics (split_oversized=True): a document
+# crossing a window boundary is split across windows, so every window
+# carries EXACTLY `budget` tokens except each shard's last — the shape
+# a GPT-style pretraining loader actually consumes. Budget of 128 is
+# far below the corpus doc length so splits dominate and the chunk
+# arithmetic (not just the running sum) is what the oracle checks.
+@register(
+    "q71_pack_chunked",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS n_toks
+      FROM documents
+    ), p AS (
+      SELECT source, doc_id, n_toks,
+             coalesce(sum(n_toks) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t
+    ), e AS (
+      SELECT source, n_toks, before,
+             unnest(generate_series(
+                 cast(floor(before / 128) AS bigint),
+                 greatest(cast(floor(before / 128) AS bigint),
+                          cast(floor((before + n_toks - 1) / 128) AS bigint)))) AS window_id
+      FROM p
+    ), c AS (
+      SELECT source, window_id,
+             greatest(least((window_id + 1) * 128, before + n_toks)
+                      - greatest(window_id * 128, before), 0) AS chunk_tokens
+      FROM e
+    )
+    SELECT source, cast(window_id AS bigint) AS window_id,
+           cast(count(*) AS bigint) AS n_chunks,
+           cast(sum(chunk_tokens) AS bigint) AS window_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q71_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    packed = pack_sequences(
+        d, "source", "doc_id", "n_toks", budget=128, split_oversized=True
+    )
+    return packed.groupBy("source", "window_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("window_tokens"),
     )
 
 

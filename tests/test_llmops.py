@@ -91,6 +91,88 @@ def test_pack_sequences_budget_and_order(spark):
     assert out2.filter((F.col("shard") == "t") & (F.col("window_id") == 0)).count() == 1
 
 
+def test_pii_counts_match_placeholders_progressive(spark):
+    # a phone-shaped run inside an email local part is consumed by the
+    # email redaction first, so n_phone must NOT count it (counts are
+    # computed on progressively-redacted text and always equal the
+    # placeholders emitted)
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 or mail 555-123-4567@x.com"),
+            (2, "card 4111-1111-1111-1234 intl +91-2222-3333 "
+                "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_cc"] == 1 and out[2]["n_phone_intl"] == 1
+    assert out[2]["n_ipv6"] == 1 and out[2]["n_ssn"] == 0
+    for did, row in out.items():
+        red = row["redacted"]
+        for cls in ("email", "cc", "ssn", "phone_intl", "phone", "ipv6", "ipv4"):
+            assert red.count(f"<{cls.upper()}>") == row[f"n_{cls}"], (did, cls)
+
+
+def test_pack_sequences_split_oversized_exact_windows(spark):
+    # doc of 1300 tokens at budget 512 spans windows 0-2; every window
+    # holds exactly `budget` tokens except the shard's last
+    rows = [("s", 0, 300), ("s", 1, 1300), ("s", 2, 100), ("t", 0, 700)]
+    df = spark.createDataFrame(rows, ["shard", "ord", "n_toks"])
+    out = pack_sequences(
+        df, "shard", "ord", "n_toks", 512, split_oversized=True
+    ).collect()
+    # brute-force expectation: concatenate per shard, cut every 512
+    per_win: dict = {}
+    chunks = []
+    for shard in ("s", "t"):
+        pos = 0
+        for _, ord_, t in sorted((r for r in rows if r[0] == shard), key=lambda r: r[1]):
+            first = pos // 512
+            for w in range(first, max(first, (pos + t - 1) // 512) + 1):
+                share = min((w + 1) * 512, pos + t) - max(w * 512, pos)
+                chunks.append((shard, ord_, w, w - first, max(share, 0)))
+                per_win[(shard, w)] = per_win.get((shard, w), 0) + max(share, 0)
+            pos += t
+    got = sorted(
+        (r["shard"], r["ord"], r["window_id"], r["chunk_index"], r["chunk_tokens"])
+        for r in out
+    )
+    assert got == sorted(chunks)
+    last = {s: max(w for (sh, w) in per_win if sh == s) for s in ("s", "t")}
+    for (shard, w), tot in per_win.items():
+        if w != last[shard]:
+            assert tot == 512, (shard, w, tot)
+        else:
+            assert tot <= 512
+
+
+def test_cms_epsilon_guarantee(spark, sf_dir):
+    """Classical CM bound (Cormode & Muthukrishnan '05): with width w and
+    depth d, est >= true and est <= true + (e/w)·N with prob 1-e^-d per
+    query. Hashing is deterministic here, so holding on the fixture
+    corpus once means holding always."""
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = token_stream(docs, "text")
+    depth, width = 4, 256
+    sketch = cm_sketch(occ, depth=depth, width=width)
+    exact = occ.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = cm_estimate(sketch, exact.select("token"), depth=depth, width=width)
+    joined = exact.join(est, "token")
+    n_total = occ.count()
+    eps_n = math.e / width * n_total
+    bad_under = joined.filter(F.col("cm_est") < F.col("exact_cnt")).count()
+    assert bad_under == 0  # deterministic guarantee
+    n_tokens = joined.count()
+    over = joined.filter(F.col("cm_est") > F.col("exact_cnt") + eps_n).count()
+    # per-query failure prob e^-depth; allow that fraction with slack 2x
+    assert over <= max(1, int(2 * math.exp(-depth) * n_tokens)), (
+        f"{over}/{n_tokens} tokens exceed true+εN (εN={eps_n:.1f})"
+    )
+
+
 def test_contamination_planted_overlap(spark):
     corpus = spark.createDataFrame(
         [(10, "alpha beta gamma delta epsilon"), (11, "zeta eta theta iota")],

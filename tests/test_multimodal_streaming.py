@@ -362,3 +362,24 @@ def test_wav_decode_real_bytes(spark):
     rows = {r["media_id"]: r for r in decode_audio(media).collect()}
     assert rows[1]["n_samples"] == n and rows[2]["channels"] == 2
     assert rows[2]["sample_rate"] == 16000
+
+
+def test_pil_decode_when_pillow_present(spark):
+    """Activates automatically the day Pillow lands in the container:
+    full pixel decode must agree with the stdlib header decode on
+    dimensions/mode and produce normalized per-channel stats."""
+    pytest.importorskip("PIL")
+    from mimic_iv_data_pipeline_spark.operators.multimodal import (
+        image_header_decode,
+        pil_decode,
+    )
+
+    png = _tiny_png(13, 7, color_type=2)
+    full = pil_decode(png)
+    head = image_header_decode(png)
+    assert (full["width"], full["height"], full["mode"]) == (
+        head["width"], head["height"], head["mode"],
+    )
+    assert len(full["feature"]) == 3  # RGB → one stat per channel
+    assert all(0.0 <= v <= 1.0 for v in full["feature"])
+    assert full["feature"] == [0.0, 0.0, 0.0]  # zero-filled scanlines

@@ -144,3 +144,43 @@ def test_build_sequences_and_encode(spark, lab_fixture):
     ids = {r["subject_id"]: r["token_ids"] for r in enc.collect()}
     assert ids[100][0] == v["I50"]
     assert len(ids[100]) == 3
+
+
+def test_spacy_backed_factory_when_present(spark):
+    """Activates the day spaCy lands in the container: a real-model
+    factory plugs into extract_entities unchanged — entity rows carry
+    the spaCy pipeline's spans in ENTITY_SCHEMA shape."""
+    pytest.importorskip("spacy")
+
+    def spacy_factory():
+        import spacy
+
+        nlp = spacy.blank("en")
+        ruler = nlp.add_pipe("entity_ruler")
+        ruler.add_patterns(
+            [{"label": "CONDITION", "pattern": "diabetes"},
+             {"label": "CONDITION", "pattern": "sepsis"}]
+        )
+
+        def extract(text):
+            return [
+                {
+                    "section": "unknown",
+                    "term": ent.text,
+                    "negated": False,
+                    "family_context": False,
+                    "offset": ent.start_char,
+                }
+                for ent in nlp(text or "").ents
+            ]
+
+        return extract
+
+    notes = spark.createDataFrame(
+        [(1, 10, "pt has diabetes; r/o sepsis"), (2, 11, "no findings")],
+        ["note_id", "subject_id", "text"],
+    )
+    rows = extract_entities(notes, model_factory=spacy_factory).collect()
+    terms = sorted(r["term"] for r in rows)
+    assert terms == ["diabetes", "sepsis"]
+    assert all(r["note_id"] == 1 for r in rows)

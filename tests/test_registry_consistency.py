@@ -15,12 +15,13 @@ def test_every_oracle_has_a_query():
     assert set(oracles) <= set(queries)
     # only the hash-based / approximate ops may lack an oracle
     no_oracle = set(queries) - set(oracles)
+    # q56 graduated in r3: exact column + a deterministic tolerance
+    # boolean give the HLL sketch a real (partial) oracle row
     assert no_oracle == {
         "q40_minhash_lsh",
         "q41_simhash",
         "q44_ann_lsh",
         "q53_ann_ivf",
-        "q56_approx_distinct",
         "q60_embedding_neardup_lsh",
     }
 
