@@ -573,3 +573,53 @@ def ngram_contamination(
             6,
         ).alias("contamination"),
     )
+
+
+def passage_block_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_tokens: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup (the C4/Dolma recipe between doc-level
+    and n-gram-level): cut each document into fixed-size token blocks,
+    hash each block, mark every occurrence after the corpus-wide first
+    as duplicated, report per-doc duplication stats
+    ``(doc, n_blocks, n_dup_blocks, dup_ratio)``.
+
+    Scale shape: one narrow tokenize+explode (a doc emits
+    ``ceil(tokens/block_tokens)`` rows), one shuffle keyed on the block
+    hash (high cardinality — no skew concern beyond boilerplate blocks,
+    which is exactly what the operator exists to find), one per-doc
+    re-aggregate. First-occurrence is decided by ``(doc, block_idx)``
+    lexicographic order so the result is deterministic under any
+    partitioning.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+    n_blocks = F.greatest(
+        F.ceil(F.size("__toks") / F.lit(float(block_tokens))).cast("long"), F.lit(1)
+    )
+    blocks = base.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_blocks - 1)).alias("b"),
+        "__toks",
+    ).select(
+        "doc",
+        "b",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("b") * block_tokens + 1, block_tokens),
+                " ",
+            )
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("__h").orderBy("doc", "b")
+    marked = blocks.withColumn("__rn", F.row_number().over(w))
+    return marked.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).cast("long").alias("n_dup_blocks"),
+        dround(
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )

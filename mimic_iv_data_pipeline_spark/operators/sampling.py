@@ -31,6 +31,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "pack_sequences",
+    "source_mixture_rates",
 ]
 
 _HASH_SPAN = 4294967296.0  # 2^32: span of the 8-hex-digit prefix
@@ -171,4 +172,55 @@ def pack_sequences(
         wid.alias(out_col),
         (wid - F.floor(b / F.lit(budget)).cast("long")).cast("long").alias("chunk_index"),
         F.greatest(hi - lo, F.lit(0)).cast("long").alias("chunk_tokens"),
+    )
+
+
+def source_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-source sampling rates hitting a target mixture exactly
+    (the Pile/Dolma "data mixing" step): given target shares ``p_s``
+    and per-source token masses ``t_s``, the largest achievable corpus
+    is ``C = min_s(t_s / p_s)`` (the scarcest source binds); each
+    source then keeps ``rate_s = p_s · C / t_s`` of its tokens.
+
+    Returns ``(stratum, tokens, target_share, rate, expected_tokens)``
+    for the targeted strata. Two tiny aggregates: one groupBy(stratum)
+    bounded by source count, one scalar min over it, joined back via
+    broadcast — no driver collect, so the rate table composes straight
+    into :func:`stratified_sample`-style filters on the full corpus.
+    """
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1.0, got {total}")
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        schema="stratum string, target_share double",
+    )
+    masses = (
+        df.select(F.col(strata_col).alias("stratum"), F.col(weight_col))
+        .groupBy("stratum")
+        .agg(F.sum(weight_col).cast("long").alias("tokens"))
+        .join(F.broadcast(shares), "stratum")  # drops untargeted strata
+    )
+    cap = masses.agg(
+        F.min(F.col("tokens") / F.col("target_share")).alias("__cap")
+    )
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
+    raw_rate = F.least(
+        F.lit(1.0), F.col("target_share") * F.col("__cap") / F.col("tokens")
+    )
+    return masses.crossJoin(F.broadcast(cap)).select(
+        "stratum",
+        "tokens",
+        "target_share",
+        dround(raw_rate, 6).alias("rate"),
+        F.floor(raw_rate * F.col("tokens") + F.lit(0.5))
+        .cast("long")
+        .alias("expected_tokens"),
     )

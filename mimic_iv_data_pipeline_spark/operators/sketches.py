@@ -23,7 +23,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["token_stream", "heavy_hitters", "cm_sketch", "cm_estimate"]
+__all__ = [
+    "token_stream",
+    "heavy_hitters",
+    "cm_sketch",
+    "cm_estimate",
+    "bloom_build",
+    "bloom_probe",
+]
 
 
 def token_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,4 +130,87 @@ def cm_estimate(
     joined = keyed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
     return joined.groupBy(token_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cm_est")
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of DISTINCT set bit positions
+    ``(bit)`` — at most ``num_bits`` rows regardless of key count.
+
+    Spark-first sketch shape (cf. ``cm_sketch``): no driver-side bitset,
+    no UDAF — one explode to ``num_hashes`` rows per key and one
+    map-side-combinable distinct. Mergeable: union two filters and
+    re-distinct (classic Bloom OR). The md5-prefix hash keeps a DuckDB
+    oracle twin possible. Use when a 100 TB membership pre-filter must
+    ship to every executor: ``num_bits`` rows of one long broadcast in
+    KBs where the key set itself would be TBs.
+    """
+    bits = F.array(*[
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col(key_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(num_bits),
+        )
+        for j in range(num_hashes)
+    ])
+    return (
+        keys.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe: ``maybe_member`` is true iff ALL ``num_hashes`` bit
+    positions of the key are set (no false negatives; false-positive
+    rate ≈ (1 − e^{−kn/m})^k). The filter is ≤ ``num_bits`` rows →
+    broadcast inner-count join; the probe side never shuffles."""
+    keyed = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{salt}{j}:"), F.col(key_col).cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(num_bits),
+                )
+                for j in range(num_hashes)
+            ])
+        ).alias("bit"),
+    )
+    hits = keyed.join(F.broadcast(bloom), "bit", "inner")
+    agg = hits.groupBy(key_col).agg(F.count("*").cast("long").alias("__hits"))
+    return probes.select(key_col).distinct().join(agg, key_col, "left").select(
+        key_col,
+        (F.coalesce("__hits", F.lit(0)) == num_hashes).alias("maybe_member"),
     )

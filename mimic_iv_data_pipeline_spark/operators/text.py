@@ -200,3 +200,43 @@ def with_repetition_metrics(
             dround(F.first("max_c") / F.first("n_tokens"), 6).alias("top_share"),
         )
     )
+
+
+URL_REGEX = r"https?://[^\s]+"
+
+
+def extract_urls(text: Column) -> Column:
+    """All URL-shaped substrings (conservative ``https?://`` anchor —
+    scheme-relative and bare-domain forms are deliberately out: the
+    false-positive cost of bare-domain matching at corpus scale beats
+    the recall win). RE2-safe; identical in DuckDB oracles."""
+    return F.regexp_extract_all(text, F.lit(URL_REGEX), F.lit(0))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form for dedup/frequency counting: lowercase,
+    strip scheme, strip a leading ``www.``, drop query + fragment, drop
+    one trailing slash. Pure codegen regexp chain — streams at scan
+    speed; each step is a single anchored replacement so Spark
+    (replace-all) and DuckDB (replace-first) agree by construction."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-URL frequency table ``(url, n_docs, n_occurrences)``
+    — the standard crawl-dedup signal (the same page fetched under
+    scheme/www/query variants collapses to one key). One explode + one
+    vocabulary-bounded hash aggregate."""
+    occ = df.select(
+        F.col("doc_id"),
+        F.explode(extract_urls(F.col(text_col))).alias("__raw"),
+    ).select("doc_id", normalize_url(F.col("__raw")).alias("url"))
+    return occ.groupBy("url").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )

@@ -17,14 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
-from mimic_iv_data_pipeline_spark.operators.dedup import ngram_contamination
+from mimic_iv_data_pipeline_spark.operators.dedup import (
+    ngram_contamination,
+    passage_block_dedup,
+)
 from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
 from mimic_iv_data_pipeline_spark.operators.sampling import (
     hash_split,
     pack_sequences,
+    source_mixture_rates,
     stratified_sample,
 )
 from mimic_iv_data_pipeline_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
     cm_estimate,
     cm_sketch,
     heavy_hitters,
@@ -32,6 +38,7 @@ from mimic_iv_data_pipeline_spark.operators.sketches import (
 )
 from mimic_iv_data_pipeline_spark.operators.text import (
     token_count,
+    url_frequency,
     with_repetition_metrics,
 )
 from mimic_iv_data_pipeline_spark.queries import register
@@ -370,3 +377,179 @@ def q71_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q70_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_metrics(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --- q72: passage-level (block) dedup ----------------------------------------
+# C4/Dolma-style: 20-token blocks hashed corpus-wide, every occurrence
+# after the first marked duplicated; per-doc duplication stats.
+@register(
+    "q72_passage_dedup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc, toks,
+             unnest(generate_series(
+                 0, greatest(cast(ceil(len(toks) / 20.0) AS bigint) - 1, 0))) AS b
+      FROM t
+    ), blk AS (
+      SELECT doc, b,
+             md5(array_to_string(list_slice(toks, b*20 + 1, b*20 + 20), ' ')) AS h
+      FROM e
+    ), rn AS (
+      SELECT doc, b, row_number() OVER (PARTITION BY h ORDER BY doc, b) AS r
+      FROM blk
+    )
+    SELECT doc, cast(count(*) AS bigint) AS n_blocks,
+           cast(sum(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_blocks,
+           floor(sum(CASE WHEN r > 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1000000 + 0.5)
+             / 1000000 AS dup_ratio
+    FROM rn GROUP BY doc
+    """,
+)
+def q72_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return passage_block_dedup(_docs(spark, sf_dir), "doc_id", "text", block_tokens=20)
+
+
+# --- q73: Bloom-filter membership -------------------------------------------
+# Mergeable DataFrame Bloom (≤ num_bits rows) built over the vocabulary
+# of even-numbered docs, probed with the full vocabulary. Deterministic
+# md5 bit positions → the sketch itself has an exact oracle; is_member
+# alongside shows the no-false-negative property in the output.
+@register(
+    "q73_bloom_membership",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), occ2 AS (
+      SELECT * FROM occ WHERE token <> ''
+    ), corpus AS (
+      SELECT DISTINCT token FROM occ2 WHERE doc_id % 2 = 0
+    ), allt AS (
+      SELECT DISTINCT token FROM occ2
+    ), seeds AS (
+      SELECT unnest([0, 1, 2]) AS j
+    ), bits AS (
+      SELECT DISTINCT
+             cast(concat('0x', substr(md5(concat('bloom', cast(j AS varchar), ':', token)), 1, 8)) AS bigint) % 4096 AS bit
+      FROM corpus CROSS JOIN seeds
+    ), pb AS (
+      SELECT token,
+             cast(concat('0x', substr(md5(concat('bloom', cast(j AS varchar), ':', token)), 1, 8)) AS bigint) % 4096 AS bit
+      FROM allt CROSS JOIN seeds
+    ), hits AS (
+      SELECT token, count(*) AS c FROM pb JOIN bits USING (bit) GROUP BY 1
+    )
+    SELECT a.token,
+           coalesce(h.c, 0) = 3 AS maybe_member,
+           c.token IS NOT NULL AS is_member
+    FROM allt a
+    LEFT JOIN hits h USING (token)
+    LEFT JOIN corpus c USING (token)
+    """,
+)
+def q73_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    corpus_keys = (
+        token_stream(d.filter(F.col("doc_id") % 2 == 0), "text")
+        .select("token")
+        .distinct()
+    )
+    probes = token_stream(d, "text").select("token").distinct()
+    bloom = bloom_build(corpus_keys, "token", num_bits=4096, num_hashes=3)
+    probed = bloom_probe(bloom, probes, "token", num_bits=4096, num_hashes=3)
+    member = corpus_keys.withColumn("is_member", F.lit(True))
+    return (
+        probed.join(member, "token", "left")
+        .select(
+            "token",
+            "maybe_member",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+
+
+# --- q74: URL extraction / normalization / frequency ------------------------
+# Crawl-dedup signal: the same page under scheme/WWW/query/trailing-
+# slash variants collapses to one normalized key. URLs are planted
+# deterministically (corpus has none): two variants per doc that must
+# collapse.
+@register(
+    "q74_url_dedup",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text,
+                    ' see https://WWW.Example', cast(doc_id % 7 AS varchar),
+                    '.com/path', cast(doc_id % 3 AS varchar), '?q=', cast(doc_id AS varchar),
+                    ' and http://example', cast(doc_id % 7 AS varchar),
+                    '.com/path', cast(doc_id % 3 AS varchar), '/') AS text
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS raw
+      FROM aug
+    ), norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(raw), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS url
+      FROM occ
+    )
+    SELECT url, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+           cast(count(*) AS bigint) AS n_occurrences
+    FROM norm GROUP BY 1
+    """,
+)
+def q74_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://WWW.Example"), (did % 7).cast("string"),
+            F.lit(".com/path"), (did % 3).cast("string"),
+            F.lit("?q="), did.cast("string"),
+            F.lit(" and http://example"), (did % 7).cast("string"),
+            F.lit(".com/path"), (did % 3).cast("string"), F.lit("/"),
+        ).alias("text"),
+    )
+    return url_frequency(aug, "text")
+
+
+# --- q75: source-mixture reweighting ----------------------------------------
+# Data-mixing solver: target shares over four sources; the scarcest
+# source caps the achievable corpus; per-source keep-rates follow.
+@register(
+    "q75_source_mixture",
+    oracle=r"""
+    WITH t AS (
+      SELECT source AS stratum,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS nt
+      FROM documents
+    ), m AS (
+      SELECT stratum, cast(sum(nt) AS bigint) AS tokens FROM t GROUP BY 1
+    ), p AS (
+      SELECT stratum, cast(ts AS double) AS target_share
+      FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+           AS v(stratum, ts)
+    ), j AS (
+      SELECT m.stratum, m.tokens, p.target_share FROM m JOIN p USING (stratum)
+    ), c AS (
+      SELECT min(tokens / target_share) AS cap FROM j
+    )
+    SELECT stratum, tokens, target_share,
+           floor(least(1.0, target_share * cap / tokens) * 1000000 + 0.5) / 1000000 AS rate,
+           cast(floor(least(1.0, target_share * cap / tokens) * tokens + 0.5) AS bigint) AS expected_tokens
+    FROM j CROSS JOIN c
+    """,
+)
+def q75_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "source", token_count(F.col("text")).alias("n_toks")
+    )
+    return source_mixture_rates(
+        d, "source", "n_toks", {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )

@@ -223,3 +223,74 @@ def test_repetition_metrics(spark):
     assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 2
     assert out[1]["top_token"] == "spam" and out[1]["top_share"] == 0.75
     assert out[2]["dup_ratio"] == 0.0 and out[2]["n_distinct"] == 4
+
+
+def test_passage_block_dedup_planted(spark):
+    # doc 2 repeats doc 1's first 20-token block exactly; doc 3 is clean
+    block = " ".join(f"w{i}" for i in range(20))
+    tail = " ".join(f"x{i}" for i in range(20))
+    other = " ".join(f"y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"{block} {tail}"), (2, f"{block} {other}"), (3, other + " solo")],
+        ["doc_id", "text"],
+    )
+    from mimic_iv_data_pipeline_spark.operators.dedup import passage_block_dedup
+
+    out = {r["doc"]: r for r in passage_block_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["n_blocks"] == 2 and out[1]["n_dup_blocks"] == 0
+    # doc 2's first block duplicates doc 1's (first occurrence wins on doc id)
+    assert out[2]["n_dup_blocks"] == 1 and out[2]["dup_ratio"] == 0.5
+    # doc 3's first block (y0..y19) equals doc 2's second block → dup;
+    # its 'solo' tail block is unique
+    assert out[3]["n_blocks"] == 2 and out[3]["n_dup_blocks"] == 1
+
+
+def test_bloom_no_false_negatives_and_bounded_state(spark):
+    from mimic_iv_data_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], ["k"])
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(1000)], ["k"])
+    bloom = bloom_build(keys, "k", num_bits=4096, num_hashes=3)
+    assert bloom.count() <= 4096  # state bounded by filter size, not keys
+    out = {r["k"]: r["maybe_member"] for r in
+           bloom_probe(bloom, probes, "k", num_bits=4096, num_hashes=3).collect()}
+    # NO false negatives: every inserted key must probe positive
+    assert all(out[f"k{i}"] for i in range(500))
+    # false-positive rate on the 500 non-members stays near theory:
+    # (1 - e^{-kn/m})^k ≈ 0.043 at k=3, n=500, m=4096 — allow 3x
+    fp = sum(1 for i in range(500, 1000) if out[f"k{i}"])
+    assert fp / 500 < 0.13, f"fp rate {fp/500}"
+
+
+def test_url_normalize_variants_collapse(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import url_frequency
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://WWW.Example.com/Path?q=1#frag"),
+            (2, "also http://example.com/Path/"),
+            (3, "and https://example.com/Path"),
+            (4, "but https://example.com/other"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["url"]: r for r in url_frequency(df).collect()}
+    assert rows["example.com/path"]["n_docs"] == 3
+    assert rows["example.com/path"]["n_occurrences"] == 3
+    assert rows["example.com/other"]["n_docs"] == 1
+
+
+def test_source_mixture_rates_math(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import source_mixture_rates
+
+    # tokens: a=1000, b=1000, c=100; targets 0.5/0.3/0.2
+    # cap = min(1000/0.5, 1000/0.3, 100/0.2) = 500 → rates 0.25, 0.15, 1.0
+    rows = [("a", 1000), ("b", 1000), ("c", 100)]
+    df = spark.createDataFrame(rows, ["src", "nt"])
+    out = {r["stratum"]: r for r in
+           source_mixture_rates(df, "src", "nt", {"a": 0.5, "b": 0.3, "c": 0.2}).collect()}
+    assert out["a"]["rate"] == 0.25 and out["a"]["expected_tokens"] == 250
+    assert out["b"]["rate"] == 0.15 and out["b"]["expected_tokens"] == 150
+    assert out["c"]["rate"] == 1.0 and out["c"]["expected_tokens"] == 100
+    with pytest.raises(ValueError):
+        source_mixture_rates(df, "src", "nt", {"a": 0.5, "b": 0.6})
