@@ -109,3 +109,43 @@ def stream_exact_dedup(
     """
     keys = key_cols or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_doc_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-based streaming source over a documents directory (the
+    live-ingest shape of the LLM-ops corpus surface)."""
+    return spark.readStream.schema(DOC_STREAM_SCHEMA).format(fmt).load(path)
+
+
+def stream_cm_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``sketches.cm_sketch`` — and deliberately the
+    SAME operator: explode-to-(depth,bucket) + incremental count is a
+    standard streaming aggregation, and unlike most unbounded
+    aggregations it needs no watermark because the construction itself
+    bounds state at ``depth × width`` counters no matter how much
+    stream passes through. Run in ``update``/``complete`` output mode;
+    after any prefix of the stream the sketch equals the batch sketch
+    over the same rows (asserted by the batch-equivalence test).
+
+    This is the 100 TB/day ingest shape: corpus token frequencies kept
+    live in O(1) state, probed at any moment with ``cm_estimate``.
+    """
+    from mimic_iv_data_pipeline_spark.operators.sketches import cm_sketch, token_stream
+
+    return cm_sketch(token_stream(docs, text_col), depth=depth, width=width)

@@ -383,3 +383,45 @@ def test_pil_decode_when_pillow_present(spark):
     assert len(full["feature"]) == 3  # RGB → one stat per channel
     assert all(0.0 <= v <= 1.0 for v in full["feature"])
     assert full["feature"] == [0.0, 0.0, 0.0]  # zero-filled scanlines
+
+
+def test_stream_cm_sketch_matches_batch(spark, sf_smoke, tmp_path):
+    """The streaming CM sketch over a multi-file doc source equals the
+    batch sketch on the same corpus — and its state is depth×width rows
+    regardless of stream length (the no-watermark-needed property)."""
+    from mimic_iv_data_pipeline_spark.operators.sketches import cm_sketch, token_stream
+    from mimic_iv_data_pipeline_spark.streaming.events import (
+        read_doc_stream,
+        stream_cm_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    # two files → at least two micro-batches under maxFilesPerTrigger=1
+    docs.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).format("parquet").load(src)
+    assert read_doc_stream(spark, src).isStreaming  # reader shape check
+    sketch = stream_cm_sketch(stream, depth=4, width=64)
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName("stream_cms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM stream_cms").collect()
+    }
+    expect = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in cm_sketch(token_stream(docs, "text"), depth=4, width=64).collect()
+    }
+    assert got == expect
+    assert len(got) <= 4 * 64
