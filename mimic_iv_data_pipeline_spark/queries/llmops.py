@@ -214,8 +214,10 @@ def q66_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), d AS (
       SELECT unnest([0, 1, 2, 3]) AS depth
     ), hashed AS (
+      -- rows 0-3 slice disjoint 32-bit windows of ONE md5(token)
+      -- (mirrors sketches._bucket's single-digest fast path)
       SELECT token, depth,
-             cast(concat('0x', substr(md5(concat(cast(depth AS varchar), ':', token)), 1, 8)) AS bigint) % 256 AS bucket
+             cast(concat('0x', substr(md5(token), depth*8 + 1, 8)) AS bigint) % 256 AS bucket
       FROM occ2 CROSS JOIN d
     ), sketch AS (
       SELECT depth, bucket, cast(count(*) AS bigint) AS cnt FROM hashed GROUP BY 1, 2
@@ -223,7 +225,7 @@ def q66_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT token, cast(count(*) AS bigint) AS exact_cnt FROM occ2 GROUP BY 1
     ), probe AS (
       SELECT w.token, d.depth,
-             cast(concat('0x', substr(md5(concat(cast(d.depth AS varchar), ':', w.token)), 1, 8)) AS bigint) % 256 AS bucket
+             cast(concat('0x', substr(md5(w.token), d.depth*8 + 1, 8)) AS bigint) % 256 AS bucket
       FROM (SELECT DISTINCT token FROM occ2) w CROSS JOIN d
     ), est AS (
       SELECT p.token, min(s.cnt) AS cm_est

@@ -148,4 +148,8 @@ def stream_cm_sketch(
     """
     from mimic_iv_data_pipeline_spark.operators.sketches import cm_sketch, token_stream
 
-    return cm_sketch(token_stream(docs, text_col), depth=depth, width=width)
+    # pre_aggregate=False: chained aggregations are unsupported in
+    # streaming; the occurrence path is a single incremental aggregate
+    return cm_sketch(
+        token_stream(docs, text_col), depth=depth, width=width, pre_aggregate=False
+    )
