@@ -39,11 +39,13 @@ _MODULES = [
 # Driver-window rotation (round 3). The correctness driver checks the FIRST
 # 50 registry entries per round; the registry had grown to 70, so 20 oracled
 # queries (q48-q52, q54-q58, q61-q70) never received a driver row in r1/r2.
-# This explicit order puts (a) the never-driver-checked queries first,
-# (b) the freshly-fixed q24 next, (c) a stable previously-green core covering
-# every operator family for regression signal, and (d) the no-oracle
-# (rows-only) similarity entries last. Queries registered but not named here
-# are appended in registration order after the named ones.
+# This explicit order puts (a) the never-driver-checked queries first —
+# including all of this round's q71-q75, (b) the freshly-fixed q24 next,
+# (c) a stable previously-green core for regression signal — entries whose
+# operator family has another window representative (q09/q12/q22/q31) were
+# rotated out to make room, and (d) the no-oracle (rows-only) similarity
+# entries last. Queries registered but not named here are appended in
+# registration order after the named ones.
 _PRIORITY = [
     # (a) never driver-checked (oracled) — the r2 verdict's item 2
     "q48_group_max",
@@ -66,8 +68,12 @@ _PRIORITY = [
     "q68_stratified_sample",
     "q69_sequence_packing",
     "q70_repetition",
-    # new this round (chunk-splitting packing) — never driver-checked
+    # new this round — never driver-checked
     "q71_pack_chunked",
+    "q72_passage_dedup",
+    "q73_bloom_membership",
+    "q74_url_dedup",
+    "q75_source_mixture",
     # (b) the only red row in r2, oracle type bug fixed this round
     "q24_fairness_confusion",
     # (c) stable green core, one per operator family where possible
@@ -76,21 +82,17 @@ _PRIORITY = [
     "q04_semi_join",
     "q06_dedup_first",
     "q08_outer_join_fill",
-    "q09_union_branches",
-    "q12_date_fns",
     "q14_code_mapping",
     "q15_mode_per_group",
     "q17_topk_per_group",
     "q18_readmission_label",
     "q19_asof_join",
     "q20_ffill_bfill",
-    "q22_quantile_bins",
     "q23_calibration_bins",
     "q25_rank_auc",
     "q26_vocab_build",
     "q28_rollup",
     "q29_bucketize_hourly",
-    "q31_dense_grid",
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q38_fingerprint",
