@@ -74,13 +74,13 @@ _PRIORITY = [
     "q73_bloom_membership",
     "q74_url_dedup",
     "q75_source_mixture",
+    "q76_dedup_clusters",
     # (b) the only red row in r2, oracle type bug fixed this round
     "q24_fairness_confusion",
     # (c) stable green core, one per operator family where possible
     "q01_pricing_summary",
     "q03_revenue_by_nation",
     "q04_semi_join",
-    "q06_dedup_first",
     "q08_outer_join_fill",
     "q14_code_mapping",
     "q15_mode_per_group",

@@ -182,3 +182,59 @@ def q40_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q41_simhash")
 def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), "doc_id")
+
+
+# --- q76: near-dup clusters via connected components ------------------------
+@register(
+    "q76_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON common.id_a = sa.doc_id
+      JOIN sizes sb ON common.id_b = sb.doc_id
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, w.reach FROM walk w JOIN edges e ON w.id = e.u
+    ), comp AS (
+      SELECT id AS doc_id, min(reach) AS component FROM walk GROUP BY 1
+    )
+    SELECT c.doc_id, c.component, s.cluster_size
+    FROM comp c
+    JOIN (SELECT component, cast(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1) s USING (component)
+    """,
+)
+def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the q39 near-dup pairs: every document
+    labeled with its connected component's min doc_id plus the cluster
+    size — the C4/Dolma keep-one-per-cluster step. Oracle is a DuckDB
+    recursive CTE computing min-reachable-id per node."""
+    from mimic_iv_data_pipeline_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.2)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), nodes=docs.select("doc_id")
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )

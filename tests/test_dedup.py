@@ -167,3 +167,91 @@ def test_embedding_near_dup(spark, sf_dir):
 
     with pytest.raises(ValueError, match="all-pairs"):
         embedding_near_dup_pairs(emb, method="exact", max_exact_rows=10)
+
+
+# --- connected components (graph.py) ----------------------------------------
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find: {node: min-id-of-component}."""
+    parent = {i: i for i in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_nodes}
+
+
+@pytest.mark.parametrize(
+    "name,nodes,edges",
+    [
+        # worst case for label propagation: a long path with the min in
+        # the middle — large/small-star must still converge in O(log^2)
+        ("path64", list(range(1, 65)) + [0],
+         [(i, i + 1) for i in range(1, 64)] + [(32, 0)]),
+        ("two_cliques", list(range(20)),
+         [(a, b) for a in range(8) for b in range(a + 1, 8)]
+         + [(a, b) for a in range(10, 18) for b in range(a + 1, 18)]),
+        ("star_high_center", list(range(30)),
+         [(29, i) for i in range(12)]),
+        ("singletons_only", list(range(5)), []),
+    ],
+)
+def test_connected_components_vs_union_find(spark, name, nodes, edges):
+    from mimic_iv_data_pipeline_spark.operators.graph import connected_components
+
+    expected = _uf_components(nodes, edges)
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], ["id"])
+    if edges:
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    else:
+        pairs = nodes_df.select(
+            nodes_df.id.alias("id_a"), nodes_df.id.alias("id_b")
+        ).limit(0)
+    out = connected_components(pairs, nodes=nodes_df)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == expected, name
+
+
+def test_connected_components_random_graphs(spark):
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 60
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _uf_components(nodes, edges)
+        nodes_df = spark.createDataFrame([(i,) for i in nodes], ["id"])
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, nodes=nodes_df).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_dedup_keep_canonical(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    # clusters {0,3,5}, {2,7}; 1,4,6 untouched
+    pairs = spark.createDataFrame(
+        [(3, 0), (5, 3), (7, 2)], ["id_a", "id_b"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 1, 2, 4, 6]
