@@ -388,3 +388,73 @@ def ann_lsh_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reuse: bool = True,
+) -> DataFrame:
+    """Per-dimension min/max scalar quantization of an embedding corpus
+    to int8 (the FAISS ``SQ8`` / vector-DB storage recipe: 4× smaller
+    than float32, ~1% recall loss at ANN time).
+
+    ``q_i = round((x_i − min_i) / (max_i − min_i) · 254) − 127`` with a
+    constant dimension collapsing to 0; also emits the per-vector mean
+    absolute reconstruction error of the dequantized vector.
+
+    Scale shape: the stats pass is a posexplode + dim-keyed aggregate
+    (``dims`` groups — trivially small); the per-dim min/max arrays
+    come back as ONE broadcast row (no driver collect, no literal-plan
+    centroids — the r1 IVF lesson); quantization itself is a narrow
+    ``transform`` over each vector, whole-stage codegen, no shuffle.
+    """
+    base = emb.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__x"))
+    if reuse:
+        # feeds the stats aggregate and the quantize map
+        base = base.persist()
+    stats = (
+        base.select(F.posexplode("__x").alias("__i", "__v"))
+        .groupBy("__i")
+        .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "mn"))), lambda s: s.mn
+        ).alias("__mn_a"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "mx"))), lambda s: s.mx
+        ).alias("__mx_a"),
+    )
+
+    def _mn(i: Column) -> Column:
+        return F.element_at(F.col("__mn_a"), (i + 1).cast("int"))
+
+    def _mx(i: Column) -> Column:
+        return F.element_at(F.col("__mx_a"), (i + 1).cast("int"))
+
+    qvec = F.transform(
+        F.col("__x"),
+        lambda v, i: F.when(_mx(i) == _mn(i), F.lit(0))
+        .otherwise(
+            (F.floor((v - _mn(i)) / (_mx(i) - _mn(i)) * 254.0 + 0.5) - 127).cast("int")
+        )
+        .cast("int"),
+    )
+    quantized = base.crossJoin(F.broadcast(arrs)).withColumn("qvec", qvec)
+    err_arr = F.transform(
+        F.col("qvec"),
+        lambda q, i: F.abs(
+            F.when(_mx(i) == _mn(i), _mn(i))
+            .otherwise((q + 127) / 254.0 * (_mx(i) - _mn(i)) + _mn(i))
+            - F.element_at(F.col("__x"), (i + 1).cast("int"))
+        ),
+    )
+    return quantized.select(
+        id_col,
+        "qvec",
+        dround(
+            F.aggregate(err_arr, F.lit(0.0), lambda a, v: a + v) / F.size("qvec"), 6
+        ).alias("recon_err"),
+    )

@@ -240,3 +240,69 @@ def url_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_occurrences"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    bos: str = "<s>",
+    reuse: bool = True,
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet-style perplexity quality filter (Wenzek et al., LREC'20)
+    with the LM trained on the corpus itself so the whole computation
+    is one deterministic, oracle-checkable plan (a production pipeline
+    would swap in counts trained on a held-out reference corpus — the
+    scoring join is identical).
+
+    Per position ``i``: ``ln P(w_i | w_{i-1})`` with add-k smoothing,
+    ``P = (c(prev,w) + k) / (c(prev) + k·V)``; per document the mean
+    log-prob and its perplexity ``exp(-mean)``.
+
+    Scale shape: bigram extraction is shuffle-free (``arrays_zip`` of
+    the token array with its BOS-shifted self, then one explode); the
+    count model is two vocab-bounded hash aggregates; scoring is two
+    equi-joins on (prev, tok)/(prev) plus a broadcast of the 1-row
+    vocabulary size — no driver-side state at any corpus size.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = (
+        df.select(F.col(id_col), w.alias("__w"))
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(bos)),
+                        F.slice(F.col("__w"), 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+                    ).alias("prev"),
+                    F.col("__w").alias("tok"),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+    )
+    if reuse:
+        # feeds the two count aggregates, the vocab size AND the
+        # scoring join probe — one tokenize pass instead of four
+        pairs = pairs.persist()
+    big = pairs.groupBy("prev", "tok").agg(F.count("*").alias("__c2"))
+    ctx = pairs.groupBy("prev").agg(F.count("*").alias("__c1"))
+    voc = pairs.agg(F.countDistinct("tok").alias("__v"))
+    lp = F.log(
+        (F.col("__c2") + F.lit(add_k)) / (F.col("__c1") + F.lit(add_k) * F.col("__v"))
+    )
+    return (
+        pairs.join(big, ["prev", "tok"])
+        .join(ctx, ["prev"])
+        .crossJoin(F.broadcast(voc))
+        .withColumn("__lp", lp)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            dround(F.avg("__lp"), 6).alias("avg_logprob"),
+            dround(F.exp(-F.avg("__lp")), 6).alias("perplexity"),
+        )
+    )

@@ -42,8 +42,9 @@ _MODULES = [
 # This explicit order puts (a) the never-driver-checked queries first —
 # including all of this round's q71-q75, (b) the freshly-fixed q24 next,
 # (c) a stable previously-green core for regression signal — entries whose
-# operator family has another window representative (q09/q12/q22/q31) were
-# rotated out to make room, and (d) the no-oracle (rows-only) similarity
+# operator family has another window representative (q06/q09/q12/q22/q25/
+# q31/q38) were rotated out to make room, and (d) the no-oracle (rows-only)
+# similarity
 # entries last. Queries registered but not named here are appended in
 # registration order after the named ones.
 _PRIORITY = [
@@ -75,6 +76,8 @@ _PRIORITY = [
     "q74_url_dedup",
     "q75_source_mixture",
     "q76_dedup_clusters",
+    "q77_bigram_lm",
+    "q78_quantize_int8",
     # (b) the only red row in r2, oracle type bug fixed this round
     "q24_fairness_confusion",
     # (c) stable green core, one per operator family where possible
@@ -89,13 +92,11 @@ _PRIORITY = [
     "q19_asof_join",
     "q20_ffill_bfill",
     "q23_calibration_bins",
-    "q25_rank_auc",
     "q26_vocab_build",
     "q28_rollup",
     "q29_bucketize_hourly",
     "q32_pivot_wide",
     "q34_dedup_exact",
-    "q38_fingerprint",
     "q39_ngram_jaccard",
     "q42_cosine_topk",
     "q45_set_ops",

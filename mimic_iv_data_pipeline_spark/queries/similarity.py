@@ -123,3 +123,43 @@ def q60_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=0.4, method="lsh", dims=64, bits=4
     )
+
+
+# --- q78: int8 scalar quantization of the embedding corpus ------------------
+@register(
+    "q78_quantize_int8",
+    oracle=r"""
+    WITH dims AS (
+      SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i
+    ), stats AS (
+      SELECT i, min(cast(embedding[i] AS DOUBLE)) AS mn,
+             max(cast(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings, dims GROUP BY 1
+    ), arrs AS (
+      SELECT list(mn ORDER BY i) AS mn_a, list(mx ORDER BY i) AS mx_a FROM stats
+    ), q AS (
+      SELECT vec_id, embedding, mn_a, mx_a,
+             list_transform(range(1, len(embedding) + 1), i ->
+               CASE WHEN mx_a[i] = mn_a[i] THEN 0
+                    ELSE cast(floor((cast(embedding[i] AS DOUBLE) - mn_a[i])
+                              / (mx_a[i] - mn_a[i]) * 254.0 + 0.5) AS INTEGER) - 127
+               END) AS qvec
+      FROM embeddings CROSS JOIN arrs
+    )
+    SELECT vec_id, qvec,
+           floor(list_aggregate(list_transform(range(1, len(embedding) + 1), i ->
+               abs(CASE WHEN mx_a[i] = mn_a[i] THEN mn_a[i]
+                        ELSE (qvec[i] + 127) / 254.0 * (mx_a[i] - mn_a[i]) + mn_a[i]
+                   END - cast(embedding[i] AS DOUBLE))), 'sum')
+             / len(embedding) * 1e6 + 0.5) / 1e6 AS recon_err
+    FROM q
+    """,
+)
+def q78_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-SQ8-style per-dimension int8 quantization with
+    reconstruction-error report; exact DuckDB twin."""
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    return quantize_embeddings_int8(_emb(spark, sf_dir))

@@ -238,3 +238,40 @@ def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.join(F.broadcast(sizes), "component").select(
         F.col("id").alias("doc_id"), "component", "cluster_size"
     )
+
+
+# --- q77: bigram-LM perplexity quality score --------------------------------
+@register(
+    "q77_bigram_lm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), pe AS (
+      SELECT doc_id, p.prev AS prev, p.tok AS tok FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                 i -> struct_pack(prev := CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END,
+                                  tok := w[i]))) AS p
+        FROM toks
+      )
+    ), big AS (
+      SELECT prev, tok, count(*) AS c2 FROM pe GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev, count(*) AS c1 FROM pe GROUP BY 1
+    ), voc AS (
+      SELECT count(DISTINCT tok) AS v FROM pe
+    ), scored AS (
+      SELECT pe.doc_id, ln((b.c2 + 0.5) / (c.c1 + 0.5 * voc.v)) AS lp
+      FROM pe JOIN big b USING (prev, tok) JOIN ctx c USING (prev) CROSS JOIN voc
+    )
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+           floor(avg(lp) * 1e6 + 0.5) / 1e6 AS avg_logprob,
+           floor(exp(-avg(lp)) * 1e6 + 0.5) / 1e6 AS perplexity
+    FROM scored GROUP BY 1
+    """,
+)
+def q77_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter: corpus-trained add-k
+    bigram LM, mean log-prob + perplexity per document."""
+    from mimic_iv_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir), "doc_id")

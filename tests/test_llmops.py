@@ -305,3 +305,50 @@ def test_cm_sketch_preagg_paths_identical(spark):
     a = sorted(map(tuple, cm_sketch(occ, pre_aggregate=True).collect()))
     b = sorted(map(tuple, cm_sketch(occ, pre_aggregate=False).collect()))
     assert a == b
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from mimic_iv_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    # corpus: two docs sharing a bigram; model trained on both
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, reuse=False).collect()}
+    # pairs: d1 [(<s>,a),(a,b)]  d2 [(<s>,a),(a,b),(b,a)]
+    # c(<s>)=2 c(a)=2 c(b)=1; c(<s>,a)=2 c(a,b)=2 c(b,a)=1; V={a,b}=2
+    k = 0.5
+    lp_sa = math.log((2 + k) / (2 + k * 2))
+    lp_ab = math.log((2 + k) / (2 + k * 2))
+    lp_ba = math.log((1 + k) / (1 + k * 2))
+    d1 = (lp_sa + lp_ab) / 2
+    d2 = (lp_sa + lp_ab + lp_ba) / 3
+    assert out[1]["n_tokens"] == 2 and out[2]["n_tokens"] == 3
+    assert abs(out[1]["avg_logprob"] - round(d1, 6)) < 2e-6
+    assert abs(out[2]["avg_logprob"] - round(d2, 6)) < 2e-6
+    assert abs(out[2]["perplexity"] - round(math.exp(-d2), 6)) < 2e-6
+
+
+def test_quantize_int8_roundtrip(spark):
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    rows = [
+        (1, [0.0, -1.0, 5.0]),
+        (2, [1.0, 1.0, 5.0]),   # dim 2 constant -> q=0, recon = mn
+        (3, [0.5, 0.25, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df, reuse=False).collect()}
+    for vid, vec in rows:
+        q = out[vid]["qvec"]
+        assert all(-127 <= qi <= 127 for qi in q)
+        # constant dim quantizes to 0 with zero reconstruction error
+        assert q[2] == 0
+        # dequantized value within half a quantization step per dim
+        assert out[vid]["recon_err"] <= (1.0 / 254) / 2 * (1 + 2) / 3 + 1e-9
+    # endpoints land exactly on the int8 rails
+    assert out[1]["qvec"][1] == -127 and out[2]["qvec"][0] == 127
