@@ -276,6 +276,43 @@ def ngram_jaccard_pairs(
     return _score_pairs(candidates, sets_df).filter(F.col("jaccard") >= threshold)
 
 
+_M32 = 4_294_967_296  # 2^32
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _minhash_perms(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the classical universal-hash
+    MinHash family ``h_i(x) = (a_i·x32 + b_i) mod (2^61−1)`` (Broder's
+    min-wise permutations via Carter–Wegman hashing). ``a`` is kept
+    below 2^30 so ``a·x32 + b < 2^62 + 2^61`` never overflows a long
+    under ANSI arithmetic. One string xxhash64 per shingle plus a
+    multiply-add-mod per function — hashing, not arithmetic, is the
+    per-row cost (the CM-sketch lesson), and unlike a Kirsch-
+    Mitzenmacher linear combination the per-function argmins stay
+    independent (a shared ``i·h2`` term lets the smallest h2 dominate
+    every high-i function — measured recall collapse on the fixture)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, _MERSENNE61))
+        for _ in range(num_hashes)
+    ]
+
+
+def _signature_expr(num_hashes: int) -> Column:
+    """The 64-way min-aggregate as ONE parsed SQL expression. Built
+    Column-by-Column this is ~450 Py4J round-trips (~1.5 s of driver
+    Python per call — measured, and the driver re-pays it on every
+    query build); one ``F.expr`` string is a single round-trip and
+    identical once parsed."""
+    mins = ", ".join(
+        f"min(pmod({a}L * __x + {b}L, {_MERSENNE61}L))"
+        for a, b in _minhash_perms(num_hashes)
+    )
+    return F.expr(f"array({mins})")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -283,29 +320,21 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash sketch: for each of ``num_hashes`` seeded hash functions,
-    the min over the doc's shingle set of that function's hash.
+    """MinHash sketch: for each of ``num_hashes`` hash functions, the
+    min over the doc's shingle set of that function's hash.
 
     The shingle STRING is hashed once (``xxhash64``); the per-function
-    hashes re-hash the resulting long with the seed — equivalent
-    independence for minhash purposes at a fraction of the cost of
-    hashing the variable-length string 64×. All codegen — hash columns
-    + min aggregates, no UDFs; the single shuffle is the groupBy(doc)
-    with map-side partial mins.
+    values are classical universal-hash permutations ``(a·x + b) mod
+    (2^61−1)`` of the 32-bit folded hash — codegen multiply-add-mods,
+    no per-function re-hash. The single shuffle is the groupBy(doc)
+    with map-side partial mins: ``num_hashes`` longs per doc per
+    partition.
     """
     shingled = exploded_shingles(df, id_col, text_col, n)
-    base = shingled.select("doc", F.xxhash64("shingle").alias("__h"))
-    hashed = base.select(
-        "doc",
-        *[
-            F.xxhash64(F.col("__h"), F.lit(seed)).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ],
+    base = shingled.select(
+        "doc", F.pmod(F.xxhash64("shingle"), F.lit(_M32)).alias("__x")
     )
-    sig = hashed.groupBy("doc").agg(
-        F.array(*[F.min(f"h{seed}") for seed in range(num_hashes)]).alias("signature")
-    )
-    return sig
+    return base.groupBy("doc").agg(_signature_expr(num_hashes).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -325,49 +354,41 @@ def minhash_lsh_pairs(
     explode bands, groupBy band bucket); candidates are then verified
     with exact n-gram Jaccard so the output has no false positives.
 
-    ``reuse`` persists the shared per-doc relation (feeds the banding
-    AND the verify join). Spark's CacheManager dedups identical plans,
-    so repeated calls reuse one cache entry rather than accumulating;
-    pass ``reuse=False`` for a fully lazy plan (e.g. one-shot batch
-    jobs where executor memory is tighter than recompute cost).
+    ``reuse`` persists the shared (doc, shingle-hash) relation (feeds
+    the sketch aggregate AND the verify join). Spark's CacheManager
+    dedups identical plans, so repeated calls reuse one cache entry
+    rather than accumulating; pass ``reuse=False`` for a fully lazy
+    plan (e.g. one-shot batch jobs where executor memory is tighter
+    than recompute cost).
+
+    Scale shape (the r3 rewrite): the sketch shuffle ships only
+    ``num_hashes`` map-side-combined mins per doc per partition — the
+    shingle sets needed for exact verification are collected ONLY for
+    documents that appear in some candidate pair (semi-join on the
+    candidate id set), so the corpus-wide ``collect_list`` shuffle of
+    full shingle text that previously dominated the runtime never
+    happens. Verification intersects 64-bit shingle-hash arrays instead
+    of strings; scores are exact up to xxhash64 collisions (~2⁻⁶⁴ per
+    shared shingle — property-tested identical to string-exact scores).
     """
     rows_per_band = num_hashes // bands
-    # One shingle pass serves BOTH the sketch and the exact verify:
-    # a single groupBy(doc) aggregates the minhash mins AND collects the
-    # shingle set (min over the non-distinct stream equals min over the
-    # set, and collect_list here sees the already-distinct relation).
-    # Halves the explode/window/distinct/aggregate work vs building
-    # signatures and verify sets independently.
     exploded = exploded_shingles(df, id_col, text_col, n)
-    base = exploded.withColumn("__h", F.xxhash64("shingle"))
-    per_doc = (
-        base.groupBy("doc")
-        .agg(
-            F.collect_list("shingle").alias("shingles"),
-            F.count(F.lit(1)).alias("n_shingles"),
-            *[
-                F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"__mh{seed}")
-                for seed in range(num_hashes)
-            ],
-        )
-        .withColumn(
-            "signature", F.array(*[F.col(f"__mh{seed}") for seed in range(num_hashes)])
-        )
-    )
+    base = exploded.select("doc", F.xxhash64("shingle").alias("__h"))
     if reuse:
-        per_doc = per_doc.persist()
-    sig = per_doc.select("doc", "signature")
+        base = base.persist()
+    x32 = F.pmod(F.col("__h"), F.lit(_M32))
+    sig = (
+        base.select("doc", x32.alias("__x"))
+        .groupBy("doc")
+        .agg(_signature_expr(num_hashes).alias("signature"))
+    )
     banded = sig.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "bucket"
-                    ),
-                ),
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct("
+                f"b AS band, "
+                f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})) AS bucket))"
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -380,8 +401,30 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification only on candidates — |candidates| joins, never
-    # the full quadratic pair space; reuses the cached per_doc relation
-    sets_df = per_doc.select("doc", "shingles", "n_shingles")
+    # the full quadratic pair space. The candidate relation (tiny: the
+    # LSH survivors) fans out to THREE consumers (the id set and both
+    # verify-join probes), so persist it — otherwise the banded
+    # self-join re-executes per consumer.
+    if reuse:
+        candidates = candidates.persist()
+    # Shingle-hash sets are built ONLY for docs in some candidate pair
+    # (left-semi on the candidate ids), from the cached base relation.
+    cand_docs = (
+        candidates.select(F.col("id_a").alias("doc"))
+        .union(candidates.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    sets_df = (
+        base.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(
+            F.collect_list("__h").alias("shingles"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
+    if reuse:
+        # probed twice by _score_pairs (id_a side and id_b side)
+        sets_df = sets_df.persist()
     return _score_pairs(candidates, sets_df).filter(
         F.col("jaccard") >= verify_threshold
     )
