@@ -26,12 +26,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
 __all__ = [
     "hash_unit",
     "hash_split",
     "stratified_sample",
     "pack_sequences",
     "source_mixture_rates",
+    "dsir_log_weights",
+    "length_bucketed_batches",
 ]
 
 _HASH_SPAN = 4294967296.0  # 2^32: span of the 8-hex-digit prefix
@@ -172,6 +176,145 @@ def pack_sequences(
         wid.alias(out_col),
         (wid - F.floor(b / F.lit(budget)).cast("long")).cast("long").alias("chunk_index"),
         F.greatest(hi - lo, F.lit(0)).cast("long").alias("chunk_tokens"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): per-document log importance weight
+    ``Σ_f c_doc(f) · [ln p̂_target(f) − ln p̂_raw(f)]`` over hashed
+    unigram+bigram features, with add-one smoothing
+    ``p̂(f) = (c(f)+1)/(total+B)``. Documents scoring high look like the
+    target distribution — the standard quality-domain upsampler for
+    pretraining mixes.
+
+    ``target_col`` is a boolean column marking the target exemplars;
+    the raw distribution is the whole corpus. Features are md5-prefix
+    hashes mod ``buckets`` (same portable primitive as
+    :func:`hash_unit`, so the whole computation has an exact DuckDB
+    twin).
+
+    Returns ``(doc, n_feats, log_weight)``.
+
+    Scale shape: feature extraction is a narrow explode (unigrams +
+    ``arrays_zip``-shifted bigrams); both distributions are
+    ``buckets``-bounded hash aggregates over the SAME occurrence
+    relation (no second corpus pass); the λ table (B rows) broadcasts
+    into the per-doc scoring aggregate. No driver state, no collect.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(target_col).alias("__t"), w.alias("__w")
+    )
+    uni = base.select("doc", "__t", F.explode("__w").alias("feat")).filter(
+        F.col("feat") != ""
+    )
+    bi = (
+        base.select(
+            "doc",
+            "__t",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__w"), 1, F.greatest(F.size("__w") - 1, F.lit(0))).alias("a"),
+                    F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc", "__t", F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("feat"))
+        .filter(F.col("feat") != "")
+    )
+    occ = uni.unionByName(bi).withColumn(
+        "bucket", F.pmod(_hash_long(F.col("feat"), salt), F.lit(buckets)).cast("long")
+    )
+    per_doc = occ.groupBy("doc", "bucket").agg(F.count("*").alias("c"))
+    tgt = occ.filter(F.col("__t")).groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw = occ.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tot = occ.agg(
+        F.sum(F.col("__t").cast("long")).alias("__T"),
+        F.count("*").alias("__R"),
+    )
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + 1) / (F.col("__T") + F.lit(buckets)))
+                - F.log((F.col("cr") + 1) / (F.col("__R") + F.lit(buckets)))
+            ).alias("__lam"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            dround(F.sum(F.col("c") * F.col("__lam")), 6).alias("log_weight"),
+        )
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    bucket_width: int = 64,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batch assembly with padding-waste accounting —
+    the dynamic-batching step every sequence-model input pipeline runs:
+    group similar-length documents so per-batch padding to the batch max
+    wastes the fewest tokens.
+
+    Buckets are linear ``floor((tokens−1)/bucket_width)`` ranges
+    (exact in integer arithmetic on any engine — a log2 bucket rule
+    would hit cross-engine floating-point edge cases at exact powers).
+    Within a bucket, documents are laid out in ``id_col`` order and
+    chopped into batches of ``batch_size``.
+
+    Returns per-batch stats ``(bucket, batch_id, n_docs, max_tokens,
+    sum_tokens, pad_waste, pad_ratio)`` where ``pad_waste =
+    n_docs·max_tokens − sum_tokens``.
+
+    Scale shape: the row-number window partitions by bucket — each
+    bucket serializes on one task, acceptable because bucket count is
+    bounded (max_len / bucket_width) and the downstream batch stats are
+    a hash aggregate. For corpora where single buckets overflow a task,
+    pre-shard with :func:`hash_split` and window on (shard, bucket) —
+    same composition as :func:`pack_sequences`.
+    """
+    t = F.col(tokens_col).cast("long")
+    bucketed = df.select(
+        F.col(id_col).alias("doc"),
+        t.alias("__toks"),
+        F.floor((t - 1) / F.lit(bucket_width)).cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc")
+    return (
+        bucketed.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id", F.floor((F.col("__rn") - 1) / F.lit(batch_size)).cast("long")
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("__toks").cast("long").alias("max_tokens"),
+            F.sum("__toks").cast("long").alias("sum_tokens"),
+            (F.count("*") * F.max("__toks") - F.sum("__toks"))
+            .cast("long")
+            .alias("pad_waste"),
+            dround(
+                1 - F.sum("__toks") / (F.count("*") * F.max("__toks")), 6
+            ).alias("pad_ratio"),
+        )
     )
 
 

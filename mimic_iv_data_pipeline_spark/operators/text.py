@@ -242,6 +242,138 @@ def url_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by smoothed TF-IDF
+    (sklearn ``smooth_idf`` semantics: ``idf = ln((1+N)/(1+df)) + 1``).
+    The standard corpus keyword / topic-signal extractor a training-data
+    pipeline uses for domain tagging and near-topic filtering.
+
+    Returns ``(doc, token, tf, score)``, deterministic rank order
+    (score desc, tf desc, token asc) so ties never flip across engines.
+
+    Scale shape: term counts are one (doc, token) hash aggregate; the
+    document-frequency table is a vocab-bounded aggregate OVER that
+    relation (no second corpus pass); N is a broadcast 1-row scalar.
+    The only per-doc serialization is the top-k window, keyed by doc.
+    """
+    occ = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = occ.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    from pyspark.sql.window import Window
+
+    score = F.col("tf") * (
+        F.log((1 + F.col("__n")) / (1 + F.col("__df"))) + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("doc", "token", F.col("tf").cast("long").alias("tf"), dround(F.col("score"), 6).alias("score"))
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document novelty profile: the share of the doc's distinct
+    word ``n``-grams that appear in at least one OTHER document — the
+    leave-one-out memorization / boilerplate signal (the aggregate twin
+    of Lee et al.'s *Deduplicating Training Data* substring analysis,
+    at n-gram rather than suffix-array granularity).
+
+    Returns ``(doc, n_grams, n_shared, shared_share)`` where
+    ``shared_share = n_shared / n_grams``; high values mean the doc is
+    mostly assembled from corpus-common n-grams.
+
+    Scale shape: one distinct-(doc, gram) relation feeds BOTH the gram
+    document-frequency aggregate and the per-doc rollup — gram df is
+    vocab-bounded; no pairwise comparison anywhere. A doc's gram is
+    "shared" iff its corpus df ≥ 2, which is exactly the leave-one-out
+    membership test without a self-join.
+    """
+    from mimic_iv_data_pipeline_spark.operators.dedup import exploded_shingles
+
+    sets = exploded_shingles(df, id_col, text_col, n)
+    gdf = sets.groupBy("shingle").agg(F.count("*").alias("__gdf"))
+    return (
+        sets.join(gdf, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("__gdf") >= 2).cast("long")).cast("long").alias("n_shared"),
+            dround(
+                F.sum((F.col("__gdf") >= 2).cast("long")) / F.count("*"), 6
+            ).alias("shared_share"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """One BPE merge-selection step (Sennrich et al. 2016): corpus-wide
+    adjacent-symbol-pair frequencies at the character level, weighted by
+    word frequency — the inner loop of tokenizer training, expressed as
+    a Spark plan so vocabulary induction can run where the corpus lives
+    instead of on a driver sample.
+
+    Returns the ``top_k`` pairs ``(pair, n_words, n_occurrences)``
+    ordered by (occurrences desc, pair asc) — the argmax row is the
+    merge a BPE trainer would apply next.
+
+    Scale shape: the word-frequency aggregate collapses the corpus to
+    its vocabulary FIRST (pair explosion runs over distinct words ×
+    their counts, not over every token instance); pair counts are
+    alphabet²-bounded; the final top-k is a TakeOrderedAndProject over
+    that tiny relation, not a global sort.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("__wc"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)  # sequence(1, 0) would DEscend
+        .select(
+            "word",
+            "__wc",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("__i"),
+        )
+        .select(
+            F.concat(
+                F.col("word").substr(F.col("__i"), F.lit(1)),
+                F.lit(" "),
+                F.col("word").substr(F.col("__i") + 1, F.lit(1)),
+            ).alias("pair"),
+            "__wc",
+        )
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("__wc").cast("long").alias("n_occurrences"),
+    )
+    return agg.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc()).limit(top_k)
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -23,7 +23,9 @@ from mimic_iv_data_pipeline_spark.operators.dedup import (
 )
 from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
 from mimic_iv_data_pipeline_spark.operators.sampling import (
+    dsir_log_weights,
     hash_split,
+    length_bucketed_batches,
     pack_sequences,
     source_mixture_rates,
     stratified_sample,
@@ -37,6 +39,9 @@ from mimic_iv_data_pipeline_spark.operators.sketches import (
     token_stream,
 )
 from mimic_iv_data_pipeline_spark.operators.text import (
+    bpe_pair_counts,
+    ngram_novelty,
+    tfidf_topk,
     token_count,
     url_frequency,
     with_repetition_metrics,
@@ -555,3 +560,163 @@ def q75_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_rates(
         d, "source", "n_toks", {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
     )
+
+
+# --- q79: TF-IDF keyword extraction -----------------------------------------
+# Wave 4. Corpus keyword / domain-tag signal; sklearn smooth_idf
+# semantics. Deterministic rank (score desc, tf desc, token asc).
+@register(
+    "q79_tfidf_keywords",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), occ2 AS (SELECT * FROM occ WHERE token <> ''),
+    tf AS (SELECT doc, token, count(*) AS tf FROM occ2 GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc, tf.token, tf.tf,
+             tf.tf * (ln((1 + n.n) * 1.0 / (1 + dfreq.df)) + 1) AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc ORDER BY score DESC, tf DESC, token ASC) AS rn
+      FROM scored
+    )
+    SELECT doc, token, cast(tf AS bigint) AS tf,
+           floor(score * 1000000 + 0.5) / 1000000 AS score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q79_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+# --- q80: DSIR importance weights -------------------------------------------
+# Wave 4. Xie et al. NeurIPS'23 hashed-ngram importance resampling;
+# target distribution = lang='en' docs, raw = whole corpus.
+@register(
+    "q80_dsir_weights",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS doc, (lang = 'en') AS t,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), uni AS (
+      SELECT doc, t, unnest(w) AS feat FROM base
+    ), bi AS (
+      SELECT doc, t, unnest(list_transform(
+               range(0, greatest(len(w) - 1, 0)),
+               i -> concat(w[i+1], ' ', w[i+2]))) AS feat
+      FROM base
+    ), occ AS (
+      SELECT doc, t, feat,
+             cast(concat('0x', substr(md5(concat('dsir:', feat)), 1, 8)) AS bigint) % 1024 AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      WHERE feat <> ''
+    ), per_doc AS (SELECT doc, bucket, count(*) AS c FROM occ GROUP BY 1, 2),
+    tgt AS (SELECT bucket, count(*) AS ct FROM occ WHERE t GROUP BY 1),
+    raw AS (SELECT bucket, count(*) AS cr FROM occ GROUP BY 1),
+    tot AS (SELECT cast(sum(CASE WHEN t THEN 1 ELSE 0 END) AS bigint) AS tt,
+                   count(*) AS rr FROM occ),
+    lam AS (
+      SELECT r.bucket,
+             ln((coalesce(ct, 0) + 1) * 1.0 / (tt + 1024))
+             - ln((cr + 1) * 1.0 / (rr + 1024)) AS lam
+      FROM raw r LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    )
+    SELECT p.doc, cast(sum(p.c) AS bigint) AS n_feats,
+           floor(sum(p.c * l.lam) * 1000000 + 0.5) / 1000000 AS log_weight
+    FROM per_doc p JOIN lam l USING (bucket) GROUP BY 1
+    """,
+)
+def q80_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("__is_tgt", F.col("lang") == "en")
+    return dsir_log_weights(d, "doc_id", "text", "__is_tgt", buckets=1024)
+
+
+# --- q81: BPE pair-merge step -----------------------------------------------
+# Wave 4. One tokenizer-training inner-loop iteration: corpus-wide
+# adjacent char-pair frequencies over the word vocabulary.
+@register(
+    "q81_bpe_pairs",
+    oracle=r"""
+    WITH words AS (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY 1
+    ), pairs AS (
+      SELECT unnest(list_transform(
+               range(1, len(word)),
+               i -> concat(word[i], ' ', word[i+1]))) AS pair, wc
+      FROM words WHERE len(word) >= 2
+    )
+    SELECT pair, cast(count(*) AS bigint) AS n_words,
+           cast(sum(wc) AS bigint) AS n_occurrences
+    FROM pairs GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+    """,
+)
+def q81_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(_docs(spark, sf_dir), "text", top_k=20)
+
+
+# --- q82: length-bucketed batching ------------------------------------------
+# Wave 4. Dynamic batching with padding-waste accounting.
+@register(
+    "q82_length_batches",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id AS doc,
+             cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bigint) AS toks
+      FROM documents
+    ), bkt AS (
+      SELECT doc, toks, cast(floor((toks - 1) * 1.0 / 64) AS bigint) AS bucket FROM d
+    ), rn AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc) AS rn FROM bkt
+    ), batched AS (
+      SELECT bucket, cast(floor((rn - 1) * 1.0 / 32) AS bigint) AS batch_id, toks
+      FROM rn
+    )
+    SELECT bucket, batch_id,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(max(toks) AS bigint) AS max_tokens,
+           cast(sum(toks) AS bigint) AS sum_tokens,
+           cast(count(*) * max(toks) - sum(toks) AS bigint) AS pad_waste,
+           floor((1 - sum(toks) * 1.0 / (count(*) * max(toks))) * 1000000 + 0.5) / 1000000 AS pad_ratio
+    FROM batched GROUP BY 1, 2
+    """,
+)
+def q82_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    return length_bucketed_batches(d, "doc_id", "n_toks", bucket_width=64, batch_size=32)
+
+
+# --- q83: n-gram novelty ----------------------------------------------------
+# Wave 4. Leave-one-out memorization signal: share of a doc's distinct
+# 5-grams that any OTHER doc also contains (corpus df >= 2).
+@register(
+    "q83_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 5, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])))) AS shingle
+      FROM toks
+    ), gdf AS (SELECT shingle, count(*) AS gdf FROM grams GROUP BY 1)
+    SELECT g.doc, cast(count(*) AS bigint) AS n_grams,
+           cast(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_shared,
+           round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS shared_share
+    FROM grams g JOIN gdf USING (shingle) GROUP BY 1
+    """,
+)
+def q83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=5)

@@ -352,3 +352,97 @@ def test_quantize_int8_roundtrip(spark):
         assert out[vid]["recon_err"] <= (1.0 / 254) / 2 * (1 + 2) / 3 + 1e-9
     # endpoints land exactly on the int8 rails
     assert out[1]["qvec"][1] == -127 and out[2]["qvec"][0] == 127
+
+
+# --- wave 4: TF-IDF / DSIR / BPE / batching / novelty ------------------------
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from mimic_iv_data_pipeline_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "durian durian durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, "doc_id", "text", k=2)
+    rows = {(r["doc"], r["token"]): r for r in out.collect()}
+    # every doc emits <= k rows
+    per_doc = out.groupBy("doc").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+    # apple appears in 2 of 3 docs: idf = ln(4/3) + 1; tf=2 in doc 1
+    exp = 2 * (math.log(4 / 3) + 1)
+    assert abs(rows[(1, "apple")]["score"] - round(exp, 6)) < 1e-6
+    # durian: df=1, tf=3 -> 3*(ln(4/2)+1) and it's doc 3's only token
+    assert rows[(3, "durian")]["tf"] == 3
+    assert (3, "durian") in rows and len([k for k in rows if k[0] == 3]) == 1
+
+
+def test_dsir_weights_separate_target_lookalikes(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import dsir_log_weights
+
+    # target docs share a distinctive vocabulary; one held-out doc of
+    # each style must rank by target-likeness
+    rows = [(i, "quantum flux entangle qubit gate", True) for i in range(5)]
+    rows += [(10 + i, "soccer goal referee corner kick", False) for i in range(5)]
+    rows += [(100, "quantum qubit gate flux", False)]   # looks like target
+    rows += [(101, "soccer corner kick goal", False)]   # looks like raw
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    w = {r["doc"]: r["log_weight"] for r in dsir_log_weights(
+        df, "doc_id", "text", "is_tgt", buckets=256).collect()}
+    assert w[100] > w[101]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low a")], ["doc_id", "text"]
+    )
+    # vocab: low(x3), lower(x1), a(x1; len<2 -> no pairs)
+    out = {r["pair"]: (r["n_words"], r["n_occurrences"])
+           for r in bpe_pair_counts(df, "text", top_k=10).collect()}
+    assert out["l o"] == (2, 4)       # in 'low' (3 occ) and 'lower' (1)
+    assert out["o w"] == (2, 4)
+    assert out["w e"] == (1, 1)
+    assert out["e r"] == (1, 1)
+    assert "a ?" not in out and len(out) == 4
+
+
+def test_length_batches_invariants(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 500) for i in range(300)], ["doc_id", "n_toks"]
+    )
+    out = length_bucketed_batches(df, "doc_id", "n_toks",
+                                  bucket_width=64, batch_size=16).collect()
+    assert sum(r["n_docs"] for r in out) == 300
+    for r in out:
+        assert 1 <= r["n_docs"] <= 16
+        assert r["pad_waste"] >= 0
+        assert r["pad_waste"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+        # bucket invariant: max token length inside the bucket's range
+        assert r["bucket"] * 64 < r["max_tokens"] <= (r["bucket"] + 1) * 64
+
+
+def test_ngram_novelty_duplicate_vs_unique(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import ngram_novelty
+
+    common = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, "alpha beta gamma delta epsilon zeta eta")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in ngram_novelty(df, "doc_id", "text", n=5).collect()}
+    # docs 1 and 2 are identical: every 5-gram shared
+    assert out[1]["shared_share"] == 1.0 and out[2]["shared_share"] == 1.0
+    # doc 3 is unique: nothing shared
+    assert out[3]["n_shared"] == 0 and out[3]["shared_share"] == 0.0
