@@ -48,6 +48,9 @@ HEADLINE = [
     "q66_heavy_hitters",
     "q69_sequence_packing",
     "q70_repetition",
+    "q79_tfidf_keywords",
+    "q80_dsir_weights",
+    "q83_ngram_novelty",
 ]
 
 

@@ -186,6 +186,7 @@ def dsir_log_weights(
     target_col: str,
     buckets: int = 1024,
     salt: str = "dsir",
+    reuse: bool = True,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al., NeurIPS
     2023): per-document log importance weight
@@ -204,10 +205,13 @@ def dsir_log_weights(
     Returns ``(doc, n_feats, log_weight)``.
 
     Scale shape: feature extraction is a narrow explode (unigrams +
-    ``arrays_zip``-shifted bigrams); both distributions are
-    ``buckets``-bounded hash aggregates over the SAME occurrence
-    relation (no second corpus pass); the λ table (B rows) broadcasts
-    into the per-doc scoring aggregate. No driver state, no collect.
+    ``arrays_zip``-shifted bigrams) scanned EXACTLY ONCE — the
+    (doc, bucket) count aggregate is the only corpus-sized shuffle, and
+    the target/raw bucket distributions are conditional sums over that
+    already-aggregated relation (``buckets``-bounded, a doc's rows all
+    carry its target flag). The λ table (B rows) and the two totals
+    broadcast into the per-doc scoring aggregate. No driver state, no
+    collect.
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(
@@ -233,24 +237,28 @@ def dsir_log_weights(
     occ = uni.unionByName(bi).withColumn(
         "bucket", F.pmod(_hash_long(F.col("feat"), salt), F.lit(buckets)).cast("long")
     )
-    per_doc = occ.groupBy("doc", "bucket").agg(F.count("*").alias("c"))
-    tgt = occ.filter(F.col("__t")).groupBy("bucket").agg(F.count("*").alias("ct"))
-    raw = occ.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tot = occ.agg(
-        F.sum(F.col("__t").cast("long")).alias("__T"),
-        F.count("*").alias("__R"),
+    # the ONLY corpus-sized aggregate; __t rides along for free since a
+    # doc's rows all share one flag. It feeds BOTH the λ branch and the
+    # scoring join, so ``reuse`` persists it (docs×buckets-bounded —
+    # far smaller than the occurrence stream it summarizes); Spark's
+    # CacheManager dedups identical plans across repeated calls.
+    per_doc = occ.groupBy("doc", "__t", "bucket").agg(F.count("*").alias("c"))
+    if reuse:
+        per_doc = per_doc.persist()
+    stats = per_doc.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
     )
-    lam = (
-        raw.join(tgt, "bucket", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("ct") + 1) / (F.col("__T") + F.lit(buckets)))
-                - F.log((F.col("cr") + 1) / (F.col("__R") + F.lit(buckets)))
-            ).alias("__lam"),
-        )
+    tot = stats.agg(
+        F.sum("ct").alias("__T"),
+        F.sum("cr").alias("__R"),
+    )
+    lam = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / (F.col("__T") + F.lit(buckets)))
+            - F.log((F.col("cr") + 1) / (F.col("__R") + F.lit(buckets)))
+        ).alias("__lam"),
     )
     return (
         per_doc.join(F.broadcast(lam), "bucket")

@@ -256,19 +256,22 @@ def tfidf_topk(
     Returns ``(doc, token, tf, score)``, deterministic rank order
     (score desc, tf desc, token asc) so ties never flip across engines.
 
-    Scale shape: term counts are one (doc, token) hash aggregate; the
-    document-frequency table is a vocab-bounded aggregate OVER that
-    relation (no second corpus pass); N is a broadcast 1-row scalar.
-    The only per-doc serialization is the top-k window, keyed by doc.
+    Scale shape: term counts are one (doc, token) hash aggregate;
+    document frequency is a window count over that relation (no second
+    corpus pass, no self-join); N is a broadcast 1-row scalar. The only
+    per-doc serialization is the top-k window, keyed by doc.
     """
+    from pyspark.sql.window import Window
+
     occ = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
     tf = occ.groupBy("doc", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
-    from pyspark.sql.window import Window
-
+    # document frequency as a window count over the tf relation — the
+    # (doc, token) rows ARE one row per containing doc, so count(*)
+    # over (token) is df without a second corpus pass or a self-join
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token"))
     score = F.col("tf") * (
         F.log((1 + F.col("__n")) / (1 + F.col("__df"))) + F.lit(1.0)
     )
@@ -276,7 +279,7 @@ def tfidf_topk(
         F.col("score").desc(), F.col("tf").desc(), F.col("token").asc()
     )
     return (
-        tf.join(dfreq, "token")
+        tf.withColumn("__df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", score)
         .withColumn("__rn", F.row_number().over(w))
@@ -301,25 +304,28 @@ def ngram_novelty(
     ``shared_share = n_shared / n_grams``; high values mean the doc is
     mostly assembled from corpus-common n-grams.
 
-    Scale shape: one distinct-(doc, gram) relation feeds BOTH the gram
-    document-frequency aggregate and the per-doc rollup — gram df is
-    vocab-bounded; no pairwise comparison anywhere. A doc's gram is
-    "shared" iff its corpus df ≥ 2, which is exactly the leave-one-out
-    membership test without a self-join.
+    Scale shape: one distinct-(doc, gram) relation computed ONCE; gram
+    document frequency is a window count over it (the rows are one per
+    containing doc), so there is no self-join and no second shingle
+    pass — the plan is explode → distinct → window(shingle) →
+    groupBy(doc), three shuffles, no pairwise comparison anywhere. A
+    doc's gram is "shared" iff its corpus df ≥ 2, which is exactly the
+    leave-one-out membership test.
     """
+    from pyspark.sql.window import Window
+
     from mimic_iv_data_pipeline_spark.operators.dedup import exploded_shingles
 
     sets = exploded_shingles(df, id_col, text_col, n)
-    gdf = sets.groupBy("shingle").agg(F.count("*").alias("__gdf"))
+    gdf = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    shared = (F.col("__gdf") >= 2).cast("long")
     return (
-        sets.join(gdf, "shingle")
+        sets.withColumn("__gdf", gdf)
         .groupBy("doc")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.sum((F.col("__gdf") >= 2).cast("long")).cast("long").alias("n_shared"),
-            dround(
-                F.sum((F.col("__gdf") >= 2).cast("long")) / F.count("*"), 6
-            ).alias("shared_share"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            dround(F.sum(shared) / F.count("*"), 6).alias("shared_share"),
         )
     )
 

@@ -78,10 +78,19 @@ _PRIORITY = [
     "q76_dedup_clusters",
     "q77_bigram_lm",
     "q78_quantize_int8",
+    "q79_tfidf_keywords",
+    "q80_dsir_weights",
+    "q81_bpe_pairs",
+    "q82_length_batches",
+    "q83_ngram_novelty",
     # (b) the only red row in r2, oracle type bug fixed this round
     "q24_fairness_confusion",
-    # (c) stable green core, one per operator family where possible
-    "q01_pricing_summary",
+    # (c) stable green core, one per operator family where possible.
+    # Rotated out mid-round-3 for the wave-4 block above: q01 (flagship
+    # entry() is smoke-checked every round anyway; agg family covered by
+    # q48/q54), q23 (calibration covered by q51/q52/q57), q28 (q54 cube
+    # covers rollup), q29 (temporal bucketing covered by q49), q46
+    # (encode family covered by q61/q62).
     "q03_revenue_by_nation",
     "q04_semi_join",
     "q08_outer_join_fill",
@@ -91,16 +100,12 @@ _PRIORITY = [
     "q18_readmission_label",
     "q19_asof_join",
     "q20_ffill_bfill",
-    "q23_calibration_bins",
     "q26_vocab_build",
-    "q28_rollup",
-    "q29_bucketize_hourly",
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q39_ngram_jaccard",
     "q42_cosine_topk",
     "q45_set_ops",
-    "q46_one_hot",
     "q59_embedding_neardup",
 ]
 
