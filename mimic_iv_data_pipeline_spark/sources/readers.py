@@ -124,3 +124,44 @@ def read_tsv_map(
 def read_glob_csv(spark: SparkSession, glob: str, schema: T.StructType) -> DataFrame:
     """S8: multi-file glob source (``glob(dataFile+'/*.csv')`` concat)."""
     return spark.read.schema(schema).option("header", "true").csv(glob)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines corpus scan — the lingua franca of LLM training data
+    (Dolma, RedPajama, FineWeb all ship .jsonl/.jsonl.gz shards).
+
+    Schema is REQUIRED: inferring would double-scan 100 TB. gzip/zstd
+    shards decode via the codec from the extension; a .jsonl.gz file is
+    NOT splittable, so shard counts (not file sizes) bound parallelism
+    — keep shards ~256 MB compressed. ``PERMISSIVE`` mode routes
+    malformed lines into ``corrupt_col`` instead of failing the job
+    (crawl corpora always carry breakage); pass ``mode='DROPMALFORMED'``
+    to silently drop or ``'FAILFAST'`` to abort.
+    """
+    if corrupt_col and mode == "PERMISSIVE" and corrupt_col not in schema.names:
+        # fresh StructType: StructType.add mutates in place, which would
+        # silently grow a caller-owned (or module-constant) schema
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
+    reader = spark.read.schema(schema).option("mode", mode)
+    if corrupt_col and mode == "PERMISSIVE":
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)

@@ -61,3 +61,22 @@ def write_summary_text(lines: list[str], path: str) -> None:
     """
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-Lines corpus sink (one JSON object per line, the standard
+    interchange format for LLM training corpora). Compressed shards by
+    default; ``partition_by`` gives hive-layout source/split directories
+    so downstream mixing jobs can partition-prune."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

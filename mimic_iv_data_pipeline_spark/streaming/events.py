@@ -153,3 +153,46 @@ def stream_cm_sketch(
     return cm_sketch(
         token_stream(docs, text_col), depth=depth, width=width, pre_aggregate=False
     )
+
+
+def stream_corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    split_fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Live-ingest corpus preprocessing: the stateless quality gate an
+    LLM pipeline runs on documents AS THEY ARRIVE — quality metrics,
+    language ID, PII scrub, and a deterministic hash split, composed
+    into one narrow projection chain.
+
+    Every step is a per-row Column expression (no aggregation, no
+    state, no watermark), so this runs forever at any ingest rate and
+    the output stream can fan straight into a partitioned
+    ``writeStream`` (partition by split/source) for downstream batch
+    mixing. Content-addressed splitting (``sampling.hash_split``) is
+    what makes the assignment reproducible between the stream and any
+    batch re-run — a seeded ``F.rand`` would give each micro-batch its
+    own lineage-dependent stream of draws.
+
+    Batch equivalence is exact and total: for any prefix of the stream
+    the emitted rows equal the batch pipeline over the same rows
+    (asserted in tests/test_multimodal_streaming.py).
+    """
+    from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
+    from mimic_iv_data_pipeline_spark.operators.sampling import hash_split
+    from mimic_iv_data_pipeline_spark.operators.text import (
+        predict_language,
+        with_quality_metrics,
+    )
+
+    out = with_quality_metrics(docs, "text")
+    out = predict_language(out, "text")
+    out = with_pii_scrub(out, "text")
+    out = hash_split(
+        out, "doc_id", split_fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+    return out.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )

@@ -425,3 +425,41 @@ def test_stream_cm_sketch_matches_batch(spark, sf_smoke, tmp_path):
     }
     assert got == expect
     assert len(got) <= 4 * 64
+
+
+def test_stream_corpus_filter_matches_batch(spark, sf_smoke, tmp_path):
+    """The stateless ingest gate (quality + lang-ID + PII + hash split)
+    emits exactly the batch pipeline's rows for the same input — the
+    content-addressed split is what makes this hold across arbitrary
+    micro-batch boundaries."""
+    from mimic_iv_data_pipeline_spark.streaming.events import stream_corpus_filter
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream_corpus_filter(stream)
+        .writeStream.format("memory")
+        .queryName("stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM stream_gate").collect())
+    )
+    expect = sorted(map(tuple, stream_corpus_filter(docs).collect()))
+    assert got == expect and len(got) > 0
+    # split column present and complete
+    splits = {r[-1] for r in got}
+    assert splits <= {"train", "valid", "test"}

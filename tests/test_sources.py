@@ -95,3 +95,44 @@ def test_register_views_sql_surface(spark, sf_smoke):
     assert row["n"] > 0
     # events view carries the nanos→micros shim
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mimic_iv_data_pipeline_spark.sources.readers import read_jsonl
+    from mimic_iv_data_pipeline_spark.sources.sinks import write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello world", "src0"), (2, "goodbye", "src1")], schema=schema
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, compression=None, partition_by=["source"])
+    back = read_jsonl(spark, out, schema)
+    got = sorted(
+        (r["doc_id"], r["text"], r["source"]) for r in back.collect()
+    )
+    assert got == [(1, "hello world", "src0"), (2, "goodbye", "src1")]
+
+    # malformed lines land in _corrupt_record, not a job failure
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok", "source": "s"}\nnot json at all\n')
+    parsed = read_jsonl(spark, str(bad), schema)
+    rows = parsed.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "not json at all"
+
+    # FAILFAST surfaces the breakage
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(bad), schema, mode="FAILFAST").collect()
