@@ -51,6 +51,8 @@ HEADLINE = [
     "q79_tfidf_keywords",
     "q80_dsir_weights",
     "q83_ngram_novelty",
+    "q85_duplicate_spans",
+    "q88_dedup_clean",
 ]
 
 

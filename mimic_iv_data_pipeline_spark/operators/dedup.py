@@ -666,3 +666,136 @@ def passage_block_dedup(
             F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Sliding-window duplicated-span detector (the exact-substring
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at token granularity).
+
+    Unlike ``passage_block_dedup`` (fixed non-overlapping blocks, which
+    misses any duplicate not aligned to a block boundary), this slides
+    a ``k``-token window one token at a time, marks every window whose
+    text occurs ≥ ``min_df`` times corpus-wide, and merges overlapping
+    marked windows into maximal spans per document (gaps-and-islands
+    over the start positions). Output per doc: ``n_tokens``,
+    ``n_dup_spans``, ``dup_tokens`` (tokens covered by some duplicated
+    span), ``dup_frac``.
+
+    Scale shape: tokenize+explode is narrow (a doc emits n−k+1 rows);
+    the duplicate mark is ONE shuffle keyed on the window text (high
+    cardinality, skew-free by construction); the island merge is one
+    per-doc window chain (second shuffle, keyed on doc). No self-join
+    — the corpus never meets itself, unlike the Jaccard pair path.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc"), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    grams = base.where(F.col("__n") >= k).select(
+        "doc",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__n") - F.lit(k) + F.lit(1))
+        ).alias("p"),
+        "__toks",
+    ).select(
+        "doc", "p", F.array_join(F.slice("__toks", F.col("p"), k), " ").alias("__g")
+    )
+    dup = grams.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("__g"))
+    ).where(F.col("__df") >= min_df)
+    # gaps-and-islands: spans [p, p+k-1] merge when the next start is
+    # within k of the previous (touching counts as one span)
+    by_doc = Window.partitionBy("doc").orderBy("p")
+    isl = dup.withColumn(
+        "__new",
+        F.when(
+            F.lag("p").over(by_doc).isNull()
+            | (F.col("p") - F.lag("p").over(by_doc) > k),
+            1,
+        ).otherwise(0),
+    ).withColumn("__isl", F.sum("__new").over(by_doc))
+    spans = isl.groupBy("doc", "__isl").agg(
+        (F.max("p") + F.lit(k) - F.min("p")).cast("long").alias("__span_toks")
+    )
+    per_doc = spans.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("__span_toks").cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc", F.col("__n").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            dround(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    train_sample: int = 262_144,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then deduplicate ONLY within clusters — pairwise cosine is
+    paid per cluster, never corpus-wide. A document is pruned when a
+    smaller-id neighbor in its cluster has cosine ≥ ``threshold``
+    (deterministic keep-lowest-id stand-in for the paper's
+    keep-farthest-from-centroid tie-break).
+
+    Reuses the IVF coarse quantizer (bounded driver-side Lloyd sample,
+    broadcast centroid matrix, Arrow-batched assignment —
+    ``operators/similarity.py``); the within-cluster pair join is an
+    equi-join on the cell id, so the quadratic term is bounded by the
+    largest cluster, not the corpus. Output: every input id with its
+    ``cell`` and a ``pruned`` flag (rows-only query — k-means has no
+    SQL twin).
+    """
+    import numpy as np
+
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        _assign_cells_pandas,
+        _train_quantizer,
+        as_double_vec,
+        cosine,
+    )
+
+    sample = emb.select(vec_col).limit(train_sample).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    centers = _train_quantizer(X, n_clusters, seed=seed)
+    assigned = _assign_cells_pandas(emb, id_col, vec_col, centers, 1).select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("__v"), "cell"
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pruned_ids = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")))
+        .where(cosine(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(pruned_ids.withColumn("pruned", F.lit(True)), "id", "left")
+        .select(
+            "id", "cell", F.coalesce("pruned", F.lit(False)).alias("pruned")
+        )
+    )

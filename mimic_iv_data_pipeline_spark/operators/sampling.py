@@ -375,3 +375,45 @@ def source_mixture_rates(
         .cast("long")
         .alias("expected_tokens"),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    quotas: dict[str, int],
+    salt: str = "quota",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exact-count per-stratum sampling: take EXACTLY ``quotas[s]`` rows
+    from each stratum (or all of it, if smaller) — the execution step of
+    a source-mixture plan, where ``source_mixture_rates`` decides the
+    counts and this draws them.
+
+    Selection is a deterministic hash ranking (``hash_unit`` of the key,
+    ties broken by the key itself), so the drawn set is bit-stable under
+    any partitioning/cluster layout AND nested: quota 500 is a superset
+    of quota 100 for the same salt — growing a mixture never redraws
+    documents (reservoir sampling can't promise either). Strata absent
+    from ``quotas`` are dropped.
+
+    Scale shape: one shuffle keyed on the stratum for the per-stratum
+    rank. A stratum is one partition's worth of work here; when a single
+    stratum dominates a 100 TB corpus, pre-filter with
+    ``hash_unit(key) < margin · quota/|stratum|`` (a narrow pass using a
+    counts broadcast) before ranking so the window sees a bounded slice;
+    the margin makes a shortfall vanishingly unlikely but the final
+    exactness check is the rank itself.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    quota = None
+    for name, n in quotas.items():
+        cond = F.col(strata_col) == F.lit(name)
+        quota = F.when(cond, F.lit(n)) if quota is None else quota.when(cond, F.lit(n))
+    quota = F.lit(0) if quota is None else quota.otherwise(F.lit(0))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= quota)
+    )

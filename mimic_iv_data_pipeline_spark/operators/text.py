@@ -11,6 +11,7 @@ mapInPandas (see operators/multimodal.py for the same plumbing pattern).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -443,4 +444,91 @@ def bigram_lm_scores(
             dround(F.avg("__lp"), 6).alias("avg_logprob"),
             dround(F.exp(-F.avg("__lp")), 6).alias("perplexity"),
         )
+    )
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text", out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC canonicalization — the first step of every corpus
+    pipeline (decomposed ``e`` + U+0301 and precomposed ``é`` must hash,
+    dedup, and tokenize identically).
+
+    Spark has no built-in normalizer, so this is the one text operator
+    that leaves the JVM: an Arrow-batched pandas UDF over
+    ``unicodedata.normalize('NFC', …)``. Narrow per-row map — no
+    shuffle, and the Arrow batch transfer (not per-row pickling) keeps
+    it viable corpus-wide; place it FIRST in the pipeline so every
+    downstream codegen expression sees canonical text. DuckDB twin:
+    ``nfc_normalize``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+# Gopher quality-rule defaults (Rae et al. 2021, "Scaling Language
+# Models", Table A1). The line-shape rules (bullet/ellipsis line
+# fractions) need multi-line documents and are covered by the
+# repetition family (with_repetition_metrics); the word-level rules
+# live here.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher word-level quality rules as one codegen projection.
+
+    Emits the per-document metrics each rule reads plus the combined
+    ``keep`` verdict, so a pipeline can either filter or audit the
+    rule mix. Pure Column expressions — no shuffle, no Python; at
+    100 TB this is a free rider on the first corpus scan.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    tok_len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_len = dround(tok_len_sum / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6)
+    n_symbol = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.', 0)")
+    ).cast("long")
+    symbol_ratio = dround(
+        n_symbol / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    alpha_word_frac = dround(
+        n_alpha_words / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6
+    )
+    stop_hits = marker_hits(F.col(text_col), GOPHER_STOPWORDS)
+    keep = (
+        n_tok.between(min_tokens, max_tokens)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        "*",
+        n_tok.alias("g_n_tokens"),
+        mean_len.alias("g_mean_word_len"),
+        symbol_ratio.alias("g_symbol_ratio"),
+        alpha_word_frac.alias("g_alpha_word_frac"),
+        stop_hits.cast("long").alias("g_stop_hits"),
+        keep.alias("keep"),
     )

@@ -34,6 +34,7 @@ _MODULES = [
     "similarity",
     "coverage",
     "llmops",
+    "corpus",
 ]
 
 # Driver-window rotation (round 3). The correctness driver checks the FIRST

@@ -1,0 +1,279 @@
+r"""Corpus-canonicalization and mixture-execution queries (wave 5).
+
+The steps between raw crawl and training shards that waves 1-4 didn't
+cover: Unicode NFC canonicalization (q84), sliding-window duplicated-
+span detection (q85, Lee et al. 2022 exact-substring dedup at token
+granularity), Gopher word-level quality rules (q86, Rae et al. 2021),
+SemDeDup embedding-cluster dedup (q87, Abbas et al. 2023 — rows-only,
+k-means has no SQL twin), end-to-end cluster-dedup corpus cleaning
+(q88), and exact per-source quota sampling (q89, the execution step of
+the q75 mixture solver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.dedup import (
+    duplicate_spans,
+    ngram_jaccard_pairs,
+    semantic_dedup,
+)
+from mimic_iv_data_pipeline_spark.operators.sampling import quota_sample
+from mimic_iv_data_pipeline_spark.operators.text import (
+    gopher_quality,
+    nfc_normalize,
+)
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- q84: Unicode NFC canonicalization --------------------------------------
+# The synthetic corpus is pure ASCII, so the query plants a suffix per
+# document — decomposed (e + U+0301 combining acute, i + U+0308
+# diaeresis) on even doc_ids, the precomposed forms on odd — and then
+# normalizes: even docs change (and shrink by 2 chars), odd docs are
+# NFC fixed points, and after NFC both parities hash identically.
+_NFC_DECOMP = " re\u0301sume\u0301 nai\u0308ve"
+_NFC_PRECOMP = " r\u00e9sum\u00e9 na\u00efve"
+
+
+@register(
+    "q84_nfc_normalize",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+               THEN ' re' || chr(769) || 'sume' || chr(769) || ' nai' || chr(776) || 've'
+               ELSE ' r' || chr(233) || 'sum' || chr(233) || ' na' || chr(239) || 've'
+             END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           t <> nfc_normalize(t) AS changed,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+           md5(nfc_normalize(t)) AS fp_nfc
+    FROM planted
+    """,
+)
+def q84_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_NFC_DECOMP)).otherwise(
+                F.lit(_NFC_PRECOMP)
+            ),
+        ).alias("t"),
+    )
+    out = nfc_normalize(planted, "t", "t_nfc")
+    return out.select(
+        "doc_id",
+        (F.col("t") != F.col("t_nfc")).alias("changed"),
+        F.length("t").cast("long").alias("n_chars_raw"),
+        F.length("t_nfc").cast("long").alias("n_chars_nfc"),
+        F.md5("t_nfc").alias("fp_nfc"),
+    )
+
+
+# --- q85: sliding-window duplicated spans -----------------------------------
+@register(
+    "q85_duplicate_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), g2 AS (
+      SELECT doc, unnest(range(1, len(w) - 3)) AS p, w
+      FROM toks WHERE len(w) >= 5
+    ), grams AS (
+      SELECT doc, p, concat_ws(' ', w[p], w[p+1], w[p+2], w[p+3], w[p+4]) AS g
+      FROM g2
+    ), dup AS (
+      SELECT doc, p FROM (
+        SELECT doc, p, count(*) OVER (PARTITION BY g) AS df FROM grams
+      ) WHERE df >= 2
+    ), lagged AS (
+      SELECT doc, p, lag(p) OVER (PARTITION BY doc ORDER BY p) AS prev FROM dup
+    ), isl AS (
+      SELECT doc, p,
+             sum(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY p) AS island
+      FROM lagged
+    ), spans AS (
+      SELECT doc, island, max(p) + 5 - min(p) AS span_toks FROM isl GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(span_toks) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY 1
+    )
+    SELECT t.doc, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           floor(coalesce(p.dup_tokens, 0) * 1.0 / len(t.w) * 1000000 + 0.5)
+             / 1000000 AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (doc)
+    """,
+)
+def q85_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans(_docs(spark, sf_dir), "doc_id", k=5, min_df=2)
+
+
+# --- q86: Gopher word-level quality rules -----------------------------------
+@register(
+    "q86_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS g_n_tokens,
+             floor(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+                   * 1000000 + 0.5) / 1000000 AS g_mean_word_len,
+             floor(len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / len(w)
+                   * 1000000 + 0.5) / 1000000 AS g_symbol_ratio,
+             floor(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                   / len(w) * 1000000 + 0.5) / 1000000 AS g_alpha_word_frac,
+             CAST(len(list_filter(w, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x)))
+               AS BIGINT) AS g_stop_hits
+      FROM t
+    )
+    SELECT doc_id, g_n_tokens, g_mean_word_len, g_symbol_ratio,
+           g_alpha_word_frac, g_stop_hits,
+           (g_n_tokens BETWEEN 20 AND 100000)
+           AND (g_mean_word_len BETWEEN 3 AND 10)
+           AND g_symbol_ratio <= 0.1
+           AND g_alpha_word_frac >= 0.8
+           AND g_stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def q86_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = gopher_quality(_docs(spark, sf_dir), min_tokens=20, min_stop_hits=2)
+    return out.select(
+        "doc_id",
+        "g_n_tokens",
+        "g_mean_word_len",
+        "g_symbol_ratio",
+        "g_alpha_word_frac",
+        "g_stop_hits",
+        "keep",
+    )
+
+
+# --- q87: SemDeDup (rows-only: k-means has no SQL twin) ---------------------
+@register("q87_semantic_dedup")
+def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.9
+    )
+
+
+# --- q88: end-to-end cluster-dedup corpus clean -----------------------------
+@register(
+    "q88_dedup_clean",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON common.id_a = sa.doc_id
+      JOIN sizes sb ON common.id_b = sb.doc_id
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, w.reach FROM walk w JOIN edges e ON w.id = e.u
+    ), comp AS (
+      SELECT id AS doc_id, min(reach) AS component FROM walk GROUP BY 1
+    )
+    SELECT c.doc_id, d.source, d.lang, s.cluster_size
+    FROM comp c
+    JOIN (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1) s USING (component)
+    JOIN documents d USING (doc_id)
+    WHERE c.doc_id = c.component
+    """,
+)
+def q88_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step q76 stops short of: near-dup pairs → connected
+    components → keep one canonical document per cluster (min id) →
+    emit the cleaned corpus, each survivor carrying the cluster size it
+    represents. This is the C4/Dolma/RefinedWeb keep-one recipe
+    end-to-end on DataFrames; the oracle re-runs the q76 recursive-CTE
+    closure and filters to cluster representatives."""
+    from mimic_iv_data_pipeline_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.2)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), nodes=docs.select("doc_id")
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    kept = (
+        cc.where(F.col("id") == F.col("component"))
+        .join(F.broadcast(sizes), "component")
+        .select(F.col("id").alias("doc_id"), "cluster_size")
+    )
+    return docs.join(kept, "doc_id").select(
+        "doc_id", "source", "lang", "cluster_size"
+    )
+
+
+# --- q89: exact per-source quota sampling -----------------------------------
+_QUOTAS = {"src0": 10, "src1": 5, "src7": 25, "src12": 40}
+
+
+@register(
+    "q89_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5(concat('quota:',
+                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) ASC,
+                 doc_id ASC
+             ) AS BIGINT) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, sample_rank FROM ranked
+    WHERE (source = 'src0' AND sample_rank <= 10)
+       OR (source = 'src1' AND sample_rank <= 5)
+       OR (source = 'src7' AND sample_rank <= 25)
+       OR (source = 'src12' AND sample_rank <= 40)
+    """,
+)
+def q89_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture execution: draw EXACTLY the planned number of documents
+    per source (src12's quota of 40 exceeds its 25 rows — the stratum
+    is taken whole, which is how the q75 mixture solver's epoch>1
+    sources surface). The oracle ranks by the same md5-prefix hash, so
+    the drawn set matches bit-for-bit."""
+    out = quota_sample(_docs(spark, sf_dir), "doc_id", "source", _QUOTAS)
+    return out.select("doc_id", "source", "sample_rank")
