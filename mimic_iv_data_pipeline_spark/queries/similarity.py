@@ -163,3 +163,42 @@ def q78_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return quantize_embeddings_int8(_emb(spark, sf_dir))
+
+
+# --- q90: covariance matrix (single-pass distributed moments) ---------------
+@register(
+    "q90_covariance_matrix",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    g AS (
+      SELECT i.i AS i, j.i AS j, sum(v[i.i] * v[j.i]) AS g
+      FROM e, idx i, idx j GROUP BY 1, 2
+    ),
+    s AS (SELECT i.i AS i, sum(v[i.i]) AS s FROM e, idx i GROUP BY 1),
+    n AS (SELECT cast(count(*) AS DOUBLE) AS n FROM e)
+    SELECT CAST(g.i - 1 AS BIGINT) AS i, CAST(g.j - 1 AS BIGINT) AS j,
+           floor((g.g - si.s * sj.s / n.n) / n.n * 1e6 + 0.5) / 1e6 AS cov
+    FROM g, s si, s sj, n
+    WHERE si.i = g.i AND sj.i = g.j
+    """,
+)
+def q90_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d×d population covariance of the embedding corpus in ONE data
+    pass: per-batch numpy gram partials → groupBy(i,j).sum — exchanged
+    bytes are O(partitions · d²), independent of corpus rows."""
+    from mimic_iv_data_pipeline_spark.operators.linalg import covariance_matrix
+
+    return covariance_matrix(_emb(spark, sf_dir), "embedding", dims=64)
+
+
+# --- q91: PCA projection (rows-only: eigenvector signs/order are
+# engine-specific, so no SQL twin; property-tested against numpy) ------------
+@register("q91_pca_project")
+def q91_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component projection: one distributed moment
+    pass, driver eigh on the 64×64 covariance, broadcast components,
+    one narrow projection pass."""
+    from mimic_iv_data_pipeline_spark.operators.linalg import pca_project
+
+    return pca_project(_emb(spark, sf_dir), "vec_id", "embedding", dims=64, k=8)

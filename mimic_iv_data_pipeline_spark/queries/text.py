@@ -275,3 +275,25 @@ def q77_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.operators.text import bigram_lm_scores
 
     return bigram_lm_scores(_docs(spark, sf_dir), "doc_id")
+
+
+# --- q92: edit-distance fuzzy self-join (SymSpell deletion blocking) --------
+@register(
+    "q92_edit_distance_join",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q92_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within Levenshtein distance 1. The
+    oracle brute-forces O(n²) pairs (fine at sf0.01); the Spark plan is
+    the deletion-neighborhood equi-join — complete candidate cover,
+    exact verify, no all-pairs stage anywhere."""
+    from mimic_iv_data_pipeline_spark.operators.fuzzy import edit_distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1)

@@ -203,7 +203,10 @@ def _uf_components(n_nodes, edges):
         ("singletons_only", list(range(5)), []),
     ],
 )
-def test_connected_components_vs_union_find(spark, name, nodes, edges):
+@pytest.mark.parametrize("driver_cap", [1_000_000, 0])
+def test_connected_components_vs_union_find(spark, name, nodes, edges, driver_cap):
+    # driver_cap=0 forces the distributed large/small-star path; the
+    # default exercises the bounded driver union-find fast path.
     from mimic_iv_data_pipeline_spark.operators.graph import connected_components
 
     expected = _uf_components(nodes, edges)
@@ -214,7 +217,7 @@ def test_connected_components_vs_union_find(spark, name, nodes, edges):
         pairs = nodes_df.select(
             nodes_df.id.alias("id_a"), nodes_df.id.alias("id_b")
         ).limit(0)
-    out = connected_components(pairs, nodes=nodes_df)
+    out = connected_components(pairs, nodes=nodes_df, driver_cap=driver_cap)
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == expected, name
 
@@ -236,9 +239,12 @@ def test_connected_components_random_graphs(spark):
         expected = _uf_components(nodes, edges)
         nodes_df = spark.createDataFrame([(i,) for i in nodes], ["id"])
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        cap = 0 if trial % 2 else 1_000_000  # alternate star/driver paths
         got = {
             r["id"]: r["component"]
-            for r in connected_components(pairs, nodes=nodes_df).collect()
+            for r in connected_components(
+                pairs, nodes=nodes_df, driver_cap=cap
+            ).collect()
         }
         assert got == expected, f"trial {trial}"
 
