@@ -53,6 +53,11 @@ HEADLINE = [
     "q83_ngram_novelty",
     "q85_duplicate_spans",
     "q88_dedup_clean",
+    "q90_covariance_matrix",
+    "q92_edit_distance_join",
+    "q93_bpe_tokenize",
+    "q95_chunk_overlap",
+    "q96_weighted_sample",
 ]
 
 

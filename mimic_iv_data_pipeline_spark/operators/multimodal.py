@@ -29,6 +29,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _pickle_module_by_value() -> None:
+    """Serialize THIS module's functions by value into executor
+    closures (``decode_fn`` defaults are module-level parsers): the
+    correctness driver — and any user submitting from a directory
+    where the package isn't importable — runs workers that cannot
+    ``import mimic_iv_data_pipeline_spark``. Registration is
+    idempotent and scoped to this module only."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -171,6 +185,8 @@ def decode_media(
     1:1 to inputs, so the stage is a narrow map — no shuffle, scales
     linearly with executors.
     """
+
+    _pickle_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (real codecs: initialize the decoder/model HERE, once per task)

@@ -158,6 +158,14 @@ def extract_entities(
     default is the dependency-free rule lexicon.
     """
     factory = model_factory or (lambda: lexicon_model_factory(targets))
+    # the default factory chain references module-level helpers; make
+    # them serialize by value so executors never need the package on
+    # their import path (same registration as operators.multimodal)
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extractor = factory()  # per-task init point (model load happens here)

@@ -417,3 +417,38 @@ def quota_sample(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .where(F.col(rank_col) <= quota)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one pass
+    (Efraimidis & Spirakis 2006): each row draws an exponential race
+    key ``e = -ln(u) / w`` with ``u`` derived deterministically from
+    the row key (:func:`hash_unit`); the ``k`` smallest keys are the
+    sample, with inclusion probability proportional to weight at every
+    prefix. This is the DSIR *resampling* step (`dsir_log_weights`
+    produces the weights) and the standard one-pass distributed
+    weighted sampler — no global sort: ``orderBy(...).limit(k)`` plans
+    as TakeOrderedAndProject (per-partition top-k, merge on driver),
+    and the keys are content-addressed so the draw is repartition- and
+    retry-stable (same reason the hash split uses md5, not ``F.rand``).
+
+    Rows with non-positive weight are excluded (they'd win with
+    probability 0 anyway and ``/0`` poisons comparisons).
+    """
+    # guard u=0 (ln(0) = -inf): shifting the integer hash by half a
+    # step keeps u in the open interval (0, 1)
+    u_open = (_hash_long(F.col(key_col), salt) + F.lit(0.5)) / F.lit(_HASH_SPAN)
+    e = -F.log(u_open) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__es_key", e)
+        .orderBy(F.col("__es_key").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__es_key")
+    )

@@ -532,3 +532,52 @@ def gopher_quality(
         stop_hits.cast("long").alias("g_stop_hits"),
         keep.alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Sliding-window chunking with overlap: the context-window
+    preparation step for long documents (stride < window ⇒
+    ``window - stride`` tokens of overlap between consecutive chunks,
+    the standard recipe for fine-tuning/retrieval corpora).
+
+    One narrow ``explode`` of per-doc chunk starts — chunks per doc is
+    ``⌈max(n - window, 0) / stride⌉ + 1``, so output size is
+    ~``n_tokens / stride`` rows corpus-wide with no shuffle at all
+    (chunking is embarrassingly parallel; any downstream packing/
+    shuffling is a separate operator's job).
+
+    **No token is ever dropped**: when ``n - window`` is not a stride
+    multiple, a final window anchored at ``n - window`` is appended
+    (deduplicated when aligned) — the HF ``return_overflowing_tokens``
+    tail rule. Emits ``(id, chunk_id, n_chunk_tokens, chunk_text)``;
+    empty/whitespace-only documents yield no chunks.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    ).where(F.col("__n") > 0)
+    last = F.greatest(F.col("__n") - window, F.lit(0))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(0), last, F.lit(stride)),
+            F.array(last),
+        )
+    )
+    chunked = base.select(
+        id_col,
+        "__t",
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__t"), F.col("__start") + 1, F.lit(window))
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -277,3 +277,43 @@ def q89_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drawn set matches bit-for-bit."""
     out = quota_sample(_docs(spark, sf_dir), "doc_id", "source", _QUOTAS)
     return out.select("doc_id", "source", "sample_rank")
+
+
+# --- q95: sliding-window chunking with overlap ------------------------------
+@register(
+    "q95_chunk_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t != '') AS w
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0
+    ), starts AS (
+      SELECT doc_id, w, n,
+             list_sort(list_distinct(list_append(
+               range(0, greatest(n - 50, 0) + 1, 40),
+               greatest(n - 50, 0)))) AS ss
+      FROM sized
+    ), st AS (
+      SELECT doc_id, w, n, ss, unnest(range(1, len(ss) + 1)) AS k
+      FROM starts
+    )
+    SELECT doc_id,
+           CAST(k - 1 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(w, ss[k] + 1, least(ss[k] + 50, n))) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(w, ss[k] + 1, least(ss[k] + 50, n)), ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def q95_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window preparation: 50-token windows at stride 40
+    (10-token overlap) over every document — one narrow explode, no
+    shuffle anywhere in the plan."""
+    from mimic_iv_data_pipeline_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
+                           window=50, stride=40)

@@ -720,3 +720,92 @@ def q82_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=5)
+
+
+# --- q93: full BPE tokenize (rows-only: iterative merge induction has no
+# SQL twin; trainer + encoder are golden/property-tested) --------------------
+@register("q93_bpe_tokenize")
+def q93_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 100-merge BPE vocabulary on the corpus (one word-count
+    aggregate + bounded driver merge loop, q81's step iterated) and
+    encode every document (Arrow-batched greedy merges). Emits per-doc
+    token counts plus distinct-token counts."""
+    from mimic_iv_data_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, "text", num_merges=100, max_words=50_000)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+# --- q94: per-source quantiles — exact (oracled) + mergeable-sketch gate ----
+@register(
+    "q94_source_quantiles",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+           floor(quantile_cont(n_chars, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+           floor(quantile_cont(n_chars, 0.99) * 1e6 + 0.5) / 1e6 AS p99,
+           TRUE AS approx_ok
+    FROM documents GROUP BY source
+    """,
+)
+def q94_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles: exact ``percentile`` (linear
+    interpolation — the quantile_cont twin) is the oracle-checked
+    payload; ``approx_ok`` gates the mergeable ``percentile_approx``
+    sketch (the 100 TB path — bounded state, partial-mergeable) against
+    the exact p50 within a generous rank-error bound, q56's
+    exact+tolerance pattern."""
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("n_chars", F.lit(0.5)).alias("__p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("__p90"),
+        F.percentile("n_chars", F.lit(0.99)).alias("__p99"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10_000)).alias("__a50"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        dround(F.col("__p50"), 6).alias("p50"),
+        dround(F.col("__p90"), 6).alias("p90"),
+        dround(F.col("__p99"), 6).alias("p99"),
+        (
+            F.abs(F.col("__a50") - F.col("__p50"))
+            <= F.greatest(F.lit(5.0), F.col("__p50") * F.lit(0.05))
+        ).alias("approx_ok"),
+    )
+
+
+# --- q96: weighted sampling without replacement (Efraimidis-Spirakis) -------
+@register(
+    "q96_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             -ln((cast(concat('0x', substr(md5(concat('es:',
+                    cast(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0) / n_chars AS ek
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM w ORDER BY ek, doc_id LIMIT 100
+    """,
+)
+def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass weighted sample (no replacement) of 100 documents with
+    inclusion odds ∝ length: exponential race keys from the
+    content-addressed hash, TakeOrdered top-k — the DSIR resampling
+    step, deterministic across partitionings/retries."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, "doc_id", "n_chars", k=100, salt="es").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

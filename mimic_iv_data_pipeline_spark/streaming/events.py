@@ -196,3 +196,19 @@ def stream_corpus_filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("alpha_ratio") >= min_alpha_ratio)
     )
+
+
+def stream_chunk_documents(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Streaming twin of ``operators.text.chunk_documents``: the same
+    coverage-guaranteed sliding-window explode, applied to documents as
+    they arrive. Chunking is per-row (narrow explode — no aggregation,
+    no state, no watermark), so batch equivalence is exact for any
+    micro-batch partitioning of the stream, and the output can feed the
+    ``writeStream`` sink or the packing stage directly."""
+    from mimic_iv_data_pipeline_spark.operators.text import chunk_documents
+
+    return chunk_documents(docs, "doc_id", "text", window=window, stride=stride)

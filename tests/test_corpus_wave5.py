@@ -179,3 +179,41 @@ def test_semantic_dedup_prunes_planted_duplicates(spark):
     again = {r["id"]: r["pruned"] for r in
              semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, threshold=0.999).collect()}
     assert again == flags
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, rows, window=5, stride=3):
+        from mimic_iv_data_pipeline_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(df, "doc_id", "text", window=window, stride=stride)
+        return sorted(
+            (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+            for r in out.collect()
+        )
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, [(0, "a b c")])
+        assert got == [(0, 0, 3, "a b c")]
+
+    def test_empty_docs_yield_nothing(self, spark):
+        assert self._chunks(spark, [(0, ""), (1, "   ")]) == []
+
+    def test_overlap_and_tail(self, spark):
+        text = " ".join(f"t{i}" for i in range(9))  # n=9, window=5, stride=3
+        got = self._chunks(spark, [(0, text)])
+        # stride starts [0, 3] plus the coverage tail at n-window=4
+        assert [(c[1], c[3]) for c in got] == [
+            (0, "t0 t1 t2 t3 t4"),
+            (1, "t3 t4 t5 t6 t7"),
+            (2, "t4 t5 t6 t7 t8"),
+        ]
+        covered = {t for c in got for t in c[3].split()}
+        assert covered == {f"t{i}" for i in range(9)}
+
+    def test_exact_cover_no_dup_tail(self, spark):
+        text = " ".join(f"t{i}" for i in range(8))  # n-window=3 aligned
+        got = self._chunks(spark, [(0, text)])
+        assert [c[3] for c in got] == ["t0 t1 t2 t3 t4", "t3 t4 t5 t6 t7"]
+        covered = {t for c in got for t in c[3].split()}
+        assert covered == {f"t{i}" for i in range(8)}

@@ -446,3 +446,52 @@ def test_ngram_novelty_duplicate_vs_unique(spark):
     assert out[1]["shared_share"] == 1.0 and out[2]["shared_share"] == 1.0
     # doc 3 is unique: nothing shared
     assert out[3]["n_shared"] == 0 and out[3]["shared_share"] == 0.0
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _py_keys(rows, salt):
+        import hashlib
+        import math
+
+        out = []
+        for doc_id, w in rows:
+            h = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            out.append((-math.log(u) / w, doc_id))
+        return out
+
+    def test_matches_pure_python_replica(self, spark):
+        from mimic_iv_data_pipeline_spark.operators.sampling import weighted_sample
+
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = sorted(
+            r.doc_id for r in weighted_sample(df, "doc_id", "w", k=5).collect()
+        )
+        want = sorted(d for _, d in sorted(self._py_keys(rows, "es"))[:5])
+        assert got == want
+
+    def test_partition_invariant_and_excludes_nonpositive(self, spark):
+        from mimic_iv_data_pipeline_spark.operators.sampling import weighted_sample
+
+        rows = [(i, float(i % 7 - 1)) for i in range(60)]  # some w <= 0
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = sorted(r.doc_id for r in weighted_sample(df, "doc_id", "w", k=10).collect())
+        b = sorted(
+            r.doc_id
+            for r in weighted_sample(df.repartition(11), "doc_id", "w", k=10).collect()
+        )
+        assert a == b
+        assert all((d % 7 - 1) > 0 for d in a)
+
+    def test_formula_weight_proportionality(self):
+        # statistical check of the race-key formula itself (no Spark):
+        # two items, w=9 vs w=1 → P(win) = 0.9; 2000 salts ≈ ±2%
+        wins = 0
+        n = 2000
+        for s in range(n):
+            keys = self._py_keys([(0, 9.0), (1, 1.0)], f"t{s}")
+            if min(keys)[1] == 0:
+                wins += 1
+        assert abs(wins / n - 0.9) < 0.03

@@ -463,3 +463,37 @@ def test_stream_corpus_filter_matches_batch(spark, sf_smoke, tmp_path):
     # split column present and complete
     splits = {r[-1] for r in got}
     assert splits <= {"train", "valid", "test"}
+
+
+def test_stream_chunk_documents_matches_batch(spark, sf_smoke, tmp_path):
+    """Chunking is a stateless narrow explode — streamed chunks must
+    equal the batch chunker's output for any micro-batch split."""
+    from mimic_iv_data_pipeline_spark.operators.text import chunk_documents
+    from mimic_iv_data_pipeline_spark.streaming.events import stream_chunk_documents
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    src = str(tmp_path / "chunk_src")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream_chunk_documents(stream, window=30, stride=20)
+        .writeStream.format("memory")
+        .queryName("stream_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM stream_chunks").collect()))
+    expect = sorted(
+        map(tuple, chunk_documents(docs, "doc_id", "text", 30, 20).collect())
+    )
+    assert got == expect and len(got) > 0

@@ -23,6 +23,9 @@ def test_every_oracle_has_a_query():
         "q44_ann_lsh",
         "q53_ann_ivf",
         "q60_embedding_neardup_lsh",
+        "q87_semantic_dedup",  # k-means cells: no SQL twin
+        "q91_pca_project",  # eigenvector sign/order is engine-specific
+        "q93_bpe_tokenize",  # iterative merge induction: no SQL twin
     }
 
 
