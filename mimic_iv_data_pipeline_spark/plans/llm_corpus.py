@@ -1,0 +1,186 @@
+"""End-to-end LLM pretraining-corpus recipe as ONE composable plan.
+
+The batch counterpart of the C4 / Gopher / Dolma / RefinedWeb build
+sequence, chaining this repo's operators in their canonical order:
+
+    1. canonicalize   — Unicode NFC (`text.nfc_normalize`)
+    2. quality gate   — heuristics + Gopher word rules + language ID
+    3. PII scrub      — `privacy.with_pii_scrub`
+    4. exact dedup    — content-hash keep-first (`dedup.exact_dedup`)
+    5. near dedup     — n-gram Jaccard pairs → connected components →
+                        keep canonical (`graph.dedup_keep_canonical`)
+    6. contamination  — drop docs sharing ≥ threshold shingles with the
+                        provided benchmark set (`dedup.ngram_contamination`)
+    7. split          — content-addressed hash split (train/valid/test)
+    8. tokenize+chunk — BPE encode (`bpe`), context windows
+                        (`text.chunk_documents`)
+
+Every stage is a DataFrame→DataFrame function; the composition stays a
+single lazy plan per output except where an operator is inherently
+multi-pass (near-dup verification, BPE training). ``CorpusStats``
+counts each stage's survivors with ONE action per stage boundary —
+at 100 TB you run it with ``stats=False`` and let the sinks count.
+
+Stage order is load-bearing and matches the published recipes: NFC
+before hashing (else equal texts hash apart), PII before dedup (else
+scrubbing resurrects near-dups), dedup before contamination (cheaper),
+split AFTER all corpus-level filters (else the split drifts as filters
+change), chunking last (chunks inherit the doc's split so no window
+leaks across train/valid).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+from mimic_iv_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    ngram_jaccard_pairs,
+    word_shingles,
+)
+from mimic_iv_data_pipeline_spark.operators.graph import dedup_keep_canonical
+from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
+from mimic_iv_data_pipeline_spark.operators.sampling import hash_split
+from mimic_iv_data_pipeline_spark.operators.text import (
+    chunk_documents,
+    gopher_quality,
+    nfc_normalize,
+    predict_language,
+    with_quality_metrics,
+)
+
+
+@dataclass
+class CorpusConfig:
+    min_tokens: int = 5
+    min_alpha_ratio: float = 0.5
+    # Gopher word-rule bounds (full-strictness defaults live on the
+    # operator; the plan exposes the two most corpus-dependent knobs)
+    gopher_min_mean_word_len: float = 3.0
+    gopher_min_stop_hits: int = 2
+    languages: tuple[str, ...] = ("en",)
+    jaccard_threshold: float = 0.8
+    contamination_ngram: int = 8
+    contamination_threshold: float = 0.5
+    split_fractions: dict = field(
+        default_factory=lambda: {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+    bpe_merges: int = 100
+    chunk_window: int = 512
+    chunk_stride: int = 448
+
+
+@dataclass
+class CorpusStats:
+    input_docs: int = 0
+    after_quality: int = 0
+    after_exact_dedup: int = 0
+    after_near_dedup: int = 0
+    after_contamination: int = 0
+    train_chunks: int = 0
+
+
+def build_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CorpusConfig | None = None,
+    stats: bool = True,
+) -> tuple[DataFrame, CorpusStats]:
+    """Run the full recipe; returns ``(chunked_tokenized_corpus, stats)``.
+
+    Output schema: ``(doc_id, split, chunk_id, n_chunk_tokens,
+    chunk_text, n_tokens)`` — one row per context window, each window
+    wholly inside one document and one split.
+    """
+    cfg = config or CorpusConfig()
+    st = CorpusStats()
+    if stats:
+        st.input_docs = docs.count()
+
+    # 1-2: canonicalize, then the cheap narrow gates first (quality,
+    # language) so every later stage touches fewer rows
+    out = nfc_normalize(docs, "text", out_col="text")
+    out = with_quality_metrics(out, "text")
+    out = predict_language(out, "text")
+    out = gopher_quality(
+        out,
+        min_tokens=cfg.min_tokens,
+        min_mean_word_len=cfg.gopher_min_mean_word_len,
+        min_stop_hits=cfg.gopher_min_stop_hits,
+    )
+    out = out.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("alpha_ratio") >= cfg.min_alpha_ratio)
+        & F.col("pred_lang").isin(*cfg.languages)
+        & F.col("keep")
+    )
+    out = out.select(*docs.columns)
+    if stats:
+        st.after_quality = out.count()
+
+    # 3: PII scrub (before dedup: two docs differing only in a phone
+    # number SHOULD collapse once scrubbed)
+    out = with_pii_scrub(out, "text").withColumn("text", F.col("redacted"))
+    out = out.select(*docs.columns)
+
+    # 4: exact dedup on the scrubbed canonical text — keep each digest
+    # group's minimum id (one hash aggregate + a semi join)
+    keep_ids = exact_dedup_groups(out, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    out = out.join(keep_ids, "doc_id", "left_semi")
+    if stats:
+        st.after_exact_dedup = out.count()
+
+    # 5: near dedup — thresholded pair list is tiny vs the corpus; the
+    # closure takes the driver union-find fast path under driver_cap
+    pairs = ngram_jaccard_pairs(out, "doc_id", n=3, threshold=cfg.jaccard_threshold)
+    out = dedup_keep_canonical(out, pairs, id_col="doc_id")
+    if stats:
+        st.after_near_dedup = out.count()
+
+    # 6: benchmark decontamination (GPT-3 appendix-C direction: drop
+    # TRAINING docs overlapping the benchmark). The benchmark collapses
+    # to its distinct shingle vocabulary BEFORE the join (the q65
+    # shape); a corpus doc is dirty when ≥ threshold of its distinct
+    # n-grams appear in that vocabulary.
+    if benchmark is not None:
+        n = cfg.contamination_ngram
+        bench_vocab = benchmark.select(
+            F.explode(word_shingles(F.col("text"), n)).alias("sh")
+        ).distinct()
+        corpus_sh = out.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("sh")
+        )
+        hit = corpus_sh.join(bench_vocab, "sh", "left_semi").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__hits")
+        )
+        tot = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total"))
+        dirty = (
+            tot.join(hit, "doc_id")
+            .filter(F.col("__hits") / F.col("__total") >= cfg.contamination_threshold)
+            .select("doc_id")
+        )
+        out = out.join(dirty, "doc_id", "left_anti")
+    if stats:
+        st.after_contamination = out.count()
+
+    # 7: content-addressed split — stable under every upstream change
+    # that doesn't touch the surviving doc_ids
+    out = hash_split(out, "doc_id", cfg.split_fractions)
+
+    # 8: BPE + chunking; chunks inherit the document's split
+    merges = bpe_train(out, "text", num_merges=cfg.bpe_merges)
+    toks = bpe_encode(out, "doc_id", "text", merges)
+    chunks = chunk_documents(out, "doc_id", "text", cfg.chunk_window, cfg.chunk_stride)
+    result = (
+        chunks.join(out.select("doc_id", "split"), "doc_id")
+        .join(toks.select("doc_id", "n_tokens"), "doc_id")
+    )
+    if stats:
+        st.train_chunks = result.filter(F.col("split") == "train").count()
+    return result, st
