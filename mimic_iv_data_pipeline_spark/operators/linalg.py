@@ -72,45 +72,56 @@ def moment_rows(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
     return partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 
+def _collect_moments(
+    df: DataFrame, vec_col: str, dims: int
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """One distributed moment pass → ``(n, mean, covariance)``.
+
+    Collects the ≤ d(d+1)/2 + d + 1 aggregated rows (O(d²), corpus-size
+    independent) and finishes the O(d²) arithmetic on the driver. A
+    first cut kept the finishing joins relational — the plan audit
+    showed Catalyst re-executing the corpus scan + Arrow pass once per
+    moment branch (5 scans, no exchange reuse), so the bounded driver
+    step is both simpler and 5× less work.
+    """
+    rows = moment_rows(df, vec_col, dims).collect()
+    G = np.zeros((dims, dims))
+    s = np.zeros(dims)
+    n = 0.0
+    for r in rows:
+        if r.i == -1:
+            n = r.v
+        elif r.j == -1:
+            s[r.i] = r.v
+        else:
+            G[r.i, r.j] = r.v
+            G[r.j, r.i] = r.v
+    if n == 0:
+        raise ValueError("moment pass over empty input")
+    mean = s / n
+    return n, mean, G / n - np.outer(mean, mean)
+
+
 def covariance_matrix(
     df: DataFrame, vec_col: str = "embedding", dims: int = 64, scale: int = 6
 ) -> DataFrame:
     """Full symmetric d×d covariance matrix as ``(i, j, cov)`` rows.
 
     cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n  (population covariance, matching
-    ``numpy.cov(..., bias=True)`` and the DuckDB oracle twin).
-
-    Everything after the moment aggregation operates on O(d²) rows —
-    the joins below are driver-trivial at any corpus scale and Spark
-    broadcasts them automatically.
+    ``numpy.cov(..., bias=True)`` and the DuckDB oracle twin). ONE
+    corpus pass (the moment aggregate); the d×d result is materialized
+    from the driver with the repo's half-up rounding rule applied in
+    numpy (bit-compatible with ``functions.rounding.dround``).
     """
-    m = moment_rows(df, vec_col, dims)
-    gram = m.filter((F.col("i") >= 0) & (F.col("j") >= 0))
-    sums = m.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("d"), F.col("v").alias("s")
-    )
-    n = m.filter(F.col("i") == -1).select(F.col("v").alias("n"))
-
-    # Mirror the upper triangle to emit the full symmetric matrix.
-    lower = gram.filter(F.col("i") != F.col("j")).select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "v"
-    )
-    full = gram.unionByName(lower)
-
-    si = sums.withColumnRenamed("d", "i").withColumnRenamed("s", "si")
-    sj = sums.withColumnRenamed("d", "j").withColumnRenamed("s", "sj")
-    return (
-        full.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .crossJoin(F.broadcast(n))
-        .select(
-            F.col("i").cast("long").alias("i"),
-            F.col("j").cast("long").alias("j"),
-            dround((F.col("v") - F.col("si") * F.col("sj") / F.col("n")) / F.col("n"), scale).alias(
-                "cov"
-            ),
-        )
-    )
+    _, _, cov = _collect_moments(df, vec_col, dims)
+    factor = float(10**scale)
+    rounded = np.floor(cov * factor + 0.5) / factor
+    data = [
+        (int(i), int(j), float(rounded[i, j]))
+        for i in range(dims)
+        for j in range(dims)
+    ]
+    return df.sparkSession.createDataFrame(data, "i long, j long, cov double")
 
 
 def pca_components(
@@ -126,22 +137,7 @@ def pca_components(
     coordinate made positive, ties to the lowest index) so results are
     reproducible across partitionings and numpy versions.
     """
-    rows = moment_rows(df, vec_col, dims).collect()  # ≤ d(d+1)/2 + d + 1 rows
-    G = np.zeros((dims, dims))
-    s = np.zeros(dims)
-    n = 0.0
-    for r in rows:
-        if r.i == -1:
-            n = r.v
-        elif r.j == -1:
-            s[r.i] = r.v
-        else:
-            G[r.i, r.j] = r.v
-            G[r.j, r.i] = r.v
-    if n == 0:
-        raise ValueError("pca_components: empty input")
-    mean = s / n
-    cov = G / n - np.outer(mean, mean)
+    _, mean, cov = _collect_moments(df, vec_col, dims)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # (k, d)

@@ -47,8 +47,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long under the shim
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) — later testdata
+        # generations use this; in the engine's UTC session the NTZ and
+        # LTZ readings denote the same instant, so normalize to LTZ for
+        # one uniform type surface across data versions
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
