@@ -37,6 +37,9 @@ _MODULES = [
     "corpus",
 ]
 
+# ROUND-4 TODO: rotate q84-q96 (13 oracled queries with no driver row yet)
+# to the front of this list, plus any r3 reds; backfill with the green core.
+#
 # Driver-window rotation (round 3). The correctness driver checks the FIRST
 # 50 registry entries per round; the registry had grown to 70, so 20 oracled
 # queries (q48-q52, q54-q58, q61-q70) never received a driver row in r1/r2.
