@@ -37,64 +37,46 @@ _MODULES = [
     "corpus",
 ]
 
-# ROUND-4 TODO: rotate q84-q96 (13 oracled queries with no driver row yet)
-# to the front of this list, plus any r3 reds; backfill with the green core.
+# Driver-window rotation schedule (standing, from round 4). The correctness
+# driver records rows for only the FIRST 50 registry entries per round. With
+# 98 registered queries the window is allocated as:
+#   (a) REDS + never-driver-checked queries first (must-have rows),
+#   (b) new queries added this round,
+#   (c) a STABLE 15-query regression core (one per operator family; also the
+#       baseline-comparable bench subset) that stays in every round:
+#       q03 q04 q08 q14 q15 q17 q18 q19 q20 q26 q32 q34 q39 q42 q45,
+#   (d) a ROTATING block filling the window to 50, drawn round-robin from the
+#       remaining queries ordered by driver-row age (oldest first), so every
+#       query re-earns a driver row at least every ~3 rounds.
 #
-# Driver-window rotation (round 3). The correctness driver checks the FIRST
-# 50 registry entries per round; the registry had grown to 70, so 20 oracled
-# queries (q48-q52, q54-q58, q61-q70) never received a driver row in r1/r2.
-# This explicit order puts (a) the never-driver-checked queries first —
-# including all of this round's q71-q75, (b) the freshly-fixed q24 next,
-# (c) a stable previously-green core for regression signal — entries whose
-# operator family has another window representative (q06/q09/q12/q22/q25/
-# q31/q38) were rotated out to make room, and (d) the no-oracle (rows-only)
-# similarity
-# entries last. Queries registered but not named here are appended in
-# registration order after the named ones.
+# r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
+#   (b) q97_kfold, q98_oversample; (c) the core; (d) 19 queries whose last
+#   driver row is r1: q01 q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21 q22
+#   q23 q25 q27 q28 q29 q30.
+# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q31 q33 q35 q36
+#   q37 q38 q46 q47, then the oldest of the r3 block (q48-q77, q79-q83) and
+#   rows-only entries (q40 q41 q44 q53 q60) to fill 50.
 _PRIORITY = [
-    # (a) never driver-checked (oracled) — the r2 verdict's item 2
-    "q48_group_max",
-    "q49_interval_signal",
-    "q50_winnowing",
-    "q51_eval_metrics",
-    "q52_temperature_scaling",
-    "q54_cube",
-    "q55_trend_slope",
-    "q56_approx_distinct",
-    "q57_ece_mce",
-    "q58_survival_export",
-    "q61_behrt_sequences",
-    "q62_horizontal_concat",
-    "q63_pii_redaction",
-    "q64_hash_split",
-    "q65_contamination",
-    "q66_heavy_hitters",
-    "q67_cms_freq",
-    "q68_stratified_sample",
-    "q69_sequence_packing",
-    "q70_repetition",
-    # new this round — never driver-checked
-    "q71_pack_chunked",
-    "q72_passage_dedup",
-    "q73_bloom_membership",
-    "q74_url_dedup",
-    "q75_source_mixture",
-    "q76_dedup_clusters",
-    "q77_bigram_lm",
+    # (a) r3 red (driver-canonicalizer array crash; output now CSV string)
     "q78_quantize_int8",
-    "q79_tfidf_keywords",
-    "q80_dsir_weights",
-    "q81_bpe_pairs",
-    "q82_length_batches",
-    "q83_ngram_novelty",
-    # (b) the only red row in r2, oracle type bug fixed this round
-    "q24_fairness_confusion",
-    # (c) stable green core, one per operator family where possible.
-    # Rotated out mid-round-3 for the wave-4 block above: q01 (flagship
-    # entry() is smoke-checked every round anyway; agg family covered by
-    # q48/q54), q23 (calibration covered by q51/q52/q57), q28 (q54 cube
-    # covers rollup), q29 (temporal bucketing covered by q49), q46
-    # (encode family covered by q61/q62).
+    # (a) never driver-checked — wave-5 block
+    "q84_nfc_normalize",
+    "q85_duplicate_spans",
+    "q86_gopher_rules",
+    "q87_semantic_dedup",
+    "q88_dedup_clean",
+    "q89_quota_sample",
+    "q90_covariance_matrix",
+    "q91_pca_project",
+    "q92_edit_distance_join",
+    "q93_bpe_tokenize",
+    "q94_source_quantiles",
+    "q95_chunk_overlap",
+    "q96_weighted_sample",
+    # (b) new in round 4
+    "q97_kfold",
+    "q98_oversample",
+    # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
     "q08_outer_join_fill",
@@ -110,7 +92,26 @@ _PRIORITY = [
     "q39_ngram_jaccard",
     "q42_cosine_topk",
     "q45_set_ops",
-    "q59_embedding_neardup",
+    # (d) rotating block — last driver row was r1
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q05_anti_join",
+    "q06_dedup_first",
+    "q07_conditional_clamp",
+    "q09_union_branches",
+    "q10_distinct_counts",
+    "q11_string_fns",
+    "q12_date_fns",
+    "q13_json_extract",
+    "q16_outlier_clamp",
+    "q21_sessionize",
+    "q22_quantile_bins",
+    "q23_calibration_bins",
+    "q25_rank_auc",
+    "q27_global_topk",
+    "q28_rollup",
+    "q29_bucketize_hourly",
+    "q30_bucketize_6h",
 ]
 
 

@@ -146,7 +146,7 @@ def q60_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                END) AS qvec
       FROM embeddings CROSS JOIN arrs
     )
-    SELECT vec_id, qvec,
+    SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv,
            floor(list_aggregate(list_transform(range(1, len(embedding) + 1), i ->
                abs(CASE WHEN mx_a[i] = mn_a[i] THEN mn_a[i]
                         ELSE (qvec[i] + 127) / 254.0 * (mx_a[i] - mn_a[i]) + mn_a[i]
@@ -157,12 +157,24 @@ def q60_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-SQ8-style per-dimension int8 quantization with
-    reconstruction-error report; exact DuckDB twin."""
+    reconstruction-error report; exact DuckDB twin.
+
+    The quantized vector goes to the driver as a CSV string, not an
+    ``array<int>``: the correctness driver canonicalizes with a pandas
+    ``sort_values`` over every output column, which raises
+    ``unhashable type: 'list'`` on array cells (the one red row of r3).
+    The array-typed API stays on ``quantize_embeddings_int8`` itself.
+    """
     from mimic_iv_data_pipeline_spark.operators.similarity import (
         quantize_embeddings_int8,
     )
 
-    return quantize_embeddings_int8(_emb(spark, sf_dir))
+    q = quantize_embeddings_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "recon_err",
+    )
 
 
 # --- q90: covariance matrix (single-pass distributed moments) ---------------
