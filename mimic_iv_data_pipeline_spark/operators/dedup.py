@@ -778,7 +778,19 @@ def semantic_dedup(
         cosine,
     )
 
-    sample = emb.select(vec_col).limit(train_sample).toPandas()
+    # hash-ordered bounded sample, NOT a limit() prefix: limit takes the
+    # first partitions scanned, which at scale is often one source/shard
+    # → biased centroids. Ordering by xxhash64(id) plans as
+    # TakeOrderedAndProject (per-partition top-n, no global sort) and
+    # draws uniformly from the whole corpus, invariant to partition
+    # order — same content-addressed principle as operators/sampling.
+    sample = (
+        emb.select(F.col(id_col).alias("__k"), vec_col)
+        .orderBy(F.xxhash64(F.col("__k").cast("string"), F.lit("semdedup")).asc(), F.col("__k").asc())
+        .limit(train_sample)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     centers = _train_quantizer(X, n_clusters, seed=seed)
     assigned = _assign_cells_pandas(emb, id_col, vec_col, centers, 1).select(

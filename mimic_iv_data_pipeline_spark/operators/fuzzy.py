@@ -31,13 +31,19 @@ __all__ = ["deletion_variants", "edit_distance_join"]
 
 
 def _delete_each(s: Column) -> Column:
-    """All strings reachable from ``s`` by deleting exactly one char."""
-    return F.transform(
+    """All strings reachable from ``s`` by deleting exactly one char.
+
+    Empty strings yield an empty array: unguarded, ``sequence(1, 0)``
+    defaults to step −1 and emits positions ``[1, 0]`` — junk ``''``
+    variants that the exact verify discards but that equi-join every
+    empty string against every other (a needless hot bucket).
+    """
+    return F.when(F.length(s) > 0, F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.concat(
             s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
         ),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def deletion_variants(s: Column, max_dist: int) -> Column:
@@ -97,9 +103,20 @@ def edit_distance_join(
         .withColumn("dist", F.levenshtein("__sa", "__sb"))
         .filter(F.col("dist") <= max_dist)
         .select(
-            F.col("id_a").cast("long").alias("id_a"),
-            F.col("id_b").cast("long").alias("id_b"),
+            # widen integral ids to long (stable driver/oracle schema);
+            # any other id type (string doc keys, …) passes through
+            # unchanged — an unconditional long cast would NULL it out
+            # silently and corrupt the pair list
+            _id_out(df, id_col, "id_a"),
+            _id_out(df, id_col, "id_b"),
             F.col("dist").cast("long").alias("dist"),
         )
         .distinct()
     )
+
+
+def _id_out(df: DataFrame, id_col: str, alias: str) -> Column:
+    integral = {"byte", "short", "int", "long"}
+    if df.schema[id_col].dataType.simpleString() in integral:
+        return F.col(alias).cast("long").alias(alias)
+    return F.col(alias)

@@ -183,8 +183,16 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations"
         )
 
+    # Label over the SYMMETRIZED converged star set: at the fixpoint every
+    # edge is (member, root) with root < member, so the root itself never
+    # appears on the u side of the canonical list — a groupBy over only
+    # that side would silently drop one id per component (the driver
+    # union-find path labels it, so the two paths would disagree).
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     labels = (
-        edges.groupBy("u")
+        sym.groupBy("u")
         .agg(F.min("v").alias("__mv"))
         .select(F.col("u").alias("id"), F.least(F.col("__mv"), F.col("u")).alias("component"))
     )

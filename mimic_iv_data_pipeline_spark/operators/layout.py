@@ -46,6 +46,13 @@ def zorder_key(
     Returns ``(df, key_column)`` — the df is unchanged, the key is a
     pure expression over it.
     """
+    if bits * len(cols) > 63:
+        # the interleaved key must fit a signed 64-bit long; overflowing
+        # silently wraps and destroys the clustering property
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * len(cols)} exceeds 63; "
+            "reduce bits or the column count"
+        )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     quantiles = df.select(
@@ -59,8 +66,11 @@ def zorder_key(
     ncols = len(cols)
     for ci, c in enumerate(cols):
         # thresholds are sorted; dedupe to keep the filter cheap on
-        # low-cardinality columns
-        thr = sorted(set(quantiles[c]))
+        # low-cardinality columns. percentile_approx returns NULL (or
+        # NULL elements) for an all-NULL column — such a column carries
+        # no clustering signal, so it degrades to a single zero bucket
+        # instead of raising inside sorted().
+        thr = sorted({t for t in (quantiles[c] or []) if t is not None})
         b = F.least(_bucket(F.col(c), thr), F.lit(n_buckets - 1)).cast("long")
         for bit in range(bits):
             z = z + F.shiftleft(

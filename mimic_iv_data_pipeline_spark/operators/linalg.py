@@ -99,7 +99,11 @@ def _collect_moments(
     if n == 0:
         raise ValueError("moment pass over empty input")
     mean = s / n
-    return n, mean, G / n - np.outer(mean, mean)
+    # (G − ssᵀ/n)/n on the RAW sums — the exact float op order of the
+    # q90 DuckDB oracle ((g − si·sj/n)/n). G/n − outer(mean, mean) is
+    # algebraically identical but rounds differently, and a value near a
+    # .5e-6 half-up boundary can flip the driver's hash compare.
+    return n, mean, (G - np.outer(s, s) / n) / n
 
 
 def covariance_matrix(

@@ -452,3 +452,103 @@ def weighted_sample(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def kfold_ids(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "kfold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """k-fold cross-validation fold assignment over an id relation.
+
+    Every reference ML/DL entry point starts by chunking shuffled ids
+    into k folds (`model/dl_train.py:94-106` ``create_kfolds``;
+    `model/ml_models.py:71` sklearn ``KFold`` over ids). The Spark-scale
+    twin assigns ``fold = hash(key) mod k`` — content-addressed like
+    :func:`hash_split`, so the assignment is bit-stable under
+    repartitioning, executor count, retries, and corpus growth (an id
+    keeps its fold when new data arrives — sklearn's positional chunks
+    reshuffle everything). Folds are disjoint and exhaustive by
+    construction; sizes are multinomial around n/k (deviation
+    O(√(n/k)), irrelevant for CV) rather than positionally exact,
+    which is the price of needing no global sort or driver id set at
+    100 TB. Train/test materialization is a filter:
+    ``df.where(F.col(fold_col) != i)`` / ``== i``.
+    """
+    if k < 2:
+        raise ValueError(f"kfold_ids: k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col,
+        F.pmod(_hash_long(F.col(key_col), f"{salt}:{k}"), F.lit(k)).cast("long"),
+    )
+
+
+def oversample_minority(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    balance: str = "minority",
+    salt: str = "oversample",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic minority-class oversampling (imblearn
+    ``RandomOverSampler`` twin — reference `model/dl_train.py:107-111`,
+    `model/ml_models.py:20`, ``sampling_strategy='minority'``).
+
+    ``balance='minority'`` replicates the single least-frequent class up
+    to the majority count; ``balance='all'`` lifts every class to it.
+    Each source row receives ``base = M // c`` whole copies plus one
+    extra for the ``M % c`` rows ranked first by content-addressed hash
+    (the :func:`quota_sample` primitive) — so the balanced relation hits
+    the target count EXACTLY and is bit-stable under any partitioning,
+    unlike imblearn's RNG draws. Output rows carry ``copy_col``
+    (0-based copy index) so downstream joins keep multiplicity.
+
+    Scale shape: class counts are a groupBy collapsed to one row per
+    class (driver-bounded by the label cardinality, not the corpus);
+    replication is a narrow ``explode(sequence(...))``; the only
+    shuffle is the per-class rank window for residual draws, and at
+    100 TB the same pre-filter trick documented on :func:`quota_sample`
+    bounds what that window sees.
+    """
+    if balance not in ("minority", "all"):
+        raise ValueError(f"oversample_minority: unknown balance={balance!r}")
+    counts = {
+        r["__l"]: r["__c"]
+        for r in df.groupBy(F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn(copy_col, F.lit(0).cast("long"))
+    majority = max(counts.values())
+    # ties broken by label value so the chosen minority is deterministic
+    minority = min(counts, key=lambda l: (counts[l], str(l)))
+    targets = {
+        lbl: majority if (balance == "all" or lbl == minority) else c
+        for lbl, c in counts.items()
+    }
+    rank_w = Window.partitionBy(label_col).orderBy(
+        hash_unit(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    base = None
+    extra_cut = None
+    for lbl, c in counts.items():
+        t = targets[lbl]
+        cond = F.col(label_col) == F.lit(lbl)
+        b, r = t // c, t % c
+        base = F.when(cond, F.lit(b)) if base is None else base.when(cond, F.lit(b))
+        extra_cut = (
+            F.when(cond, F.lit(r)) if extra_cut is None else extra_cut.when(cond, F.lit(r))
+        )
+    n_copies = base + (F.row_number().over(rank_w) <= extra_cut).cast("int")
+    return (
+        df.withColumn("__n", n_copies.cast("long"))
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)),
+        )
+        .drop("__n")
+    )

@@ -304,10 +304,11 @@ def ivf_topk(
     Johnson et al., "Billion-scale similarity search with GPUs", 2017).
 
     Quantizer training follows IVF practice (FAISS trains the coarse
-    quantizer single-process on a bounded sample with cheap init): the
-    first ``train_sample`` corpus rows are pulled to the driver (one
-    ``limit`` job — no count pass, no distributed fit; memory is
-    bounded at sample × dims × 8 B ≈ 134 MB at the default) and Lloyd
+    quantizer single-process on a bounded sample with cheap init): a
+    hash-ordered sample of ``train_sample`` corpus rows is pulled to
+    the driver (one TakeOrdered job — no count pass, no distributed
+    fit; memory is bounded at sample × dims × 8 B ≈ 134 MB at the
+    default, and the draw is partition-order invariant) and Lloyd
     iterations run as blocked numpy matmuls. Training cost is flat in
     corpus size while assignment stays exact over the full corpus; a
     Spark ML KMeans fit of the same 16-cell quantizer costs ~0.9 s of
@@ -315,8 +316,16 @@ def ivf_topk(
     """
     import numpy as np
 
+    # hash-ordered bounded sample (TakeOrderedAndProject — per-partition
+    # top-n, no global sort), not a limit() prefix: a prefix is whatever
+    # partitions happen to scan first, which at scale is typically one
+    # source/shard and trains biased centroids. xxhash64 of the id makes
+    # the draw uniform and invariant to partition order/layout.
     rows = (
-        corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
+        corpus.select(
+            F.col(id_col).alias("__k"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("__k").cast("string"), F.lit("ivf")).asc(), F.col("__k").asc())
         .limit(train_sample)
         .collect()
     )

@@ -25,7 +25,9 @@ from mimic_iv_data_pipeline_spark.operators.privacy import with_pii_scrub
 from mimic_iv_data_pipeline_spark.operators.sampling import (
     dsir_log_weights,
     hash_split,
+    kfold_ids,
     length_bucketed_batches,
+    oversample_minority,
     pack_sequences,
     source_mixture_rates,
     stratified_sample,
@@ -809,3 +811,63 @@ def q96_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", k=100, salt="es").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# --- q97: k-fold CV fold assignment -----------------------------------------
+@register(
+    "q97_kfold",
+    oracle="""
+    SELECT c_custkey,
+           cast(concat('0x', substr(md5(concat('kfold:5:',
+                  cast(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 5 AS fold
+    FROM customer
+    """,
+)
+def q97_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 5-fold CV assignment over the customer id
+    relation (reference `model/dl_train.py:94-106` create_kfolds /
+    `model/ml_models.py:71` KFold) — the full (id, fold) map, so the
+    oracle checks exact membership, not just fold sizes."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return kfold_ids(cust.select("c_custkey"), "c_custkey", k=5)
+
+
+# --- q98: deterministic minority-class oversampling -------------------------
+@register(
+    "q98_oversample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY 1
+    ), m AS (SELECT max(c) AS mx FROM counts),
+    mn AS (SELECT lang FROM counts ORDER BY c ASC, lang ASC LIMIT 1),
+    spec AS (
+      SELECT counts.lang, c,
+             CASE WHEN counts.lang = (SELECT lang FROM mn)
+                  THEN (SELECT mx FROM m) ELSE c END AS t
+      FROM counts
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               cast(concat('0x', substr(md5(concat('oversample:',
+                 cast(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) ASC,
+               doc_id ASC) AS rnk
+      FROM documents
+    ), nc AS (
+      SELECT doc_id, r.lang, (t // c) + CASE WHEN rnk <= t % c THEN 1 ELSE 0 END AS n
+      FROM ranked r JOIN spec s ON r.lang = s.lang
+    )
+    SELECT doc_id, lang, CAST(unnest(range(0, n)) AS BIGINT) AS copy_id
+    FROM nc
+    """,
+)
+def q98_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomOverSampler('minority') twin (reference
+    `model/dl_train.py:107-111`, `model/ml_models.py:20`): replicate the
+    least-frequent language class up to the majority count with
+    hash-ordered residual draws; the oracle reproduces the draw
+    bit-for-bit, copy indices included."""
+    docs = _docs(spark, sf_dir)
+    out = oversample_minority(
+        docs.select("doc_id", "lang"), "doc_id", "lang", balance="minority"
+    )
+    return out.select("doc_id", "lang", "copy_id")

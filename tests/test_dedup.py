@@ -222,6 +222,26 @@ def test_connected_components_vs_union_find(spark, name, nodes, edges, driver_ca
     assert got == expected, name
 
 
+@pytest.mark.parametrize("driver_cap", [1_000_000, 0])
+def test_connected_components_without_nodes_labels_roots(spark, driver_cap):
+    # Regression: with nodes=None the distributed star path used to
+    # label only the u side of the converged (member, root) edge list,
+    # dropping every component root — driver_cap=0 and the union-find
+    # fast path returned different id sets for the same input.
+    from mimic_iv_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, nodes=None, driver_cap=driver_cap
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
 def test_connected_components_random_graphs(spark):
     import random
 

@@ -72,3 +72,21 @@ def test_zorder_key_skew_proof(spark):
     # equal-frequency: no single z value holds more than ~3% of rows
     top = zs.groupBy("__z").count().agg(F.max("count")).collect()[0][0]
     assert top < 4096 * 0.03
+
+
+def test_zorder_key_bits_overflow_raises(spark):
+    df = spark.range(16).select(*[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(9)])
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(df, [f"c{i}" for i in range(9)], bits=8)
+
+
+def test_zorder_key_all_null_column_degrades(spark):
+    # an all-NULL column has no clustering signal: it must collapse to a
+    # single zero bucket, not raise inside percentile handling
+    df = spark.range(256).select(
+        F.col("id"), F.lit(None).cast("double").alias("nul")
+    )
+    base, z = zorder_key(df, ["id", "nul"], bits=4)
+    zs = base.withColumn("__z", z).select("__z")
+    assert zs.where(F.col("__z").isNull()).count() == 0
+    assert zs.distinct().count() > 8  # id still clusters

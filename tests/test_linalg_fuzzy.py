@@ -134,3 +134,16 @@ def test_edit_distance_join_no_cartesian(spark):
     plan = edit_distance_join(df, "id", "s", 1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_join_preserves_string_ids(spark):
+    # non-numeric ids must survive (an unconditional long cast would
+    # silently NULL them and corrupt the pair list)
+    df = spark.createDataFrame(
+        [("doc-a", "kitten"), ("doc-b", "sitten"), ("doc-c", "zzz")],
+        "id string, s string",
+    )
+    out = edit_distance_join(df, "id", "s", max_dist=1)
+    assert dict(out.dtypes)["id_a"] == "string"
+    got = {(r.id_a, r.id_b, r.dist) for r in out.collect()}
+    assert got == {("doc-a", "doc-b", 1)}

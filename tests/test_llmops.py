@@ -495,3 +495,58 @@ class TestWeightedSample:
             if min(keys)[1] == 0:
                 wins += 1
         assert abs(wins / n - 0.9) < 0.03
+
+
+def test_kfold_disjoint_exhaustive_and_repartition_stable(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import kfold_ids
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "key")
+    out = kfold_ids(ids, "key", k=5)
+    rows = {r.key: r.fold for r in out.collect()}
+    # exhaustive: every id got exactly one fold in [0, 5)
+    assert len(rows) == 2000
+    assert set(rows.values()) == {0, 1, 2, 3, 4}
+    # multinomial sizes around n/k
+    from collections import Counter
+
+    sizes = Counter(rows.values())
+    assert all(abs(v - 400) < 100 for v in sizes.values()), sizes
+    # bit-stable under any partition layout
+    for parts in (1, 7, 64):
+        again = {
+            r.key: r.fold
+            for r in kfold_ids(ids.repartition(parts), "key", k=5).collect()
+        }
+        assert again == rows
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_ids(ids, "key", k=1)
+
+
+@pytest.mark.parametrize("balance", ["minority", "all"])
+def test_oversample_minority_exact_counts(spark, balance):
+    from mimic_iv_data_pipeline_spark.operators.sampling import oversample_minority
+
+    # classes: a=100 (majority), b=37, c=12 (minority)
+    df = spark.range(0, 149).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 100, "a")
+        .when(F.col("id") < 137, "b")
+        .otherwise("c")
+        .alias("label"),
+    )
+    out = oversample_minority(df, "key", "label", balance=balance)
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    if balance == "minority":
+        assert counts == {"a": 100, "b": 37, "c": 100}
+    else:
+        assert counts == {"a": 100, "b": 100, "c": 100}
+    # copies of one key are distinct rows with 0-based contiguous copy ids
+    per_key = (
+        out.groupBy("key").agg(F.count("*").alias("n"), F.max("copy_id").alias("mx"))
+        .where(F.col("n") != F.col("mx") + 1)
+        .count()
+    )
+    assert per_key == 0
+    # deterministic: same result on a different partition layout
+    again = oversample_minority(df.repartition(13), "key", "label", balance=balance)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -77,3 +77,34 @@ def test_cosine_pandas_query_guard(spark, emb):
     """A corpus-sized query side must raise, not OOM the driver."""
     with pytest.raises(ValueError, match="query rows"):
         cosine_topk_pandas(emb, emb, k=5, max_query_rows=10).collect()
+
+
+def test_quantizer_samples_partition_order_invariant(spark):
+    # the bounded driver samples feeding the IVF / SemDeDup quantizers
+    # are hash-ordered, so a different partition layout (or scan order)
+    # must produce identical centroids — observed via identical outputs
+    # even when train_sample is smaller than the corpus
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.dedup import semantic_dedup
+    from mimic_iv_data_pipeline_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(float(i % 7), 1.0) for _ in range(8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    shuffled = emb.repartition(17).sortWithinPartitions(F.col("vec_id").desc())
+
+    sd_a = sorted(map(tuple, semantic_dedup(
+        emb, n_clusters=4, threshold=0.95, train_sample=128).collect()))
+    sd_b = sorted(map(tuple, semantic_dedup(
+        shuffled, n_clusters=4, threshold=0.95, train_sample=128).collect()))
+    assert sd_a == sd_b
+
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf_a = sorted(map(tuple, ivf_topk(
+        q, emb, n_cells=4, n_probe=2, k=3, train_sample=128).collect()))
+    ivf_b = sorted(map(tuple, ivf_topk(
+        q, shuffled, n_cells=4, n_probe=2, k=3, train_sample=128).collect()))
+    assert ivf_a == ivf_b
