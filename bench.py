@@ -55,6 +55,7 @@ HEADLINE = [
     "q88_dedup_clean",
     "q90_covariance_matrix",
     "q92_edit_distance_join",
+    "q99_edit_distance_sparse",
     "q93_bpe_tokenize",
     "q95_chunk_overlap",
     "q96_weighted_sample",

@@ -63,6 +63,7 @@ def edit_distance_join(
     id_col: str,
     str_col: str,
     max_dist: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``levenshtein ≤ max_dist``,
     ``id_a < id_b``, exact (complete candidate cover + exact verify).
@@ -74,6 +75,24 @@ def edit_distance_join(
     then shuffles only the *surviving* narrow ``(id_a, id_b, dist)``
     rows — ~4× fewer bytes than deduping the wide candidate relation
     first (0.96M wide rows → 0.27M narrow at sf0.1, −1.3 s).
+
+    Skew: cost concentrates in Σ bucket² over variant buckets, and a
+    high-frequency short string (or a pile of identical strings) makes
+    one bucket quadratic. Two walls, one automatic, one opt-in:
+
+    * AQE skew-join splitting is LOAD-BEARING at scale — an oversized
+      variant bucket is exactly the skewed-partition shape
+      ``spark.sql.adaptive.skewJoin`` re-plans; keep it enabled.
+    * ``max_bucket`` is the :func:`~mimic_iv_data_pipeline_spark.
+      operators.dedup.ngram_jaccard_pairs` ``max_df`` recipe: variant
+      buckets larger than the cap are dropped from the candidate index
+      (they are the quadratic keys), and every surviving candidate is
+      still verified with the exact ``levenshtein`` — reported
+      distances stay exact. Recall bound: a true pair is missed only
+      if EVERY variant the two strings share is hot; ed≤1 pairs of
+      length-L strings share up to L+2 variants, so only strings whose
+      entire neighborhood is saturated (adversarial mass on one name)
+      can hide. Leave ``None`` for the exact complete join.
     """
     sides = df.select(
         F.col(id_col).alias("__id"),
@@ -87,6 +106,14 @@ def edit_distance_join(
         "__id",
         "__s",
     )
+    if max_bucket is not None:
+        ok = (
+            sides.groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("__v")
+        )
+        sides = sides.join(ok, "__v")
     a = sides.select(
         F.col("__v"),
         F.col("__id").alias("id_a"),

@@ -297,3 +297,38 @@ def q92_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1)
+
+
+# --- q99: edit-distance join, sparse density --------------------------------
+# q92's 5 s at sf0.1 is OUTPUT-bound (customer names are dense in true
+# ed<=1 pairs: 262k of them — PERF.md), which makes its bench number a
+# property of the dataset, not the operator. This twin runs the same
+# plan over 12-char md5-prefix strings (random hex: essentially zero
+# true pairs), so the tracked cost is the candidate explode + equi-join
+# itself. Oracle brute-forces the same input to prove no false
+# positives survive the verify.
+@register(
+    "q99_edit_distance_sparse",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey AS id, substr(md5(concat('ed:',
+               cast(c_custkey AS VARCHAR))), 1, 12) AS name
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM s a, s b
+    WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q99_edit_distance_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.fuzzy import edit_distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.substring(
+            F.md5(F.concat(F.lit("ed:"), F.col("c_custkey").cast("string"))), 1, 12
+        ).alias("name"),
+    )
+    return edit_distance_join(s, "id", "name", max_dist=1)

@@ -147,3 +147,27 @@ def test_edit_distance_join_preserves_string_ids(spark):
     assert dict(out.dtypes)["id_a"] == "string"
     got = {(r.id_a, r.id_b, r.dist) for r in out.collect()}
     assert got == {("doc-a", "doc-b", 1)}
+
+
+def test_edit_distance_join_max_bucket_guard(spark):
+    # planted hot name: 60 identical copies saturate their variant
+    # buckets; the cap drops those buckets while every other pair is
+    # still found with exact distances
+    hot = [(1000 + i, "hotname") for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(STRINGS)] + hot, "id long, s string"
+    )
+    uncapped = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s", max_dist=1).collect()
+    }
+    capped_df = edit_distance_join(df, "id", "s", max_dist=1, max_bucket=10)
+    capped = {(r.id_a, r.id_b, r.dist) for r in capped_df.collect()}
+    # documented recall wall: pairs hiding entirely in hot buckets drop
+    hot_ids = {i for i, _ in hot}
+    assert capped == {p for p in uncapped if not (p[0] in hot_ids and p[1] in hot_ids)}
+    assert len(uncapped) - len(capped) == 60 * 59 // 2
+    # still no all-pairs stage anywhere in the capped plan
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
