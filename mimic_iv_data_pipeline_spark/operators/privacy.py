@@ -21,8 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["PII_PATTERNS", "pii_counts", "redact_pii", "with_pii_scrub"]
+__all__ = [
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_pii",
+    "suppress_small_groups",
+    "with_pii_scrub",
+]
 
 # Ordered: earlier classes are redacted first, so overlapping matches
 # (an email's local part containing digits, a card number containing a
@@ -75,3 +82,41 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols += [expr.alias(f"n_{name}") for name, expr in pii_counts(text).items()]
     cols.append(redact_pii(text).alias("redacted"))
     return df.select(*cols)
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    size_col: str | None = "group_size",
+) -> DataFrame:
+    """k-anonymity by suppression (Sweeney 2002): drop every row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows, so
+    each surviving row is indistinguishable from ≥ k−1 others on
+    ``quasi_cols``.
+
+    The structured-data counterpart of the text scrub above: PII regexes
+    remove *direct* identifiers; small-group suppression removes
+    *quasi*-identifier re-identification (the (age, zip, sex)-style
+    linkage attack — the reason MIMIC itself coarsens ages and shifts
+    dates). Suppression, not generalization: coarsening a column (age →
+    bracket) is an ordinary projection callers apply BEFORE this
+    operator, then re-check; iterating the two is the standard
+    Datafly-style loop.
+
+    Scale shape: one window count partitioned by the quasi columns —
+    a single shuffle on the quasi key, no driver state, no join; AQE
+    handles skewed quasi groups (huge groups are the ones that pass
+    anyway). ``size_col`` (set None to omit) keeps the group size for
+    downstream risk reporting.
+    """
+    if k < 1:
+        raise ValueError(f"suppress_small_groups: k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("suppress_small_groups: quasi_cols must be non-empty")
+    w = Window.partitionBy(*quasi_cols)
+    out = df.withColumn("__gn", F.count(F.lit(1)).over(w))
+    out = out.filter(F.col("__gn") >= k)
+    if size_col is not None:
+        return out.withColumn(size_col, F.col("__gn").cast("long")).drop("__gn")
+    return out.drop("__gn")

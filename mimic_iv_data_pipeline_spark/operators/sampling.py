@@ -460,6 +460,7 @@ def kfold_ids(
     k: int,
     salt: str = "kfold",
     fold_col: str = "fold",
+    strata_col: str | None = None,
 ) -> DataFrame:
     """k-fold cross-validation fold assignment over an id relation.
 
@@ -476,12 +477,32 @@ def kfold_ids(
     which is the price of needing no global sort or driver id set at
     100 TB. Train/test materialization is a filter:
     ``df.where(F.col(fold_col) != i)`` / ``== i``.
+
+    ``strata_col`` switches to STRATIFIED k-fold (sklearn
+    ``StratifiedKFold`` twin — the right CV for imbalanced clinical
+    labels, which is why the reference pairs KFold with an
+    oversampler): within each stratum, rows are ranked by
+    content-addressed hash and folds dealt round-robin, so per-stratum
+    fold sizes are exactly balanced (they differ by at most 1). Costs
+    one shuffle (the per-stratum rank window) vs the narrow hash-mod
+    path; the same :func:`quota_sample` pre-filter recipe bounds the
+    window when one stratum dominates at scale. Stability trade: the
+    stratified draw is stable under repartitioning/retries but NOT
+    under corpus growth (ranks shift) — the hash-mod path keeps both.
     """
     if k < 2:
         raise ValueError(f"kfold_ids: k must be >= 2, got {k}")
+    if strata_col is None:
+        return df.withColumn(
+            fold_col,
+            F.pmod(_hash_long(F.col(key_col), f"{salt}:{k}"), F.lit(k)).cast("long"),
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(F.col(key_col), f"{salt}:{k}").asc(), F.col(key_col).asc()
+    )
     return df.withColumn(
         fold_col,
-        F.pmod(_hash_long(F.col(key_col), f"{salt}:{k}"), F.lit(k)).cast("long"),
+        F.pmod(F.row_number().over(w) - 1, F.lit(k)).cast("long"),
     )
 
 

@@ -50,12 +50,12 @@ _MODULES = [
 #       query re-earns a driver row at least every ~3 rounds.
 #
 # r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
-#   (b) q97_kfold, q98_oversample, q99_edit_distance_sparse; (c) the core;
-#   (d) 18 queries whose last driver row is r1: q01 q02 q05 q06 q07 q09 q10
-#   q11 q12 q13 q16 q21 q22 q23 q25 q27 q28 q29.
-# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q30 q31 q33 q35
-#   q36 q37 q38 q46 q47, then the oldest of the r3 block (q48-q77, q79-q83)
-#   and rows-only entries (q40 q41 q44 q53 q60) to fill 50.
+#   (b) q97-q101 (new this round); (c) the core; (d) 16 queries whose last
+#   driver row is r1: q01 q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21 q22
+#   q23 q25 q29.
+# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q27 q28 q30 q31
+#   q33 q35 q36 q37 q38 q46 q47, then the oldest of the r3 block (q48-q77,
+#   q79-q83) and rows-only entries (q40 q41 q44 q53 q60) to fill 50.
 _PRIORITY = [
     # (a) r3 red (driver-canonicalizer array crash; output now CSV string)
     "q78_quantize_int8",
@@ -77,6 +77,8 @@ _PRIORITY = [
     "q97_kfold",
     "q98_oversample",
     "q99_edit_distance_sparse",
+    "q100_stratified_kfold",
+    "q101_k_anonymity",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -109,11 +111,11 @@ _PRIORITY = [
     "q22_quantile_bins",
     "q23_calibration_bins",
     "q25_rank_auc",
-    "q27_global_topk",
-    "q28_rollup",
     "q29_bucketize_hourly",
-    # q30_bucketize_6h rotated out for q99 (q29 covers the bucketize
-    # family); q30 joins the r5 rotating block.
+    # q27 (TakeOrdered covered by q96), q28 (rollup covered by q54's r3
+    # row) and q30 (bucketize covered by q29) rotated out so this
+    # round's new queries get first driver rows; all three join the r5
+    # rotating block.
 ]
 
 

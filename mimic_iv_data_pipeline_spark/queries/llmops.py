@@ -871,3 +871,57 @@ def q98_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang"), "doc_id", "lang", balance="minority"
     )
     return out.select("doc_id", "lang", "copy_id")
+
+
+# --- q100: stratified k-fold CV ---------------------------------------------
+@register(
+    "q100_stratified_kfold",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST((row_number() OVER (PARTITION BY c_mktsegment ORDER BY
+             cast(concat('0x', substr(md5(concat('kfold:5:',
+               cast(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) ASC,
+             c_custkey ASC) - 1) % 5 AS BIGINT) AS fold
+    FROM customer
+    """,
+)
+def q100_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StratifiedKFold twin: per-segment round-robin deal over the
+    content-addressed hash order — per-stratum fold sizes exactly
+    balanced (differ by at most 1), full (id, stratum, fold) map
+    checked against the oracle's identical window."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return kfold_ids(
+        cust.select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+        k=5,
+        strata_col="c_mktsegment",
+    )
+
+
+# --- q101: k-anonymity small-group suppression ------------------------------
+@register(
+    "q101_k_anonymity",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_mktsegment, group_size FROM (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+               AS BIGINT) AS group_size
+      FROM customer
+    ) WHERE group_size >= 10
+    """,
+)
+def q101_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 anonymity on the (nationkey, mktsegment) quasi-identifier:
+    every surviving row is indistinguishable from >= 9 others; the
+    suppressed remainder is exactly the oracle's small-group set."""
+    from mimic_iv_data_pipeline_spark.operators.privacy import (
+        suppress_small_groups,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return suppress_small_groups(
+        cust.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+    )

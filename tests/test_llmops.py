@@ -550,3 +550,52 @@ def test_oversample_minority_exact_counts(spark, balance):
     # deterministic: same result on a different partition layout
     again = oversample_minority(df.repartition(13), "key", "label", balance=balance)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_kfold_exact_balance(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import kfold_ids
+
+    # skewed strata: a=700, b=55, c=13 — per-stratum fold sizes must
+    # differ by at most 1 even for the tiny class
+    df = spark.range(0, 768).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 700, "a")
+        .when(F.col("id") < 755, "b")
+        .otherwise("c")
+        .alias("label"),
+    )
+    out = kfold_ids(df, "key", k=5, strata_col="label")
+    sizes = {
+        (r.label, r.fold): r.n
+        for r in out.groupBy("label", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    for lbl, total in (("a", 700), ("b", 55), ("c", 13)):
+        per = [sizes.get((lbl, f), 0) for f in range(5)]
+        assert sum(per) == total
+        assert max(per) - min(per) <= 1, (lbl, per)
+    # repartition-stable
+    again = kfold_ids(df.repartition(11), "key", k=5, strata_col="label")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_suppress_small_groups_k_anonymity(spark):
+    from mimic_iv_data_pipeline_spark.operators.privacy import suppress_small_groups
+
+    # quasi groups: (0,'x')=12 rows, (1,'x')=5, (2,'y')=3 — k=6 keeps
+    # only the first
+    rows = (
+        [(i, 0, "x") for i in range(12)]
+        + [(100 + i, 1, "x") for i in range(5)]
+        + [(200 + i, 2, "y") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "id long, age int, zip string")
+    out = suppress_small_groups(df, ["age", "zip"], k=6)
+    got = out.collect()
+    assert {r.id for r in got} == set(range(12))
+    assert all(r.group_size == 12 for r in got)
+    # every surviving quasi group has >= k members (the k-anonymity
+    # property itself)
+    mins = out.groupBy("age", "zip").agg(F.count("*").alias("n")).collect()
+    assert all(r.n >= 6 for r in mins)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        suppress_small_groups(df, [], k=2)
