@@ -50,12 +50,11 @@ _MODULES = [
 #       query re-earns a driver row at least every ~3 rounds.
 #
 # r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
-#   (b) q97-q101 (new this round); (c) the core; (d) 16 queries whose last
-#   driver row is r1: q01 q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21 q22
-#   q23 q25 q29.
-# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q27 q28 q30 q31
-#   q33 q35 q36 q37 q38 q46 q47, then the oldest of the r3 block (q48-q77,
-#   q79-q83) and rows-only entries (q40 q41 q44 q53 q60) to fill 50.
+#   (b) q97-q104 (new this round); (c) the core; (d) 13 queries whose last
+#   driver row is r1: q01 q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21 q22.
+# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q23 q25 q27 q28
+#   q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then the oldest of the r3 block
+#   (q48-q77, q79-q83) and rows-only entries (q40 q41 q44 q53 q60) to fill 50.
 _PRIORITY = [
     # (a) r3 red (driver-canonicalizer array crash; output now CSV string)
     "q78_quantize_int8",
@@ -79,6 +78,9 @@ _PRIORITY = [
     "q99_edit_distance_sparse",
     "q100_stratified_kfold",
     "q101_k_anonymity",
+    "q102_pq_encode",
+    "q103_pq_topk",
+    "q104_pq_rerank",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -109,13 +111,10 @@ _PRIORITY = [
     "q16_outlier_clamp",
     "q21_sessionize",
     "q22_quantile_bins",
-    "q23_calibration_bins",
-    "q25_rank_auc",
-    "q29_bucketize_hourly",
-    # q27 (TakeOrdered covered by q96), q28 (rollup covered by q54's r3
-    # row) and q30 (bucketize covered by q29) rotated out so this
-    # round's new queries get first driver rows; all three join the r5
-    # rotating block.
+    # q23/q25/q27/q28/q29/q30 rotated to r5 (their operator families keep
+    # representatives: q22 bins, q51/q57 calibration+AUC had r3 rows, q96
+    # TakeOrdered, q54 rollup) so this round's new queries (q97-q104) get
+    # first driver rows within the 50-row window.
 ]
 
 

@@ -177,6 +177,46 @@ def q78_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q102: product-quantization encode (rows-only: k-means codebooks have
+# no SQL twin; decode parity + partition-order invariance in tests) ----------
+@register("q102_pq_encode")
+def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style PQ8x16 compression of the embedding corpus: codes go
+    to the driver as CSV (array cells crash its canonicalizer, r3)."""
+    from mimic_iv_data_pipeline_spark.operators.pq import pq_encode, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=8, k=16)
+    enc = pq_encode(emb, books)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("code").cast("array<string>"), ",").alias("code_csv"),
+        "recon_err",
+    )
+
+
+# --- q103: PQ asymmetric-distance top-k (rows-only; recall vs exact L2
+# property-tested) ------------------------------------------------------------
+@register("q103_pq_topk")
+def q103_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, m=8, n_centroids=16, k=5)
+
+
+# --- q104: PQ shortlist + exact re-rank (rows-only; exactness of re-ranked
+# distances property-tested) --------------------------------------------------
+@register("q104_pq_rerank")
+def q104_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, m=8, n_centroids=16, k=5, rerank=100)
+
+
 # --- q90: covariance matrix (single-pass distributed moments) ---------------
 @register(
     "q90_covariance_matrix",

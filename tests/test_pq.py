@@ -1,0 +1,128 @@
+"""Product-quantization tests: decode parity, partition-order-invariant
+codebooks, ADC recall vs exact L2, and the bounded-query guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_encode_matches_numpy_assignment(spark, emb):
+    """Each code must be the argmin centroid of its subvector, and
+    recon_err the mean abs error of the decoded vector."""
+    books = pq_train(emb, m=8, k=16)
+    m, k, dsub = books.shape
+    got = {r["vec_id"]: r for r in pq_encode(emb, books).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows[:50]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        err = 0.0
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            d = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            cj = int(np.argmin(d))
+            assert got[r["vec_id"]]["code"][j] == cj
+            err += np.abs(sub - books[j][cj]).sum()
+        assert got[r["vec_id"]]["recon_err"] == pytest.approx(
+            round(err / (m * dsub), 6), abs=1e-6
+        )
+
+
+def test_codebooks_partition_order_invariant(spark, emb):
+    shuffled = emb.repartition(17).sortWithinPartitions(F.col("vec_id").desc())
+    a = pq_train(emb, m=4, k=8, train_sample=256)
+    b = pq_train(shuffled, m=4, k=8, train_sample=256)
+    assert np.array_equal(a, b)
+
+
+def _exact_l2_top5(q_rows, c_rows):
+    c_mat = np.asarray([r["embedding"] for r in c_rows], dtype=np.float64)
+    c_ids = np.asarray([r["vec_id"] for r in c_rows])
+    exact = set()
+    for r in q_rows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((c_mat - qv[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((c_ids, d))
+        top = [c_ids[i] for i in order if c_ids[i] != r["vec_id"]][:5]
+        exact.update((r["vec_id"], n) for n in top)
+    return exact
+
+
+def test_adc_recall_vs_exact_l2(spark, emb):
+    """Pure ADC on the near-random synthetic corpus has intrinsically
+    modest recall (neighbors are marginal); assert it beats chance by a
+    wide margin, and that the exact-rerank path (the production shape)
+    recovers most true neighbors."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _exact_l2_top5(queries.collect(), emb.collect())
+    n_corpus = emb.count()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(queries, emb, m=8, n_centroids=16, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # chance recall for k=5 of n_corpus ≈ 5/n — require ≥10× chance
+    assert recall >= max(0.12, 50.0 / n_corpus), f"ADC recall too low: {recall}"
+
+    reranked = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            queries, emb, m=8, n_centroids=16, k=5, rerank=100
+        ).collect()
+    }
+    rr = len(exact & reranked) / len(exact)
+    assert rr >= 0.65, f"rerank recall too low: {rr}"
+    assert rr >= recall, "exact re-rank must not lose recall vs pure ADC"
+
+
+def test_rerank_distances_are_exact(spark, emb):
+    """Every re-ranked row's l2_dist must equal the true squared L2."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in pq_topk(queries, emb, k=3, rerank=50).collect():
+        want = ((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum()
+        assert r["l2_dist"] == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_adc_distance_is_lut_sum(spark, emb):
+    """adc_dist must equal the sum of exact query-subvector-to-assigned-
+    centroid squared distances (the ADC definition), not a recomputed
+    full-precision distance."""
+    books = pq_train(emb, m=8, k=16)
+    m, k, dsub = books.shape
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_topk(queries, emb, codebooks=books, k=3).collect()
+    codes = {r["vec_id"]: r["code"] for r in pq_encode(emb, books).collect()}
+    q_vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in queries.collect()
+    }
+    for r in out:
+        qv = q_vecs[r["query_id"]]
+        code = codes[r["neighbor_id"]]
+        want = 0.0
+        for j in range(m):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            want += ((sub - books[j][code[j]]) ** 2).sum()
+        assert r["adc_dist"] == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_pq_query_guard(spark, emb):
+    with pytest.raises(ValueError, match="query rows"):
+        pq_topk(emb, emb, k=5, max_query_rows=10).collect()
+
+
+def test_pq_train_rejects_indivisible_dims(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7, k=8)
