@@ -925,3 +925,43 @@ def q101_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         k=10,
     )
+
+
+# --- q105: WordPiece tokenize (rows-only: likelihood-ratio merge induction
+# has no SQL twin; longest-match + losslessness property-tested) -------------
+@register("q105_wordpiece")
+def q105_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 500-piece WordPiece vocabulary (one word-count aggregate
+    + bounded driver merge loop scored by count(ab)/(count(a)count(b)))
+    and encode every document greedily longest-match-first; emits
+    per-doc token/UNK counts."""
+    from mimic_iv_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = wordpiece_train(docs, "text", vocab_size=500, max_words=50_000)
+    enc = wordpiece_encode(docs, "doc_id", "text", vocab)
+    return enc.select("doc_id", "n_tokens", "n_unk")
+
+
+# --- q106: unigram-LM tokenize (rows-only: EM fit has no SQL twin;
+# Viterbi-vs-bruteforce and EM sanity property-tested) -----------------------
+@register("q106_unigram_lm")
+def q106_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram tokenization: EM-fit a 600-piece
+    vocabulary over the bounded word-count relation, Viterbi-encode the
+    corpus, and emit each doc's token count and total best-path
+    log-probability (the LM quality signal)."""
+    from mimic_iv_data_pipeline_spark.operators.wordpiece import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    probs = unigram_train(
+        docs, "text", vocab_size=600, max_words=20_000, max_piece_len=6
+    )
+    enc = unigram_encode(docs, "doc_id", "text", probs, max_piece_len=6)
+    return enc.select("doc_id", "n_tokens", "logprob")
