@@ -50,12 +50,12 @@ _MODULES = [
 #       query re-earns a driver row at least every ~3 rounds.
 #
 # r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
-#   (b) q97-q106 (new this round); (c) the core; (d) 11 queries whose last
-#   driver row is r1: q01 q02 q05 q06 q07 q09 q10 q11 q12 q13 q16.
-# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q21 q22 q23 q25
-#   q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then the oldest of the
-#   r3 block (q48-q77, q79-q83) and rows-only entries (q40 q41 q44 q53 q60)
-#   to fill 50.
+#   (b) q97-q107 (new this round); (c) the core; (d) 10 queries whose last
+#   driver row is r1: q01 q02 q05 q06 q07 q09 q10 q11 q12 q13.
+# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q16 q21 q22 q23
+#   q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then the oldest of
+#   the r3 block (q48-q77, q79-q83) and rows-only entries (q40 q41 q44 q53
+#   q60) to fill 50.
 _PRIORITY = [
     # (a) r3 red (driver-canonicalizer array crash; output now CSV string)
     "q78_quantize_int8",
@@ -84,6 +84,7 @@ _PRIORITY = [
     "q104_pq_rerank",
     "q105_wordpiece",
     "q106_unigram_lm",
+    "q107_incremental_dedup",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -111,11 +112,10 @@ _PRIORITY = [
     "q11_string_fns",
     "q12_date_fns",
     "q13_json_extract",
-    "q16_outlier_clamp",
-    # q21/q22/q23/q25/q27/q28/q29/q30 rotated to r5 (their operator
-    # families keep representatives: q19-q20 windows, q51/q57
+    # q16/q21/q22/q23/q25/q27/q28/q29/q30 rotated to r5 (their operator
+    # families keep representatives: q07 clamp, q19-q20 windows, q51/q57
     # calibration+AUC had r3 rows, q96 TakeOrdered, q54 rollup) so this
-    # round's new queries (q97-q106) get first driver rows within the
+    # round's new queries (q97-q107) get first driver rows within the
     # 50-row window.
 ]
 

@@ -965,3 +965,24 @@ def q106_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = unigram_encode(docs, "doc_id", "text", probs, max_piece_len=6)
     return enc.select("doc_id", "n_tokens", "logprob")
+
+
+# --- q107: incremental dedup against a persisted MinHash index (rows-only:
+# signature estimates have no SQL twin; candidate/estimate logic re-verified
+# in pure Python in tests/test_incremental.py) -------------------------------
+@register("q107_incremental_dedup")
+def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-dedup shape: index the 'accepted' half of the corpus
+    (doc_id < 250) as (doc, band, bucket, signature) rows, then flag
+    docs of the 'new' half whose estimated Jaccard vs an indexed doc is
+    >= 0.3 — O(new batch) work, no old-corpus text rescanned."""
+    from mimic_iv_data_pipeline_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = build_minhash_index(docs.filter(F.col("doc_id") < 250), "doc_id", "text")
+    return dedup_against_index(
+        docs.filter(F.col("doc_id") >= 250), index, "doc_id", "text", threshold=0.3
+    )

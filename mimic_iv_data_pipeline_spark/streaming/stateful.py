@@ -7,16 +7,25 @@ must survive across micro-batches. That is exactly
 ``applyInPandasWithState`` — Arrow-batched grouped map with a
 GroupState handle — the Spark-native form of a custom stateful
 operator (SURVEY.md §2.9 "streaming ops: none in reference").
+
+``stream_lsh_dedup`` extends the same pattern to NEAR-duplicate
+detection on a live corpus feed: per-band-bucket state holds the
+MinHash signatures seen so far, so a document arriving months into the
+stream still matches near-duplicates from the first micro-batch —
+the streaming twin of ``operators/incremental.dedup_against_index``
+with the index living in the state store instead of parquet.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 LOCF_OUTPUT_SCHEMA = (
@@ -82,6 +91,152 @@ def stream_locf(events: DataFrame, value_col: str = "value") -> DataFrame:
         _locf_fn,
         outputStructType=LOCF_OUTPUT_SCHEMA,
         stateStructType=LOCF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+LSH_OUTPUT_SCHEMA = "doc_id long, dup_of long, est_jaccard double"
+# signatures stored flattened with a fixed num_hashes stride (nested
+# array-of-array state columns are not portable across state codecs)
+LSH_STATE_SCHEMA = "ids array<bigint>, flat array<bigint>"
+
+_M61 = (1 << 61) - 1
+_M32 = 1 << 32
+
+
+def _py_sig_factory(n: int, perms: list[tuple[int, int]]):
+    """Python MinHash signature twin for the streaming path.
+
+    The JVM path (``operators/dedup.minhash_signatures``) hashes
+    shingles with ``xxhash64``, which has no Python counterpart in this
+    container, so the streaming operator uses blake2b-folded shingle
+    hashes through the SAME universal-hash family. Signatures are
+    self-consistent across batches and across the batch/stream twins of
+    THIS operator (the equivalence test runs this very function in
+    batch mode); they do not join against JVM-built indexes — use
+    ``dedup_against_index`` for that.
+    Nested closure → pickled by value (see bpe._make_word_encoder).
+    """
+    from hashlib import blake2b
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def signature(text: str) -> list[int]:
+        toks = [w for w in ws.split((text or "").strip().lower()) if w]
+        upper = max(len(toks) - n, 0)
+        grams = {" ".join(toks[i : i + n]) for i in range(upper + 1)}
+        xs = [
+            int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
+            % _M32
+            for g in grams
+        ]
+        if not xs:
+            xs = [0]
+        return [min((a * x + b) % _M61 for x in xs) for a, b in perms]
+
+    return signature
+
+
+def stream_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection.
+
+    Stage 1 (stateless, Arrow-batched): signature each arriving doc and
+    explode to its ``bands`` (band, bucket) keys. Stage 2 (stateful,
+    keyed by band bucket): compare the signature against every
+    signature previously seen in that bucket — across ALL prior
+    micro-batches via the state handle — and emit ``(doc_id, dup_of,
+    est_jaccard)`` for estimated Jaccard ≥ ``threshold``; then append
+    the signature to the bucket state. Within a micro-batch, docs
+    compare against lower-ids first (deterministic given batch
+    boundaries). A pair sharing several bands emits once per shared
+    band — distinct downstream.
+
+    State is O(docs landing in the bucket) × ``num_hashes`` longs —
+    the in-state-store form of the parquet MinHash index
+    (`operators/incremental.py`); the LSH property that buckets stay
+    small is exactly what bounds each GROUP's state. For an unbounded
+    multi-year feed, evict with a TTL timeout or re-shard the band
+    keyspace — the same horizon trade-off ``stream_exact_dedup``
+    documents for its watermark.
+    """
+    from mimic_iv_data_pipeline_spark.operators.dedup import _minhash_perms
+
+    rows_per_band = num_hashes // bands
+    sig_fn = _py_sig_factory(n, _minhash_perms(num_hashes))
+    n_bands = bands
+
+    def band_explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import blake2b
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, bnd, bkt, sigs = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sig = sig_fn(text)
+                for b in range(n_bands):
+                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    digest = blake2b(
+                        b"\x00".join(str(v).encode() for v in chunk),
+                        digest_size=8,
+                    ).digest()
+                    ids.append(doc_id)
+                    bnd.append(b)
+                    bkt.append(int.from_bytes(digest, "big") % (1 << 62))
+                    sigs.append(sig)
+            yield pd.DataFrame(
+                {"doc_id": ids, "band": bnd, "bucket": bkt, "sig": sigs}
+            )
+
+    banded = docs.select(id_col, text_col).mapInPandas(
+        band_explode, schema="doc_id long, band int, bucket long, sig array<bigint>"
+    )
+    H = num_hashes
+
+    def dedup_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (seen_ids, flat) = state.get if state.exists else ([], [])
+        seen_ids = list(seen_ids)
+        flat = list(flat)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        out_doc, out_dup, out_est = [], [], []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                # plain Python ints: the state store pickles via Pyrolite,
+                # which rejects numpy scalar types
+                sig = [int(v) for v in sig]
+                for i, prior in enumerate(seen_ids):
+                    prev = flat[i * H : (i + 1) * H]
+                    est = sum(1 for a, b in zip(sig, prev) if a == b) / H
+                    if est >= threshold:
+                        out_doc.append(int(doc_id))
+                        out_dup.append(int(prior))
+                        out_est.append(round(est, 6))
+                seen_ids.append(int(doc_id))
+                flat.extend(sig)
+        state.update((seen_ids, flat))
+        if out_doc:
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "dup_of": out_dup, "est_jaccard": out_est}
+            )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=LSH_OUTPUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
