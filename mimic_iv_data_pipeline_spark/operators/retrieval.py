@@ -1,0 +1,150 @@
+"""Sparse lexical retrieval: TF-IDF cosine pair mining and BM25 search.
+
+The lexical half of the similarity family (`operators/similarity.py`
+covers dense embeddings): near-topic pair mining for curriculum /
+source-overlap analysis, and BM25 — the ranking function behind
+Lucene/Elasticsearch and the standard first-stage retriever for
+RAG-corpus construction and dedup triage (Robertson & Zaragoza 2009).
+
+Both operators are built on ONE (doc, token) term-frequency aggregate;
+document frequency is a window count over that relation (no second
+corpus pass); nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+from mimic_iv_data_pipeline_spark.operators.text import tokens
+
+__all__ = ["tfidf_cosine_pairs", "bm25_search"]
+
+
+def _tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    occ = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    return occ.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    reuse: bool = True,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity ≥ ``threshold``.
+
+    Weights are sklearn ``smooth_idf`` TF-IDF (``tf·(ln((1+N)/(1+df))+1)``,
+    matching ``tfidf_topk``); the pair dot products come from an
+    INVERTED-INDEX self-join on token — pairs only meet on shared
+    terms, so the cost is Σ_t df(t)², never |docs|². ``max_df`` is the
+    scale wall (same recipe as ``ngram_jaccard_pairs``): tokens in more
+    than ``max_df`` docs leave the index before the join — they are
+    stopwords contributing near-zero IDF weight, so the bound trades a
+    vanishing score error for capping the largest df² term. Output
+    ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+    """
+    tf = _tf(df, id_col, text_col)
+    if reuse:
+        # feeds the weight relation AND (via it) both join probes
+        tf = tf.persist()
+    n_docs = tf.select(F.countDistinct("doc").alias("__n"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    w = (
+        tf.withColumn("__df", dfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf") * (F.log((1 + F.col("__n")) / (1 + F.col("__df"))) + F.lit(1.0)),
+        )
+        .select("doc", "token", "w", "__df")
+    )
+    if reuse:
+        w = w.persist()
+    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    indexed = w if max_df is None else w.filter(F.col("__df") <= max_df)
+    a = indexed.select(
+        F.col("doc").alias("id_a"), "token", F.col("w").alias("__wa")
+    )
+    b = indexed.select(
+        F.col("doc").alias("id_b"), "token", F.col("w").alias("__wb")
+    )
+    dots = (
+        a.join(b, on="token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("doc").alias("id_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("doc").alias("id_b"), F.col("nrm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dround(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a bag of query terms.
+
+    Lucene's non-negative IDF variant:
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``, term score
+    ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``, summed over the
+    query terms present in the doc. Output the ``top_k``
+    ``(doc, score, n_hits)`` rows (score desc, doc asc — exact bounded
+    TakeOrdered, no global sort).
+
+    Scale shape: the tf relation is filtered to the query terms FIRST
+    (a broadcast isin over a handful of literals — partition-prunable
+    if the index is written bucketed by token), so the per-query cost
+    is O(Σ df(query terms)), the inverted-index property that makes
+    BM25 serve at corpus scale. Doc lengths and avgdl are one
+    aggregate each; df comes from the filtered relation itself.
+    """
+    tf = _tf(df, id_col, text_col)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("__dl"))
+    stats = dl.agg(
+        F.avg("__dl").alias("__avgdl"), F.count(F.lit(1)).alias("__n")
+    )
+    hits = tf.filter(F.col("token").isin([t.lower() for t in query_terms]))
+    dfreq = hits.groupBy("token").agg(F.countDistinct("doc").alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("tf") * (k1 + 1) / denom)
+        .groupBy("doc")
+        .agg(
+            dround(F.sum("__s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(top_k)

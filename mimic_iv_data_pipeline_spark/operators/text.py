@@ -581,3 +581,166 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    bos: str = "<s>",
+    reuse: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM score per document — the
+    smoothing KenLM actually ships (Kneser & Ney 1995; Heafield 2011),
+    upgrading ``bigram_lm_scores``'s add-k:
+
+      ``P(w|prev) = (c(prev,w) − D)/c(prev)
+                    + D·N1+(prev,·)/c(prev) · N1+(·,w)/N1+(·,·)``
+
+    The continuation probability ``N1+(·,w)/N1+(·,·)`` scores how many
+    CONTEXTS a word follows, not how often it occurs — the property
+    that makes KN the strongest n-gram smoother. Trained on the scored
+    corpus itself (like ``bigram_lm_scores``), every scored bigram has
+    ``c(prev,w) ≥ 1 > D`` so no zero-backoff branch is needed and the
+    whole computation stays one oracle-checkable plan.
+
+    Scale shape: identical to ``bigram_lm_scores`` plus two
+    vocab-bounded distinct aggregates (N1+ per context, N1+ per word)
+    and a 1-row broadcast of the distinct-bigram total — all keyed
+    shuffles on (prev)/(tok), no driver state.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = (
+        df.select(F.col(id_col), w.alias("__w"))
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(bos)),
+                        F.slice(F.col("__w"), 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+                    ).alias("prev"),
+                    F.col("__w").alias("tok"),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+    )
+    if reuse:
+        pairs = pairs.persist()
+    big = pairs.groupBy("prev", "tok").agg(F.count("*").alias("__c2"))
+    ctx = pairs.groupBy("prev").agg(
+        F.count("*").alias("__c1"), F.countDistinct("tok").alias("__n1p_ctx")
+    )
+    cont = pairs.groupBy("tok").agg(F.countDistinct("prev").alias("__n1p_tok"))
+    tot = pairs.select("prev", "tok").distinct().agg(
+        F.count("*").alias("__n1p_all")
+    )
+    d = F.lit(discount)
+    p_kn = (F.col("__c2") - d) / F.col("__c1") + (
+        d * F.col("__n1p_ctx") / F.col("__c1")
+    ) * (F.col("__n1p_tok") / F.col("__n1p_all"))
+    return (
+        pairs.join(big, ["prev", "tok"])
+        .join(ctx, ["prev"])
+        .join(cont, ["tok"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__lp", F.log(p_kn))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            dround(F.avg("__lp"), 6).alias("avg_logprob"),
+            dround(F.exp(-F.avg("__lp")), 6).alias("perplexity"),
+        )
+    )
+
+
+def sentence_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document sentence segmentation stats: sentence count, mean
+    and max words per sentence — the document-structure quality signal
+    (C4 drops docs whose 'sentences' lack terminal punctuation; Gopher
+    bounds mean words/sentence). Splitting is a regex on terminal
+    punctuation runs (``[.!?]+``) — a deliberate portable approximation
+    (abbreviation-aware splitters are model territory, D6's seam).
+
+    One narrow split+explode, one groupBy(id) — codegen throughout.
+    """
+    sents = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("__s"),
+    ).withColumn("__st", F.trim(F.col("__s"))).filter(F.col("__st") != "")
+    n_words = F.size(F.split(F.col("__st"), r"\s+"))
+    return (
+        sents.withColumn("__nw", n_words)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            dround(F.avg("__nw"), 6).alias("avg_sentence_words"),
+            F.max("__nw").cast("long").alias("max_sentence_words"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in nats, with token
+    and type counts — the repetitiveness/templating signal (low entropy
+    at high length = boilerplate; complements ``repetition_scores``'
+    n-gram ratios). ``H = −Σ (c/n)·ln(c/n)`` over the doc's word
+    histogram. Two keyed aggregates (doc×token, then doc), both
+    map-side combined; no joins."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).filter(F.col("__t") != "")
+    per_tok = toks.groupBy(id_col, "__t").agg(F.count("*").alias("__c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            dround(
+                F.log(F.sum("__c"))
+                - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf law fit per corpus slice: the least-squares slope of
+    ``ln(freq) ~ ln(rank)`` over the top ``max_rank`` word frequencies
+    (natural text ≈ −1; templated/generated slices drift). The
+    corpus-health diagnostic every ingest dashboard plots.
+
+    One (group, token) count aggregate, a rank window per group cut at
+    ``max_rank`` (so the regression input is bounded per group), and
+    ``regr_slope`` — a single-pass algebraic aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("grp", "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__c").desc(), F.col("__t").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= max_rank
+    )
+    return ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        dround(
+            F.regr_slope(F.log("__c"), F.log("__r")), 6
+        ).alias("zipf_slope"),
+    ).select(F.col("grp").alias(group_col), "n_ranks", "zipf_slope")

@@ -332,3 +332,191 @@ def q99_edit_distance_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
     )
     return edit_distance_join(s, "id", "name", max_dist=1)
+
+
+# --- q108: Kneser-Ney bigram LM quality score -------------------------------
+@register(
+    "q108_kneser_ney",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), pe AS (
+      SELECT doc_id, p.prev AS prev, p.tok AS tok FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                 i -> struct_pack(prev := CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END,
+                                  tok := w[i]))) AS p
+        FROM toks
+      )
+    ), big AS (
+      SELECT prev, tok, count(*) AS c2 FROM pe GROUP BY 1, 2
+    ), ctx AS (
+      SELECT prev, count(*) AS c1, count(DISTINCT tok) AS n1p_ctx FROM pe GROUP BY 1
+    ), cont AS (
+      SELECT tok, count(DISTINCT prev) AS n1p_tok FROM pe GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n1p_all FROM (SELECT DISTINCT prev, tok FROM pe)
+    ), scored AS (
+      SELECT pe.doc_id,
+             ln((b.c2 - 0.75) / c.c1
+                + 0.75 * c.n1p_ctx / c.c1 * (k.n1p_tok * 1.0 / t.n1p_all)) AS lp
+      FROM pe JOIN big b USING (prev, tok) JOIN ctx c USING (prev)
+              JOIN cont k USING (tok) CROSS JOIN tot t
+    )
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+           floor(avg(lp) * 1e6 + 0.5) / 1e6 AS avg_logprob,
+           floor(exp(-avg(lp)) * 1e6 + 0.5) / 1e6 AS perplexity
+    FROM scored GROUP BY 1
+    """,
+)
+def q108_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style interpolated Kneser-Ney bigram scoring, trained on
+    the scored corpus (the production filter swaps in reference-corpus
+    counts; the scoring plan is identical)."""
+    from mimic_iv_data_pipeline_spark.operators.text import kneser_ney_scores
+
+    return kneser_ney_scores(_docs(spark, sf_dir), "doc_id")
+
+
+# --- q109: sentence segmentation stats --------------------------------------
+@register(
+    "q109_sentence_stats",
+    oracle=r"""
+    WITH sents AS (
+      SELECT doc_id, trim(s) AS st
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+            FROM documents)
+      WHERE trim(s) <> ''
+    )
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_sentences,
+           floor(avg(len(regexp_split_to_array(st, '\s+'))) * 1e6 + 0.5) / 1e6
+             AS avg_sentence_words,
+           cast(max(len(regexp_split_to_array(st, '\s+'))) AS BIGINT)
+             AS max_sentence_words
+    FROM sents GROUP BY 1
+    """,
+)
+def q109_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.text import sentence_stats
+
+    return sentence_stats(_docs(spark, sf_dir), "doc_id")
+
+
+# --- q110: Zipf slope per source --------------------------------------------
+@register(
+    "q110_zipf_slope",
+    oracle=r"""
+    WITH counts AS (
+      SELECT source AS grp, t AS tok, count(*) AS c
+      FROM (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT grp, c, row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC) AS r
+      FROM counts
+    )
+    SELECT grp AS source, cast(count(*) AS BIGINT) AS n_ranks,
+           floor(regr_slope(ln(c), ln(r)) * 1e6 + 0.5) / 1e6 AS zipf_slope
+    FROM ranked WHERE r <= 1000 GROUP BY 1
+    """,
+)
+def q110_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), "source", max_rank=1000)
+
+
+# --- q111: per-doc token entropy --------------------------------------------
+@register(
+    "q111_token_entropy",
+    oracle=r"""
+    WITH per_tok AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+           cast(count(*) AS BIGINT) AS n_types,
+           floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1e6 + 0.5) / 1e6 AS entropy
+    FROM per_tok GROUP BY 1
+    """,
+)
+def q111_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.operators.text import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir), "doc_id")
+
+
+# --- q112: TF-IDF cosine near-topic pairs -----------------------------------
+@register(
+    "q112_tfidf_cosine_pairs",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id AS doc, t AS token FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents) WHERE t <> ''
+    ), tf AS (SELECT doc, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+    nd AS (SELECT count(DISTINCT doc) AS n FROM tf),
+    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc, tf.token, tf.tf * (ln((1 + nd.n) * 1.0 / (1 + dfr.df)) + 1) AS w
+      FROM tf JOIN dfr USING (token) CROSS JOIN nd
+    ), nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b USING (token) WHERE a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim
+    FROM dots JOIN nrm na ON na.doc = id_a JOIN nrm nb ON nb.doc = id_b
+    WHERE floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 >= 0.9
+    """,
+)
+def q112_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-topic pair mining over the inverted index (pairs meet only
+    on shared tokens — cost Σ df², capped by max_df at scale)."""
+    from mimic_iv_data_pipeline_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.9)
+
+
+# --- q113: BM25 search ------------------------------------------------------
+@register(
+    "q113_bm25",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id AS doc, t AS token FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents) WHERE t <> ''
+    ), tf AS (SELECT doc, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+    dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    hits AS (SELECT * FROM tf WHERE token IN ('hash', 'join', 'spark')),
+    dfr AS (SELECT token, count(DISTINCT doc) AS df FROM hits GROUP BY 1),
+    scored AS (
+      SELECT h.doc,
+             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * h.tf * 2.2 / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score,
+             count(*) AS n_hits
+      FROM hits h JOIN dfr d USING (token) JOIN dl l USING (doc) CROSS JOIN stats s
+      GROUP BY 1
+    )
+    SELECT doc, floor(score * 1e6 + 0.5) / 1e6 AS score,
+           cast(n_hits AS BIGINT) AS n_hits
+    FROM scored
+    ORDER BY score DESC, doc ASC LIMIT 20
+    """,
+)
+def q113_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-variant BM25 top-20 for the query {hash, join, spark}:
+    the inverted-index first-stage retriever (tf relation filtered to
+    the query terms before any join)."""
+    from mimic_iv_data_pipeline_spark.operators.retrieval import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), ["hash", "join", "spark"], "doc_id", top_k=20
+    )

@@ -26,6 +26,12 @@ def test_every_oracle_has_a_query():
         "q87_semantic_dedup",  # k-means cells: no SQL twin
         "q91_pca_project",  # eigenvector sign/order is engine-specific
         "q93_bpe_tokenize",  # iterative merge induction: no SQL twin
+        "q102_pq_encode",  # k-means codebooks: no SQL twin
+        "q103_pq_topk",
+        "q104_pq_rerank",
+        "q105_wordpiece",  # iterative merge induction: no SQL twin
+        "q106_unigram_lm",  # EM fit: no SQL twin
+        "q107_incremental_dedup",  # xxhash64 signatures: no SQL twin
     }
 
 
