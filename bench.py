@@ -59,6 +59,10 @@ HEADLINE = [
     "q93_bpe_tokenize",
     "q95_chunk_overlap",
     "q96_weighted_sample",
+    # round-4 families: PQ/ADC search, Kneser-Ney LM scoring, BM25
+    "q103_pq_topk",
+    "q108_kneser_ney",
+    "q113_bm25",
 ]
 
 
