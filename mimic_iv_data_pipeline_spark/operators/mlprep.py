@@ -1,0 +1,173 @@
+"""Training-example preparation: model-based quality scoring plumbing
+and deterministic masking-objective layout.
+
+Two ops every LLM data pipeline runs between curation and tensors:
+
+* **hashed linear scoring** — the fastText-architecture quality/domain
+  classifier (Joulin et al. 2016; the CCNet / RedPajama quality-filter
+  shape): hash word n-grams into a fixed bucket space, average the
+  bucket weights, squash. The WEIGHTS are injectable (the trained
+  model is caller territory, same seam as `operators/nlp.py`); the
+  Spark-side plumbing — hashing, bucket lookup, mean, sigmoid — is
+  what this operator owns, and it is one codegen projection over a
+  broadcast weight array.
+* **masking layout** — BERT-style iid token masking and T5-style
+  fixed-length span corruption, made DETERMINISTIC by drawing each
+  position's pseudo-random from a content-addressed md5 (the
+  hash-split primitive): the same document always masks identically,
+  across retries, repartitions, and engines — which makes the masking
+  plan oracle-checkable and training-data reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+from mimic_iv_data_pipeline_spark.operators.text import tokens
+
+__all__ = ["hashed_linear_score", "mask_layout", "default_hash_weights"]
+
+
+def _bucket_of(s: Column, n_buckets: int) -> Column:
+    """md5-prefix bucket (portability contract of the sampling family)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("feat:"), s)), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_buckets),
+    )
+
+
+def default_hash_weights(n_buckets: int) -> list[float]:
+    """Deterministic stand-in weight vector in [−1, 1] derived from the
+    bucket index via the same md5 trick — lets the differential oracle
+    reproduce scores exactly when no trained model is supplied. Swap in
+    real trained weights for production use."""
+    import hashlib
+
+    out = []
+    for b in range(n_buckets):
+        h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+        out.append(round(h / float(1 << 31) - 1.0, 6))
+    return out
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Score each document with a hashed bag-of-n-grams linear model:
+    ``sigmoid(bias + mean_f w[bucket(f)])`` over word unigrams (and
+    bigrams), fastText's inference rule.
+
+    Output ``(id, n_features, score)``. The weight table broadcasts as
+    ONE array literal inside the plan (|w| ≤ ~1M floats — the fastText
+    bucket regime); feature hashing and the mean are codegen
+    expressions, so scoring rides the first corpus scan for free.
+    """
+    n_buckets = len(weights)
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).withColumn(
+        "__feats",
+        F.concat(
+            F.col("__t"),
+            F.when(
+                F.lit(use_bigrams) & (F.size("__t") > 1),
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1), "
+                    "(x, i) -> concat(x, ' ', element_at(__t, i + 2)))"
+                ),
+            ).otherwise(F.array()),
+        ),
+    )
+    bucketed = toks.select(
+        id_col, F.explode("__feats").alias("__f")
+    ).filter(F.col("__f") != "").select(
+        id_col, _bucket_of(F.col("__f"), n_buckets).alias("__b")
+    )
+    per_doc = bucketed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.avg(F.element_at(w_arr, (F.col("__b") + 1).cast("int"))).alias("__mw"),
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("__mw"))))
+    return per_doc.select(id_col, "n_features", dround(score, 6).alias("score"))
+
+
+def mask_layout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_rate: float = 0.15,
+    span_len: int = 1,
+) -> DataFrame:
+    """Deterministic masking layout per document.
+
+    ``span_len=1`` is BERT-style iid masking: position ``i`` masks iff
+    ``u(doc, i) < mask_rate`` with ``u`` a content-addressed md5
+    uniform. ``span_len=L>1`` is fixed-length span corruption
+    (T5-style): position ``i`` STARTS a span iff
+    ``u(doc, i) < mask_rate / L`` (keeping the expected masked
+    fraction ≈ ``mask_rate``), and a position is masked iff any of the
+    previous ``L−1`` positions (or itself) started one — a rows-window
+    max, so overlapping spans merge naturally.
+
+    Output ``(id, n_tokens, n_masked, mask_ratio, masked_pos_csv)`` —
+    the LAYOUT (what to mask), not the corrupted text: emitting
+    positions keeps the op format-agnostic (MLM labels, T5 sentinel
+    insertion, and PrefixLM all consume the same layout) and the
+    output scalar/CSV (driver-canonicalizer-safe). One posexplode, one
+    window, one groupBy — all keyed on the doc.
+    """
+    p_start = mask_rate / span_len
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__i", "__tok")
+    ).filter(F.col("__tok") != "")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mask:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("__i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    started = pos.withColumn("__s", (u < p_start).cast("int"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(-(span_len - 1), 0)
+    )
+    masked = started.withColumn("__m", F.max("__s").over(w))
+    return masked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__m").cast("long").alias("n_masked"),
+        dround(F.sum("__m") / F.count(F.lit(1)), 6).alias("mask_ratio"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("__m") == 1, F.col("__i")))
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("masked_pos_csv"),
+    )

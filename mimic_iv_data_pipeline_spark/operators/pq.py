@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from mimic_iv_data_pipeline_spark.operators.similarity import _train_quantizer
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 def _sampled_matrix(
@@ -269,6 +269,209 @@ def pq_topk(
     # joins broadcast the tiny side, so the corpus is touched only for
     # the candidate rows and the shuffle is the final window.
     from mimic_iv_data_pipeline_spark.operators.similarity import as_double_vec
+
+    spark = corpus.sparkSession
+    q_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, q_mat)],
+        "query_id long, __qv array<double>",
+    )
+    cand = shortlist.select("query_id", "neighbor_id")
+    exact = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(F.col(vec_col)).alias("__cv"),
+        )
+        .join(F.broadcast(cand), on="neighbor_id")
+        .join(F.broadcast(q_df), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"), F.col("__cv"), lambda a, c: (a - c) * (a - c)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    rerank: int | None = None,
+    train_sample: int = 262_144,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition (FAISS
+    ``IVF{n},PQ{m}`` — Jégou 2011 §V). The IVF coarse quantizer prunes
+    the search to ``n_probe`` of ``n_cells`` cells; within cells, PQ
+    codes of the RESIDUAL ``x − centroid(cell)`` score against a
+    per-(query, probed-cell) ADC lookup table. Residual encoding is
+    what distinguishes this from running ``pq_topk`` per cell: the
+    residual distribution is tighter than the raw vectors', so the same
+    codebook budget quantizes it with much less error.
+
+    Plan shape: both quantizers train on ONE shared hash-ordered
+    bounded driver sample; corpus vectors map to (cell, code) in one
+    Arrow-batched pass (no shuffle); each query broadcasts its
+    ``n_probe`` LUTs; scoring is an equi-join on cell id — the pairwise
+    work drops by ``n_probe/n_cells`` AND each pair costs ``m`` table
+    lookups instead of a d-dim dot product. ``rerank=N`` adds the exact
+    re-rank join over the shortlist (same as ``pq_topk``). Output
+    ``(query_id, neighbor_id, adc_dist)`` (or ``l2_dist`` re-ranked).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        _train_quantizer,
+        as_double_vec,
+    )
+
+    X = _sampled_matrix(corpus, id_col, vec_col, train_sample, "ivfpq")
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"IVF-PQ needs dims divisible by m: d={d}, m={m}")
+    dsub = d // m
+    coarse = _train_quantizer(X, n_cells, seed=seed)
+    # residuals of the sample w.r.t. their nearest coarse centroid
+    c2 = (coarse**2).sum(axis=1)
+    labels = np.argmax(2.0 * (X @ coarse.T) - c2[None, :], axis=1)
+    R = X - coarse[labels]
+    books = np.empty((m, n_centroids, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub])
+        cj = _train_quantizer(sub, n_centroids, seed=seed + 1 + j)
+        if len(cj) < n_centroids:
+            cj = np.concatenate([cj, np.repeat(cj[:1], n_centroids - len(cj), axis=0)])
+        books[j] = cj
+    b_sq = (books**2).sum(axis=2)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((coarse, c2, books, b_sq))
+
+    enc_schema = f"{id_col} long, cell int, code array<int>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, cc2, bks, bsq = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = np.argmax(2.0 * (v @ cent.T) - cc2[None, :], axis=1)
+            r = v - cent[cells]
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for j in range(m):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmax(
+                    2.0 * (sub @ bks[j].T) - bsq[j][None, :], axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "code": list(codes.astype(np.int32)),
+                }
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(encode, schema=enc_schema)
+
+    # query side: n_probe nearest cells, one LUT per (query, cell) over
+    # the RESIDUAL q − centroid(cell)
+    q_rows = queries.select(id_col, vec_col).limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        raise ValueError("ivfpq_topk broadcasts per-query LUTs; shard the query side")
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    probe_cells = np.argsort(
+        ((q_mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2),
+        axis=1,
+        kind="stable",
+    )[:, :n_probe]
+    # lut[(qi, cell)] = (m, n_centroids) residual distance table
+    luts: dict[tuple[int, int], list] = {}
+    for qi in range(len(q_ids)):
+        for cell in probe_cells[qi]:
+            rq = q_mat[qi] - coarse[cell]
+            tab = np.empty((m, n_centroids), dtype=np.float64)
+            for j in range(m):
+                diff = rq[j * dsub : (j + 1) * dsub][None, :] - books[j]
+                tab[j] = (diff * diff).sum(axis=1)
+            luts[(int(q_ids[qi]), int(cell))] = tab
+    bl = sc.broadcast(luts)
+
+    keep = max(k, rerank or 0)
+    out_schema = "query_id long, neighbor_id long, adc_dist double"
+    sub_idx = np.arange(m)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs = bl.value
+        by_cell: dict[int, list] = {}
+        for (qid, cell), tab in tabs.items():
+            by_cell.setdefault(cell, []).append((qid, tab))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for cell, grp in pdf.groupby("cell"):
+                probers = by_cell.get(int(cell))
+                if not probers:
+                    continue
+                c_ids = grp[id_col].to_numpy()
+                c_codes = np.stack(grp["code"].to_numpy())
+                for qid, tab in probers:
+                    dvals = tab[sub_idx[None, :], c_codes].sum(axis=1)
+                    f = pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": c_ids,
+                            "adc_dist": np.round(dvals, 6),
+                        }
+                    )
+                    frames.append(f[f.neighbor_id != qid])
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+                out = (
+                    out.sort_values(
+                        ["query_id", "adc_dist", "neighbor_id"],
+                        ascending=[True, True, True],
+                    )
+                    .groupby("query_id")
+                    .head(keep)
+                )
+                yield out
+
+    scored = encoded.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .drop("__rn")
+    )
+    if rerank is None:
+        return shortlist
 
     spark = corpus.sparkSession
     q_df = spark.createDataFrame(

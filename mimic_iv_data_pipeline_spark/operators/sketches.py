@@ -259,3 +259,121 @@ def bloom_probe(
         key_col,
         (F.coalesce("__hits", F.lit(0)) == num_hashes).alias("maybe_member"),
     )
+
+
+def _theta_u(key: Column) -> Column:
+    """48-bit md5-prefix uniform in [0, 1) — deterministic and
+    DuckDB-twinnable (`cast('0x'||substr(md5(...),1,12) as bigint)`),
+    the same portability contract as the sampling/hash-split family."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("theta:"), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(1 << 48))
+
+
+def theta_sketch(df: DataFrame, key_col: str, k: int = 512) -> DataFrame:
+    """KMV/Theta distinct sketch of a key column: the ``k`` smallest
+    distinct hash values (one DataFrame row each, ``u`` ascending rank).
+
+    The Theta sketch (public: Dalvi/DataSketches KMV line of work) is
+    the distinct-count summary that supports SET ALGEBRA — union,
+    intersection, difference — which HLL (q56) cannot. Bounded state
+    (k rows), mergeable, exact below k. Build cost: one distinct
+    aggregate + one TakeOrdered — no global sort.
+    """
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(_theta_u(F.col("key")).alias("u"))
+        .orderBy(F.col("u").asc())
+        .limit(k)
+    )
+
+
+def theta_set_cardinalities(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """Distinct / union / intersection cardinality estimates for two
+    keyed sets from their Theta sketches, next to the exact counts.
+
+    Estimators (KMV, Beyer et al. SIGMOD'07):
+      * per set: exact when the sketch holds < k values, else
+        ``(k−1)/u_k`` with ``u_k`` the k-th smallest hash;
+      * union: k smallest of the merged samples, same rule;
+      * intersection: ``θ = min(θ_a, θ_b)``; retained = hash values in
+        BOTH samples below θ; estimate ``|retained|/θ``.
+
+    One deterministic output row (md5-based hashes — the estimate
+    itself is oracle-checkable exactly, not just within tolerance):
+    exact_a/b/union/inter plus est_a/b/union/inter. At 100 TB the
+    exact columns are the expensive ones (countDistinct + a distinct
+    join); production keeps only the sketch path — they are emitted
+    here as the differential ground truth.
+    """
+    a_keys = df_a.select(F.col(key_col).alias("key")).distinct()
+    b_keys = df_b.select(F.col(key_col).alias("key")).distinct()
+    sk_a = theta_sketch(df_a, key_col, k).withColumn("side", F.lit("a"))
+    sk_b = theta_sketch(df_b, key_col, k).withColumn("side", F.lit("b"))
+
+    def est_expr(n_col: Column, kth_col: Column) -> Column:
+        return F.when(n_col < k, n_col.cast("double")).otherwise(
+            F.lit(float(k - 1)) / kth_col
+        )
+
+    def sketch_stats(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias(f"__n_{name}"),
+            F.max("u").alias(f"__kth_{name}"),
+        )
+
+    merged = (
+        sk_a.select("u")
+        .union(sk_b.select("u"))
+        .distinct()
+        .orderBy(F.col("u").asc())
+        .limit(k)
+    )
+    inter_stats = (
+        sk_a.select("u")
+        .join(sk_b.select("u"), on="u")
+        .agg(F.collect_list("u").alias("__both"))
+    )
+
+    exact = (
+        a_keys.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b_keys.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a_keys.union(b_keys).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+        .crossJoin(
+            a_keys.join(b_keys, on="key").agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+    )
+    stats = (
+        sketch_stats(sk_a, "a")
+        .crossJoin(sketch_stats(sk_b, "b"))
+        .crossJoin(sketch_stats(merged, "u"))
+        .crossJoin(inter_stats)
+    )
+    theta = F.least(
+        F.when(F.col("__n_a") < k, F.lit(1.0)).otherwise(F.col("__kth_a")),
+        F.when(F.col("__n_b") < k, F.lit(1.0)).otherwise(F.col("__kth_b")),
+    )
+    n_retained = F.size(F.filter("__both", lambda u: u < theta))
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
+    return exact.crossJoin(F.broadcast(stats)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        dround(est_expr(F.col("__n_a"), F.col("__kth_a")), 6).alias("est_a"),
+        dround(est_expr(F.col("__n_b"), F.col("__kth_b")), 6).alias("est_b"),
+        dround(est_expr(F.col("__n_u"), F.col("__kth_u")), 6).alias("est_union"),
+        dround(n_retained / theta, 6).alias("est_inter"),
+    )

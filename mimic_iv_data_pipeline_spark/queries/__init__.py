@@ -50,12 +50,15 @@ _MODULES = [
 #       query re-earns a driver row at least every ~3 rounds.
 #
 # r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
-#   (b) q97-q113 (new this round); (c) the core; (d) 4 queries whose last
-#   driver row is r1: q01 q02 q05 q06.
-# r5 plan: (a) any r4 reds; (d) the remaining r1-aged block q07 q09 q10 q11
-#   q12 q13 q16 q21 q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46
-#   q47, then the oldest of the r3 block (q48-q77, q79-q83) and rows-only
-#   entries (q40 q41 q44 q53 q60) to fill 50.
+#   (b) q97-q116 (new this round — 20 first driver rows); (c) the core;
+#   (d) 1 query whose last driver row is r1: q01. q117/q118 (added after
+#   the window filled) are NOT prioritized this round — they are covered
+#   by the local oracle battery and lead r5's (a) block.
+# r5 plan: (a) any r4 reds + never-driver-checked q117 q118; (d) the
+#   remaining r1-aged block q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21
+#   q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then
+#   the oldest of the r3 block (q48-q77, q79-q83) and rows-only entries
+#   (q40 q41 q44 q53 q60) to fill 50.
 _PRIORITY = [
     # (a) r3 red (driver-canonicalizer array crash; output now CSV string)
     "q78_quantize_int8",
@@ -91,6 +94,9 @@ _PRIORITY = [
     "q111_token_entropy",
     "q112_tfidf_cosine_pairs",
     "q113_bm25",
+    "q114_ivfpq",
+    "q115_kmeans",
+    "q116_theta_sets",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -109,10 +115,7 @@ _PRIORITY = [
     "q45_set_ops",
     # (d) rotating block — last driver row was r1
     "q01_pricing_summary",
-    "q02_filter_project",
-    "q05_anti_join",
-    "q06_dedup_first",
-    # q07/q09-q13/q16/q21/q22/q23/q25/q27/q28/q29/q30 rotated to r5
+    # q02/q05-q07/q09-q13/q16/q21/q22/q23/q25/q27/q28/q29/q30 rotated to r5
     # (their operator families keep representatives: q16's clamp family
     # via q20 fills, q14 string/mapping fns, q45 set ops for unions,
     # q51/q57 calibration+AUC had r3 rows, q96 TakeOrdered, q54 rollup)

@@ -986,3 +986,170 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_index(
         docs.filter(F.col("doc_id") >= 250), index, "doc_id", "text", threshold=0.3
     )
+
+
+# --- q116: Theta/KMV sketch set algebra across corpus halves ----------------
+@register(
+    "q116_theta_sets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS sh
+      FROM toks
+    ),
+    a_keys AS (SELECT DISTINCT sh FROM grams WHERE doc_id < 250),
+    b_keys AS (SELECT DISTINCT sh FROM grams WHERE doc_id >= 250),
+    ua AS (
+      SELECT cast(concat('0x', substr(md5(concat('theta:', sh)), 1, 12)) AS BIGINT)
+               / 281474976710656.0 AS u
+      FROM a_keys ORDER BY 1 LIMIT 512
+    ),
+    ub AS (
+      SELECT cast(concat('0x', substr(md5(concat('theta:', sh)), 1, 12)) AS BIGINT)
+               / 281474976710656.0 AS u
+      FROM b_keys ORDER BY 1 LIMIT 512
+    ),
+    uu AS (
+      SELECT u FROM (SELECT u FROM ua UNION SELECT u FROM ub) ORDER BY u LIMIT 512
+    ),
+    sa AS (SELECT count(*) AS n, max(u) AS kth FROM ua),
+    sb AS (SELECT count(*) AS n, max(u) AS kth FROM ub),
+    su AS (SELECT count(*) AS n, max(u) AS kth FROM uu),
+    theta AS (
+      SELECT least(CASE WHEN sa.n < 512 THEN 1.0 ELSE sa.kth END,
+                   CASE WHEN sb.n < 512 THEN 1.0 ELSE sb.kth END) AS th
+      FROM sa, sb
+    ),
+    retained AS (
+      SELECT count(*) AS n FROM ua JOIN ub USING (u), theta WHERE u < theta.th
+    ),
+    exact AS (
+      SELECT (SELECT count(*) FROM a_keys) AS exact_a,
+             (SELECT count(*) FROM b_keys) AS exact_b,
+             (SELECT count(*) FROM (SELECT sh FROM a_keys UNION SELECT sh FROM b_keys)) AS exact_union,
+             (SELECT count(*) FROM a_keys JOIN b_keys USING (sh)) AS exact_inter
+    )
+    SELECT exact_a, exact_b, exact_union, exact_inter,
+           floor(CASE WHEN sa.n < 512 THEN sa.n ELSE 511.0 / sa.kth END * 1e6 + 0.5) / 1e6 AS est_a,
+           floor(CASE WHEN sb.n < 512 THEN sb.n ELSE 511.0 / sb.kth END * 1e6 + 0.5) / 1e6 AS est_b,
+           floor(CASE WHEN su.n < 512 THEN su.n ELSE 511.0 / su.kth END * 1e6 + 0.5) / 1e6 AS est_union,
+           floor(retained.n / theta.th * 1e6 + 0.5) / 1e6 AS est_inter
+    FROM exact, sa, sb, su, theta, retained
+    """,
+)
+def q116_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV distinct sketches over the 3-gram shingle sets of two
+    corpus halves: set-algebra estimates (union/intersection — the ops
+    HLL can't do) next to exact ground truth; md5-based hashes make the
+    ESTIMATES exactly oracle-checkable, the q56 pattern upgraded from
+    tolerance-gate to full hash compare."""
+    from mimic_iv_data_pipeline_spark.operators.dedup import exploded_shingles
+    from mimic_iv_data_pipeline_spark.operators.sketches import (
+        theta_set_cardinalities,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    a = sh.filter(F.col("doc") < 250).select("shingle")
+    b = sh.filter(F.col("doc") >= 250).select("shingle")
+    out = theta_set_cardinalities(a, b, "shingle", k=512)
+    return out.select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_inter",
+    )
+
+
+# --- q117: hashed-linear quality score (fastText-architecture plumbing) -----
+@register(
+    "q117_hashed_linear_score",
+    oracle=r"""
+    WITH wt AS (
+      SELECT i AS b,
+             floor((cast(concat('0x', substr(md5(concat('w:', i)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS w
+      FROM (SELECT unnest(range(0, 1024)) AS i)
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, f FROM (
+        SELECT doc_id, unnest(t) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> concat(t[i], ' ', t[i+1]))) AS f
+        FROM toks WHERE len(t) > 1
+      ) WHERE f <> ''
+    ), bucketed AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(concat('feat:', f)), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM feats
+    )
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_features,
+           floor(1.0 / (1.0 + exp(-avg(w))) * 1e6 + 0.5) / 1e6 AS score
+    FROM bucketed JOIN wt USING (b)
+    GROUP BY 1
+    """,
+)
+def q117_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape quality scoring with the deterministic stand-in
+    weight table (real trained weights are a drop-in replacement; the
+    hashing/mean/sigmoid plumbing is what's verified here)."""
+    from mimic_iv_data_pipeline_spark.operators.mlprep import (
+        default_hash_weights,
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(
+        _docs(spark, sf_dir), "doc_id", "text", default_hash_weights(1024)
+    )
+
+
+# --- q118: deterministic span-corruption masking layout ---------------------
+@register(
+    "q118_mask_layout",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i, w[i+1] AS tok
+      FROM toks, unnest(range(0, len(w))) AS r(i)
+      WHERE w[i+1] <> ''
+    ), started AS (
+      SELECT doc_id, i,
+             CASE WHEN cast(concat('0x', substr(md5(concat('mask:', doc_id, ':', i)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 < 0.05 THEN 1 ELSE 0 END AS s
+      FROM pos
+    ), masked AS (
+      SELECT doc_id, i,
+             max(s) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+      FROM started
+    )
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+           cast(sum(m) AS BIGINT) AS n_masked,
+           floor(sum(m) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS mask_ratio,
+           coalesce(array_to_string(list(i ORDER BY i) FILTER (WHERE m = 1), ','), '')
+             AS masked_pos_csv
+    FROM masked GROUP BY 1
+    """,
+)
+def q118_mask_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style fixed-length (L=3) span-corruption layout at 15%
+    expected mask rate, content-addressed so the same doc masks
+    identically across engines/retries."""
+    from mimic_iv_data_pipeline_spark.operators.mlprep import mask_layout
+
+    return mask_layout(
+        _docs(spark, sf_dir), "doc_id", "text", mask_rate=0.15, span_len=3
+    )

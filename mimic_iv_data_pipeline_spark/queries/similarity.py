@@ -217,6 +217,44 @@ def q104_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, emb, m=8, n_centroids=16, k=5, rerank=100)
 
 
+# --- q114: IVF-PQ search (rows-only; residual-quantization and recall
+# properties tested) ----------------------------------------------------------
+@register("q114_ivfpq")
+def q114_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-scale composition: IVF cell pruning + residual-PQ
+    ADC scoring + exact re-rank of the shortlist."""
+    from mimic_iv_data_pipeline_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        queries, emb, n_cells=16, n_probe=4, m=8, n_centroids=16, k=5, rerank=50
+    )
+
+
+# --- q115: distributed Lloyd k-means (rows-only; numpy parity and
+# partition invariance tested) ------------------------------------------------
+@register("q115_kmeans")
+def q115_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus Lloyd (every iteration one corpus pass + one
+    k·d-row aggregate); emits cluster sizes and per-cell mean
+    assignment distance."""
+    from mimic_iv_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from mimic_iv_data_pipeline_spark.operators.similarity import as_double_vec
+
+    emb = _emb(spark, sf_dir)
+    centers = kmeans_fit(emb, "embedding", k=8, max_iter=5, id_col="vec_id")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", centers)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("cell")
+    )
+
+
 # --- q90: covariance matrix (single-pass distributed moments) ---------------
 @register(
     "q90_covariance_matrix",

@@ -126,3 +126,54 @@ def test_pq_query_guard(spark, emb):
 def test_pq_train_rejects_indivisible_dims(spark, emb):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7, k=8)
+
+
+def test_ivfpq_recall_and_pruning(spark, emb):
+    """IVF-PQ with exact re-rank must recover most true L2 neighbors
+    while scoring only the probed fraction of the corpus."""
+    from mimic_iv_data_pipeline_spark.operators.pq import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _exact_l2_top5(queries.collect(), emb.collect())
+    n_corpus = emb.count()
+    # full probe + rerank: near-exhaustive, should recall well
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            queries, emb, n_cells=8, n_probe=8, k=5, rerank=100
+        ).collect()
+    }
+    rr = len(exact & full) / len(exact)
+    assert rr >= 0.6, f"IVF-PQ full-probe rerank recall too low: {rr}"
+    # partial probe prunes: the scored candidate universe (k=huge) is
+    # smaller than all pairs
+    pruned = ivfpq_topk(queries, emb, n_cells=8, n_probe=2, k=10**9)
+    assert pruned.count() < 20 * (n_corpus - 1)
+
+
+def test_ivfpq_residual_beats_raw_pq_reconstruction(spark, emb):
+    """The point of IVF-PQ: residual codebooks quantize tighter than
+    raw-vector codebooks at the same budget. Compare mean ADC error
+    against true distance for a sample of (query, neighbor) pairs."""
+    import numpy as np
+
+    from mimic_iv_data_pipeline_spark.operators.pq import ivfpq_topk, pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def mean_abs_err(rows):
+        errs = []
+        for r in rows:
+            true = ((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum()
+            errs.append(abs(r["adc_dist"] - true))
+        return sum(errs) / len(errs)
+
+    raw = mean_abs_err(pq_topk(queries, emb, m=8, n_centroids=16, k=20).collect())
+    res = mean_abs_err(
+        ivfpq_topk(queries, emb, n_cells=8, n_probe=8, m=8, n_centroids=16, k=20).collect()
+    )
+    assert res < raw, f"residual ADC error {res} not below raw {raw}"

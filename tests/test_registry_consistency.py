@@ -32,6 +32,8 @@ def test_every_oracle_has_a_query():
         "q105_wordpiece",  # iterative merge induction: no SQL twin
         "q106_unigram_lm",  # EM fit: no SQL twin
         "q107_incremental_dedup",  # xxhash64 signatures: no SQL twin
+        "q114_ivfpq",  # k-means quantizers: no SQL twin
+        "q115_kmeans",  # iterative fit: no SQL twin
     }
 
 
