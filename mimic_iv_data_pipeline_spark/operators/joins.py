@@ -226,3 +226,38 @@ def map_codes(
         else F.col("__map_value")
     )
     return joined.withColumn(out_col, mapped).drop("__map_key", "__map_value")
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """SCD-1 snapshot upsert without a table format: union the change
+    batch onto the base snapshot and keep, per key, the row with the
+    highest ``version_col`` (updates win ties — they sort after base).
+
+    This is the MERGE INTO / Delta upsert shape expressed as a plain
+    plan: ONE union + ONE per-key window — the keyed shuffle is on the
+    upsert key, so at 100 TB it colocates with a base bucketed/z-ordered
+    on the same key and AQE coalesces the small change-batch side.
+    Writers should pair it with dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) so only
+    partitions containing changed keys rewrite. Deterministic: ties on
+    (version, origin) break to the update row, then row content is
+    irrelevant because keys are unique per origin.
+    """
+    from pyspark.sql.window import Window
+
+    tagged = base.withColumn("__origin", F.lit(0)).unionByName(
+        updates.withColumn("__origin", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__origin").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__origin")
+    )

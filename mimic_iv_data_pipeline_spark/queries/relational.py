@@ -395,3 +395,42 @@ def q14_code_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_expr=F.col("type_root_key"),
     )
     return out.select("p_partkey", "type_group")
+
+
+# --- q119: SCD-1 snapshot upsert --------------------------------------------
+@register(
+    "q119_scd_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, 1 AS version FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, 2 AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), unioned AS (
+      SELECT *, 0 AS origin FROM base
+      UNION ALL
+      SELECT *, 1 AS origin FROM updates
+    )
+    SELECT o_orderkey, o_orderstatus, CAST(version AS BIGINT) AS version
+    FROM unioned
+    QUALIFY row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC, origin DESC
+    ) = 1
+    """,
+)
+def q119_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expressed as a plain plan: a change batch (every 10th
+    order flips to status 'U' at version 2) upserted over the base
+    snapshot; per-key latest wins."""
+    from mimic_iv_data_pipeline_spark.operators.joins import upsert_latest
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.lit(1).cast("long").alias("version")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    return upsert_latest(base, updates, ["o_orderkey"], "version")

@@ -172,3 +172,14 @@ def read_jsonl(
     if corrupt_col and mode == "PERMISSIVE":
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source — the other columnar interchange format warehouses
+    hand off (Hive/Trino lineage). Same pushdown/pruning behavior as
+    parquet under Catalyst; schema optional because ORC footers carry
+    types (pass one to skip footer reads on huge globs)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -80,3 +80,16 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib default; splittable, footer-indexed)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -146,6 +146,7 @@ def stream_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection.
 
@@ -164,9 +165,11 @@ def stream_lsh_dedup(
     the in-state-store form of the parquet MinHash index
     (`operators/incremental.py`); the LSH property that buckets stay
     small is exactly what bounds each GROUP's state. For an unbounded
-    multi-year feed, evict with a TTL timeout or re-shard the band
-    keyspace — the same horizon trade-off ``stream_exact_dedup``
-    documents for its watermark.
+    multi-year feed, pass ``state_ttl_minutes``: buckets idle longer
+    than the TTL are EVICTED (processing-time timeout) and duplicates
+    of documents older than the horizon re-emit as originals — the
+    same horizon trade-off ``stream_exact_dedup`` documents for its
+    watermark; re-sharding the band keyspace is the alternative.
     """
     from mimic_iv_data_pipeline_spark.operators.dedup import _minhash_perms
 
@@ -202,11 +205,17 @@ def stream_lsh_dedup(
     )
     H = num_hashes
 
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+
     def dedup_fn(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the TTL: drop the bucket's signature memory
+            state.remove()
+            return
         (seen_ids, flat) = state.get if state.exists else ([], [])
         seen_ids = list(seen_ids)
         flat = list(flat)
@@ -228,15 +237,22 @@ def stream_lsh_dedup(
                 seen_ids.append(int(doc_id))
                 flat.extend(sig)
         state.update((seen_ids, flat))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out_doc:
             yield pd.DataFrame(
                 {"doc_id": out_doc, "dup_of": out_dup, "est_jaccard": out_est}
             )
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         dedup_fn,
         outputStructType=LSH_OUTPUT_SCHEMA,
         stateStructType=LSH_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
