@@ -744,3 +744,72 @@ def zipf_slope(
             F.regr_slope(F.log("__c"), F.log("__r")), 6
         ).alias("zipf_slope"),
     ).select(F.col("grp").alias(group_col), "n_ranks", "zipf_slope")
+
+
+# UTF-8 byte sequences mis-decoded as latin-1/cp1252 - the classic
+# double-encoding ("mojibake") artifacts crawl text carries. Stored as
+# escape sequences: several involve C1 control characters that must
+# not appear raw in source. The repair table is the deterministic
+# high-frequency subset of what ftfy fixes statistically.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u00a6", "..."),
+    ("\u00e2\u20ac\u2122", "'"),
+    ("\u00e2\u20ac\u02dc", "'"),
+    ("\u00e2\u20ac\u0153", "\""),
+    ("\u00e2\u20ac\u009d", "\""),
+    ("\u00e2\u20ac\u201c", "-"),
+    ("\u00e2\u20ac\u201d", "-"),
+    ("\u00c3\u00a9", "\u00e9"),
+    ("\u00c3\u00a8", "\u00e8"),
+    ("\u00c3\u00bc", "\u00fc"),
+    ("\u00c2\u00a0", " "),
+]
+
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+]
+
+
+def clean_web_text(
+    text: Column,
+    strip_tags: bool = True,
+    decode_entities: bool = True,
+    fix_mojibake: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Crawl-text cleanup as ONE codegen expression chain: drop
+    script/style blocks wholesale, strip remaining markup tags, decode
+    the common HTML entities, repair classic UTF-8-as-latin-1 mojibake
+    sequences, and collapse whitespace runs - the trafilatura-lite
+    normalization every web-corpus pipeline runs before quality
+    scoring (full boilerplate EXTRACTION - text-density segmentation -
+    is model territory; this is the deterministic rule layer).
+
+    Pure ``regexp_replace``/``replace`` chain: no UDF, no shuffle, a
+    free rider on the first corpus scan; every rule has an exact DuckDB
+    twin (entity/mojibake tables are literal replaces; tag regexes are
+    RE2-safe). Entity decode runs BEFORE mojibake repair so literal
+    markup can't synthesize repair inputs; both run before whitespace
+    collapse so replacements' spacing normalizes too.
+    """
+    out = text
+    if strip_tags:
+        # two patterns, not one with a backreference: RE2 (DuckDB) has
+        # no backreferences, and the oracle twin must run the SAME rule
+        out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
+        out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+        out = F.regexp_replace(out, r"<[^>]+>", " ")
+    if decode_entities:
+        for ent, rep in HTML_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(rep))
+    if fix_mojibake:
+        for bad, good in MOJIBAKE_MAP:
+            out = F.replace(out, F.lit(bad), F.lit(good))
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -520,3 +520,54 @@ def q113_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         _docs(spark, sf_dir), ["hash", "join", "spark"], "doc_id", top_k=20
     )
+
+
+# --- q120: web-text cleanup (tag strip + entities + mojibake repair) --------
+@register(
+    "q120_clean_web_text",
+    oracle=r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             concat('<html><script type="x">junk();</script><p class="c">',
+                    text, ' &amp; more\u00e2\u20ac\u2122</p><br/></html>') AS raw
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(raw, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '\u00e2\u20ac\u2122', chr(39)),
+               '\s+', ' ', 'g')) AS cleaned
+      FROM wrapped
+    )
+    SELECT doc_id, md5(cleaned) AS clean_digest,
+           CAST(length(cleaned) AS BIGINT) AS n_chars_clean
+    FROM cleaned
+    """,
+)
+def q120_clean_web_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wraps every document in deterministic markup (script block, tags,
+    an entity, a planted mojibake quote) and runs the full cleanup
+    chain; the digest of the cleaned text is hash-compared against the
+    DuckDB twin running the identical rules. The wrap makes the op's
+    whole rule surface observable on a corpus that carries no HTML of
+    its own."""
+    from mimic_iv_data_pipeline_spark.operators.text import clean_web_text
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit('<html><script type="x">junk();</script><p class="c">'),
+        F.col("text"),
+        F.lit(" &amp; more\u00e2\u20ac\u2122</p><br/></html>"),
+    )
+    cleaned = clean_web_text(raw)
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_digest"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )
