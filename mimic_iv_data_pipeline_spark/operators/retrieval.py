@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
-__all__ = ["tfidf_cosine_pairs", "bm25_search"]
+__all__ = ["tfidf_cosine_pairs", "bm25_search", "embed_hashed_projection"]
 
 
 def _tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -148,3 +148,66 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(top_k)
+
+
+def embed_hashed_projection(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+) -> DataFrame:
+    """Deterministic bag-of-words random-projection embeddings: 
+    ``emb[d] = Σ_tokens sign(md5(token, d)) / sqrt(n_tokens)`` — signed
+    feature hashing into a dense d-vector (the Johnson-Lindenstrauss /
+    hashing-trick featurizer; SimHash's pre-binarization form). Zero
+    model weights, fully reproducible, and cosine between two docs
+    concentrates around their token-multiset similarity — exactly good
+    enough to key the dense-ANN family (`pq`, `ivf_topk`,
+    `semantic_dedup`) on RAW text when no trained encoder is in the
+    loop, and the drop-in seam when one is (swap this for an
+    Arrow-batched model featurizer; every downstream op is unchanged).
+
+    Output ``(id, embedding array<double>)``. Plan: explode tokens ×
+    dims to (doc, d, ±1) rows, one keyed sum, one array re-assembly —
+    all codegen; the dims× row inflation is the expression-only cost,
+    and the documented alternative at extreme scale is one numpy
+    matmul per Arrow batch (the `_assign_cells_pandas` pattern).
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    d_idx = F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("d")
+    sign = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("proj:"), F.col("tok"), F.lit(":"), F.col("d"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        * 2
+        - 1
+    )
+    per_dim = (
+        toked.select("doc", "tok", d_idx)
+        .withColumn("s", sign)
+        .groupBy("doc", "d")
+        .agg(F.sum("s").alias("v"))
+    )
+    n_tok = toked.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_dim.join(n_tok, "doc")
+        .groupBy("doc", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "v"))),
+                lambda s: s.v / F.sqrt(F.col("n")),
+            ).alias("embedding")
+        )
+        .select(F.col("doc").alias(id_col), "embedding")
+    )

@@ -51,10 +51,10 @@ _MODULES = [
 #
 # r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
 #   (b) q97-q116 (new this round — 20 first driver rows); (c) the core;
-#   (d) 1 query whose last driver row is r1: q01. q117-q120 (added after
+#   (d) 1 query whose last driver row is r1: q01. q117-q122 (added after
 #   the window filled) are NOT prioritized this round — they are covered
 #   by the local oracle battery and lead r5's (a) block.
-# r5 plan: (a) any r4 reds + never-driver-checked q117-q120; (d) the
+# r5 plan: (a) any r4 reds + never-driver-checked q117-q122; (d) the
 #   remaining r1-aged block q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21
 #   q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then
 #   the oldest of the r3 block (q48-q77, q79-q83) and rows-only entries
@@ -119,7 +119,7 @@ _PRIORITY = [
     # (their operator families keep representatives: q16's clamp family
     # via q20 fills, q14 string/mapping fns, q45 set ops for unions,
     # q51/q57 calibration+AUC had r3 rows, q96 TakeOrdered, q54 rollup)
-    # so this round's new queries (q97-q113) get first driver rows
+    # so this round's new queries (q97-q116) get first driver rows
     # within the 50-row window.
 ]
 

@@ -292,3 +292,24 @@ def q91_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.operators.linalg import pca_project
 
     return pca_project(_emb(spark, sf_dir), "vec_id", "embedding", dims=64, k=8)
+
+
+# --- q122: RAG chunk retrieval capstone (rows-only: IVF path) ---------------
+@register("q122_rag_retrieve")
+def q122_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval build: chunk the corpus, embed chunks with
+    the deterministic JL featurizer, retrieve top-3 chunks for 5 query
+    texts via the IVF path (planted-relevance property tested)."""
+    from mimic_iv_data_pipeline_spark.plans.rag_corpus import (
+        build_chunk_index,
+        retrieve,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    index = build_chunk_index(docs, window=32, stride=24, dims=64).persist()
+    probe = index.orderBy("chunk_uid").limit(5).collect()
+    queries = spark.createDataFrame(
+        [(int(r["chunk_uid"]), r["chunk_text"]) for r in probe],
+        "query_id long, query_text string",
+    )
+    return retrieve(index, queries, k=3, n_cells=8, n_probe=4)

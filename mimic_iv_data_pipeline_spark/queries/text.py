@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from mimic_iv_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -571,3 +572,38 @@ def q120_clean_web_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(cleaned).alias("clean_digest"),
         F.length(cleaned).cast("long").alias("n_chars_clean"),
     )
+
+
+# --- q121: hashed-projection document embeddings ----------------------------
+@register(
+    "q121_doc_embeddings",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, t AS tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents) WHERE t <> ''
+    ), n_tok AS (SELECT doc, count(*) AS n FROM toks GROUP BY 1),
+    per_dim AS (
+      SELECT doc, d.d AS d,
+             sum(cast(concat('0x', substr(md5(concat('proj:', tok, ':', d.d)), 1, 8)) AS BIGINT)
+                 % 2 * 2 - 1) AS v
+      FROM toks, (SELECT unnest(range(0, 8)) AS d) d
+      GROUP BY 1, 2
+    )
+    SELECT p.doc AS doc_id, CAST(p.d AS BIGINT) AS d,
+           floor(p.v / sqrt(n.n) * 1e6 + 0.5) / 1e6 AS val
+    FROM per_dim p JOIN n_tok n USING (doc)
+    """,
+)
+def q121_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL/hashing-trick document embeddings (8 dims for
+    the driver row; the ANN family consumes the 64-dim form), exploded
+    to scalar (doc, d, val) rows for the canonicalizer."""
+    from mimic_iv_data_pipeline_spark.operators.retrieval import (
+        embed_hashed_projection,
+    )
+
+    emb = embed_hashed_projection(_docs(spark, sf_dir), "doc_id", "text", dims=8)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("d", "__v")
+    ).select("doc_id", F.col("d").cast("long").alias("d"), dround(F.col("__v"), 6).alias("val"))

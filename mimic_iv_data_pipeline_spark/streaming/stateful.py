@@ -256,3 +256,108 @@ def stream_lsh_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+RESERVOIR_OUTPUT_SCHEMA = "key long, weight double, es_key double"
+RESERVOIR_STATE_SCHEMA = "keys array<bigint>, ws array<double>, es array<double>"
+
+
+def stream_weighted_sample(
+    rows: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es",
+    num_shards: int = 8,
+) -> DataFrame:
+    """Streaming twin of ``sampling.weighted_sample`` — a deterministic
+    weighted reservoir (Efraimidis–Spirakis over content-addressed race
+    keys, so the SAME rows win regardless of batching).
+
+    Stage 1 (stateless): compute each row's race key
+    ``e = −ln(u)/w`` with ``u`` the md5 unit of the row key — byte-for-
+    byte the batch operator's formula — and a shard id. Stage 2
+    (stateful per shard): keep the shard's current top-``k`` (state is
+    exactly k (key, w, e) triples) and EMIT rows at the moment they
+    enter it. Acceptance is monotone — a row outside the running top-k
+    can never re-enter as more data arrives — so the emitted log is a
+    superset of the final sample, and
+
+        top-k by (es_key, key) over ALL emitted rows
+          == batch ``weighted_sample`` over the same data
+
+    (asserted exactly in tests). The per-shard k bounds state at
+    ``num_shards × k`` rows total; reading the final sample is one
+    bounded TakeOrdered over the emitted log.
+    """
+    from hashlib import md5 as _md5
+
+    span = float(1 << 32)
+
+    def race(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys, ws, es, shards = [], [], [], []
+            for key, w in zip(pdf[key_col], pdf[weight_col]):
+                if w is None or w <= 0:
+                    continue
+                h = int(
+                    _md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16
+                )
+                u = (h + 0.5) / span
+                keys.append(int(key))
+                ws.append(float(w))
+                es.append(-math.log(u) / float(w))
+                shards.append(h % num_shards)
+            yield pd.DataFrame(
+                {"key": keys, "weight": ws, "es_key": es, "shard": shards}
+            )
+
+    raced = rows.select(key_col, weight_col).mapInPandas(
+        race, schema="key long, weight double, es_key double, shard int"
+    )
+
+    def reservoir(
+        gkey: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (keys, ws, es) = state.get if state.exists else ([], [], [])
+        pool = sorted(zip(es, keys, ws))  # (e, key, w) ascending
+        out_k, out_w, out_e = [], [], []
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["es_key", "key"]
+            )
+            for key, w, e in zip(pdf["key"], pdf["weight"], pdf["es_key"]):
+                entry = (float(e), int(key), float(w))
+                if len(pool) < k:
+                    pool.append(entry)
+                    pool.sort()
+                elif entry < pool[-1]:
+                    pool[-1] = entry
+                    pool.sort()
+                else:
+                    continue
+                out_e.append(entry[0])
+                out_k.append(entry[1])
+                out_w.append(entry[2])
+        state.update(
+            ([p[1] for p in pool], [p[2] for p in pool], [p[0] for p in pool])
+        )
+        if out_k:
+            yield pd.DataFrame(
+                {"key": out_k, "weight": out_w, "es_key": out_e}
+            )
+
+    return raced.groupBy("shard").applyInPandasWithState(
+        reservoir,
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

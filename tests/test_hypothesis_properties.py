@@ -101,3 +101,72 @@ def test_md5_prefix_hash_in_span(s):
     # the portable hash primitive always lands in [0, 2^32)
     h = int(hashlib.md5(f"x:{s}".encode()).hexdigest()[:8], 16)
     assert 0 <= h < 2**32
+
+
+words_wp = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(words_wp, st.integers(1, 30)), min_size=1, max_size=12))
+def test_wordpiece_lossless_on_training_words(vocab):
+    """Any word the trainer saw must encode without [UNK] and decode
+    (strip ##, concat) back to itself."""
+    from mimic_iv_data_pipeline_spark.operators.wordpiece import (
+        UNK,
+        _make_wp_encoder,
+        train_wordpiece_py,
+    )
+
+    v = train_wordpiece_py(vocab, vocab_size=200)
+    enc = _make_wp_encoder(set(v))
+    for w, _ in vocab:
+        pieces = enc(w)
+        assert UNK not in pieces, (w, pieces)
+        assert "".join(p[2:] if p.startswith("##") else p for p in pieces) == w
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(words_wp, st.integers(1, 30)), min_size=1, max_size=10))
+def test_unigram_viterbi_segments_training_words(vocab):
+    """Every training word must Viterbi-segment (chars never pruned,
+    probs never zero) and concatenate back exactly."""
+    from mimic_iv_data_pipeline_spark.operators.wordpiece import (
+        UNK,
+        _make_viterbi_encoder,
+        train_unigram_py,
+    )
+
+    probs = train_unigram_py(vocab, vocab_size=40, max_piece_len=4, em_iters=1)
+    enc = _make_viterbi_encoder(probs, 4)
+    for w, _ in vocab:
+        pieces = enc(w)
+        assert pieces != [UNK], (w, probs)
+        assert "".join(pieces) == w
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5)), min_size=0, max_size=30),
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5)), min_size=0, max_size=30),
+)
+def test_upsert_latest_is_argmax_per_key(base_rows, upd_rows):
+    """Pure-python replica of upsert_latest's contract: per key, keep
+    max version; ties go to the update side."""
+    best: dict[int, tuple[int, int]] = {}  # key -> (version, origin)
+    for k, v in base_rows:
+        if k not in best or (v, 0) > best[k]:
+            best[k] = (v, 0)
+    for k, v in upd_rows:
+        if k not in best or (v, 1) >= best[k]:
+            # >= : update wins version ties against base
+            if k not in best or (v, 1) > best[k] or (
+                v == best[k][0] and best[k][1] == 0
+            ):
+                best[k] = (v, 1)
+    # invariants the Spark op's window ordering encodes
+    for k, (v, origin) in best.items():
+        versions = [bv for bk, bv in base_rows + upd_rows if bk == k]
+        assert v == max(versions)
+        upd_max = max((uv for uk, uv in upd_rows if uk == k), default=None)
+        if upd_max == v:
+            assert origin == 1  # update wins any tie at the max version

@@ -34,6 +34,7 @@ def test_every_oracle_has_a_query():
         "q107_incremental_dedup",  # xxhash64 signatures: no SQL twin
         "q114_ivfpq",  # k-means quantizers: no SQL twin
         "q115_kmeans",  # iterative fit: no SQL twin
+        "q122_rag_retrieve",  # IVF path: no SQL twin
     }
 
 
