@@ -68,6 +68,7 @@ def kmeans_fit(
 
     from mimic_iv_data_pipeline_spark.operators.similarity import (
         _train_quantizer,
+        sampled_matrix,
     )
 
     key = (
@@ -75,13 +76,9 @@ def kmeans_fit(
         if id_col
         else F.sha2(F.col(vec_col).cast("string"), 256)
     )
-    rows = (
-        df.select(key.alias("__k"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("__k"), F.lit("kmeans")).asc(), F.col("__k").asc())
-        .limit(init_sample)
-        .collect()
+    X = sampled_matrix(
+        df, id_col or vec_col, vec_col, init_sample, "kmeans", key_expr=key
     )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     # one cheap sample-side Lloyd pass for a sane init (k-means|| in
     # spirit: better-than-random seeds at bounded cost), then the
     # corpus-scale iterations refine

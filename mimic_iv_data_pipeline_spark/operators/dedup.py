@@ -778,20 +778,12 @@ def semantic_dedup(
         cosine,
     )
 
-    # hash-ordered bounded sample, NOT a limit() prefix: limit takes the
-    # first partitions scanned, which at scale is often one source/shard
-    # → biased centroids. Ordering by xxhash64(id) plans as
-    # TakeOrderedAndProject (per-partition top-n, no global sort) and
-    # draws uniformly from the whole corpus, invariant to partition
-    # order — same content-addressed principle as operators/sampling.
-    sample = (
-        emb.select(F.col(id_col).alias("__k"), vec_col)
-        .orderBy(F.xxhash64(F.col("__k").cast("string"), F.lit("semdedup")).asc(), F.col("__k").asc())
-        .limit(train_sample)
-        .select(vec_col)
-        .toPandas()
-    )
-    X = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    from mimic_iv_data_pipeline_spark.operators.similarity import sampled_matrix
+
+    # hash-ordered bounded sample via the shared draw (see
+    # similarity.sampled_matrix — the NOT-a-limit()-prefix rationale and
+    # TakeOrderedAndProject shape live there)
+    X = sampled_matrix(emb, id_col, vec_col, train_sample, "semdedup")
     centers = _train_quantizer(X, n_clusters, seed=seed)
     assigned = _assign_cells_pandas(emb, id_col, vec_col, centers, 1).select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("__v"), "cell"

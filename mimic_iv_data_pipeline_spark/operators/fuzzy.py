@@ -143,7 +143,12 @@ def edit_distance_join(
 
 
 def _id_out(df: DataFrame, id_col: str, alias: str) -> Column:
-    integral = {"byte", "short", "int", "long"}
-    if df.schema[id_col].dataType.simpleString() in integral:
+    # isinstance, not simpleString(): Spark prints 'tinyint'/'smallint'/
+    # 'bigint', so a name set like {'byte','short','long'} never matched
+    # and sub-int ids kept their narrow type (schema instability this
+    # widen exists to prevent)
+    from pyspark.sql.types import IntegralType
+
+    if isinstance(df.schema[id_col].dataType, IntegralType):
         return F.col(alias).cast("long").alias(alias)
     return F.col(alias)

@@ -42,27 +42,9 @@ from mimic_iv_data_pipeline_spark.operators.similarity import _train_quantizer
 __all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
-def _sampled_matrix(
-    corpus: DataFrame, id_col: str, vec_col: str, train_sample: int, tag: str
-):
-    """Hash-ordered bounded training sample as a numpy (n, d) matrix.
-
-    TakeOrderedAndProject on ``xxhash64(id, tag)`` — per-partition
-    top-n, no global sort, invariant to partition order/layout (the
-    ``limit()``-prefix bias fix from round 4, same as the IVF trainer).
-    """
-    import numpy as np
-
-    rows = (
-        corpus.select(F.col(id_col).alias("__k"), F.col(vec_col).alias("v"))
-        .orderBy(
-            F.xxhash64(F.col("__k").cast("string"), F.lit(tag)).asc(),
-            F.col("__k").asc(),
-        )
-        .limit(train_sample)
-        .collect()
-    )
-    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+from mimic_iv_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    sampled_matrix as _sampled_matrix,
+)
 
 
 def pq_train(
@@ -263,11 +245,25 @@ def pq_topk(
     )
     if rerank is None:
         return shortlist
+    return _exact_rerank(shortlist, corpus, q_ids, q_mat, id_col, vec_col, k)
 
-    # exact re-rank: shortlist ids (|Q|·N rows — broadcastable) join the
-    # raw corpus; queries come back as a small driver-built frame. Both
-    # joins broadcast the tiny side, so the corpus is touched only for
-    # the candidate rows and the shuffle is the final window.
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    q_ids,
+    q_mat,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of an ADC shortlist (the shared tail of
+    ``pq_topk``/``ivfpq_topk``): shortlist ids (|Q|·N rows —
+    broadcastable) join the raw corpus; queries come back as a small
+    driver-built frame. Both joins broadcast the tiny side, so the
+    corpus is touched only for the candidate rows and the shuffle is
+    the final k-rows-per-query window. Output ``(query_id,
+    neighbor_id, l2_dist)``."""
     from mimic_iv_data_pipeline_spark.operators.similarity import as_double_vec
 
     spark = corpus.sparkSession
@@ -346,7 +342,6 @@ def ivfpq_topk(
 
     from mimic_iv_data_pipeline_spark.operators.similarity import (
         _train_quantizer,
-        as_double_vec,
     )
 
     X = _sampled_matrix(corpus, id_col, vec_col, train_sample, "ivfpq")
@@ -472,40 +467,4 @@ def ivfpq_topk(
     )
     if rerank is None:
         return shortlist
-
-    spark = corpus.sparkSession
-    q_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, q_mat)],
-        "query_id long, __qv array<double>",
-    )
-    cand = shortlist.select("query_id", "neighbor_id")
-    exact = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_vec(F.col(vec_col)).alias("__cv"),
-        )
-        .join(F.broadcast(cand), on="neighbor_id")
-        .join(F.broadcast(q_df), on="query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__qv"), F.col("__cv"), lambda a, c: (a - c) * (a - c)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("l2_dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _exact_rerank(shortlist, corpus, q_ids, q_mat, id_col, vec_col, k)

@@ -558,7 +558,10 @@ def oversample_minority(
     extra_cut = None
     for lbl, c in counts.items():
         t = targets[lbl]
-        cond = F.col(label_col) == F.lit(lbl)
+        # eqNullSafe: a NULL label is a class like any other — a plain
+        # == never matches it and the when-chain would silently DROP
+        # every null-label row (explode of a null sequence emits none)
+        cond = F.col(label_col).eqNullSafe(F.lit(lbl))
         b, r = t // c, t % c
         base = F.when(cond, F.lit(b)) if base is None else base.when(cond, F.lit(b))
         extra_cut = (

@@ -197,6 +197,39 @@ def cosine_topk_pandas(
     )
 
 
+def sampled_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_sample: int,
+    tag: str,
+    key_expr: Column | None = None,
+):
+    """Hash-ordered bounded training sample as a numpy (n, d) float64
+    matrix — THE shared draw for every bounded-driver trainer (IVF,
+    PQ, IVF-PQ, SemDeDup, distributed k-means init).
+
+    ``orderBy(xxhash64(key, tag))`` plans as TakeOrderedAndProject
+    (per-partition top-n, no global sort) and draws uniformly from the
+    whole corpus, invariant to partition order/layout — a ``limit()``
+    prefix instead takes whatever partitions scan first, which at
+    scale is typically one source/shard and trains biased centroids
+    (the round-4 de-bias fix, now in one place). ``tag`` decorrelates
+    draws of different trainers over the same corpus; ``key_expr``
+    overrides the key when no natural id exists (e.g. a content hash).
+    """
+    import numpy as np
+
+    key = key_expr if key_expr is not None else F.col(id_col).cast("string")
+    rows = (
+        df.select(key.alias("__k"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__k"), F.lit(tag)).asc(), F.col("__k").asc())
+        .limit(train_sample)
+        .collect()
+    )
+    return np.asarray([r["__v"] for r in rows], dtype=np.float64)
+
+
 def _train_quantizer(X, k: int, seed: int = 42, iters: int = 10, block: int = 8192):
     """Lloyd's k-means on an in-memory sample — the IVF coarse-quantizer
     trainer (numpy twin of what FAISS's ``Clustering`` does on its
@@ -314,22 +347,9 @@ def ivf_topk(
     Spark ML KMeans fit of the same 16-cell quantizer costs ~0.9 s of
     JVM job overhead alone at sf0.1 — more than this whole query.
     """
-    import numpy as np
-
-    # hash-ordered bounded sample (TakeOrderedAndProject — per-partition
-    # top-n, no global sort), not a limit() prefix: a prefix is whatever
-    # partitions happen to scan first, which at scale is typically one
-    # source/shard and trains biased centroids. xxhash64 of the id makes
-    # the draw uniform and invariant to partition order/layout.
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("__k"), as_double_vec(F.col(vec_col)).alias("v")
-        )
-        .orderBy(F.xxhash64(F.col("__k").cast("string"), F.lit("ivf")).asc(), F.col("__k").asc())
-        .limit(train_sample)
-        .collect()
-    )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    # hash-ordered bounded sample via the shared draw (see
+    # sampled_matrix: TakeOrderedAndProject, partition-order invariant)
+    X = sampled_matrix(corpus, id_col, vec_col, train_sample, "ivf")
     centers = _train_quantizer(X, n_cells, seed=seed, iters=max_iter)
 
     def assign_cells(df: DataFrame, n: int) -> DataFrame:

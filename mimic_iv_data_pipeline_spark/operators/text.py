@@ -765,13 +765,16 @@ MOJIBAKE_MAP: list[tuple[str, str]] = [
     ("\u00c2\u00a0", " "),
 ]
 
+# '&amp;' decodes LAST: decoding it first turns double-escaped text
+# ('5 &amp;lt; 6', which renders as '5 &lt; 6') into '&lt;' that the
+# later rules then wrongly decode again — classic entity double-decode.
 HTML_ENTITIES: list[tuple[str, str]] = [
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 

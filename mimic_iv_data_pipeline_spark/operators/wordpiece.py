@@ -411,16 +411,24 @@ def unigram_encode(
     text_col: str,
     probs: dict[str, float],
     max_piece_len: int = 8,
+    unk_logprob: float | None = None,
 ) -> DataFrame:
     """Viterbi tokenization with a trained unigram vocabulary.
 
     Returns ``(id, tokens array<string>, n_tokens long, logprob
     double)`` where ``logprob`` is the document's total best-path
     log-probability (the LM score — usable directly for
-    perplexity-style quality filtering).
+    perplexity-style quality filtering). An ``[UNK]`` piece
+    (unsegmentable word) scores ``unk_logprob`` — by default one nat
+    WORSE than the rarest vocabulary piece, so out-of-vocabulary
+    garbage ranks below every segmentable document instead of scoring
+    log-prob 0 (probability 1) and inverting the quality signal.
     """
     raw_encoder = _make_viterbi_encoder(probs, max_piece_len)
     lp_table = {p: math.log(v) for p, v in probs.items() if v > 0}
+    if unk_logprob is None:
+        unk_logprob = (min(lp_table.values()) if lp_table else 0.0) - 1.0
+    lp_table[UNK] = unk_logprob
     ws = _WS
     out_schema = (
         f"{id_col} long, tokens array<string>, n_tokens long, logprob double"
@@ -446,7 +454,7 @@ def unigram_encode(
                     if w:
                         pieces = enc_word(w)
                         doc.extend(pieces)
-                        lp += sum(lp_table.get(p, 0.0) for p in pieces)
+                        lp += sum(lp_table.get(p, unk_logprob) for p in pieces)
                 toks.append(doc)
                 lps.append(round(lp, 6))
             yield pd.DataFrame(

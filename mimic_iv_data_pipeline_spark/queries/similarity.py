@@ -237,13 +237,11 @@ def q114_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q115_kmeans")
 def q115_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus Lloyd (every iteration one corpus pass + one
-    k·d-row aggregate); emits cluster sizes and per-cell mean
-    assignment distance."""
+    k·d-row aggregate); emits per-cell assignment counts."""
     from mimic_iv_data_pipeline_spark.operators.clustering import (
         kmeans_assign,
         kmeans_fit,
     )
-    from mimic_iv_data_pipeline_spark.operators.similarity import as_double_vec
 
     emb = _emb(spark, sf_dir)
     centers = kmeans_fit(emb, "embedding", k=8, max_iter=5, id_col="vec_id")

@@ -530,7 +530,7 @@ def q113_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wrapped AS (
       SELECT doc_id,
              concat('<html><script type="x">junk();</script><p class="c">',
-                    text, ' &amp; more\u00e2\u20ac\u2122</p><br/></html>') AS raw
+                    text, ' &amp; moreâ€™</p><br/></html>') AS raw
       FROM documents
     ), cleaned AS (
       SELECT doc_id,
@@ -541,8 +541,8 @@ def q113_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                      regexp_replace(raw, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                    '<[^>]+>', ' ', 'g'),
-                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                 '&quot;', '"'), '&#39;', chr(39)), '\u00e2\u20ac\u2122', chr(39)),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&amp;', '&'), 'â€™', chr(39)),
                '\s+', ' ', 'g')) AS cleaned
       FROM wrapped
     )

@@ -302,7 +302,10 @@ def stream_weighted_sample(
                 continue
             keys, ws, es, shards = [], [], [], []
             for key, w in zip(pdf[key_col], pdf[weight_col]):
-                if w is None or w <= 0:
+                # pandas delivers SQL NULL as NaN, not None — and NaN
+                # passes both `is None` and `<= 0`, then poisons every
+                # pool comparison; the batch twin excludes null weights
+                if w is None or w != w or w <= 0:
                     continue
                 h = int(
                     _md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16
