@@ -39,7 +39,7 @@ _MODULES = [
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
 # driver records rows for only the FIRST 50 registry entries per round. With
-# 98 registered queries the window is allocated as:
+# 123 registered queries the window is allocated as:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
 #   (c) a STABLE 15-query regression core (one per operator family; also the
@@ -51,10 +51,10 @@ _MODULES = [
 #
 # r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
 #   (b) q97-q116 (new this round — 20 first driver rows); (c) the core;
-#   (d) 1 query whose last driver row is r1: q01. q117-q122 (added after
+#   (d) 1 query whose last driver row is r1: q01. q117-q123 (added after
 #   the window filled) are NOT prioritized this round — they are covered
 #   by the local oracle battery and lead r5's (a) block.
-# r5 plan: (a) any r4 reds + never-driver-checked q117-q122; (d) the
+# r5 plan: (a) any r4 reds + never-driver-checked q117-q123; (d) the
 #   remaining r1-aged block q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21
 #   q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then
 #   the oldest of the r3 block (q48-q77, q79-q83) and rows-only entries

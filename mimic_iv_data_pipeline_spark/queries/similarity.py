@@ -311,3 +311,66 @@ def q122_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, query_text string",
     )
     return retrieve(index, queries, k=3, n_cells=8, n_probe=4)
+
+
+def _fixed_codebooks(m: int = 8, k: int = 16, dsub: int = 8):
+    """Deterministic md5-derived codebook tensor in [-1, 1] — the
+    default_hash_weights trick lifted to (m, k, dsub): lets the PQ
+    ENCODE math earn a full hash-compare oracle row (the k-means-trained
+    path stays rows-only, q102)."""
+    import math
+
+    import hashlib
+    import numpy as np
+
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        for c in range(k):
+            for t in range(dsub):
+                h = int(hashlib.md5(f"cb:{j}:{c}:{t}".encode()).hexdigest()[:8], 16)
+                books[j, c, t] = math.floor((h / float(1 << 31) - 1.0) * 1e6 + 0.5) / 1e6
+    return books
+
+
+# --- q123: PQ encode against FIXED codebooks (full hash-compare oracle) -----
+@register(
+    "q123_pq_encode_fixed",
+    oracle=r"""
+    WITH cb AS (
+      SELECT j.j AS j, c.c AS c, t.t AS t,
+             floor((cast(concat('0x', substr(md5(concat('cb:', j.j, ':', c.c, ':', t.t)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS v
+      FROM range(8) j(j), range(16) c(c), range(8) t(t)
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dists AS (
+      SELECT e.vec_id, cb.j, cb.c,
+             sum((emb[cb.j * 8 + cb.t + 1] - cb.v) * (emb[cb.j * 8 + cb.t + 1] - cb.v)) AS d,
+             sum(abs(emb[cb.j * 8 + cb.t + 1] - cb.v)) AS a
+      FROM e, cb GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT vec_id, j, c, a FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(c, ',' ORDER BY j) AS code_csv,
+           floor(sum(a) / 64 * 1e6 + 0.5) / 1e6 AS recon_err
+    FROM best GROUP BY 1
+    """,
+)
+def q123_pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ8x16 encoding of the embedding corpus against the fixed
+    md5-derived codebooks: the Arrow-batched argmin assignment and
+    reconstruction-error math verified value-by-value against a DuckDB
+    twin computing the same 128 subvector distances in SQL."""
+    from mimic_iv_data_pipeline_spark.operators.pq import pq_encode
+
+    enc = pq_encode(_emb(spark, sf_dir), _fixed_codebooks())
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("code").cast("array<string>"), ",").alias("code_csv"),
+        "recon_err",
+    )
