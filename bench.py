@@ -59,10 +59,17 @@ HEADLINE = [
     "q93_bpe_tokenize",
     "q95_chunk_overlap",
     "q96_weighted_sample",
-    # round-4 families: PQ/ADC search, Kneser-Ney LM scoring, BM25
+    # round-4 families: PQ/ADC search, Kneser-Ney LM scoring, BM25,
+    # MERGE-shape upsert, fixed-codebook PQ encode. q116_theta_sets is
+    # deliberately NOT here: its output carries exact ground-truth
+    # union/intersect counts next to the sketch estimates (differential
+    # redundancy by design), so its wall-clock measures the exact
+    # distinct joins production would never run, not the sketch path.
     "q103_pq_topk",
     "q108_kneser_ney",
     "q113_bm25",
+    "q119_scd_upsert",
+    "q123_pq_encode_fixed",
 ]
 
 
