@@ -33,6 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.schema_utils import (
+    id_field as _id_field,
+)
+
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
 __all__ = [
@@ -172,7 +176,7 @@ def bpe_encode(
     the whitespace-normalized words (property-tested).
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
-    out_schema = f"{id_col} long, tokens array<string>, n_tokens long"
+    out_schema = f"{_id_field(df, id_col)}, tokens array<string>, n_tokens long"
     # bind everything the worker needs as locals: the nested encoder
     # closure and a compiled regex pickle by value; no module globals
     # reach the executors (see _make_word_encoder docstring)
@@ -264,7 +268,7 @@ def bpe_encode_ids(
     raw_encoder = _make_word_encoder(ranks)
     ws = _WS
     vocab_local = dict(vocab)
-    out_schema = f"{id_col} long, token_ids array<int>, n_tokens long, n_unk long"
+    out_schema = f"{_id_field(df, id_col)}, token_ids array<int>, n_tokens long, n_unk long"
 
     def encode(batches):
         cache: dict[str, list[int]] = {}

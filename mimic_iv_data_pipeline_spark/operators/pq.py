@@ -37,13 +37,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from mimic_iv_data_pipeline_spark.operators.similarity import _train_quantizer
+
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The ADC search paths carry ids through numpy arrays typed by a
+    ``query_id long, neighbor_id long`` schema; a string/decimal id
+    would die in an opaque Arrow cast, so fail with the contract."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{op} requires an integral {id_col!r} (got {t}); "
+            f"map the id to a long (e.g. xxhash64) before searching"
+        )
 
 __all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 from mimic_iv_data_pipeline_spark.operators.similarity import (  # noqa: E402
     sampled_matrix as _sampled_matrix,
+)
+
+
+# Rounding convention for executor-side numpy (matches
+# functions.rounding.dround and the DuckDB twins' floor(x*1e6+0.5)/1e6,
+# where np.round's half-even can disagree on exact .5 boundaries).
+# Deliberately INLINED inside each mapInPandas closure below, never a
+# module-level helper: executor closures in this repo pickle fully by
+# value so the package need not be importable on workers (see
+# bpe._make_word_encoder) — a module-level function reference would
+# reintroduce that import dependency.
+
+from mimic_iv_data_pipeline_spark.functions.schema_utils import (  # noqa: E402
+    id_field as _id_field,
 )
 
 
@@ -104,7 +131,7 @@ def pq_encode(
     b_sq = (books**2).sum(axis=2)  # (m, k)
     bc = df.sparkSession.sparkContext.broadcast((books, b_sq))
 
-    out_schema = f"{id_col} long, code array<int>, recon_err double"
+    out_schema = f"{_id_field(df, id_col)}, code array<int>, recon_err double"
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bks, bsq = bc.value
@@ -126,7 +153,7 @@ def pq_encode(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "code": list(codes.astype(np.int32)),
-                    "recon_err": np.round(err / (m * dsub), 6),
+                    "recon_err": np.floor(err / (m * dsub) * 1e6 + 0.5) / 1e6,
                 }
             )
 
@@ -176,6 +203,7 @@ def pq_topk(
     import pandas as pd
     from collections.abc import Iterator
 
+    _require_integral_id(corpus, id_col, "pq_topk")
     books = (
         np.asarray(codebooks, dtype=np.float64)
         if codebooks is not None
@@ -220,7 +248,7 @@ def pq_topk(
                 {
                     "query_id": np.repeat(ids, len(c_ids)),
                     "neighbor_id": np.tile(c_ids, nq),
-                    "adc_dist": np.round(d.ravel(), 6),
+                    "adc_dist": np.floor(d.ravel() * 1e6 + 0.5) / 1e6,
                 }
             )
             frame = frame[frame.query_id != frame.neighbor_id]
@@ -282,7 +310,7 @@ def _exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            dround(
                 F.aggregate(
                     F.zip_with(
                         F.col("__qv"), F.col("__cv"), lambda a, c: (a - c) * (a - c)
@@ -344,6 +372,7 @@ def ivfpq_topk(
         _train_quantizer,
     )
 
+    _require_integral_id(corpus, id_col, "ivfpq_topk")
     X = _sampled_matrix(corpus, id_col, vec_col, train_sample, "ivfpq")
     d = X.shape[1]
     if d % m != 0:
@@ -365,7 +394,7 @@ def ivfpq_topk(
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((coarse, c2, books, b_sq))
 
-    enc_schema = f"{id_col} long, cell int, code array<int>"
+    enc_schema = f"{_id_field(corpus, id_col)}, cell int, code array<int>"
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cent, cc2, bks, bsq = bc.value
@@ -440,7 +469,7 @@ def ivfpq_topk(
                         {
                             "query_id": qid,
                             "neighbor_id": c_ids,
-                            "adc_dist": np.round(dvals, 6),
+                            "adc_dist": np.floor(dvals * 1e6 + 0.5) / 1e6,
                         }
                     )
                     frames.append(f[f.neighbor_id != qid])

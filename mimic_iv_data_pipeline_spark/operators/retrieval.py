@@ -49,6 +49,12 @@ def tfidf_cosine_pairs(
     stopwords contributing near-zero IDF weight, so the bound trades a
     vanishing score error for capping the largest df² term. Output
     ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+
+    ``reuse=True`` persists the shared ``tf`` and weight relations.
+    CacheManager dedups identical plans (repeat calls on the same
+    input reuse the entries), but each DISTINCT input pins new entries
+    for the session's life — in a long-lived session mining many
+    corpora, pass ``reuse=False`` to stay fully lazy.
     """
     tf = _tf(df, id_col, text_col)
     if reuse:

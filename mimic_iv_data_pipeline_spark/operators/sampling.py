@@ -513,6 +513,7 @@ def oversample_minority(
     balance: str = "minority",
     salt: str = "oversample",
     copy_col: str = "copy_id",
+    max_classes: int = 10_000,
 ) -> DataFrame:
     """Deterministic minority-class oversampling (imblearn
     ``RandomOverSampler`` twin — reference `model/dl_train.py:107-111`,
@@ -528,20 +529,32 @@ def oversample_minority(
     (0-based copy index) so downstream joins keep multiplicity.
 
     Scale shape: class counts are a groupBy collapsed to one row per
-    class (driver-bounded by the label cardinality, not the corpus);
-    replication is a narrow ``explode(sequence(...))``; the only
+    class — driver-bounded by the LABEL CARDINALITY, not the corpus,
+    and that assumption is enforced: more than ``max_classes`` distinct
+    labels raises (the ``bpe``/``wordpiece`` bounded-collect
+    convention) rather than pulling an unbounded relation to the
+    driver — a near-unique "label" column is a caller bug, not an
+    oversampling input. Replication is a narrow
+    ``explode(sequence(...))``; the only
     shuffle is the per-class rank window for residual draws, and at
     100 TB the same pre-filter trick documented on :func:`quota_sample`
     bounds what that window sees.
     """
     if balance not in ("minority", "all"):
         raise ValueError(f"oversample_minority: unknown balance={balance!r}")
-    counts = {
-        r["__l"]: r["__c"]
-        for r in df.groupBy(F.col(label_col).alias("__l"))
+    count_rows = (
+        df.groupBy(F.col(label_col).alias("__l"))
         .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(max_classes + 1)
         .collect()
-    }
+    )
+    if len(count_rows) > max_classes:
+        raise ValueError(
+            f"oversample_minority: > {max_classes} distinct values in "
+            f"{label_col!r}; this collect is bounded by label cardinality "
+            f"— raise max_classes only if the label space really is that wide"
+        )
+    counts = {r["__l"]: r["__c"] for r in count_rows}
     if not counts:
         return df.withColumn(copy_col, F.lit(0).cast("long"))
     majority = max(counts.values())

@@ -609,6 +609,14 @@ def kneser_ney_scores(
     vocab-bounded distinct aggregates (N1+ per context, N1+ per word)
     and a 1-row broadcast of the distinct-bigram total — all keyed
     shuffles on (prev)/(tok), no driver state.
+
+    ``reuse=True`` persists the exploded ``pairs`` relation (it feeds
+    four aggregates plus the final join probe). Spark's CacheManager
+    dedups identical plans, so re-scoring the SAME input reuses one
+    cache entry — but each DISTINCT input adds an entry that lives
+    until the session ends or the LRU evicts it. In a long-lived
+    session scoring many different corpora, pass ``reuse=False`` (the
+    recompute costs one extra tokenize scan; nothing is pinned).
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     pairs = (

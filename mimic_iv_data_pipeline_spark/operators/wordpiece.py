@@ -38,6 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.functions.schema_utils import (
+    id_field as _id_field,
+)
+
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
 __all__ = [
@@ -191,7 +195,7 @@ def wordpiece_encode(
     vset = set(vocab)
     raw_encoder = _make_wp_encoder(vset)
     ws = _WS
-    out_schema = f"{id_col} long, tokens array<string>, n_tokens long, n_unk long"
+    out_schema = f"{_id_field(df, id_col)}, tokens array<string>, n_tokens long, n_unk long"
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
@@ -431,7 +435,7 @@ def unigram_encode(
     lp_table[UNK] = unk_logprob
     ws = _WS
     out_schema = (
-        f"{id_col} long, tokens array<string>, n_tokens long, logprob double"
+        f"{_id_field(df, id_col)}, tokens array<string>, n_tokens long, logprob double"
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -48,16 +48,39 @@ def build_chunk_index(
     """Chunk the corpus and embed every chunk.
 
     Returns ``(chunk_uid, doc_id, chunk_id, chunk_text, embedding)`` —
-    the indexable relation. ``chunk_uid`` is derived from (doc,
-    per-doc chunk index) so it is stable across rebuilds. Persist or
-    write this once; both the ANN index build and any re-ranking read
-    it.
+    the indexable relation. ``chunk_uid = doc_id·1e6 + chunk_id`` so it
+    is stable across rebuilds AND order-preserving within a document.
+    Id-space contract (enforced, not assumed): ``chunk_id < 1_000_000``
+    (a 1M-chunk doc at the default stride is a ≥24M-token document) and
+    ``doc_id < ~9.2e12`` so the product can't overflow a long; a row
+    outside either bound raises instead of silently colliding. For id
+    spaces beyond that, key chunks by ``xxhash64(doc_id, chunk_id)``
+    instead (loses ordering, never collides by construction bounds).
+    Persist or write this once; both the ANN index build and any
+    re-ranking read it.
     """
+    uid_ok = (
+        (F.col("chunk_id") < F.lit(1_000_000))
+        & (F.col(id_col) >= F.lit(0))
+        & (F.col(id_col) < F.lit(9_223_372_036_854 - 1))
+    )
     chunks = chunk_documents(
         docs, id_col, text_col, window=window, stride=stride
     ).withColumn(
         "chunk_uid",
-        (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id")).cast("long"),
+        F.when(
+            uid_ok, (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id")).cast("long")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("build_chunk_index: chunk_uid id-space exceeded "
+                          "(need 0 <= doc_id < 9.2e12, chunk_id < 1e6): doc_id="),
+                    F.col(id_col).cast("string"),
+                    F.lit(" chunk_id="),
+                    F.col("chunk_id").cast("string"),
+                )
+            ).cast("long")
+        ),
     )
     emb = embed_hashed_projection(
         chunks.select("chunk_uid", "chunk_text"), "chunk_uid", "chunk_text", dims=dims

@@ -524,26 +524,42 @@ def q113_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q120: web-text cleanup (tag strip + entities + mojibake repair) --------
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal (the only escape DuckDB needs)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _clean_web_text_sql(expr: str) -> str:
+    """DuckDB twin of ``operators.text.clean_web_text`` GENERATED from
+    the operator's own rule tables (HTML_ENTITIES, MOJIBAKE_MAP), so
+    both engines run the identical full rule set in the identical
+    order — a table entry added on one side cannot silently escape
+    differential verification on the other."""
+    from mimic_iv_data_pipeline_spark.operators.text import (
+        HTML_ENTITIES,
+        MOJIBAKE_MAP,
+    )
+
+    out = (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+        f"'(?is)<style[^>]*>.*?</style>', ' ', 'g'), '<[^>]+>', ' ', 'g')"
+    )
+    for pat, rep in list(HTML_ENTITIES) + list(MOJIBAKE_MAP):
+        out = f"replace({out}, {_sql_str(pat)}, {_sql_str(rep)})"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
 @register(
     "q120_clean_web_text",
-    oracle=r"""
+    oracle=f"""
     WITH wrapped AS (
       SELECT doc_id,
              concat('<html><script type="x">junk();</script><p class="c">',
                     text, ' &amp; moreâ€™</p><br/></html>') AS raw
       FROM documents
     ), cleaned AS (
-      SELECT doc_id,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(raw, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                   '<[^>]+>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                 '&#39;', chr(39)), '&amp;', '&'), 'â€™', chr(39)),
-               '\s+', ' ', 'g')) AS cleaned
+      SELECT doc_id, {_clean_web_text_sql("raw")} AS cleaned
       FROM wrapped
     )
     SELECT doc_id, md5(cleaned) AS clean_digest,

@@ -552,6 +552,26 @@ def test_oversample_minority_exact_counts(spark, balance):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_oversample_label_cardinality_guard(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import oversample_minority
+
+    # a near-unique "label" column must hit the bounded-collect wall,
+    # not silently pull every distinct value to the driver
+    df = spark.range(0, 50).select(
+        F.col("id").alias("key"), F.col("id").cast("string").alias("label")
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        oversample_minority(df, "key", "label", max_classes=10)
+    # at the boundary (cardinality == max_classes) it still runs
+    ok = oversample_minority(
+        df.withColumn("label", (F.col("key") % 5).cast("string")),
+        "key",
+        "label",
+        max_classes=5,
+    )
+    assert ok.count() == 50
+
+
 def test_stratified_kfold_exact_balance(spark):
     from mimic_iv_data_pipeline_spark.operators.sampling import kfold_ids
 

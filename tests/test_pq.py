@@ -177,3 +177,26 @@ def test_ivfpq_residual_beats_raw_pq_reconstruction(spark, emb):
         ivfpq_topk(queries, emb, n_cells=8, n_probe=8, m=8, n_centroids=16, k=20).collect()
     )
     assert res < raw, f"residual ADC error {res} not below raw {raw}"
+
+
+def test_pq_encode_derives_id_type_and_search_validates(spark, emb):
+    """Encode passes any id type through (schema derived from the
+    input); the ADC search paths require an integral id and say so."""
+    from mimic_iv_data_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, k=4, train_sample=256)
+    s_emb = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    enc = pq_encode(s_emb, books)
+    assert enc.schema["vec_id"].dataType.simpleString() == "string"
+    row = enc.orderBy("vec_id").first()
+    assert row["vec_id"].startswith("doc-") and len(row["code"]) == 8
+
+    with pytest.raises(ValueError, match="integral"):
+        pq_topk(s_emb.limit(2), s_emb, m=8, n_centroids=4)
+    with pytest.raises(ValueError, match="integral"):
+        ivfpq_topk(s_emb.limit(2), s_emb, n_cells=4, m=8, n_centroids=4)
