@@ -1153,3 +1153,212 @@ def q118_mask_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_layout(
         _docs(spark, sf_dir), "doc_id", "text", mask_rate=0.15, span_len=3
     )
+
+
+# --- q126: WordPiece ENCODE against a fixed vocabulary (full hash oracle) ---
+# The q123 parameterization trick applied to subword encoding: freeze the
+# learned artifact (the vocabulary) and the encode kernel becomes exactly
+# SQL-expressible — greedy longest-match-first is a recursive CTE whose
+# step consumes the longest vocab piece matching at the cursor (at most
+# one piece of each length can equal a fixed substring, so "longest" is
+# unambiguous on both engines). Training stays rows-only (q105); this row
+# pins the Arrow-batched encoder's full per-word semantics: ##-prefixed
+# continuations, dead-end -> whole-word [UNK] collapse, the >200-char
+# wall, and per-doc order preservation.
+_WP_FIXED_VOCAB: list[str] = (
+    ["[UNK]"]
+    # multi-char pieces chosen to segment the synthetic corpus words
+    # into 2-3 pieces (so the greedy/longest logic is actually load-
+    # bearing), word-initial and continuation forms
+    + ["sc", "ta", "val", "que", "cus", "wind", "gro", "jo", "spark", "hash",
+       "##an", "##ble", "##ue", "##ry", "##tom", "##er", "##ow", "##up",
+       "##in", "##st", "##ta", "##lue"]
+    # every single char in both forms: encoding is total (no dead ends
+    # on ASCII words), matching the python encoder's behavior on this
+    # corpus; the [UNK] path itself is golden-tested in
+    # tests/test_wordpiece.py
+    + [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+)
+
+
+def _wp_fixed_oracle() -> str:
+    """DuckDB twin of ``wordpiece_encode`` under ``_WP_FIXED_VOCAB``,
+    generated from the SAME python list (one source of truth, like the
+    q120 rule-table oracle)."""
+    values = ", ".join("('" + p.replace("'", "''") + "')" for p in _WP_FIXED_VOCAB)
+    return rf"""
+    WITH RECURSIVE vp(p, raw, cont) AS (
+      SELECT p, CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END,
+             p LIKE '##%'
+      FROM (VALUES {values}) v(p)
+      WHERE p <> '[UNK]'
+    ),
+    docw AS (
+      SELECT doc_id, i, arr[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents) d,
+           unnest(range(1, len(arr) + 1)) t(i)
+      WHERE arr[i] <> ''
+    ),
+    words AS (SELECT DISTINCT word FROM docw),
+    seg AS (
+      SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+      UNION ALL
+      SELECT word,
+             CASE WHEN b IS NULL THEN len(word) ELSE pos + len(b.raw) END,
+             CASE WHEN b IS NULL THEN ['[UNK]']
+                  ELSE list_append(pieces, b.p) END
+      FROM (
+        SELECT s.word, s.pos, s.pieces,
+               (SELECT {{'p': v.p, 'raw': v.raw}} FROM vp v
+                WHERE v.cont = (s.pos > 0)
+                  AND substr(s.word, s.pos + 1, len(v.raw)) = v.raw
+                ORDER BY len(v.raw) DESC LIMIT 1) AS b
+        FROM seg s WHERE s.pos < len(s.word)
+      )
+    ),
+    wordseg AS (
+      SELECT word,
+             CASE WHEN len(word) > 200 THEN '[UNK]'
+                  ELSE array_to_string(pieces, ' ') END AS pieces_str,
+             CASE WHEN len(word) > 200 THEN 1 ELSE len(pieces) END AS n_pieces,
+             CASE WHEN len(word) > 200 THEN 1
+                  ELSE len(list_filter(pieces, x -> x = '[UNK]')) END AS n_unk
+      FROM seg WHERE pos = len(word)
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             string_agg(ws.pieces_str, ' ' ORDER BY d.i) AS tokens_csv,
+             CAST(sum(ws.n_pieces) AS BIGINT) AS n_tokens,
+             CAST(sum(ws.n_unk) AS BIGINT) AS n_unk
+      FROM docw d JOIN wordseg ws USING (word)
+      GROUP BY 1
+    )
+    SELECT doc_id, coalesce(p.tokens_csv, '') AS tokens_csv,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_unk, 0) AS n_unk
+    FROM (SELECT DISTINCT doc_id FROM documents) ids LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("q126_wordpiece_encode_fixed", oracle=_wp_fixed_oracle())
+def q126_wordpiece_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece encoding of the corpus against
+    the fixed ``_WP_FIXED_VOCAB``, hash-compared piece-for-piece
+    (tokens go to the driver as a space-joined string: array cells
+    crash its canonicalizer, r3)."""
+    from mimic_iv_data_pipeline_spark.operators.wordpiece import wordpiece_encode
+
+    enc = wordpiece_encode(_docs(spark, sf_dir), "doc_id", "text", _WP_FIXED_VOCAB)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("tokens"), " ").alias("tokens_csv"),
+        "n_tokens",
+        "n_unk",
+    )
+
+
+# --- q127: unigram-LM Viterbi ENCODE against fixed probabilities ------------
+# Same parameterization trick, second subword kernel: freeze the piece
+# probabilities (md5-derived, so every lp is distinct and piece-sum ties
+# are measure-zero) and Viterbi max-probability segmentation becomes
+# SQL-checkable by ENUMERATING every segmentation of every distinct word
+# (words are <= 8 chars here, so the lattice is tiny) and ranking with
+# the encoder's exact tie-break: score desc, fewer pieces, then
+# lexicographically smallest piece sequence read from the word's END
+# (the DP's back-pointer rule). Each path's score folds left-to-right on
+# both engines, so float comparisons see identical doubles.
+_UG_FIXED_PIECES: list[str] = (
+    ["da", "at", "ta", "an", "sc", "ow", "er", "ue", "in", "st", "ha", "sh",
+     "lu", "val", "que", "ry", "cus", "tom", "wind", "gro", "jo", "spark"]
+    + [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+)
+
+
+def _ug_fixed_probs() -> dict[str, float]:
+    """Deterministic piece probabilities in [0.05, 0.95): the md5 trick
+    (same recipe as the q123 codebooks), floor-rounded to 6dp so the
+    DuckDB twin reconstructs bit-identical doubles."""
+    import hashlib
+    import math
+
+    out = {}
+    for p in _UG_FIXED_PIECES:
+        h = int(hashlib.md5(f"ug:{p}".encode()).hexdigest()[:8], 16)
+        out[p] = math.floor((h / 4294967296.0 * 0.9 + 0.05) * 1e6 + 0.5) / 1e6
+    return out
+
+
+def _ug_fixed_oracle() -> str:
+    values = ", ".join("('" + p.replace("'", "''") + "')" for p in _UG_FIXED_PIECES)
+    return rf"""
+    WITH RECURSIVE vocab AS (
+      SELECT p, ln(floor((cast(concat('0x', substr(md5(concat('ug:', p)), 1, 8)) AS BIGINT)
+                          / 4294967296.0 * 0.9 + 0.05) * 1e6 + 0.5) / 1e6) AS lp
+      FROM (VALUES {values}) v(p)
+    ),
+    docw AS (
+      SELECT doc_id, i, arr[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents) d,
+           unnest(range(1, len(arr) + 1)) t(i)
+      WHERE arr[i] <> ''
+    ),
+    words AS (SELECT DISTINCT word FROM docw),
+    seg AS (
+      SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+             CAST(0.0 AS DOUBLE) AS score
+      FROM words
+      UNION ALL
+      SELECT s.word, s.pos + len(v.p), list_append(s.pieces, v.p), s.score + v.lp
+      FROM seg s JOIN vocab v ON substr(s.word, s.pos + 1, len(v.p)) = v.p
+      WHERE s.pos < len(s.word)
+    ),
+    best AS (
+      SELECT word, pieces, score, len(pieces) AS n FROM seg
+      WHERE pos = len(word)
+      QUALIFY row_number() OVER (
+        PARTITION BY word
+        ORDER BY score DESC, len(pieces) ASC, list_reverse(pieces) ASC
+      ) = 1
+    ),
+    wordseg AS (
+      SELECT w.word,
+             coalesce(array_to_string(b.pieces, ' '), '[UNK]') AS pieces_str,
+             coalesce(len(b.pieces), 1) AS n_pieces,
+             coalesce(b.score, (SELECT min(lp) - 1 FROM vocab)) AS lp
+      FROM words w LEFT JOIN best b USING (word)
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             string_agg(ws.pieces_str, ' ' ORDER BY d.i) AS tokens_csv,
+             CAST(sum(ws.n_pieces) AS BIGINT) AS n_tokens,
+             floor(sum(ws.lp) * 1e6 + 0.5) / 1e6 AS logprob
+      FROM docw d JOIN wordseg ws USING (word)
+      GROUP BY 1
+    )
+    SELECT doc_id, coalesce(p.tokens_csv, '') AS tokens_csv,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.logprob, 0.0) AS logprob
+    FROM (SELECT DISTINCT doc_id FROM documents) ids LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("q127_unigram_encode_fixed", oracle=_ug_fixed_oracle())
+def q127_unigram_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi unigram segmentation of the corpus under the fixed
+    probability table, hash-compared piece-for-piece against the
+    exhaustive-enumeration DuckDB twin (tokens as a space-joined
+    string for the driver canonicalizer)."""
+    from mimic_iv_data_pipeline_spark.operators.wordpiece import unigram_encode
+
+    enc = unigram_encode(
+        _docs(spark, sf_dir), "doc_id", "text", _ug_fixed_probs(), max_piece_len=8
+    )
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("tokens"), " ").alias("tokens_csv"),
+        "n_tokens",
+        dround(F.col("logprob"), 6).alias("logprob"),
+    )

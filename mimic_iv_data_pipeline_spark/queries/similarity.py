@@ -374,3 +374,105 @@ def q123_pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("code").cast("array<string>"), ",").alias("code_csv"),
         "recon_err",
     )
+
+
+# Shared oracle head for the fixed-codebook ADC family (q123-q125):
+# cb = the md5-derived codebook tensor recomputed in SQL, code = every
+# corpus vector's argmin assignment, lut = each query's EXACT
+# subvector-to-centroid distances (queries stay raw — the "asymmetric"
+# in ADC), adc = the m-term LUT sum per (query, corpus vector).
+_ADC_FIXED_HEAD = r"""
+    WITH cb AS (
+      SELECT j.j AS j, c.c AS c, t.t AS t,
+             floor((cast(concat('0x', substr(md5(concat('cb:', j.j, ':', c.c, ':', t.t)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS v
+      FROM range(8) j(j), range(16) c(c), range(8) t(t)
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dists AS (
+      SELECT e.vec_id, cb.j, cb.c,
+             sum((emb[cb.j * 8 + cb.t + 1] - cb.v) * (emb[cb.j * 8 + cb.t + 1] - cb.v)) AS d
+      FROM e, cb GROUP BY 1, 2, 3
+    ), code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, j, c, d FROM dists WHERE vec_id < 10
+    ), adc AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             floor(sum(l.d) * 1e6 + 0.5) / 1e6 AS adc_dist
+      FROM code co JOIN lut l ON l.j = co.j AND l.c = co.c
+      WHERE co.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+# --- q124: ADC top-k against FIXED codebooks (full hash-compare oracle) -----
+@register(
+    "q124_pq_adc_fixed",
+    oracle=_ADC_FIXED_HEAD
+    + r"""
+    SELECT query_id, neighbor_id, adc_dist
+    FROM adc
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+    ) <= 5
+    """,
+)
+def q124_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC SEARCH kernel hash-verified end to end: q123 pinned the
+    encode math; this pins the query side — LUT construction (exact
+    query-to-centroid partials), the m-lookup distance sum, the
+    rounded-then-ranked top-k with id tie-break — against a DuckDB twin
+    ranking the same 128 partial distances. The k-means-trained path
+    (q103) stays rows-only; the search plumbing is identical."""
+    from mimic_iv_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, codebooks=_fixed_codebooks(), k=5)
+
+
+# --- q125: ADC shortlist + exact re-rank against FIXED codebooks ------------
+@register(
+    "q125_pq_rerank_fixed",
+    oracle=_ADC_FIXED_HEAD
+    + r"""
+    , shortlist AS (
+      SELECT query_id, neighbor_id FROM adc
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+      ) <= 100
+    ), exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             floor(list_sum(list_transform(range(1, 65),
+                     i -> (q.emb[i] - c.emb[i]) * (q.emb[i] - c.emb[i]))) * 1e6 + 0.5) / 1e6
+               AS l2_dist
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, l2_dist
+    FROM exact
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC
+    ) <= 5
+    """,
+)
+def q125_pq_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage shape (FAISS IndexRefineFlat) fully
+    hash-verified: fixed-codebook ADC selects a 100-candidate
+    shortlist per query (rounded-ADC order, id tie-break — the
+    boundary is deterministic on both engines), then the exact
+    squared-L2 re-rank join returns k=5. Pins the shortlist boundary
+    semantics AND the zip_with/aggregate L2 math of ``_exact_rerank``
+    against the SQL twin."""
+    from mimic_iv_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, codebooks=_fixed_codebooks(), k=5, rerank=100)
