@@ -346,6 +346,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     verify_threshold: float = 0.5,
     reuse: bool = True,
+    shingle_hash: str = "xxhash64",
+    bucket: str = "hash",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs, exact-verified.
 
@@ -370,10 +372,31 @@ def minhash_lsh_pairs(
     happens. Verification intersects 64-bit shingle-hash arrays instead
     of strings; scores are exact up to xxhash64 collisions (~2⁻⁶⁴ per
     shared shingle — property-tested identical to string-exact scores).
+
+    ``shingle_hash``/``bucket`` are the q123-style fixed
+    parameterization seams: ``shingle_hash='md5'`` derives the 64-bit
+    shingle value from the md5 hex prefix (slower than xxhash64 but
+    reproducible in any engine) and ``bucket='exact'`` keys band
+    buckets by the joined signature values instead of Spark's
+    ``hash()`` — together they make the ENTIRE pipeline (signature
+    mins, banding, candidate join, exact verify) differentially
+    checkable against a DuckDB twin. Production defaults stay
+    xxhash64/hash (cheaper; bucket hashing only ever ADDS candidates,
+    which the exact verify then discards).
     """
     rows_per_band = num_hashes // bands
+    if shingle_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"minhash_lsh_pairs: unknown shingle_hash={shingle_hash!r}")
+    if bucket not in ("hash", "exact"):
+        raise ValueError(f"minhash_lsh_pairs: unknown bucket={bucket!r}")
     exploded = exploded_shingles(df, id_col, text_col, n)
-    base = exploded.select("doc", F.xxhash64("shingle").alias("__h"))
+    if shingle_hash == "xxhash64":
+        h64 = F.xxhash64("shingle")
+    else:
+        # 60-bit value from the md5 hex prefix — the engine-neutral
+        # hash trick (cf. queries/llmops.py md5 oracles)
+        h64 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    base = exploded.select("doc", h64.alias("__h"))
     if reuse:
         base = base.persist()
     x32 = F.pmod(F.col("__h"), F.lit(_M32))
@@ -382,13 +405,23 @@ def minhash_lsh_pairs(
         .groupBy("doc")
         .agg(_signature_expr(num_hashes).alias("signature"))
     )
+    if bucket == "hash":
+        bucket_expr = (
+            f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))"
+        )
+    else:
+        bucket_expr = (
+            f"concat_ws(',', transform("
+            f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"x -> cast(x AS string)))"
+        )
     banded = sig.select(
         "doc",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> struct("
                 f"b AS band, "
-                f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})) AS bucket))"
+                f"{bucket_expr} AS bucket))"
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

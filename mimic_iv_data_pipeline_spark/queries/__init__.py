@@ -39,7 +39,7 @@ _MODULES = [
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
 # driver records rows for only the FIRST 50 registry entries per round. With
-# 123 registered queries the window is allocated as:
+# 129 registered queries the window is allocated as:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
 #   (c) a STABLE 15-query regression core (one per operator family; also the
@@ -49,54 +49,36 @@ _MODULES = [
 #       remaining queries ordered by driver-row age (oldest first), so every
 #       query re-earns a driver row at least every ~3 rounds.
 #
-# r4 manifest: (a) q78 (r3 red, array→CSV fix) + q84-q96 (13, never checked);
-#   (b) q97-q116 (new this round — 20 first driver rows); (c) the core;
-#   (d) 1 query whose last driver row is r1: q01. q117-q123 (added after
-#   the window filled) are NOT prioritized this round — they are covered
-#   by the local oracle battery and lead r5's (a) block.
-# r5 plan: (a) any r4 reds + never-driver-checked q117-q123; (d) the
-#   remaining r1-aged block q02 q05 q06 q07 q09 q10 q11 q12 q13 q16 q21
-#   q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47, then
-#   the oldest of the r3 block (q48-q77, q79-q83) and rows-only entries
-#   (q40 q41 q44 q53 q60) to fill 50.
+# r5 manifest: (a) q117-q123 (added after r4's window filled — 7 first
+#   driver rows); (b) q124-q129 (new this round: the fixed-parameter
+#   oracle family — ADC search/rerank, WordPiece + unigram encode,
+#   MinHash-LSH md5, exact-probe RAG — 6 first driver rows); (c) the
+#   core; (d) 22 of the 26 r1-aged queries: q02 q05 q06 q07 q09 q10
+#   q11 q12 q13 q16 q21 q22 q23 q25 q27 q28 q29 q31 q33 q35 q36 q37.
+#   The 4 held back to fit the window keep family coverage elsewhere
+#   (q30 tumbling twin of q29; q38 fingerprint ~ q34 dedup core; q46
+#   one-hot ~ q45; q47 label-encode ~ q26 vocab core) and LEAD r6's
+#   (d) block together with the r3-aged and rows-only entries.
+# r6 plan: (a) any r5 reds; (d) q30 q38 q46 q47, then oldest r3-block
+#   entries (q48-q83 not re-checked since r3) and rows-only entries
+#   (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) to 50.
 _PRIORITY = [
-    # (a) r3 red (driver-canonicalizer array crash; output now CSV string)
-    "q78_quantize_int8",
-    # (a) never driver-checked — wave-5 block
-    "q84_nfc_normalize",
-    "q85_duplicate_spans",
-    "q86_gopher_rules",
-    "q87_semantic_dedup",
-    "q88_dedup_clean",
-    "q89_quota_sample",
-    "q90_covariance_matrix",
-    "q91_pca_project",
-    "q92_edit_distance_join",
-    "q93_bpe_tokenize",
-    "q94_source_quantiles",
-    "q95_chunk_overlap",
-    "q96_weighted_sample",
-    # (b) new in round 4
-    "q97_kfold",
-    "q98_oversample",
-    "q99_edit_distance_sparse",
-    "q100_stratified_kfold",
-    "q101_k_anonymity",
-    "q102_pq_encode",
-    "q103_pq_topk",
-    "q104_pq_rerank",
-    "q105_wordpiece",
-    "q106_unigram_lm",
-    "q107_incremental_dedup",
-    "q108_kneser_ney",
-    "q109_sentence_stats",
-    "q110_zipf_slope",
-    "q111_token_entropy",
-    "q112_tfidf_cosine_pairs",
-    "q113_bm25",
-    "q114_ivfpq",
-    "q115_kmeans",
-    "q116_theta_sets",
+    # (a) never driver-checked — added after the r4 window filled
+    "q117_hashed_linear_score",
+    "q118_mask_layout",
+    "q119_scd_upsert",
+    "q120_clean_web_text",
+    "q121_doc_embeddings",
+    "q122_rag_retrieve",
+    "q123_pq_encode_fixed",
+    # (b) new in round 5 — fixed-parameter oracles for formerly
+    # rows-only kernels
+    "q124_pq_adc_fixed",
+    "q125_pq_rerank_fixed",
+    "q126_wordpiece_encode_fixed",
+    "q127_unigram_encode_fixed",
+    "q128_minhash_lsh_fixed",
+    "q129_rag_retrieve_exact",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -113,14 +95,29 @@ _PRIORITY = [
     "q39_ngram_jaccard",
     "q42_cosine_topk",
     "q45_set_ops",
-    # (d) rotating block — last driver row was r1
-    "q01_pricing_summary",
-    # q02/q05-q07/q09-q13/q16/q21/q22/q23/q25/q27/q28/q29/q30 rotated to r5
-    # (their operator families keep representatives: q16's clamp family
-    # via q20 fills, q14 string/mapping fns, q45 set ops for unions,
-    # q51/q57 calibration+AUC had r3 rows, q96 TakeOrdered, q54 rollup)
-    # so this round's new queries (q97-q116) get first driver rows
-    # within the 50-row window.
+    # (d) rotating block — last driver row was r1 (oldest first)
+    "q02_filter_project",
+    "q05_anti_join",
+    "q06_dedup_first",
+    "q07_conditional_clamp",
+    "q09_union_branches",
+    "q10_distinct_counts",
+    "q11_string_fns",
+    "q12_date_fns",
+    "q13_json_extract",
+    "q16_outlier_clamp",
+    "q21_sessionize",
+    "q22_quantile_bins",
+    "q23_calibration_bins",
+    "q25_rank_auc",
+    "q27_global_topk",
+    "q28_rollup",
+    "q29_bucketize_hourly",
+    "q31_dense_grid",
+    "q33_event_time_normalize",
+    "q35_token_stats",
+    "q36_quality_score",
+    "q37_lang_id",
 ]
 
 

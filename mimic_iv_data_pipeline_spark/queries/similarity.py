@@ -476,3 +476,88 @@ def q125_pq_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(queries, emb, codebooks=_fixed_codebooks(), k=5, rerank=100)
+
+
+# --- q129: RAG retrieval capstone, exhaustive probe (full hash oracle) ------
+# With n_probe == n_cells the IVF path degenerates to EXACT cosine
+# top-k (cell pruning prunes nothing; scores were always exact), and
+# every stage of the q122 capstone becomes SQL-expressible: the
+# sliding-window chunker (tail rule included), the chunk_uid contract,
+# the md5 hashing-trick embeddings (hash-verified standalone in q121),
+# and the rounded-cosine rank with id tie-break. q122 keeps the
+# production shape (probabilistic cell pruning — rows-only by nature);
+# this row proves the capstone's arithmetic end to end.
+@register(
+    "q129_rag_retrieve_exact",
+    oracle=r"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE doc_id < 100
+    ), nz AS (
+      SELECT doc_id, t, len(t) AS n FROM toked WHERE len(t) > 0
+    ), starts AS (
+      SELECT doc_id, t, greatest(n - 32, 0) AS last,
+             CASE WHEN greatest(n - 32, 0) % 24 = 0
+                  THEN range(0, greatest(n - 32, 0) + 1, 24)
+                  ELSE list_append(range(0, greatest(n - 32, 0) + 1, 24),
+                                   greatest(n - 32, 0))
+             END AS ss
+      FROM nz
+    ), chunks AS (
+      SELECT doc_id * 1000000 + (i - 1) AS chunk_uid,
+             t[ss[i] + 1 : ss[i] + 32] AS ct
+      FROM starts, unnest(range(1, len(ss) + 1)) u(i)
+    ), ctoks AS (
+      SELECT chunk_uid, unnest(ct) AS tok FROM chunks
+    ), nchunk AS (
+      SELECT chunk_uid, count(*) AS n FROM ctoks GROUP BY 1
+    ), perdim AS (
+      SELECT chunk_uid, d.d AS d,
+             sum(cast(concat('0x', substr(md5(concat('proj:', tok, ':', d.d)), 1, 8)) AS BIGINT)
+                 % 2 * 2 - 1) AS v
+      FROM ctoks, range(0, 64) d(d)
+      GROUP BY 1, 2
+    ), emb AS (
+      SELECT p.chunk_uid, list(p.v / sqrt(n.n) ORDER BY p.d) AS e
+      FROM perdim p JOIN nchunk n USING (chunk_uid)
+      GROUP BY 1
+    ), q AS (
+      SELECT chunk_uid AS query_id, e AS qe FROM emb ORDER BY chunk_uid LIMIT 5
+    ), scored AS (
+      SELECT q.query_id, c.chunk_uid AS neighbor_id,
+             floor(list_dot_product(qe, c.e)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e)))
+                   * 1e6 + 0.5) / 1e6 AS cos_sim
+      FROM q, emb c WHERE c.chunk_uid != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+    ) <= 3
+    """,
+)
+def q129_rag_retrieve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → embed → retrieve with every cell probed: the exact-mode
+    capstone, hash-compared against a DuckDB twin recomputing chunker,
+    embeddings, and cosine ranks from the raw text. Queries are the 5
+    smallest chunk_uids (deterministic, no driver collect)."""
+    from mimic_iv_data_pipeline_spark.plans.rag_corpus import (
+        build_chunk_index,
+        retrieve,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    index = build_chunk_index(docs, window=32, stride=24, dims=64).persist()
+    queries = (
+        index.orderBy("chunk_uid")
+        .limit(5)
+        .select(
+            F.col("chunk_uid").alias("query_id"),
+            F.col("chunk_text").alias("query_text"),
+        )
+    )
+    return retrieve(index, queries, k=3, n_cells=8, n_probe=8)

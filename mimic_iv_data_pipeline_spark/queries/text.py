@@ -185,6 +185,92 @@ def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), "doc_id")
 
 
+# --- q128: MinHash+LSH with the fixed md5 hash family (full hash oracle) ----
+def _minhash_fixed_oracle(
+    n_hashes: int = 64, bands: int = 16, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of the ENTIRE ``minhash_lsh_pairs`` pipeline under
+    ``shingle_hash='md5', bucket='exact'``: the same 64 Carter–Wegman
+    permutations (literal (a, b) pairs generated from the operator's
+    own ``_minhash_perms``), the same 3-gram shingles, band agreement
+    as a 16-way OR of 4-conjunct equalities (the oracle brute-forces
+    the pair space — fine at sf0.01; the Spark plan is the banded
+    equi-join), and the same hashed-set exact-Jaccard verify."""
+    from mimic_iv_data_pipeline_spark.operators.dedup import (
+        _MERSENNE61,
+        _minhash_perms,
+    )
+
+    perms = _minhash_perms(n_hashes)
+    r = n_hashes // bands
+    mins = ",\n             ".join(
+        f"min(({a} * x + {b}) % {_MERSENNE61}) AS s{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_eq = "\n         OR ".join(
+        "("
+        + " AND ".join(f"a.s{b * r + j} = b.s{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS sh
+      FROM toks
+    ), hx AS (
+      SELECT DISTINCT doc,
+             cast(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM grams
+    ), sig AS (
+      SELECT doc, {mins}
+      FROM (SELECT doc, h % 4294967296 AS x FROM hx) GROUP BY doc
+    ), cand AS (
+      SELECT a.doc AS id_a, b.doc AS id_b
+      FROM sig a JOIN sig b ON a.doc < b.doc
+      WHERE {band_eq}
+    ), sizes AS (
+      SELECT doc, count(*) AS nsh FROM hx GROUP BY doc
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN hx ha ON ha.doc = c.id_a
+      JOIN hx hb ON hb.doc = c.id_b AND hb.h = ha.h
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           floor(i.i * 1.0 / (sa.nsh + sb.nsh - i.i) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.id_a
+    JOIN sizes sb ON sb.doc = i.id_b
+    WHERE floor(i.i * 1.0 / (sa.nsh + sb.nsh - i.i) * 1e6 + 0.5) / 1e6 >= {threshold}
+    """
+
+
+@register("q128_minhash_lsh_fixed", oracle=_minhash_fixed_oracle())
+def q128_minhash_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q40 pipeline with its two engine-specific primitives swapped
+    for the fixed md5 family (shingle hash) and exact band keys — the
+    SAME operator code path, now hash-compared end to end: signature
+    mins, banding, candidate generation, and the exact-Jaccard verify
+    all differentially verified (q40's xxhash64 production path stays
+    rows-only by necessity)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.3,
+        shingle_hash="md5",
+        bucket="exact",
+    )
+
+
 # --- q76: near-dup clusters via connected components ------------------------
 @register(
     "q76_dedup_clusters",
