@@ -70,14 +70,28 @@ HEADLINE = [
     "q113_bm25",
     "q119_scd_upsert",
     "q123_pq_encode_fixed",
+    # round-5: uncapped twin of q92 (the registry query now sets
+    # max_bucket=2000 — the default-on skew wall; this entry keeps the
+    # cap's cost/benefit measured round-over-round at identical output)
+    "q92_edit_distance_nocap",
 ]
+
+
+def _q92_edit_distance_nocap(spark, sf_dir):
+    from mimic_iv_data_pipeline_spark.operators.fuzzy import edit_distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1, max_bucket=None)
+
+
+EXTRA = {"q92_edit_distance_nocap": _q92_edit_distance_nocap}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
-    queries = all_queries()
+    queries = {**all_queries(), **EXTRA}
 
     # Warm up JVM/codegen/shuffle machinery so timings measure the
     # queries, not first-use initialization.

@@ -63,7 +63,7 @@ def edit_distance_join(
     id_col: str,
     str_col: str,
     max_dist: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``levenshtein ≤ max_dist``,
     ``id_a < id_b``, exact (complete candidate cover + exact verify).
@@ -92,7 +92,13 @@ def edit_distance_join(
       if EVERY variant the two strings share is hot; ed≤1 pairs of
       length-L strings share up to L+2 variants, so only strings whose
       entire neighborhood is saturated (adversarial mass on one name)
-      can hide. Leave ``None`` for the exact complete join.
+      can hide. **Default 100_000** (r5): a bucket that hot means ≥5e9
+      comparisons for ONE key — the 100×-scale killer — and real name
+      distributions sit orders of magnitude below it (max observed
+      bucket: 38 at sf0.1), so the wall no longer depends on the
+      caller knowing the flag exists. Pass ``None`` to opt OUT into
+      the exact complete join (adversarial-input-complete, but
+      unbounded skew).
     """
     sides = df.select(
         F.col(id_col).alias("__id"),
