@@ -184,3 +184,78 @@ def build_corpus(
     if stats:
         st.train_chunks = result.filter(F.col("split") == "train").count()
     return result, st
+
+
+def dedup_snapshot(
+    new_docs: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """One nightly increment of corpus near-dedup: the mode real
+    pipelines run when the corpus grows in snapshots (Lee et al. 2022
+    §4's incremental setting).
+
+    Returns ``(survivors, new_index)``:
+
+    * ``survivors`` — new docs kept after (a) dropping any doc whose
+      signature-estimated Jaccard vs an INDEXED doc is ≥ ``threshold``
+      (cross-batch: earlier crawls win), then (b) within-batch
+      connected-components dedup of the remainder (keep each cluster's
+      min id, same policy as ``build_corpus`` stage 5) — so the kept
+      set is an independent set of the flagged-pair graph.
+    * ``new_index`` — the input index plus the survivors' band rows;
+      persist/write it (partitioned by ``band``) and feed it to the
+      next snapshot. Only SURVIVORS are indexed: the accepted corpus
+      is what future batches must not duplicate.
+
+    Scale shape: the new batch is shingled/signatured ONCE (the banded
+    relation feeds the index probe, the within-batch self-join, and
+    the index append); the cross-batch check is an equi-join on
+    (band, bucket) — O(|new| · hits) with the index side partition-
+    pruned by band — and the OLD CORPUS TEXT IS NEVER RESCANNED. Per-
+    snapshot cost is O(new batch) + index-join, vs re-running
+    ``minhash_lsh_pairs`` over old ∪ new every night.
+
+    Semantics note (tested in ``tests/test_llm_corpus_plan.py``): on
+    clique-shaped duplicate groups — the overwhelmingly common case,
+    e.g. re-crawls of the same page — N-snapshot incremental keeps
+    EXACTLY the docs a one-shot batch dedup of the union keeps. The
+    two can differ only on cross-batch CHAINS (b≈a accepted earlier,
+    c≈b but c̸≈a: one-shot's component merge drops c, incremental
+    keeps it — by then b was never accepted, so c duplicates nothing
+    IN THE CORPUS). That is the defining behavior of first-crawl-wins
+    incremental dedup, not an approximation error.
+    """
+    from mimic_iv_data_pipeline_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_banded_against_index,
+        within_batch_pairs,
+    )
+
+    banded = build_minhash_index(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    ).persist()  # three consumers: index probe, self-join, index append
+
+    if index is not None:
+        cross = dedup_banded_against_index(banded, index, threshold=threshold)
+        dropped = cross.select(F.col("new_id").alias(id_col)).distinct()
+        remaining = new_docs.join(dropped, id_col, "left_anti")
+        banded_remaining = banded.join(
+            dropped.withColumnRenamed(id_col, "doc"), "doc", "left_anti"
+        )
+    else:
+        remaining = new_docs
+        banded_remaining = banded
+
+    pairs = within_batch_pairs(banded_remaining, threshold=threshold)
+    survivors = dedup_keep_canonical(remaining, pairs, id_col=id_col)
+    surv_banded = banded_remaining.join(
+        survivors.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    new_index = surv_banded if index is None else index.unionByName(surv_banded)
+    return survivors, new_index

@@ -97,3 +97,109 @@ def test_build_corpus_no_benchmark_skips_decontamination(spark, corpus):
     out, st = build_corpus(corpus, benchmark=None, config=cfg)
     assert st.after_contamination == st.after_near_dedup == 4
     assert {r.doc_id for r in out.collect()} == {0, 1, 2, 14}
+
+
+# ---------------------------------------------------------------------------
+# dedup_snapshot: the incremental (nightly) near-dedup mode
+# ---------------------------------------------------------------------------
+
+
+def _mk_texts():
+    """Deterministic distinct word-soup texts (no shared 3-grams across
+    different base texts, so cross-text estimated Jaccard is ~0)."""
+    import hashlib
+
+    def words(tag, k=40):
+        return " ".join(
+            hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:10] for i in range(k)
+        )
+
+    return {i: words(f"base{i}") for i in range(1, 10)}
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    t = _mk_texts()
+    # clique-shaped duplicate groups (exact copies — the re-crawl case),
+    # ids monotone in snapshot order
+    s1 = [(1, t[1]), (2, t[2]), (3, t[3]), (4, t[4]), (5, t[5])]
+    s2 = [(11, t[1]), (12, t[2]), (13, t[6]), (14, t[7]), (15, t[8]),
+          (16, t[6]), (17, t[6])]
+    s3 = [(21, t[1]), (22, t[6]), (23, t[9]), (24, t[9])]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(s1), mk(s2), mk(s3)
+
+
+def _run_incremental(snaps, threshold=0.5):
+    from mimic_iv_data_pipeline_spark.plans.llm_corpus import dedup_snapshot
+
+    index = None
+    kept = []
+    for s in snaps:
+        surv, index = dedup_snapshot(s, index, threshold=threshold)
+        kept.extend(r.doc_id for r in surv.select("doc_id").collect())
+    return sorted(kept), index
+
+
+def test_dedup_snapshot_clique_equals_one_shot(spark, snapshots):
+    """On clique-shaped duplicate groups, N-snapshot incremental keeps
+    exactly what a one-shot batch dedup of the union keeps."""
+    from mimic_iv_data_pipeline_spark.plans.llm_corpus import dedup_snapshot
+
+    kept_inc, index = _run_incremental(snapshots)
+    union = snapshots[0].unionByName(snapshots[1]).unionByName(snapshots[2])
+    one_shot, _ = dedup_snapshot(union, None)
+    kept_one = sorted(r.doc_id for r in one_shot.select("doc_id").collect())
+    # groups: {1,11,21} {2,12} {13,16,17,22} {23,24}; singles 3,4,5,14,15
+    assert kept_inc == kept_one == [1, 2, 3, 4, 5, 13, 14, 15, 23]
+    # the index holds exactly the survivors' band rows
+    assert {r.doc for r in index.select("doc").distinct().collect()} == set(kept_inc)
+
+
+def test_dedup_snapshot_partition_invariant(spark, snapshots):
+    a, _ = _run_incremental(snapshots)
+    shuffled = tuple(s.repartition(7) for s in snapshots)
+    b, _ = _run_incremental(shuffled)
+    assert a == b
+
+
+def test_dedup_snapshot_kept_set_is_independent(spark, snapshots):
+    """No two kept docs (across all snapshots) are a flagged pair —
+    the defining invariant of the accepted corpus."""
+    from mimic_iv_data_pipeline_spark.operators.incremental import (
+        build_minhash_index,
+        within_batch_pairs,
+    )
+
+    kept, _ = _run_incremental(snapshots)
+    union = snapshots[0].unionByName(snapshots[1]).unionByName(snapshots[2])
+    kept_docs = union.filter(F.col("doc_id").isin(kept))
+    banded = build_minhash_index(kept_docs, "doc_id", "text")
+    assert within_batch_pairs(banded, threshold=0.5).count() == 0
+
+
+def test_dedup_snapshot_chain_semantics(spark):
+    """Cross-batch CHAINS are where incremental (first-crawl-wins) and
+    one-shot (component-merge) legitimately differ; pin both sides.
+    a=XY accepted in snapshot 1; b=XYZ (dup of a) arrives and is
+    dropped in snapshot 2; c=YZ (dup of b, NOT of a) arrives in
+    snapshot 3: incremental keeps c (b never entered the corpus),
+    one-shot merges {a,b,c} and keeps only a."""
+    import hashlib
+
+    from mimic_iv_data_pipeline_spark.plans.llm_corpus import dedup_snapshot
+
+    blk = lambda tag, k=25: " ".join(
+        hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:10] for i in range(k)
+    )
+    X, Y, Z = blk("X"), blk("Y"), blk("Z")
+    a, b, c = f"{X} {Y}", f"{X} {Y} {Z}", f"{Y} {Z}"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    snaps = [mk([(1, a)]), mk([(2, b)]), mk([(3, c)])]
+
+    kept_inc, _ = _run_incremental(snaps, threshold=0.5)
+    assert kept_inc == [1, 3]
+    one_shot, _ = dedup_snapshot(
+        mk([(1, a), (2, b), (3, c)]), None, threshold=0.5
+    )
+    assert sorted(r.doc_id for r in one_shot.collect()) == [1]
