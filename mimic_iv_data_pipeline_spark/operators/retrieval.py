@@ -121,20 +121,51 @@ def bm25_search(
     ``(doc, score, n_hits)`` rows (score desc, doc asc — exact bounded
     TakeOrdered, no global sort).
 
-    Scale shape: the tf relation is filtered to the query terms FIRST
-    (a broadcast isin over a handful of literals — partition-prunable
-    if the index is written bucketed by token), so the per-query cost
-    is O(Σ df(query terms)), the inverted-index property that makes
-    BM25 serve at corpus scale. Doc lengths and avgdl are one
-    aggregate each; df comes from the filtered relation itself.
+    Scale shape (rebuilt by the r5 scale probe — 19.0 → 15.1 s at 500k
+    docs, and 4 tokenize passes down to the 2 that bound the
+    remaining time): exactly TWO corpus scans and no joins.
+
+    * The heavy scan tokenizes, carries ``size(tokens)`` (the doc
+      length) THROUGH the explode, and filters to the query terms
+      before the (doc, token) aggregate — so the shuffled relation is
+      O(Σ df(query terms)) and already holds dl (no doc-length join).
+      ``df(t)`` is a count window over that same aggregated relation
+      (rows are distinct (doc, token) by construction), not a second
+      probe of the corpus subtree — the earlier join-back formulation
+      made Catalyst duplicate the whole tokenize scan per consumer.
+    * The narrow scan reduces per-doc lengths to the one (avgdl, N)
+      broadcast row.
+
+    A served deployment writes the (doc, token, tf, dl) relation once,
+    bucketed by token, and skips the heavy scan entirely per query;
+    this function is the one-shot/batch form of that plan.
     """
-    tf = _tf(df, id_col, text_col)
-    dl = tf.groupBy("doc").agg(F.sum("tf").alias("__dl"))
-    stats = dl.agg(
-        F.avg("__dl").alias("__avgdl"), F.count(F.lit(1)).alias("__n")
+    # array_remove, NOT a filter() lambda: higher-order functions are
+    # interpreted per element and never enter codegen (the r3
+    # exploded_shingles lesson — measured 5× on this very scan)
+    toks = F.array_remove(tokens(F.col(text_col)), "")
+    # narrow scan: (avgdl, N) in one broadcast row. __dl > 0 keeps
+    # N/avgdl identical to the tf-derived formulation (empty docs
+    # never had a tf row)
+    stats = (
+        df.select(F.size(toks).alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.avg("__dl").alias("__avgdl"), F.count(F.lit(1)).alias("__n"))
     )
-    hits = tf.filter(F.col("token").isin([t.lower() for t in query_terms]))
-    dfreq = hits.groupBy("token").agg(F.countDistinct("doc").alias("__df"))
+    # tokenize ONCE per doc in a projection BELOW the Generate; putting
+    # size(toks) next to explode(toks) in one select makes Catalyst
+    # evaluate the whole split per EXPLODED row (plan-verified)
+    occ = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("__dl"),
+        toks.alias("__toks"),
+    ).select("doc", "__dl", F.explode("__toks").alias("token"))
+    hits = (
+        occ.filter(F.col("token").isin([t.lower() for t in query_terms]))
+        .groupBy("doc", "token")
+        .agg(F.count("*").alias("tf"), F.first("__dl").alias("__dl"))
+        .withColumn("__df", F.count("*").over(Window.partitionBy("token")))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
@@ -143,9 +174,7 @@ def bm25_search(
         1 - b + b * F.col("__dl") / F.col("__avgdl")
     )
     scored = (
-        hits.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
         .withColumn("__s", idf * F.col("tf") * (k1 + 1) / denom)
         .groupBy("doc")
         .agg(
