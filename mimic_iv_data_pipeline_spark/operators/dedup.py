@@ -313,26 +313,39 @@ def _signature_expr(num_hashes: int) -> Column:
     return F.expr(f"array({mins})")
 
 
+def _shingle_hash64(shingle_hash: str) -> Column:
+    """64-bit shingle value: production ``xxhash64``, or the 60-bit
+    md5 hex prefix (``'md5'``) — the engine-neutral fixed family that
+    lets the whole MinHash pipeline earn a DuckDB hash oracle."""
+    if shingle_hash == "xxhash64":
+        return F.xxhash64("shingle")
+    if shingle_hash == "md5":
+        return F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown shingle_hash={shingle_hash!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash sketch: for each of ``num_hashes`` hash functions, the
     min over the doc's shingle set of that function's hash.
 
-    The shingle STRING is hashed once (``xxhash64``); the per-function
-    values are classical universal-hash permutations ``(a·x + b) mod
-    (2^61−1)`` of the 32-bit folded hash — codegen multiply-add-mods,
-    no per-function re-hash. The single shuffle is the groupBy(doc)
-    with map-side partial mins: ``num_hashes`` longs per doc per
-    partition.
+    The shingle STRING is hashed once (``xxhash64``, or md5 via
+    ``shingle_hash='md5'`` for the oracle-checkable fixed family); the
+    per-function values are classical universal-hash permutations
+    ``(a·x + b) mod (2^61−1)`` of the 32-bit folded hash — codegen
+    multiply-add-mods, no per-function re-hash. The single shuffle is
+    the groupBy(doc) with map-side partial mins: ``num_hashes`` longs
+    per doc per partition.
     """
     shingled = exploded_shingles(df, id_col, text_col, n)
     base = shingled.select(
-        "doc", F.pmod(F.xxhash64("shingle"), F.lit(_M32)).alias("__x")
+        "doc", F.pmod(_shingle_hash64(shingle_hash), F.lit(_M32)).alias("__x")
     )
     return base.groupBy("doc").agg(_signature_expr(num_hashes).alias("signature"))
 
@@ -385,18 +398,10 @@ def minhash_lsh_pairs(
     which the exact verify then discards).
     """
     rows_per_band = num_hashes // bands
-    if shingle_hash not in ("xxhash64", "md5"):
-        raise ValueError(f"minhash_lsh_pairs: unknown shingle_hash={shingle_hash!r}")
     if bucket not in ("hash", "exact"):
         raise ValueError(f"minhash_lsh_pairs: unknown bucket={bucket!r}")
     exploded = exploded_shingles(df, id_col, text_col, n)
-    if shingle_hash == "xxhash64":
-        h64 = F.xxhash64("shingle")
-    else:
-        # 60-bit value from the md5 hex prefix — the engine-neutral
-        # hash trick (cf. queries/llmops.py md5 oracles)
-        h64 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    base = exploded.select("doc", h64.alias("__h"))
+    base = exploded.select("doc", _shingle_hash64(shingle_hash).alias("__h"))
     if reuse:
         base = base.persist()
     x32 = F.pmod(F.col("__h"), F.lit(_M32))
@@ -463,7 +468,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """SimHash near-dup signature: sign of the per-bit sum of token-hash
     bit contributions (+1 if the token's xxhash64 has bit b set, −1
     otherwise), packed little-endian into a long.
@@ -472,6 +483,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     sequence) → elementwise array sum via ``aggregate``+``zip_with``
     fold per doc. All built-ins; the fold is over per-doc token counts,
     not the corpus.
+
+    ``token_hash='md5'`` swaps in the 60-bit md5 hex prefix (use with
+    ``bits <= 32``) — the fixed family whose bit arithmetic a DuckDB
+    twin can recompute exactly (q131); production stays xxhash64.
     """
     def mask(b: int) -> int:
         # bit 63 as a signed-long literal (two's complement sign bit)
@@ -481,7 +496,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    h = F.xxhash64("token")
+    if token_hash == "xxhash64":
+        h = F.xxhash64("token")
+    elif token_hash == "md5":
+        h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"simhash: unknown token_hash={token_hash!r}")
     # Per-bit ±1 contribution, summed map-side by the hash aggregate;
     # bit masks are python-int literals so everything stays codegen'd.
     summed = toked.groupBy("doc").agg(

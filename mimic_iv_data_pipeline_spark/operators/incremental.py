@@ -40,11 +40,27 @@ __all__ = [
 ]
 
 
-def band_buckets(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def band_buckets(
+    sig_df: DataFrame, num_hashes: int, bands: int, bucket: str = "hash"
+) -> DataFrame:
     """Explode a ``(doc, signature)`` relation to ``(doc, band, bucket,
     signature)`` — one parsed expression, same banding as
-    ``minhash_lsh_pairs`` (hash of each signature slice)."""
+    ``minhash_lsh_pairs``: ``bucket='hash'`` keys by Spark ``hash()``
+    of each signature slice (production), ``'exact'`` by the joined
+    slice values (engine-neutral — the oracle-checkable fixed form)."""
     rows_per_band = num_hashes // bands
+    if bucket == "hash":
+        bucket_expr = (
+            f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))"
+        )
+    elif bucket == "exact":
+        bucket_expr = (
+            f"concat_ws(',', transform("
+            f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"x -> cast(x AS string)))"
+        )
+    else:
+        raise ValueError(f"band_buckets: unknown bucket={bucket!r}")
     return sig_df.select(
         "doc",
         "signature",
@@ -52,7 +68,7 @@ def band_buckets(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> struct("
                 f"b AS band, "
-                f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})) AS bucket))"
+                f"{bucket_expr} AS bucket))"
             )
         ).alias("bb"),
     ).select(
@@ -81,13 +97,20 @@ def build_minhash_index(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingle_hash: str = "xxhash64",
+    bucket: str = "hash",
 ) -> DataFrame:
     """The persistable index relation for an accepted corpus:
     ``(doc, band, bucket, signature)``. Write it partitioned by
     ``band`` (16 directories) so each incremental join prunes to the
-    band being probed; ~bands × (8·num_hashes + 16) bytes per doc."""
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    return band_buckets(sig, num_hashes, bands)
+    band being probed; ~bands × (8·num_hashes + 16) bytes per doc.
+    ``shingle_hash``/``bucket`` are the fixed-parameterization seams
+    (see ``minhash_lsh_pairs``); an index must be probed with the SAME
+    settings it was built with."""
+    sig = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, shingle_hash=shingle_hash
+    )
+    return band_buckets(sig, num_hashes, bands, bucket=bucket)
 
 
 def dedup_against_index(
@@ -99,6 +122,8 @@ def dedup_against_index(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_hash: str = "xxhash64",
+    bucket: str = "hash",
 ) -> DataFrame:
     """Flag new docs that near-duplicate an indexed doc.
 
@@ -113,8 +138,11 @@ def dedup_against_index(
     computed today join correctly against an index written months ago —
     the property that makes the index durable.
     """
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n=n, num_hashes=num_hashes)
-    new_banded = band_buckets(new_sig, num_hashes, bands)
+    new_sig = minhash_signatures(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes,
+        shingle_hash=shingle_hash,
+    )
+    new_banded = band_buckets(new_sig, num_hashes, bands, bucket=bucket)
     return dedup_banded_against_index(new_banded, index, threshold=threshold)
 
 

@@ -81,7 +81,8 @@ def cosine_topk(
 
 
 def hyperplane_signature(
-    vec: Column, dims: int, bits: int = 16, table: int = 0
+    vec: Column, dims: int, bits: int = 16, table: int = 0,
+    plane_hash: str = "xxhash64",
 ) -> Column:
     """Random-hyperplane LSH signature as a packed long.
 
@@ -91,9 +92,22 @@ def hyperplane_signature(
     property: zero broadcast state). Bit p = 1 iff vec · plane_p > 0.
     ``table`` selects an independent plane family for multi-table LSH
     amplification (table 0 reproduces the single-table signature).
+    ``plane_hash='md5'`` derives the parity from the md5 hex prefix of
+    ``'hp:<index>'`` instead — the engine-neutral fixed plane family
+    behind q132's hash oracle; production stays xxhash64.
     """
     def plane_component(p: int, d: Column) -> Column:
-        h = F.xxhash64(F.lit((table * bits + p) * dims) + d)
+        idx = F.lit((table * bits + p) * dims) + d
+        if plane_hash == "xxhash64":
+            h = F.xxhash64(idx)
+        elif plane_hash == "md5":
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit("hp:"), idx.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        else:
+            raise ValueError(f"hyperplane_signature: unknown plane_hash={plane_hash!r}")
         return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
     def bit_for_plane(p: int) -> Column:
@@ -389,6 +403,7 @@ def ann_lsh_topk(
     dims: int = 64,
     bits: int = 8,
     k: int = 5,
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature, score only
     within the query's bucket. Recall is tunable via ``bits`` (fewer
@@ -396,7 +411,9 @@ def ann_lsh_topk(
     sig = lambda df, idc, vc: df.select(  # noqa: E731
         F.col(id_col).alias(idc),
         as_double_vec(F.col(vec_col)).alias(vc),
-        hyperplane_signature(F.col(vec_col), dims, bits).alias("bucket"),
+        hyperplane_signature(
+            F.col(vec_col), dims, bits, plane_hash=plane_hash
+        ).alias("bucket"),
     )
     q = sig(queries, "query_id", "qv")
     c = sig(corpus, "neighbor_id", "cv")

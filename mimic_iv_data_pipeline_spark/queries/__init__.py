@@ -39,7 +39,7 @@ _MODULES = [
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
 # driver records rows for only the FIRST 50 registry entries per round. With
-# 129 registered queries the window is allocated as:
+# 132 registered queries the window is allocated as:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
 #   (c) a STABLE 15-query regression core (one per operator family; also the
@@ -52,16 +52,19 @@ _MODULES = [
 # r5 manifest: (a) q117-q123 (added after r4's window filled — 7 first
 #   driver rows); (b) q124-q129 (new this round: the fixed-parameter
 #   oracle family — ADC search/rerank, WordPiece + unigram encode,
-#   MinHash-LSH md5, exact-probe RAG — 6 first driver rows); (c) the
-#   core; (d) 22 of the 26 r1-aged queries: q02 q05 q06 q07 q09 q10
-#   q11 q12 q13 q16 q21 q22 q23 q25 q27 q28 q29 q31 q33 q35 q36 q37.
-#   The 4 held back to fit the window keep family coverage elsewhere
-#   (q30 tumbling twin of q29; q38 fingerprint ~ q34 dedup core; q46
-#   one-hot ~ q45; q47 label-encode ~ q26 vocab core) and LEAD r6's
-#   (d) block together with the r3-aged and rows-only entries.
-# r6 plan: (a) any r5 reds; (d) q30 q38 q46 q47, then oldest r3-block
-#   entries (q48-q83 not re-checked since r3) and rows-only entries
-#   (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) to 50.
+#   MinHash-LSH md5, exact-probe RAG, incremental-dedup md5, SimHash
+#   md5, hyperplane-LSH md5 — 9 first driver rows); (c) the
+#   core; (d) 19 of the 26 r1-aged queries: q02 q05 q06 q07 q09 q10
+#   q11 q12 q16 q21 q22 q23 q25 q27 q28 q29 q31 q33 q37. The 7 held
+#   back to fit the window keep family coverage elsewhere (q13 json ~
+#   q11/q12 scalar fns; q30 tumbling twin of q29; q35/q36 token/
+#   quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint ~ q34
+#   dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26 vocab core)
+#   and LEAD r6's (d) block together with r3-aged and rows-only rows.
+# r6 plan: (a) any r5 reds; (d) q13 q30 q35 q36 q38 q46 q47, then
+#   oldest r3-block entries (q48-q83 not re-checked since r3) and
+#   rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
+#   q114 q115 q122) to 50.
 _PRIORITY = [
     # (a) never driver-checked — added after the r4 window filled
     "q117_hashed_linear_score",
@@ -79,6 +82,9 @@ _PRIORITY = [
     "q127_unigram_encode_fixed",
     "q128_minhash_lsh_fixed",
     "q129_rag_retrieve_exact",
+    "q130_incremental_dedup_fixed",
+    "q131_simhash_fixed",
+    "q132_ann_lsh_fixed",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -104,7 +110,6 @@ _PRIORITY = [
     "q10_distinct_counts",
     "q11_string_fns",
     "q12_date_fns",
-    "q13_json_extract",
     "q16_outlier_clamp",
     "q21_sessionize",
     "q22_quantile_bins",
@@ -115,8 +120,6 @@ _PRIORITY = [
     "q29_bucketize_hourly",
     "q31_dense_grid",
     "q33_event_time_normalize",
-    "q35_token_stats",
-    "q36_quality_score",
     "q37_lang_id",
 ]
 

@@ -1362,3 +1362,79 @@ def q127_unigram_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         dround(F.col("logprob"), 6).alias("logprob"),
     )
+
+
+# --- q130: incremental dedup vs persisted index, fixed md5 family -----------
+def _incdedup_fixed_oracle(n_hashes: int = 64, threshold: float = 0.3) -> str:
+    """DuckDB twin of q107's whole pipeline under the md5 shingle
+    family: signatures for BOTH corpus halves from the operator's own
+    64 Carter-Wegman perms, candidates = (new, indexed) pairs agreeing
+    on >= 1 band of 4 (16-way OR), scored by the SIGNATURE-estimated
+    Jaccard (mean per-function agreement) — the exact math
+    ``estimated_jaccard`` runs, including its /64 and rounding."""
+    from mimic_iv_data_pipeline_spark.operators.dedup import (
+        _MERSENNE61,
+        _minhash_perms,
+    )
+
+    perms = _minhash_perms(n_hashes)
+    bands, r = 16, n_hashes // 16
+    mins = ",\n             ".join(
+        f"min(({a} * x + {b}) % {_MERSENNE61}) AS s{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_eq = "\n         OR ".join(
+        "("
+        + " AND ".join(f"n.s{b * r + j} = o.s{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN n.s{i} = o.s{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc, unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS sh
+      FROM toks
+    ), hx AS (
+      SELECT DISTINCT doc,
+             cast(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 4294967296 AS x
+      FROM grams
+    ), sig AS (
+      SELECT doc, {mins}
+      FROM hx GROUP BY doc
+    )
+    SELECT n.doc AS new_id, o.doc AS index_id,
+           floor(({agree}) / 64.0 * 1e6 + 0.5) / 1e6 AS est_jaccard
+    FROM sig n JOIN sig o ON n.doc >= 250 AND o.doc < 250
+    WHERE ({band_eq})
+      AND floor(({agree}) / 64.0 * 1e6 + 0.5) / 1e6 >= {threshold}
+    """
+
+
+@register("q130_incremental_dedup_fixed", oracle=_incdedup_fixed_oracle())
+def q130_incremental_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's snapshot-dedup shape under the fixed md5 shingle family
+    and exact band keys — the SAME operator code path
+    (build_minhash_index -> dedup_against_index), now hash-compared
+    end to end including the estimated-Jaccard scores. The xxhash64
+    production path (q107) stays rows-only by necessity."""
+    from mimic_iv_data_pipeline_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = build_minhash_index(
+        docs.filter(F.col("doc_id") < 250), "doc_id", "text",
+        shingle_hash="md5", bucket="exact",
+    )
+    return dedup_against_index(
+        docs.filter(F.col("doc_id") >= 250), index, "doc_id", "text",
+        threshold=0.3, shingle_hash="md5", bucket="exact",
+    )

@@ -561,3 +561,49 @@ def q129_rag_retrieve_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return retrieve(index, queries, k=3, n_cells=8, n_probe=8)
+
+
+# --- q132: hyperplane-LSH ANN under the fixed md5 plane family --------------
+@register(
+    "q132_ann_lsh_fixed",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), proj AS (
+      SELECT vec_id, p.p AS p,
+             list_sum(list_transform(range(0, 64), d ->
+               emb[d + 1] * (CASE WHEN cast(concat('0x',
+                   substr(md5(concat('hp:', p.p * 64 + d)), 1, 8)) AS BIGINT)
+                   % 2 = 1 THEN 1.0 ELSE -1.0 END))) AS pr
+      FROM e, range(0, 8) p(p)
+    ), bkt AS (
+      SELECT vec_id,
+             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM proj GROUP BY 1
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(qe.emb, ce.emb)
+                   / (sqrt(list_dot_product(qe.emb, qe.emb))
+                      * sqrt(list_dot_product(ce.emb, ce.emb)))
+                   * 1e6 + 0.5) / 1e6 AS cos_sim
+      FROM bkt q
+      JOIN bkt c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      JOIN e qe ON qe.vec_id = q.vec_id
+      JOIN e ce ON ce.vec_id = c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+    ) <= 5
+    """,
+)
+def q132_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44's hyperplane-LSH kernel under the fixed md5 plane family:
+    the ±1 plane components, dot-product sign votes, bit packing,
+    bucket equi-join and rounded-cosine rank all hash-compared against
+    a DuckDB twin recomputing the same 8×64 plane parities. The
+    xxhash64 production planes (q44) stay rows-only by necessity."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(queries, emb, dims=64, bits=8, k=5, plane_hash="md5")

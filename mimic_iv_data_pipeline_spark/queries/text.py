@@ -716,3 +716,40 @@ def q121_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("d", "__v")
     ).select("doc_id", F.col("d").cast("long").alias("d"), dround(F.col("__v"), 6).alias("val"))
+
+
+# --- q131: SimHash signatures under the fixed md5 token family --------------
+@register(
+    "q131_simhash_fixed",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id AS doc, t AS tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents) WHERE t <> ''
+    ), hx AS (
+      SELECT doc, cast(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM occ
+    ), contrib AS (
+      SELECT doc, b.b AS b,
+             sum(CASE WHEN (h // (1::BIGINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hx, range(0, 16) b(b)
+      GROUP BY 1, 2
+    )
+    SELECT doc AS doc_id,
+           cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM contrib GROUP BY 1
+    """,
+)
+def q131_simhash_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's SimHash kernel under the fixed md5 token family (16 bits):
+    per-bit ±1 contribution sums, the sign vote, and the little-endian
+    packing all hash-compared against a DuckDB twin doing the same bit
+    arithmetic. The 64-bit xxhash64 production signature (q41) stays
+    rows-only by necessity.
+
+    Note the occurrence semantics: contributions count every token
+    OCCURRENCE (no distinct) — the twin unnests without dedup."""
+    return simhash(
+        _docs(spark, sf_dir), "doc_id", bits=16, token_hash="md5"
+    ).withColumnRenamed("doc", "doc_id")
