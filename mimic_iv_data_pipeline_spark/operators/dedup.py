@@ -806,6 +806,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     train_sample: int = 262_144,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     space, then deduplicate ONLY within clusters — pairwise cosine is
@@ -820,7 +821,9 @@ def semantic_dedup(
     equi-join on the cell id, so the quadratic term is bounded by the
     largest cluster, not the corpus. Output: every input id with its
     ``cell`` and a ``pruned`` flag (rows-only query — k-means has no
-    SQL twin).
+    SQL twin; ``centroids`` is the fixed-parameterization seam that
+    lets q134 hash-verify everything AROUND the training: assignment,
+    within-cell pairing, the cosine-threshold prune, the keep rule).
     """
     import numpy as np
 
@@ -833,11 +836,14 @@ def semantic_dedup(
 
     from mimic_iv_data_pipeline_spark.operators.similarity import sampled_matrix
 
-    # hash-ordered bounded sample via the shared draw (see
-    # similarity.sampled_matrix — the NOT-a-limit()-prefix rationale and
-    # TakeOrderedAndProject shape live there)
-    X = sampled_matrix(emb, id_col, vec_col, train_sample, "semdedup")
-    centers = _train_quantizer(X, n_clusters, seed=seed)
+    if centroids is not None:
+        centers = np.asarray(centroids, dtype=np.float64)
+    else:
+        # hash-ordered bounded sample via the shared draw (see
+        # similarity.sampled_matrix — the NOT-a-limit()-prefix rationale
+        # and TakeOrderedAndProject shape live there)
+        X = sampled_matrix(emb, id_col, vec_col, train_sample, "semdedup")
+        centers = _train_quantizer(X, n_clusters, seed=seed)
     assigned = _assign_cells_pandas(emb, id_col, vec_col, centers, 1).select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("__v"), "cell"
     )

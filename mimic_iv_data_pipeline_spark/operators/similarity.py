@@ -339,8 +339,15 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 10,
     train_sample: int = 262_144,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
+
+    ``centroids`` (an (n_cells, dims) array-like) skips the k-means fit
+    and searches against the GIVEN coarse quantizer — the q123-style
+    fixed-parameterization seam (q133 hash-verifies the whole search
+    path against md5-derived centroids) and the serving shape when a
+    quantizer trained offline is reused across queries.
 
     Train ``n_cells`` centroids (Spark ML KMeans — distributed Lloyd),
     assign every corpus vector to its nearest cell, and search each
@@ -361,10 +368,15 @@ def ivf_topk(
     Spark ML KMeans fit of the same 16-cell quantizer costs ~0.9 s of
     JVM job overhead alone at sf0.1 — more than this whole query.
     """
-    # hash-ordered bounded sample via the shared draw (see
-    # sampled_matrix: TakeOrderedAndProject, partition-order invariant)
-    X = sampled_matrix(corpus, id_col, vec_col, train_sample, "ivf")
-    centers = _train_quantizer(X, n_cells, seed=seed, iters=max_iter)
+    if centroids is not None:
+        import numpy as np
+
+        centers = np.asarray(centroids, dtype=np.float64)
+    else:
+        # hash-ordered bounded sample via the shared draw (see
+        # sampled_matrix: TakeOrderedAndProject, partition-order invariant)
+        X = sampled_matrix(corpus, id_col, vec_col, train_sample, "ivf")
+        centers = _train_quantizer(X, n_cells, seed=seed, iters=max_iter)
 
     def assign_cells(df: DataFrame, n: int) -> DataFrame:
         return _assign_cells_pandas(df, id_col, vec_col, centers, n)

@@ -39,7 +39,7 @@ _MODULES = [
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
 # driver records rows for only the FIRST 50 registry entries per round. With
-# 132 registered queries the window is allocated as:
+# 134 registered queries the window is allocated as:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
 #   (c) a STABLE 15-query regression core (one per operator family; also the
@@ -53,17 +53,19 @@ _MODULES = [
 #   driver rows); (b) q124-q129 (new this round: the fixed-parameter
 #   oracle family — ADC search/rerank, WordPiece + unigram encode,
 #   MinHash-LSH md5, exact-probe RAG, incremental-dedup md5, SimHash
-#   md5, hyperplane-LSH md5 — 9 first driver rows); (c) the
-#   core; (d) 19 of the 26 r1-aged queries: q02 q05 q06 q07 q09 q10
-#   q11 q12 q16 q21 q22 q23 q25 q27 q28 q29 q31 q33 q37. The 7 held
-#   back to fit the window keep family coverage elsewhere (q13 json ~
-#   q11/q12 scalar fns; q30 tumbling twin of q29; q35/q36 token/
-#   quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint ~ q34
-#   dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26 vocab core)
-#   and LEAD r6's (d) block together with r3-aged and rows-only rows.
-# r6 plan: (a) any r5 reds; (d) q13 q30 q35 q36 q38 q46 q47, then
-#   oldest r3-block entries (q48-q83 not re-checked since r3) and
-#   rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
+#   md5, hyperplane-LSH md5, IVF fixed-centroid, SemDeDup
+#   fixed-centroid — 11 first driver rows); (c) the
+#   core; (d) 17 of the 26 r1-aged queries: q02 q05 q06 q07 q09 q10
+#   q11 q16 q21 q22 q23 q25 q27 q29 q31 q33 q37. The 9 held back to
+#   fit the window keep family coverage elsewhere (q12 date fns ~
+#   q18/q19 core date arithmetic; q13 json ~ q11 scalar fns; q28
+#   rollup ~ q54 cube r3-green; q30 tumbling twin of q29; q35/q36
+#   token/quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint
+#   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
+#   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
+# r6 plan: (a) any r5 reds; (d) q12 q13 q28 q30 q35 q36 q38 q46 q47,
+#   then oldest r3-block entries (q48-q83 not re-checked since r3)
+#   and rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
 #   q114 q115 q122) to 50.
 _PRIORITY = [
     # (a) never driver-checked — added after the r4 window filled
@@ -85,6 +87,8 @@ _PRIORITY = [
     "q130_incremental_dedup_fixed",
     "q131_simhash_fixed",
     "q132_ann_lsh_fixed",
+    "q133_ivf_fixed",
+    "q134_semantic_dedup_fixed",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -109,14 +113,12 @@ _PRIORITY = [
     "q09_union_branches",
     "q10_distinct_counts",
     "q11_string_fns",
-    "q12_date_fns",
     "q16_outlier_clamp",
     "q21_sessionize",
     "q22_quantile_bins",
     "q23_calibration_bins",
     "q25_rank_auc",
     "q27_global_topk",
-    "q28_rollup",
     "q29_bucketize_hourly",
     "q31_dense_grid",
     "q33_event_time_normalize",

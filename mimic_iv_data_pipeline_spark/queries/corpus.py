@@ -317,3 +317,54 @@ def q95_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
                            window=50, stride=40)
+
+
+# --- q134: SemDeDup under FIXED cluster centroids (full hash oracle) --------
+@register(
+    "q134_semantic_dedup_fixed",
+    oracle=r"""
+    WITH cent AS (
+      SELECT c.c AS c,
+             list(floor((cast(concat('0x', substr(md5(concat('sem:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                         / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 ORDER BY d.d) AS cv
+      FROM range(16) c(c), range(64) d(d) GROUP BY 1
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cent.c,
+             list_dot_product(emb, emb) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(emb, cv) AS d
+      FROM e, cent
+    ), cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ), pruned AS (
+      SELECT DISTINCT a.vec_id AS id
+      FROM cells a
+      JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_dot_product(ea.emb, eb.emb)
+            / (sqrt(list_dot_product(ea.emb, ea.emb))
+               * sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.9
+    )
+    SELECT c.vec_id AS id, CAST(c.cell AS INTEGER) AS cell,
+           (p.id IS NOT NULL) AS pruned
+    FROM cells c LEFT JOIN pruned p ON p.id = c.vec_id
+    """,
+)
+def q134_semantic_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87's SemDeDup shape under fixed md5-derived cluster centroids:
+    nearest-cell assignment, the within-cell smaller-id pairing, the
+    unrounded cosine-threshold prune, and the keep flags all
+    hash-compared against a DuckDB twin. Training (Lloyd) stays
+    rows-only on q87 — this pins every step around it."""
+    from mimic_iv_data_pipeline_spark.queries.similarity import _fixed_centroids
+
+    cent = _fixed_centroids(16, 64, prefix="sem")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.9, centroids=cent
+    )

@@ -607,3 +607,78 @@ def q132_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(queries, emb, dims=64, bits=8, k=5, plane_hash="md5")
+
+
+def _fixed_centroids(n_cells: int = 16, dims: int = 64, prefix: str = "ivf"):
+    """Deterministic md5-derived coarse centroids in [-1, 1] — the
+    codebook trick at (n_cells, dims); ``prefix`` selects an
+    independent family per consumer (q133 'ivf', q134 'sem')."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    cent = np.empty((n_cells, dims), dtype=np.float64)
+    for c in range(n_cells):
+        for d in range(dims):
+            h = int(hashlib.md5(f"{prefix}:{c}:{d}".encode()).hexdigest()[:8], 16)
+            cent[c, d] = math.floor((h / float(1 << 31) - 1.0) * 1e6 + 0.5) / 1e6
+    return cent
+
+
+# --- q133: IVF search against FIXED coarse centroids (full hash oracle) -----
+@register(
+    "q133_ivf_fixed",
+    oracle=r"""
+    WITH cent AS (
+      SELECT c.c AS c,
+             list(floor((cast(concat('0x', substr(md5(concat('ivf:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                         / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 ORDER BY d.d) AS cv
+      FROM range(16) c(c), range(64) d(d) GROUP BY 1
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cent.c,
+             list_dot_product(emb, emb) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(emb, cv) AS d
+      FROM e, cent
+    ), cell1 AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ), qprobe AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist WHERE vec_id < 10) WHERE rn <= 4
+    ), scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, cv2.vec_id AS neighbor_id,
+             floor(list_dot_product(qe.emb, ce.emb)
+                   / (sqrt(list_dot_product(qe.emb, qe.emb))
+                      * sqrt(list_dot_product(ce.emb, ce.emb)))
+                   * 1e6 + 0.5) / 1e6 AS cos_sim
+      FROM qprobe q
+      JOIN cell1 cv2 ON cv2.cell = q.cell AND cv2.vec_id != q.vec_id
+      JOIN e qe ON qe.vec_id = q.vec_id
+      JOIN e ce ON ce.vec_id = cv2.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+    ) <= 5
+    """,
+)
+def q133_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's IVF search path under fixed md5-derived coarse centroids:
+    nearest-cell assignment (the |v|²+|c|²−2v·c argmin with lower-cell
+    tie-break), n_probe cell selection, the cell equi-join prune, and
+    the rounded-cosine rank all hash-compared against a DuckDB twin.
+    The k-means-trained production quantizer (q53) stays rows-only —
+    Lloyd iterations have no SQL twin; this pins everything around
+    them."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
+    )
