@@ -1438,3 +1438,107 @@ def q130_incremental_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 250), index, "doc_id", "text",
         threshold=0.3, shingle_hash="md5", bucket="exact",
     )
+
+
+# --- q135: BPE ENCODE against a FIXED merge list (full hash oracle) ---------
+# Third subword kernel under the q123 trick. The SQL twin replays the
+# merge loop ONE merge at a time (leftmost occurrence of the
+# lowest-rank applicable pair), which equals the encoder's
+# merge-all-occurrences step because trained-BPE ranks satisfy the
+# invariant that any pair containing a merged symbol ranks AFTER the
+# merge that created it — the fixed list below is built hierarchically
+# so the invariant holds by construction.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("t", "a"), ("l", "e"), ("b", "le"), ("ta", "ble"),
+    ("e", "</w>"), ("l", "u"), ("v", "a"), ("va", "lu"), ("valu", "e</w>"),
+    ("e", "r"), ("er", "</w>"), ("t", "h"), ("th", "e</w>"),
+    ("q", "u"), ("o", "w"), ("r", "ow"),
+    ("h", "a"), ("s", "h"), ("ha", "sh"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB twin of ``bpe_encode`` under ``_BPE_FIXED_MERGES``: a
+    recursive CTE whose step finds the lowest-rank adjacent pair
+    (pair keys joined with chr(1), which no token contains), splices
+    the leftmost occurrence, and recurses; a word's final state is the
+    unique seg row with no applicable merge."""
+    values = ", ".join(
+        "('" + a.replace("'", "''") + "', '" + b.replace("'", "''") + f"', {i})"
+        for i, (a, b) in enumerate(_BPE_FIXED_MERGES)
+    )
+    pk = (
+        "list_transform(range(1, len({s})), i -> "
+        "concat({s}[i], chr(1), {s}[i+1]))"
+    )
+    return rf"""
+    WITH RECURSIVE ranks(a, b, rnk) AS (
+      SELECT * FROM (VALUES {values}) v(a, b, rnk)
+    ),
+    docw AS (
+      SELECT doc_id, i, arr[i] AS word
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents) d,
+           unnest(range(1, len(arr) + 1)) t(i)
+      WHERE arr[i] <> ''
+    ),
+    words AS (SELECT DISTINCT word FROM docw),
+    seg AS (
+      SELECT word,
+             list_append(list_transform(range(1, len(word) + 1),
+                                        i -> substr(word, i, 1)), '</w>') AS syms
+      FROM words
+      UNION ALL
+      SELECT word,
+             syms[1:p-1] || [concat(best.a, best.b)] || syms[p+2:len(syms)]
+      FROM (
+        SELECT word, syms, best,
+               list_position({pk.format(s="syms")},
+                             concat(best.a, chr(1), best.b)) AS p
+        FROM (
+          SELECT s.word, s.syms,
+                 (SELECT {{'a': r.a, 'b': r.b}} FROM ranks r
+                  WHERE list_contains({pk.format(s="s.syms")},
+                                      concat(r.a, chr(1), r.b))
+                  ORDER BY r.rnk LIMIT 1) AS best
+          FROM seg s WHERE len(s.syms) > 1
+        )
+        WHERE best IS NOT NULL
+      )
+    ),
+    final AS (
+      SELECT word, syms FROM seg s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ranks r
+        WHERE list_contains({pk.format(s="s.syms")},
+                            concat(r.a, chr(1), r.b)))
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY d.i) AS tokens_csv,
+             CAST(sum(len(f.syms)) AS BIGINT) AS n_tokens
+      FROM docw d JOIN final f USING (word)
+      GROUP BY 1
+    )
+    SELECT doc_id, coalesce(p.tokens_csv, '') AS tokens_csv,
+           coalesce(p.n_tokens, 0) AS n_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) ids LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("q135_bpe_encode_fixed", oracle=_bpe_fixed_oracle())
+def q135_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy lowest-rank BPE encoding of the corpus against the fixed
+    merge list, hash-compared piece-for-piece — the multi-level merge
+    cascade (chars -> bigrams -> whole words like scan/table/value,
+    including </w>-fused merges) exercised end to end. q93's trained
+    production path stays rows-only."""
+    from mimic_iv_data_pipeline_spark.operators.bpe import bpe_encode
+
+    enc = bpe_encode(_docs(spark, sf_dir), "doc_id", "text", _BPE_FIXED_MERGES)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("tokens"), " ").alias("tokens_csv"),
+        "n_tokens",
+    )
