@@ -55,6 +55,7 @@ def kmeans_fit(
     tol: float = 0.0,
     init_sample: int = 8192,
     id_col: str | None = None,
+    init=None,
 ):
     """Fit ``k`` centroids over the FULL corpus; returns a (k, d) numpy
     matrix. ``tol`` > 0 stops early when the max centroid displacement
@@ -63,6 +64,9 @@ def kmeans_fit(
 
     ``id_col`` seeds the deterministic init draw; pass the natural key
     when one exists (falls back to a content hash of the vector).
+    ``init`` (a (k, d) array-like) skips the init draw and starts Lloyd
+    from the GIVEN centroids — warm restarts, and the q137 fixed seam
+    that lets one assignment+update step be hash-verified in SQL.
     """
     import numpy as np
 
@@ -71,18 +75,21 @@ def kmeans_fit(
         sampled_matrix,
     )
 
-    key = (
-        F.col(id_col).cast("string")
-        if id_col
-        else F.sha2(F.col(vec_col).cast("string"), 256)
-    )
-    X = sampled_matrix(
-        df, id_col or vec_col, vec_col, init_sample, "kmeans", key_expr=key
-    )
-    # one cheap sample-side Lloyd pass for a sane init (k-means|| in
-    # spirit: better-than-random seeds at bounded cost), then the
-    # corpus-scale iterations refine
-    centers = _train_quantizer(X, k, seed=seed, iters=2)
+    if init is not None:
+        centers = np.asarray(init, dtype=np.float64)
+    else:
+        key = (
+            F.col(id_col).cast("string")
+            if id_col
+            else F.sha2(F.col(vec_col).cast("string"), 256)
+        )
+        X = sampled_matrix(
+            df, id_col or vec_col, vec_col, init_sample, "kmeans", key_expr=key
+        )
+        # one cheap sample-side Lloyd pass for a sane init (k-means||
+        # in spirit: better-than-random seeds at bounded cost), then
+        # the corpus-scale iterations refine
+        centers = _train_quantizer(X, k, seed=seed, iters=2)
     k_eff = len(centers)
 
     narrow = df.select(F.col(vec_col).alias("__v"))

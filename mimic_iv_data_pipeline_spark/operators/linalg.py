@@ -159,14 +159,25 @@ def pca_project(
     dims: int = 64,
     k: int = 8,
     scale: int = 6,
+    components=None,
 ) -> DataFrame:
     """Project each vector onto the top-k principal axes.
 
     Two full-data passes total (moments, then projection); the
     component matrix rides to executors inside the serialized closure
     (k·d doubles — a broadcast in spirit and in cost).
+
+    ``components=(mean, comps)`` skips the moment pass and projects
+    onto the GIVEN basis — the serving shape for a basis fitted
+    offline, and the q138 fixed seam: eigenvector sign/order is
+    engine-specific (why q91 is rows-only), but the centering +
+    matmul projection itself is exact arithmetic a SQL twin can
+    recompute against a fixed basis.
     """
-    mean, comps, _ = pca_components(df, vec_col, dims, k)
+    if components is not None:
+        mean, comps = (np.asarray(a, dtype=np.float64) for a in components)
+    else:
+        mean, comps, _ = pca_components(df, vec_col, dims, k)
     out_schema = f"{id_col} long, " + ", ".join(f"pc{c} double" for c in range(k))
     pc_names = [f"pc{c}" for c in range(k)]
 

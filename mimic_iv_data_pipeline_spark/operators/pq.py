@@ -345,6 +345,8 @@ def ivfpq_topk(
     seed: int = 42,
     rerank: int | None = None,
     train_sample: int = 262_144,
+    centroids=None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN composition (FAISS
     ``IVF{n},PQ{m}`` — Jégou 2011 §V). The IVF coarse quantizer prunes
@@ -373,23 +375,44 @@ def ivfpq_topk(
     )
 
     _require_integral_id(corpus, id_col, "ivfpq_topk")
-    X = _sampled_matrix(corpus, id_col, vec_col, train_sample, "ivfpq")
-    d = X.shape[1]
-    if d % m != 0:
-        raise ValueError(f"IVF-PQ needs dims divisible by m: d={d}, m={m}")
-    dsub = d // m
-    coarse = _train_quantizer(X, n_cells, seed=seed)
-    # residuals of the sample w.r.t. their nearest coarse centroid
-    c2 = (coarse**2).sum(axis=1)
-    labels = np.argmax(2.0 * (X @ coarse.T) - c2[None, :], axis=1)
-    R = X - coarse[labels]
-    books = np.empty((m, n_centroids, dsub), dtype=np.float64)
-    for j in range(m):
-        sub = np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub])
-        cj = _train_quantizer(sub, n_centroids, seed=seed + 1 + j)
-        if len(cj) < n_centroids:
-            cj = np.concatenate([cj, np.repeat(cj[:1], n_centroids - len(cj), axis=0)])
-        books[j] = cj
+    if centroids is not None and codebooks is not None:
+        # fixed-parameterization / serving seam: search against a given
+        # coarse quantizer + residual codebooks (q136's hash oracle)
+        coarse = np.asarray(centroids, dtype=np.float64)
+        books = np.asarray(codebooks, dtype=np.float64)
+        m, n_centroids, dsub = books.shape
+        d = coarse.shape[1]
+        if d != m * dsub:
+            raise ValueError(
+                f"ivfpq_topk: centroids dims {d} != m*dsub {m * dsub}"
+            )
+        c2 = (coarse**2).sum(axis=1)
+    else:
+        if centroids is not None or codebooks is not None:
+            raise ValueError(
+                "ivfpq_topk: pass BOTH centroids and codebooks or neither "
+                "(residual codebooks are only meaningful for the quantizer "
+                "they were trained against)"
+            )
+        X = _sampled_matrix(corpus, id_col, vec_col, train_sample, "ivfpq")
+        d = X.shape[1]
+        if d % m != 0:
+            raise ValueError(f"IVF-PQ needs dims divisible by m: d={d}, m={m}")
+        dsub = d // m
+        coarse = _train_quantizer(X, n_cells, seed=seed)
+        # residuals of the sample w.r.t. their nearest coarse centroid
+        c2 = (coarse**2).sum(axis=1)
+        labels = np.argmax(2.0 * (X @ coarse.T) - c2[None, :], axis=1)
+        R = X - coarse[labels]
+        books = np.empty((m, n_centroids, dsub), dtype=np.float64)
+        for j in range(m):
+            sub = np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub])
+            cj = _train_quantizer(sub, n_centroids, seed=seed + 1 + j)
+            if len(cj) < n_centroids:
+                cj = np.concatenate(
+                    [cj, np.repeat(cj[:1], n_centroids - len(cj), axis=0)]
+                )
+            books[j] = cj
     b_sq = (books**2).sum(axis=2)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((coarse, c2, books, b_sq))

@@ -39,7 +39,7 @@ _MODULES = [
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
 # driver records rows for only the FIRST 50 registry entries per round. With
-# 135 registered queries the window is allocated as:
+# 138 registered queries the window is allocated as:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
 #   (c) a STABLE 15-query regression core (one per operator family; also the
@@ -54,19 +54,22 @@ _MODULES = [
 #   oracle family — ADC search/rerank, WordPiece + unigram encode,
 #   MinHash-LSH md5, exact-probe RAG, incremental-dedup md5, SimHash
 #   md5, hyperplane-LSH md5, IVF fixed-centroid, SemDeDup
-#   fixed-centroid, BPE fixed-merge-list — 12 first driver rows);
+#   fixed-centroid, BPE fixed-merge-list, IVF-PQ fixed, one-step
+#   Lloyd fixed, PCA fixed-basis projection — 15 first driver rows);
 #   (c) the
-#   core; (d) 16 of the 26 r1-aged queries: q02 q05 q06 q07 q09 q11
-#   q16 q21 q22 q23 q25 q27 q29 q31 q33 q37. The 10 held back to fit
-#   the window keep family coverage elsewhere (q10 distinct counts ~
-#   q01/q45 agg core; q12 date fns ~
+#   core; (d) 13 of the 26 r1-aged queries: q02 q05 q06 q07 q11 q16
+#   q21 q25 q27 q29 q31 q33 q37. The 13 held back to fit the window
+#   keep family coverage elsewhere (q09 unions ~ q45 set-ops core;
+#   q10 distinct counts ~ q01/q45 agg core; q22 quantile bins ~ q94
+#   source-quantiles r4-green; q23 calibration bins ~ q51/q52/q57
+#   eval family r3-green; q12 date fns ~
 #   q18/q19 core date arithmetic; q13 json ~ q11 scalar fns; q28
 #   rollup ~ q54 cube r3-green; q30 tumbling twin of q29; q35/q36
 #   token/quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint
 #   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
 #   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
-# r6 plan: (a) any r5 reds; (d) q10 q12 q13 q28 q30 q35 q36 q38 q46
-#   q47,
+# r6 plan: (a) any r5 reds; (d) q09 q10 q12 q13 q22 q23 q28 q30 q35
+#   q36 q38 q46 q47,
 #   then oldest r3-block entries (q48-q83 not re-checked since r3)
 #   and rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
 #   q114 q115 q122) to 50.
@@ -93,6 +96,9 @@ _PRIORITY = [
     "q133_ivf_fixed",
     "q134_semantic_dedup_fixed",
     "q135_bpe_encode_fixed",
+    "q136_ivfpq_fixed",
+    "q137_kmeans_step_fixed",
+    "q138_pca_project_fixed",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -114,12 +120,9 @@ _PRIORITY = [
     "q05_anti_join",
     "q06_dedup_first",
     "q07_conditional_clamp",
-    "q09_union_branches",
     "q11_string_fns",
     "q16_outlier_clamp",
     "q21_sessionize",
-    "q22_quantile_bins",
-    "q23_calibration_bins",
     "q25_rank_auc",
     "q27_global_topk",
     "q29_bucketize_hourly",

@@ -682,3 +682,235 @@ def q133_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
     )
+
+
+# --- q136: IVF-PQ search under FIXED quantizers (full hash oracle) ----------
+# The capstone of the fixed-parameter family: with the coarse centroids
+# AND the residual codebooks both md5-derived, every stage of the
+# billion-scale recipe is SQL-checkable — cell assignment, RESIDUAL
+# computation (x − centroid(cell), the part q123/q124 could not see),
+# residual code assignment, per-(query, probed-cell) residual LUTs, the
+# m-lookup ADC sum, and the rounded rank. Training (q114) stays
+# rows-only; the composition's arithmetic is now pinned end to end.
+@register(
+    "q136_ivfpq_fixed",
+    oracle=r"""
+    WITH ce AS (
+      SELECT c.c AS c, d.d AS d,
+             floor((cast(concat('0x', substr(md5(concat('ivfpq_c:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS val
+      FROM range(16) c(c), range(64) d(d)
+    ), cel AS (
+      SELECT c, list(val ORDER BY d) AS cv FROM ce GROUP BY 1
+    ), cb AS (
+      SELECT j.j AS j, c.c AS c, t.t AS t,
+             floor((cast(concat('0x', substr(md5(concat('ivfpq_b:', j.j, ':', c.c, ':', t.t)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS v
+      FROM range(8) j(j), range(16) c(c), range(8) t(t)
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cel.c,
+             list_dot_product(emb, emb) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(emb, cv) AS d
+      FROM e, cel
+    ), cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ), qprobe AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist WHERE vec_id < 10) WHERE rn <= 4
+    ), r AS (  -- corpus residuals vs the OWN cell's centroid
+      SELECT e.vec_id, ce.d, e.emb[ce.d + 1] - ce.val AS rv
+      FROM e JOIN cells USING (vec_id) JOIN ce ON ce.c = cells.cell
+    ), subd AS (
+      SELECT r.vec_id, cb.j, cb.c,
+             sum((r.rv - cb.v) * (r.rv - cb.v)) AS d
+      FROM r JOIN cb ON cb.j * 8 + cb.t = r.d
+      GROUP BY 1, 2, 3
+    ), code AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM subd) WHERE rn = 1
+    ), qr AS (  -- query residuals vs EACH probed cell's centroid
+      SELECT p.vec_id, p.cell, ce.d, e.emb[ce.d + 1] - ce.val AS rv
+      FROM qprobe p JOIN e ON e.vec_id = p.vec_id JOIN ce ON ce.c = p.cell
+    ), lut AS (
+      SELECT qr.vec_id, qr.cell, cb.j, cb.c,
+             sum((qr.rv - cb.v) * (qr.rv - cb.v)) AS d
+      FROM qr JOIN cb ON cb.j * 8 + cb.t = qr.d
+      GROUP BY 1, 2, 3, 4
+    ), adc AS (
+      SELECT l.vec_id AS query_id, co.vec_id AS neighbor_id,
+             floor(sum(l.d) * 1e6 + 0.5) / 1e6 AS adc_dist
+      FROM cells cs
+      JOIN code co ON co.vec_id = cs.vec_id
+      JOIN lut l ON l.cell = cs.cell AND l.j = co.j AND l.c = co.c
+      WHERE cs.vec_id != l.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM adc
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+    ) <= 5
+    """,
+)
+def q136_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with fixed md5-derived coarse centroids and
+    residual codebooks, hash-compared against a DuckDB twin that
+    recomputes cells, residuals, residual codes, per-(query, cell)
+    LUTs, and the ADC ranks relationally."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from mimic_iv_data_pipeline_spark.operators.pq import ivfpq_topk
+
+    books = np.empty((8, 16, 8), dtype=np.float64)
+    for j in range(8):
+        for c in range(16):
+            for t in range(8):
+                h = int(
+                    hashlib.md5(f"ivfpq_b:{j}:{c}:{t}".encode()).hexdigest()[:8], 16
+                )
+                books[j, c, t] = math.floor((h / float(1 << 31) - 1.0) * 1e6 + 0.5) / 1e6
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        queries, emb, n_cells=16, n_probe=4, k=5,
+        centroids=_fixed_centroids(16, 64, prefix="ivfpq_c"),
+        codebooks=books,
+    )
+
+
+# --- q137: one Lloyd step from FIXED init (full hash oracle) ----------------
+# k-means TRAINING is the one ANN family member with no SQL twin (q115
+# rows-only) — but a single iteration from a fixed init is pure
+# relational algebra: assignment (the q133 argmin kernel) + a per-cell
+# per-dimension mean, empty cells keeping their init. This pins
+# kmeans_fit's distributed update step exactly; the iterative loop is
+# just this step composed.
+@register(
+    "q137_kmeans_step_fixed",
+    oracle=r"""
+    WITH ce AS (
+      SELECT c.c AS c, d.d AS d,
+             floor((cast(concat('0x', substr(md5(concat('km:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS val
+      FROM range(16) c(c), range(64) d(d)
+    ), cel AS (
+      SELECT c, list(val ORDER BY d) AS cv FROM ce GROUP BY 1
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT e.vec_id, cel.c, row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_dot_product(emb, emb) + list_dot_product(cv, cv)
+                   - 2 * list_dot_product(emb, cv) ASC, cel.c ASC) AS rn
+        FROM e, cel) WHERE rn = 1
+    ), stats AS (
+      SELECT cells.cell, d.d AS d,
+             sum(e.emb[d.d + 1]) AS s, count(*) AS n
+      FROM e JOIN cells USING (vec_id), range(0, 64) d(d)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(ce.c AS BIGINT) AS cell, CAST(ce.d AS BIGINT) AS d,
+           CASE WHEN st.n IS NULL THEN ce.val
+                ELSE floor(st.s / st.n * 1e6 + 0.5) / 1e6 END AS val,
+           CAST(coalesce(st.n, 0) AS BIGINT) AS n
+    FROM ce LEFT JOIN stats st ON st.cell = ce.c AND st.d = ce.d
+    """,
+)
+def q137_kmeans_step_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of ``kmeans_fit`` from the fixed
+    md5-derived init: the Arrow-batched assignment and the k·d-row
+    update aggregate hash-compared cell-by-cell, dimension-by-
+    dimension (empty cells keep their init — also pinned)."""
+    import math
+
+    from mimic_iv_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    cent = _fixed_centroids(16, 64, prefix="km")
+    emb = _emb(spark, sf_dir)
+    centers = kmeans_fit(emb, "embedding", k=16, max_iter=1, init=cent)
+    counts = (
+        kmeans_assign(emb, "vec_id", "embedding", cent)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = [
+        (c, d, math.floor(float(centers[c, d]) * 1e6 + 0.5) / 1e6)
+        for c in range(16)
+        for d in range(64)
+    ]
+    base = spark.createDataFrame(rows, "cell long, d long, val double")
+    return base.join(
+        counts.select(F.col("cell").cast("long").alias("cell"), "n"), "cell", "left"
+    ).select("cell", "d", "val", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+
+
+# --- q138: PCA projection onto a FIXED basis (full hash oracle) -------------
+@register(
+    "q138_pca_project_fixed",
+    oracle=r"""
+    WITH mn AS (
+      SELECT d.d AS d,
+             floor((cast(concat('0x', substr(md5(concat('pcm:', d.d)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e5 + 0.5) / 1e6 AS v
+      FROM range(64) d(d)
+    ), cp AS (
+      SELECT c.c AS c, d.d AS d,
+             floor((cast(concat('0x', substr(md5(concat('pcc:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                    / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 AS v
+      FROM range(8) c(c), range(64) d(d)
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), proj AS (
+      SELECT e.vec_id, cp.c,
+             floor(sum((e.emb[cp.d + 1] - mn.v) * cp.v) * 1e6 + 0.5) / 1e6 AS pc
+      FROM e, cp JOIN mn ON mn.d = cp.d
+      GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           max(CASE WHEN c = 0 THEN pc END) AS pc0,
+           max(CASE WHEN c = 1 THEN pc END) AS pc1,
+           max(CASE WHEN c = 2 THEN pc END) AS pc2,
+           max(CASE WHEN c = 3 THEN pc END) AS pc3,
+           max(CASE WHEN c = 4 THEN pc END) AS pc4,
+           max(CASE WHEN c = 5 THEN pc END) AS pc5,
+           max(CASE WHEN c = 6 THEN pc END) AS pc6,
+           max(CASE WHEN c = 7 THEN pc END) AS pc7
+    FROM proj GROUP BY 1
+    """,
+)
+def q138_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pca_project`` onto a fixed md5-derived (mean, components)
+    basis: eigenvector sign/order is engine-specific (q91 stays
+    rows-only), but the centering + matmul projection is exact
+    arithmetic — hash-compared per vector per component."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from mimic_iv_data_pipeline_spark.operators.linalg import pca_project
+
+    mean = np.empty(64, dtype=np.float64)
+    for d in range(64):
+        h = int(hashlib.md5(f"pcm:{d}".encode()).hexdigest()[:8], 16)
+        mean[d] = math.floor((h / float(1 << 31) - 1.0) * 1e5 + 0.5) / 1e6
+    comps = _fixed_centroids(8, 64, prefix="pcc")
+    return pca_project(
+        _emb(spark, sf_dir), "vec_id", "embedding", dims=64, k=8,
+        components=(mean, comps),
+    )
