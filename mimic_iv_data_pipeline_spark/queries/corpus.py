@@ -169,7 +169,9 @@ def q86_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q87: SemDeDup (rows-only: k-means has no SQL twin) ---------------------
+# --- q87: SemDeDup (rows-only: the k-means fit has no SQL twin; the
+# full shape around it — assignment, within-cell pairing, cosine prune —
+# is hash-verified against fixed centroids by q134) --------------------------
 @register("q87_semantic_dedup")
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

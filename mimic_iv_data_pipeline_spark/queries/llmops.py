@@ -725,7 +725,8 @@ def q83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q93: full BPE tokenize (rows-only: iterative merge induction has no
-# SQL twin; trainer + encoder are golden/property-tested) --------------------
+# SQL twin; the ENCODE kernel is hash-verified against a fixed merge list
+# by q135; trainer + encoder are golden/property-tested) ---------------------
 @register("q93_bpe_tokenize")
 def q93_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 100-merge BPE vocabulary on the corpus (one word-count
@@ -928,7 +929,8 @@ def q101_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q105: WordPiece tokenize (rows-only: likelihood-ratio merge induction
-# has no SQL twin; longest-match + losslessness property-tested) -------------
+# has no SQL twin; the ENCODE kernel is hash-verified against a fixed
+# vocabulary by q126; longest-match + losslessness property-tested) ----------
 @register("q105_wordpiece")
 def q105_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 500-piece WordPiece vocabulary (one word-count aggregate
@@ -946,8 +948,9 @@ def q105_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("doc_id", "n_tokens", "n_unk")
 
 
-# --- q106: unigram-LM tokenize (rows-only: EM fit has no SQL twin;
-# Viterbi-vs-bruteforce and EM sanity property-tested) -----------------------
+# --- q106: unigram-LM tokenize (rows-only: EM fit has no SQL twin; the
+# Viterbi ENCODE kernel is hash-verified against fixed probabilities by
+# q127; Viterbi-vs-bruteforce and EM sanity property-tested) -----------------
 @register("q106_unigram_lm")
 def q106_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram tokenization: EM-fit a 600-piece
@@ -968,8 +971,10 @@ def q106_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q107: incremental dedup against a persisted MinHash index (rows-only:
-# signature estimates have no SQL twin; candidate/estimate logic re-verified
-# in pure Python in tests/test_incremental.py) -------------------------------
+# xxhash64 signatures have no SQL twin; the SAME code path incl. the
+# estimated-Jaccard math is hash-verified under the fixed md5 family by
+# q130; candidate/estimate logic re-verified in pure Python in
+# tests/test_incremental.py) --------------------------------------------------
 @register("q107_incremental_dedup")
 def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-dedup shape: index the 'accepted' half of the corpus

@@ -71,7 +71,8 @@ def q43_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q44: LSH-bucketed approximate NN (scale path; no SQL twin) -------------
+# --- q44: LSH-bucketed approximate NN (rows-only: xxhash64 planes; the
+# same kernel is hash-verified under the fixed md5 planes by q132) -------
 @register("q44_ann_lsh")
 def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -79,7 +80,9 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(queries, emb, dims=64, bits=8, k=5)
 
 
-# --- q53: IVF approximate NN (k-means coarse quantizer; no SQL twin) --------
+# --- q53: IVF approximate NN (rows-only: the k-means fit has no SQL
+# twin; the search path around it is hash-verified by q133, the update
+# step of the fit by q137) -----------------------------------------------
 @register("q53_ann_ivf")
 def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -112,8 +115,9 @@ def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q60: embedding near-dup via LSH buckets (scale path; candidate set is
-# probabilistic → rows-only check, exactness of scores property-tested) ------
+# --- q60: embedding near-dup via LSH buckets (rows-only: xxhash64
+# bucketing; scores exact and property-tested; the hyperplane bucketing
+# kernel is hash-verified by q132, the exact-pair scoring by q59) --------
 @register("q60_embedding_neardup_lsh")
 def q60_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.operators.dedup import (
@@ -177,8 +181,9 @@ def q78_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q102: product-quantization encode (rows-only: k-means codebooks have
-# no SQL twin; decode parity + partition-order invariance in tests) ----------
+# --- q102: product-quantization encode (rows-only: k-means codebooks
+# have no SQL twin; the encode kernel is hash-verified against fixed
+# codebooks by q123; decode parity + partition invariance in tests) ------
 @register("q102_pq_encode")
 def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-style PQ8x16 compression of the embedding corpus: codes go
@@ -195,8 +200,9 @@ def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q103: PQ asymmetric-distance top-k (rows-only; recall vs exact L2
-# property-tested) ------------------------------------------------------------
+# --- q103: PQ asymmetric-distance top-k (rows-only: trained codebooks;
+# the ADC search kernel is hash-verified against fixed codebooks by
+# q124; recall vs exact L2 property-tested) ------------------------------
 @register("q103_pq_topk")
 def q103_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.operators.pq import pq_topk
@@ -206,8 +212,9 @@ def q103_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, emb, m=8, n_centroids=16, k=5)
 
 
-# --- q104: PQ shortlist + exact re-rank (rows-only; exactness of re-ranked
-# distances property-tested) --------------------------------------------------
+# --- q104: PQ shortlist + exact re-rank (rows-only: trained codebooks;
+# the two-stage kernel is hash-verified against fixed codebooks by q125;
+# exactness of re-ranked distances property-tested) ----------------------
 @register("q104_pq_rerank")
 def q104_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.operators.pq import pq_topk
@@ -217,8 +224,9 @@ def q104_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, emb, m=8, n_centroids=16, k=5, rerank=100)
 
 
-# --- q114: IVF-PQ search (rows-only; residual-quantization and recall
-# properties tested) ----------------------------------------------------------
+# --- q114: IVF-PQ search (rows-only: trained quantizers; the full
+# composition incl. residual encoding is hash-verified against fixed
+# quantizers by q136; residual/recall properties tested) -----------------
 @register("q114_ivfpq")
 def q114_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The billion-scale composition: IVF cell pruning + residual-PQ
@@ -232,8 +240,9 @@ def q114_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q115: distributed Lloyd k-means (rows-only; numpy parity and
-# partition invariance tested) ------------------------------------------------
+# --- q115: distributed Lloyd k-means (rows-only: the iterative fit has
+# no SQL twin; ONE iteration from fixed init is hash-verified by q137;
+# numpy parity and partition invariance tested) --------------------------
 @register("q115_kmeans")
 def q115_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus Lloyd (every iteration one corpus pass + one
@@ -281,7 +290,8 @@ def q90_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q91: PCA projection (rows-only: eigenvector signs/order are
-# engine-specific, so no SQL twin; property-tested against numpy) ------------
+# engine-specific, so no SQL twin; the centering+projection arithmetic
+# is hash-verified against a fixed basis by q138; numpy-property-tested) -----
 @register("q91_pca_project")
 def q91_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 principal-component projection: one distributed moment
@@ -292,7 +302,9 @@ def q91_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(_emb(spark, sf_dir), "vec_id", "embedding", dims=64, k=8)
 
 
-# --- q122: RAG chunk retrieval capstone (rows-only: IVF path) ---------------
+# --- q122: RAG chunk retrieval capstone (rows-only: probabilistic IVF
+# cell pruning; the exact-probe variant q129 hash-verifies the whole
+# chunk->embed->retrieve arithmetic) ------------------------------------------
 @register("q122_rag_retrieve")
 def q122_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end retrieval build: chunk the corpus, embed chunks with

@@ -171,7 +171,9 @@ def q39_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.2)
 
 
-# --- q40: MinHash + LSH near-dup candidates (no SQL twin: xxhash64) ---------
+# --- q40: MinHash + LSH near-dup candidates (rows-only: xxhash64 has no
+# DuckDB twin; the SAME code path is hash-verified end to end under the
+# fixed md5 family by q128) ----------------------------------------------
 @register("q40_minhash_lsh")
 def q40_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -179,7 +181,8 @@ def q40_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q41: SimHash signatures (no SQL twin: xxhash64) ------------------------
+# --- q41: SimHash signatures (rows-only: xxhash64; the same kernel is
+# hash-verified under the fixed md5 family by q131) ----------------------
 @register("q41_simhash")
 def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), "doc_id")
