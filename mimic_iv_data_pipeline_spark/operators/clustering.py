@@ -106,7 +106,15 @@ def kmeans_fit(
                 if not len(pdf):
                     continue
                 v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-                cells = np.argmax(2.0 * (v @ cent.T) - cc2[None, :], axis=1)
+                # the SAME distance expression as _assign_cells_pandas
+                # (|v|² + |c|² − 2v·c, first-min tie to the lower cell)
+                # — the argmax(2v·c − c²) shortcut orders identically
+                # in exact arithmetic but can disagree on float
+                # near-ties, which made kmeans_fit's update and
+                # kmeans_assign's counts internally inconsistent
+                # (r5 review finding)
+                d = (v * v).sum(axis=1)[:, None] + cc2[None, :] - 2.0 * (v @ cent.T)
+                cells = np.argmin(d, axis=1)
                 yield pd.DataFrame({"__v": pdf["__v"].to_numpy(), "cell": cells})
 
         assigned = narrow.mapInPandas(assign, schema="__v array<double>, cell long")

@@ -313,15 +313,48 @@ def _signature_expr(num_hashes: int) -> Column:
     return F.expr(f"array({mins})")
 
 
-def _shingle_hash64(shingle_hash: str) -> Column:
-    """64-bit shingle value: production ``xxhash64``, or the 60-bit
-    md5 hex prefix (``'md5'``) — the engine-neutral fixed family that
-    lets the whole MinHash pipeline earn a DuckDB hash oracle."""
+def _shingle_hash64(shingle_hash: str, col: str | Column = "shingle") -> Column:
+    """64-bit string-hash value: production ``xxhash64``, or the
+    60-bit md5 hex prefix (``'md5'``) — the engine-neutral fixed
+    family that lets the hash-sketch pipelines earn DuckDB hash
+    oracles. ONE source of truth for the md5 recipe: the oracle twins
+    mirror it bit for bit, so it must never fork per call site
+    (simhash and the MinHash family both route through here)."""
     if shingle_hash == "xxhash64":
-        return F.xxhash64("shingle")
+        return F.xxhash64(col)
     if shingle_hash == "md5":
-        return F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
     raise ValueError(f"unknown shingle_hash={shingle_hash!r}")
+
+
+def band_buckets_expr(num_hashes: int, bands: int, bucket: str = "hash") -> Column:
+    """The banding expression shared by ``minhash_lsh_pairs`` and the
+    incremental index (``incremental.band_buckets``): explodes a
+    ``signature`` column into ``bands`` (band, bucket) structs.
+    ``'hash'`` keys by Spark ``hash()`` of each slice (production);
+    ``'exact'`` by the joined slice values (engine-neutral — the
+    oracle-checkable fixed form). ONE definition on purpose: an index
+    written with these keys must be probed with the SAME keys, so the
+    expression must never fork between the batch and incremental
+    paths."""
+    rows_per_band = num_hashes // bands
+    if bucket == "hash":
+        bucket_expr = (
+            f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))"
+        )
+    elif bucket == "exact":
+        bucket_expr = (
+            f"concat_ws(',', transform("
+            f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"x -> cast(x AS string)))"
+        )
+    else:
+        raise ValueError(f"band_buckets_expr: unknown bucket={bucket!r}")
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct("
+        f"b AS band, "
+        f"{bucket_expr} AS bucket))"
+    )
 
 
 def minhash_signatures(
@@ -397,7 +430,6 @@ def minhash_lsh_pairs(
     xxhash64/hash (cheaper; bucket hashing only ever ADDS candidates,
     which the exact verify then discards).
     """
-    rows_per_band = num_hashes // bands
     if bucket not in ("hash", "exact"):
         raise ValueError(f"minhash_lsh_pairs: unknown bucket={bucket!r}")
     exploded = exploded_shingles(df, id_col, text_col, n)
@@ -410,25 +442,9 @@ def minhash_lsh_pairs(
         .groupBy("doc")
         .agg(_signature_expr(num_hashes).alias("signature"))
     )
-    if bucket == "hash":
-        bucket_expr = (
-            f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))"
-        )
-    else:
-        bucket_expr = (
-            f"concat_ws(',', transform("
-            f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}), "
-            f"x -> cast(x AS string)))"
-        )
     banded = sig.select(
         "doc",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> struct("
-                f"b AS band, "
-                f"{bucket_expr} AS bucket))"
-            )
-        ).alias("bb"),
+        F.explode(band_buckets_expr(num_hashes, bands, bucket)).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -495,13 +511,11 @@ def simhash(
     toked = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
-    )
-    if token_hash == "xxhash64":
-        h = F.xxhash64("token")
-    elif token_hash == "md5":
-        h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    else:
-        raise ValueError(f"simhash: unknown token_hash={token_hash!r}")
+    ).filter(F.col("token") != "")  # empty/whitespace-only docs vote nothing
+    try:
+        h = _shingle_hash64(token_hash, "token")
+    except ValueError:
+        raise ValueError(f"simhash: unknown token_hash={token_hash!r}") from None
     # Per-bit ±1 contribution, summed map-side by the hash aggregate;
     # bit masks are python-int literals so everything stays codegen'd.
     summed = toked.groupBy("doc").agg(

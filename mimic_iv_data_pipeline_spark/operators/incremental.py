@@ -47,30 +47,16 @@ def band_buckets(
     signature)`` — one parsed expression, same banding as
     ``minhash_lsh_pairs``: ``bucket='hash'`` keys by Spark ``hash()``
     of each signature slice (production), ``'exact'`` by the joined
-    slice values (engine-neutral — the oracle-checkable fixed form)."""
-    rows_per_band = num_hashes // bands
-    if bucket == "hash":
-        bucket_expr = (
-            f"hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))"
-        )
-    elif bucket == "exact":
-        bucket_expr = (
-            f"concat_ws(',', transform("
-            f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}), "
-            f"x -> cast(x AS string)))"
-        )
-    else:
-        raise ValueError(f"band_buckets: unknown bucket={bucket!r}")
+    slice values (engine-neutral — the oracle-checkable fixed form).
+    The banding expression is the ONE shared
+    ``dedup.band_buckets_expr`` — an index written here must be
+    probed with the exact keys the batch path computes."""
+    from mimic_iv_data_pipeline_spark.operators.dedup import band_buckets_expr
+
     return sig_df.select(
         "doc",
         "signature",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> struct("
-                f"b AS band, "
-                f"{bucket_expr} AS bucket))"
-            )
-        ).alias("bb"),
+        F.explode(band_buckets_expr(num_hashes, bands, bucket)).alias("bb"),
     ).select(
         "doc",
         F.col("bb.band").alias("band"),

@@ -204,6 +204,7 @@ def pq_topk(
     from collections.abc import Iterator
 
     _require_integral_id(corpus, id_col, "pq_topk")
+    _require_integral_id(queries, id_col, "pq_topk (query side)")
     books = (
         np.asarray(codebooks, dtype=np.float64)
         if codebooks is not None
@@ -375,6 +376,7 @@ def ivfpq_topk(
     )
 
     _require_integral_id(corpus, id_col, "ivfpq_topk")
+    _require_integral_id(queries, id_col, "ivfpq_topk (query side)")
     if centroids is not None and codebooks is not None:
         # fixed-parameterization / serving seam: search against a given
         # coarse quantizer + residual codebooks (q136's hash oracle)

@@ -195,6 +195,7 @@ def dedup_snapshot(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    reuse: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One nightly increment of corpus near-dedup: the mode real
     pipelines run when the corpus grows in snapshots (Lee et al. 2022
@@ -230,6 +231,17 @@ def dedup_snapshot(
     keeps it — by then b was never accepted, so c duplicates nothing
     IN THE CORPUS). That is the defining behavior of first-crawl-wins
     incremental dedup, not an approximation error.
+
+    ``reuse=True`` persists the snapshot's banded relation (three
+    consumers: index probe, within-batch self-join, index append).
+    One entry per DISTINCT snapshot stays pinned for the session's
+    life (CacheManager dedups identical plans only) — the designed
+    nightly loop runs one snapshot per session/job, where that is
+    exactly right; a long-lived session looping many snapshots
+    in-process should pass ``reuse=False``, or better, WRITE
+    ``new_index`` each night (the documented deployment: the write
+    materializes it, and the next night reads the parquet — nothing
+    stays pinned).
     """
     from mimic_iv_data_pipeline_spark.operators.incremental import (
         build_minhash_index,
@@ -239,7 +251,9 @@ def dedup_snapshot(
 
     banded = build_minhash_index(
         new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
-    ).persist()  # three consumers: index probe, self-join, index append
+    )
+    if reuse:
+        banded = banded.persist()
 
     if index is not None:
         cross = dedup_banded_against_index(banded, index, threshold=threshold)

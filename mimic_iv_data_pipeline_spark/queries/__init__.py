@@ -50,7 +50,7 @@ _MODULES = [
 #       query re-earns a driver row at least every ~3 rounds.
 #
 # r5 manifest: (a) q117-q123 (added after r4's window filled — 7 first
-#   driver rows); (b) q124-q129 (new this round: the fixed-parameter
+#   driver rows); (b) q124-q138 (new this round: the fixed-parameter
 #   oracle family — ADC search/rerank, WordPiece + unigram encode,
 #   MinHash-LSH md5, exact-probe RAG, incremental-dedup md5, SimHash
 #   md5, hyperplane-LSH md5, IVF fixed-centroid, SemDeDup
