@@ -224,3 +224,99 @@ def dedup_keep_canonical(
         docs.join(clustered.withColumnRenamed("id", id_col), id_col, "left_anti")
         .unionByName(docs.join(keep.withColumnRenamed("id", id_col), id_col, "left_semi"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (public:
+    Page et al. 1999; the join-aggregate formulation is the standard
+    Pregel-on-relational shape, cf. GraphX/GraphFrames semantics).
+
+    Per iteration, with N = |nodes| and d = damping:
+      rank'(v) = (1-d)/N + d·( Σ_{u→v} rank(u)/outdeg(u)
+                               + dangling_mass/N )
+    where dangling_mass = Σ rank(u) over nodes with no out-edges —
+    redistributed uniformly so total rank stays 1.0 (the classic
+    teleport fix; without it rank leaks every iteration).
+
+    Scale shape per iteration: ONE equi-join of the contribution
+    relation (edges ⨝ ranks on src — ranks is |N| rows, broadcastable
+    for dimension-sized graphs, hash-joined and co-partitioned with the
+    edge list on src otherwise) + ONE groupBy(dst) aggregate, plus a
+    1-row global sum for the dangling mass. Ranks are
+    ``localCheckpoint``-ed each iteration to truncate lineage — the
+    same iterative-plan discipline as ``connected_components`` above;
+    at cluster scale swap in reliable ``checkpoint()``. Fixed iteration
+    count (not convergence-tested) keeps the job graph static and the
+    output deterministic.
+
+    Returns ``(node, rank)`` with rank unrounded; callers hashing the
+    output should round (the registry's q-site rounds to 6dp).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError("damping must be in [0, 1]")
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Static per-node relation reused every iteration: rank holders with
+    # out-degree (NULL outdeg == dangling).
+    base = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
+        "node", "outdeg"
+    ).localCheckpoint(eager=True)
+
+    ranks = base.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+
+    for _ in range(iterations):
+        state = base.join(ranks, "node")
+        dangling = (
+            state.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        contrib = (
+            e.join(
+                state.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("__c"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

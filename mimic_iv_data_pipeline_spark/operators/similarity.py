@@ -516,3 +516,50 @@ def quantize_embeddings_int8(
             F.aggregate(err_arr, F.lit(0.0), lambda a, v: a + v) / F.size("qvec"), 6
         ).alias("recon_err"),
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of an approximate
+    top-k result against the exact top-k ground truth.
+
+    ``recall = |approx ∩ exact| / k`` per query (the standard ANN
+    benchmark metric — public: ann-benchmarks.com / Aumüller et al.
+    2019). Queries present in ``exact`` but absent from ``approx``
+    (e.g. every probed cell was empty) score 0.0 rather than
+    disappearing, so a broken index can't inflate the metric by
+    dropping hard queries.
+
+    Scale shape: ONE equi-join on (query, neighbor) — both sides are
+    k·|Q| rows regardless of corpus size, so the evaluation costs
+    nothing next to the searches that produced its inputs. No UDFs,
+    no collect.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    a = approx.select(
+        F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("neighbor_id")
+    )
+    e = exact.select(
+        F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("neighbor_id")
+    )
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    all_q = e.select("query_id").distinct()
+    return (
+        all_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            dround(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -370,3 +370,74 @@ def q134_semantic_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.9, centroids=cent
     )
+
+
+# --- q142: fixed-iteration PageRank -----------------------------------------
+# Iterative join-aggregate graph analytics (Page et al. 1999) — the
+# authority-scoring step of crawl-graph curation (e.g. harmonic/PageRank
+# centrality in Common-Crawl-derived corpus pipelines). The graph is a
+# deterministic 40-node contraction of lineitem (supplier-cell →
+# part-cell edges); 3 Lloyd-style iterations with damping 0.85 and
+# dangling-mass redistribution, every iteration mirrored in chained
+# SQL CTEs so the whole fixpoint prefix is hash-verified.
+@register(
+    "q142_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey % 40 AS src, l_partkey % 40 AS dst
+      FROM lineitem WHERE l_suppkey % 40 != l_partkey % 40
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src
+    ),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    d1 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r0 r
+           LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+    c1 AS (SELECT e.dst, sum(r.rank / o.outdeg) AS cin
+           FROM e JOIN outdeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * (coalesce(c1.cin, 0)
+                            + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
+           FROM nodes LEFT JOIN c1 ON nodes.node = c1.dst),
+    d2 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r1 r
+           LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+    c2 AS (SELECT e.dst, sum(r.rank / o.outdeg) AS cin
+           FROM e JOIN outdeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * (coalesce(c2.cin, 0)
+                            + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
+           FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst),
+    d3 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r2 r
+           LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+    c3 AS (SELECT e.dst, sum(r.rank / o.outdeg) AS cin
+           FROM e JOIN outdeg o ON e.src = o.src JOIN r2 r ON r.node = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * (coalesce(c3.cin, 0)
+                            + (SELECT dm FROM d3) / (SELECT n FROM nn)) AS rank
+           FROM nodes LEFT JOIN c3 ON nodes.node = c3.dst)
+    SELECT node, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r3
+    """,
+)
+def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration damped PageRank with dangling-mass redistribution
+    over a 40-node lineitem contraction (operators/graph.py:pagerank —
+    one equi-join + one keyed aggregate per iteration,
+    localCheckpoint-truncated lineage)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_suppkey") % 40).alias("src"), (F.col("l_partkey") % 40).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
+    return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))

@@ -575,3 +575,133 @@ def q62_horizontal_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = branch("click", "click_avg")
     b = branch("purchase", "purchase_avg")
     return a.join(b, on=["user_id", "day"], how="full")
+
+
+# --- q140: one-pass table profile -------------------------------------------
+# The reference's data-quality surface is ad-hoc pandas passes
+# (feature_selection_hosp.py's isna().sum()/nunique() loops — one scan
+# per stat); profile_table folds every per-column stat into ONE
+# aggregate over one scan, unpivoted plan-side. The oracle recomputes
+# each column's row independently.
+@register(
+    "q140_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, 'bigint' AS data_type,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+           floor(avg(o_orderkey) * 1e6 + 0.5) / 1e6 AS mean_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+           floor(avg(o_custkey) * 1e6 + 0.5) / 1e6
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+           floor(avg(o_totalprice) * 1e6 + 0.5) / 1e6
+    FROM orders
+    """,
+)
+def q140_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (nulls/distincts/min/max/mean) in a
+    single aggregate pass (operators/profiling.py:profile_table); the
+    approx_count_distinct variant is the 100 TB path, exercised by
+    pytest."""
+    from mimic_iv_data_pipeline_spark.operators.profiling import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    return prof.withColumnRenamed("column", "col_name")
+
+
+# --- q141: declarative expectations validation ------------------------------
+# Great-Expectations / dbt-test semantics as plain plans: the scalar
+# rules fold into one aggregate over one scan; uniqueness is its own
+# distinct aggregate; the FK rule is a broadcast left-anti join.
+@register(
+    "q141_expectations",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS rule,
+           count(*) AS n_checked,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS BIGINT)
+             AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                     THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)', count(*),
+           count(*) - count(DISTINCT o_orderkey),
+           CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)', (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) = 0
+                AS BIGINT)
+    """,
+)
+def q141_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five declarative expectations over orders (null / domain / range
+    / uniqueness / referential integrity) evaluated as plans
+    (operators/profiling.py:validate_expectations)."""
+    from mimic_iv_data_pipeline_spark.operators.profiling import (
+        Expectation,
+        validate_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        Expectation("not_null", ("o_custkey",)),
+        Expectation("accepted_values", ("o_orderstatus",), values=("O", "F", "P")),
+        Expectation("in_range", ("o_totalprice",), lo=0, hi=1_000_000),
+        Expectation("unique", ("o_orderkey",)),
+        Expectation(
+            "foreign_key", ("o_custkey",), ref=customer, ref_cols=("c_custkey",)
+        ),
+    ]
+    out = validate_expectations(orders, rules)
+    return out.select(
+        "rule", "n_checked", "n_violations", F.col("passed").cast("long").alias("passed")
+    )

@@ -434,3 +434,75 @@ def q119_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("version"),
     )
     return upsert_latest(base, updates, ["o_orderkey"], "version")
+
+
+# --- q139: SCD-2 history build (validity intervals from a change log) -------
+# The reference re-derives point-in-time cohorts per window
+# (day_intervals_cohort_v3.py's repeated date-partition passes); the
+# warehouse answer is ONE history table with validity intervals. The
+# change log here is three snapshot versions of orders (v2 flips every
+# 10th key to 'U'; v3 re-sends 'U' unchanged except every 100th key
+# which moves to 'X'), with change-log compaction dropping the no-op
+# v3 rows — so both interval derivation AND compaction are
+# differentially verified.
+@register(
+    "q139_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_orderstatus, CAST(1 AS BIGINT) AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'U', 2 FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE 'U' END, 3
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), compact AS (
+      SELECT o_orderkey, o_orderstatus, version FROM (
+        SELECT log.*,
+               lag(o_orderstatus) OVER (
+                 PARTITION BY o_orderkey ORDER BY version) AS prev
+        FROM log)
+      WHERE prev IS NULL OR o_orderstatus IS DISTINCT FROM prev
+    )
+    SELECT o_orderkey, o_orderstatus, version,
+           version AS effective_from,
+           lead(version) OVER (
+             PARTITION BY o_orderkey ORDER BY version) AS effective_to,
+           CAST(lead(version) OVER (
+             PARTITION BY o_orderkey ORDER BY version) IS NULL AS BIGINT)
+             AS is_current
+    FROM compact
+    """,
+)
+def q139_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a 3-version change log: per-key validity
+    intervals (effective_from/effective_to, open-ended current row)
+    with unchanged-attribute compaction, all in one keyed window
+    exchange (operators/history.py)."""
+    from mimic_iv_data_pipeline_spark.operators.history import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey", "o_orderstatus", F.lit(1).cast("long").alias("version")
+    )
+    tenth = orders.filter(F.col("o_orderkey") % 10 == 0)
+    v2 = tenth.select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    v3 = tenth.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("X"))
+        .otherwise(F.lit("U"))
+        .alias("o_orderstatus"),
+        F.lit(3).cast("long").alias("version"),
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    hist = scd2_history(
+        log, ["o_orderkey"], "version", drop_unchanged=["o_orderstatus"]
+    )
+    return hist.select(
+        "o_orderkey", "o_orderstatus", "version",
+        "effective_from", "effective_to",
+        F.col("is_current").cast("long").alias("is_current"),
+    )

@@ -926,3 +926,90 @@ def q138_pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), "vec_id", "embedding", dims=64, k=8,
         components=(mean, comps),
     )
+
+
+# --- q143: ANN recall@k evaluation (IVF-fixed vs exact, full hash oracle) ---
+# The standard ANN quality harness (Aumüller et al., "ANN-Benchmarks",
+# 2019): per-query recall@5 of the q133 fixed-centroid IVF search
+# against exact brute-force top-5. Both searches AND the metric join
+# are mirrored in SQL, so the evaluation itself is hash-verified —
+# verification-as-a-query.
+@register(
+    "q143_ann_recall",
+    oracle=r"""
+    WITH cent AS (
+      SELECT c.c AS c,
+             list(floor((cast(concat('0x', substr(md5(concat('ivf:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                         / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 ORDER BY d.d) AS cv
+      FROM range(16) c(c), range(64) d(d) GROUP BY 1
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cent.c,
+             list_dot_product(emb, emb) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(emb, cv) AS d
+      FROM e, cent
+    ), cell1 AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ), qprobe AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist WHERE vec_id < 10) WHERE rn <= 4
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT DISTINCT q.vec_id AS query_id, cv2.vec_id AS neighbor_id,
+               floor(list_dot_product(qe.emb, ce.emb)
+                     / (sqrt(list_dot_product(qe.emb, qe.emb))
+                        * sqrt(list_dot_product(ce.emb, ce.emb)))
+                     * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM qprobe q
+        JOIN cell1 cv2 ON cv2.cell = q.cell AND cv2.vec_id != q.vec_id
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN e ce ON ce.vec_id = cv2.vec_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               floor(list_dot_product(q.emb, c.emb)
+                     / (sqrt(list_dot_product(q.emb, q.emb))
+                        * sqrt(list_dot_product(c.emb, c.emb)))
+                     * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10)
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+    ), hits AS (
+      SELECT x.query_id, count(*) AS h
+      FROM exact x JOIN approx a
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           floor(coalesce(h, 0) / 5.0 * 1e6 + 0.5) / 1e6 AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits ON q.query_id = hits.query_id
+    """,
+)
+def q143_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the fixed-centroid IVF search (q133) against exact
+    brute-force cosine top-5, per query
+    (operators/similarity.py:recall_at_k — one k·|Q|-row equi-join,
+    corpus-size-independent)."""
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(
+        queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
+    )
+    exact = cosine_topk(queries, emb, k=5)
+    return recall_at_k(approx, exact, k=5)

@@ -1,0 +1,228 @@
+"""Unit tests for the round-5 additions: SCD-2 history building,
+table profiling / expectation validation, fixed-iteration PageRank,
+and ANN recall@k — property-style checks beyond the oracle battery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.history import as_of, scd2_history
+from mimic_iv_data_pipeline_spark.operators.profiling import (
+    Expectation,
+    profile_table,
+    validate_expectations,
+)
+from mimic_iv_data_pipeline_spark.operators.graph import pagerank
+from mimic_iv_data_pipeline_spark.operators.similarity import recall_at_k
+
+
+# --- scd2_history -----------------------------------------------------------
+
+
+def _log(spark):
+    rows = [
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        (2, "x", 10),
+        (3, "m", 10), (3, "m", 20), (3, "n", 30),  # v20 is a no-op
+    ]
+    return spark.createDataFrame(rows, ["k", "attr", "v"])
+
+
+def test_scd2_intervals_and_current(spark):
+    out = scd2_history(_log(spark), ["k"], "v").collect()
+    by = {(r.k, r.v): r for r in out}
+    assert by[(1, 10)].effective_to == 20 and not by[(1, 10)].is_current
+    assert by[(1, 30)].effective_to is None and by[(1, 30)].is_current
+    assert by[(2, 10)].is_current
+    assert len(out) == 7  # no compaction without drop_unchanged
+
+
+def test_scd2_compaction_drops_noop_rows(spark):
+    out = scd2_history(_log(spark), ["k"], "v", drop_unchanged=["attr"]).collect()
+    k3 = sorted([(r.v, r.attr, r.effective_to) for r in out if r.k == 3])
+    # v20 (attr unchanged 'm') is compacted away; v10's interval now
+    # spans to v30.
+    assert k3 == [(10, "m", 30), (30, "n", None)]
+
+
+def test_scd2_duplicate_version_collapse_is_stable(spark):
+    dup = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 10), (1, "c", 20)], ["k", "attr", "v"]
+    )
+    out1 = scd2_history(dup, ["k"], "v").collect()
+    out2 = scd2_history(dup.repartition(7), ["k"], "v").collect()
+    pick = {r.v: r.attr for r in out1}
+    assert pick[10] == "a"  # deterministic min-by-attrs tiebreak
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_scd2_as_of_slice(spark):
+    hist = scd2_history(_log(spark), ["k"], "v")
+    snap = {r.k: r.attr for r in as_of(hist, 25).collect()}
+    assert snap == {1: "b", 2: "x", 3: "m"}
+    assert {r.k: r.attr for r in as_of(hist, 10).collect()} == {
+        1: "a", 2: "x", 3: "m",
+    }
+
+
+def test_scd2_validates_inputs(spark):
+    with pytest.raises(ValueError):
+        scd2_history(_log(spark), [], "v")
+    with pytest.raises(ValueError):
+        scd2_history(_log(spark), ["k"], "nope")
+    with pytest.raises(ValueError):
+        scd2_history(_log(spark), ["k"], "v", drop_unchanged=["missing"])
+
+
+# --- profile_table / validate_expectations ---------------------------------
+
+
+def _orders_like(spark):
+    rows = [
+        (1, 10, "O", 5.0), (2, 10, "F", None), (3, None, "F", -1.0),
+        (4, 99, "Z", 2.5), (4, 11, "O", 7.5),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, cust long, status string, amt double"
+    )
+
+
+def test_profile_table_stats(spark):
+    p = {r.column: r for r in profile_table(_orders_like(spark)).collect()}
+    assert p["id"].n_rows == 5 and p["id"].n_distinct == 4
+    assert p["cust"].n_nulls == 1 and p["cust"].n_distinct == 3
+    assert p["status"].mean_value is None
+    assert p["amt"].n_nulls == 1 and p["amt"].min_value == "-1.0"
+    assert p["amt"].mean_value == pytest.approx(3.5)
+    assert p["id"].data_type == "bigint"
+
+
+def test_profile_table_approx_variant_single_pass(spark):
+    df = _orders_like(spark)
+    p = {
+        r.column: r
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    # HLL++ is exact at this cardinality
+    assert p["id"].n_distinct == 4
+    plan = profile_table(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # the scale path avoids the EXPAND multiply
+
+
+def test_profile_table_validates(spark):
+    with pytest.raises(ValueError):
+        profile_table(_orders_like(spark), ["nope"])
+    with pytest.raises(ValueError):
+        profile_table(_orders_like(spark), [])
+
+
+def test_expectations_counts(spark):
+    df = _orders_like(spark)
+    dim = spark.createDataFrame([(10,), (11,)], ["ck"])
+    rules = [
+        Expectation("not_null", ("cust",)),
+        Expectation("accepted_values", ("status",), values=("O", "F")),
+        Expectation("in_range", ("amt",), lo=0.0),
+        Expectation("unique", ("id",)),
+        Expectation("foreign_key", ("cust",), ref=dim, ref_cols=("ck",)),
+    ]
+    out = {r.rule: r for r in validate_expectations(df, rules).collect()}
+    assert out["not_null(cust)"].n_violations == 1
+    assert out["accepted_values(status)"].n_violations == 1  # 'Z'
+    assert out["in_range(amt)"].n_violations == 1  # -1.0; NULL not counted
+    assert out["unique(id)"].n_violations == 1  # id=4 twice
+    # cust=99 is an orphan; NULL cust is NOT an FK violation
+    assert out["foreign_key(cust)"].n_violations == 1
+    assert all(r.n_checked == 5 for r in out.values())
+    assert not out["unique(id)"].passed
+
+
+def test_expectations_validates_inputs(spark):
+    df = _orders_like(spark)
+    with pytest.raises(ValueError):
+        validate_expectations(df, [])
+    with pytest.raises(ValueError):
+        validate_expectations(df, [Expectation("not_null", ("nope",))])
+    with pytest.raises(ValueError):
+        validate_expectations(df, [Expectation("sorted", ("id",))])
+    with pytest.raises(ValueError):
+        validate_expectations(df, [Expectation("foreign_key", ("cust",))])
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def _numpy_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: [] for i in range(n)}
+    for s, t in set(edges):
+        out[idx[s]].append(idx[t])
+    r = [1.0 / n] * n
+    for _ in range(iters):
+        dm = sum(r[i] for i in range(n) if not out[i])
+        nxt = [(1 - d) / n + d * dm / n] * n
+        for i, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[i] / len(ts)
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 is absent; 4 dangles? no
+    edges.append((3, 5))  # 5 has no out-edges → dangling
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    want = _numpy_pagerank(edges, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_zero_iterations_uniform(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {r.node: r["rank"] for r in pagerank(df, iterations=0).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_partition_invariant(spark):
+    edges = [(i, (i * 7 + 3) % 11) for i in range(11) if i != (i * 7 + 3) % 11]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted((r.node, round(r["rank"], 12)) for r in pagerank(df, 3).collect())
+    b = sorted(
+        (r.node, round(r["rank"], 12))
+        for r in pagerank(df.repartition(13), 3).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_validates(spark):
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+
+
+# --- recall_at_k ------------------------------------------------------------
+
+
+def test_recall_counts_and_missing_queries_score_zero(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)], ["query_id", "neighbor_id"]
+    )  # query 3 entirely missing from approx
+    got = {r.query_id: r.recall for r in recall_at_k(approx, exact, k=2).collect()}
+    assert got == {1: 1.0, 2: 0.5, 3: 0.0}
+
+
+def test_recall_validates(spark):
+    df = spark.createDataFrame([(1, 1)], ["query_id", "neighbor_id"])
+    with pytest.raises(ValueError):
+        recall_at_k(df, df, k=0)
