@@ -112,3 +112,57 @@ def as_of(history: DataFrame, version) -> DataFrame:
         (F.col("effective_from") <= v)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > v))
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    fact_time: str,
+    *,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (PIT) join: attach to each fact row the dimension
+    attributes that were valid at ``fact_time`` — the standard consumer
+    of an SCD-2 history table (and the feature-store "PIT correctness"
+    join that prevents label leakage in training-data assembly).
+
+    Matching rule: same key and ``from_col <= fact_time < to_col``
+    (NULL ``to_col`` = open/current interval).
+
+    Unlike ``asof_join`` (operators/joins.py:34), no tie-break window
+    is needed: SCD-2 intervals are non-overlapping per key by
+    construction (``scd2_history`` derives ``to`` as the next row's
+    ``from``), so each fact row matches AT MOST one history row and the
+    join output is exactly |facts| rows for ``how='left'``. Physical
+    shape: equi-join on the key with a residual range predicate — a
+    plain shuffled hash/sort-merge join that scales with executors; on
+    a history bucketed by key it colocates with a fact table bucketed
+    the same way.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    for c in (from_col, to_col):
+        if c not in history.columns:
+            raise ValueError(f"history is missing interval column {c!r}")
+
+    overlapping = (set(facts.columns) & set(history.columns)) - set(key_cols)
+    h = history
+    for c in overlapping:
+        h = h.withColumnRenamed(c, c + "_dim")
+    for k in key_cols:
+        h = h.withColumnRenamed(k, "__pit_key_" + k)
+
+    f = from_col + "_dim" if from_col in overlapping else from_col
+    t = to_col + "_dim" if to_col in overlapping else to_col
+    cond = [facts[k] == h["__pit_key_" + k] for k in key_cols]
+    cond.append(F.col(f) <= facts[fact_time])
+    cond.append(F.col(t).isNull() | (F.col(t) > facts[fact_time]))
+
+    cond_all = cond[0]
+    for c in cond[1:]:
+        cond_all = cond_all & c
+    joined = facts.join(h, cond_all, how)
+    return joined.drop(*["__pit_key_" + k for k in key_cols])

@@ -506,3 +506,73 @@ def q139_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_from", "effective_to",
         F.col("is_current").cast("long").alias("is_current"),
     )
+
+
+# --- q144: point-in-time dimension join against SCD-2 history ---------------
+# The feature-store "PIT correctness" join (no label leakage: each fact
+# sees the dimension as it was at the fact's own time): lineitem facts,
+# each carrying an as-of version, joined to the orders status history of
+# q139's change log. SCD-2 intervals are non-overlapping per key, so
+# the join needs no tie-break window and emits exactly |facts| rows.
+@register(
+    "q144_pit_join",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_orderstatus, CAST(1 AS BIGINT) AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'U', 2 FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'X', 3 FROM orders WHERE o_orderkey % 100 = 0
+    ), hist AS (
+      SELECT o_orderkey, o_orderstatus, version AS effective_from,
+             lead(version) OVER (
+               PARTITION BY o_orderkey ORDER BY version) AS effective_to
+      FROM log
+    ), facts AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(1 + l_linenumber % 3 AS BIGINT) AS as_of_version
+      FROM lineitem
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.as_of_version,
+           h.o_orderstatus AS status_at_version
+    FROM facts f
+    LEFT JOIN hist h
+      ON h.o_orderkey = f.l_orderkey
+     AND h.effective_from <= f.as_of_version
+     AND (h.effective_to IS NULL OR h.effective_to > f.as_of_version)
+    """,
+)
+def q144_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of lineitem facts (as-of version derived from
+    the line number) to the orders SCD-2 status history
+    (operators/history.py:pit_join — equi-join + residual range
+    predicate, no window)."""
+    from mimic_iv_data_pipeline_spark.operators.history import pit_join, scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey", "o_orderstatus", F.lit(1).cast("long").alias("version")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    v3 = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"),
+        F.lit(3).cast("long").alias("version"),
+    )
+    hist = scd2_history(v1.unionByName(v2).unionByName(v3), ["o_orderkey"], "version")
+    dim = hist.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderstatus").alias("status_at_version"),
+        "effective_from",
+        "effective_to",
+    )
+    facts = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (1 + F.col("l_linenumber") % 3).cast("long").alias("as_of_version"),
+    )
+    out = pit_join(facts, dim, ["l_orderkey"], "as_of_version")
+    return out.select(
+        "l_orderkey", "l_linenumber", "as_of_version", "status_at_version"
+    )

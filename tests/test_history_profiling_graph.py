@@ -226,3 +226,37 @@ def test_recall_validates(spark):
     df = spark.createDataFrame([(1, 1)], ["query_id", "neighbor_id"])
     with pytest.raises(ValueError):
         recall_at_k(df, df, k=0)
+
+
+# --- pit_join ---------------------------------------------------------------
+
+
+def test_pit_join_matches_interval_and_keeps_unmatched(spark):
+    hist = scd2_history(_log(spark), ["k"], "v").select(
+        "k", "attr", "effective_from", "effective_to"
+    )
+    facts = spark.createDataFrame(
+        [(1, 15), (1, 30), (2, 5), (9, 10)], ["k", "t"]
+    )
+    from mimic_iv_data_pipeline_spark.operators.history import pit_join
+
+    out = {(r.k, r.t): r.attr for r in pit_join(facts, hist, ["k"], "t").collect()}
+    assert out[(1, 15)] == "a"      # [10,20) covers 15
+    assert out[(1, 30)] == "c"      # open current interval
+    assert out[(2, 5)] is None      # before first version
+    assert out[(9, 10)] is None     # unknown key survives with nulls
+    assert pit_join(facts, hist, ["k"], "t").count() == 4  # exactly |facts|
+
+
+def test_pit_join_inner_and_validation(spark):
+    from mimic_iv_data_pipeline_spark.operators.history import pit_join
+
+    hist = scd2_history(_log(spark), ["k"], "v").select(
+        "k", "attr", "effective_from", "effective_to"
+    )
+    facts = spark.createDataFrame([(1, 15), (2, 5)], ["k", "t"])
+    assert pit_join(facts, hist, ["k"], "t", how="inner").count() == 1
+    with pytest.raises(ValueError):
+        pit_join(facts, hist, ["k"], "t", how="full")
+    with pytest.raises(ValueError):
+        pit_join(facts, hist.drop("effective_to"), ["k"], "t")
