@@ -74,6 +74,12 @@ HEADLINE = [
     # max_bucket=2000 — the default-on skew wall; this entry keeps the
     # cap's cost/benefit measured round-over-round at identical output)
     "q92_edit_distance_nocap",
+    # round-5 second wave: iterative graph (PageRank — the only
+    # multi-job fixpoint in the registry), PIT range join against an
+    # SCD-2 history, and the one-pass multi-distinct table profile.
+    "q142_pagerank",
+    "q144_pit_join",
+    "q140_profile_table",
 ]
 
 

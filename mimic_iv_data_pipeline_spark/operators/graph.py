@@ -263,9 +263,18 @@ def pagerank(
     if not (0.0 <= damping <= 1.0):
         raise ValueError("damping must be in [0, 1]")
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # The edge relation is touched once per iteration; materialize it
+    # ONCE, pre-partitioned on the join key, so the per-iteration join
+    # reshuffles only the (|N|-row) contribution side, never the edges.
+    # Without this, lazy evaluation recomputes the distinct's 2-column
+    # shuffle every iteration — measured 34 s → 15 s for 3 iterations
+    # over 6M edges (PERF.md "r5 second-wave probes").
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -277,24 +286,25 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Static per-node relation reused every iteration: rank holders with
-    # out-degree (NULL outdeg == dangling).
+    # Static per-node relations reused every iteration: contribution
+    # weights (1/outdeg) for emitting nodes, and the dangling-node set.
     base = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
         "node", "outdeg"
     ).localCheckpoint(eager=True)
+    weights = base.filter(F.col("outdeg").isNotNull())
+    dang_nodes = base.filter(F.col("outdeg").isNull()).select("node")
 
     ranks = base.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
 
     for _ in range(iterations):
-        state = base.join(ranks, "node")
         dangling = (
-            state.filter(F.col("outdeg").isNull())
+            ranks.join(dang_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         contrib = (
             e.join(
-                state.filter(F.col("outdeg").isNotNull()).select(
+                weights.join(ranks, "node").select(
                     F.col("node").alias("src"),
                     (F.col("rank") / F.col("outdeg")).alias("__c"),
                 ),

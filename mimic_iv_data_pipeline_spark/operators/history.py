@@ -64,14 +64,22 @@ def scd2_history(
 
     other_cols = [c for c in changes.columns if c != version_col and c not in key_cols]
 
-    # Stable collapse of duplicate (key, version) rows.
-    w_dup = Window.partitionBy(*key_cols, version_col).orderBy(
-        *[F.col(c).asc_nulls_last() for c in other_cols] or [F.lit(1)]
+    # Stable collapse of duplicate (key, version) rows — expressed over
+    # the SAME key-only partitioning as the interval windows below
+    # (sorted by version first, duplicates are adjacent; a row is a dup
+    # iff its predecessor carries the same version), so the whole
+    # operator needs exactly ONE hash exchange. A per-(key, version)
+    # row_number would be semantically identical but force a second
+    # shuffle on the wider key.
+    w_sorted = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).asc(),
+        *[F.col(c).asc_nulls_last() for c in other_cols],
     )
+    prev_v = F.lag(F.col(version_col)).over(w_sorted)
     df = (
-        changes.withColumn("__dup_rn", F.row_number().over(w_dup))
-        .filter(F.col("__dup_rn") == 1)
-        .drop("__dup_rn")
+        changes.withColumn("__dup", prev_v.eqNullSafe(F.col(version_col)))
+        .filter(~F.col("__dup"))
+        .drop("__dup")
     )
 
     w_key = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())

@@ -1,0 +1,142 @@
+"""Round-5 second-wave scale probes: the warehouse/eval operators at
+~100× sf0.1 (method identical to scale_probes_r5.py — replicate
+in-session, time the warm second run).
+
+Families probed: SCD-2 history build + PIT join (q139/q144), one-pass
+table profile exact vs HLL (q140), fixed-iteration PageRank (q142) on
+a million-edge graph.
+
+Usage: python scripts/scale_probes_r5b.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mimic_iv_data_pipeline_spark import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _timed(tag, fn):
+    fn()  # codegen warm-up
+    t0 = time.perf_counter()
+    n = fn()
+    dt = time.perf_counter() - t0
+    print(f"{tag}: {dt:.2f} s  ({n} rows)")
+    return dt
+
+
+def _replicated_orders(spark, reps: int):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    return o.crossJoin(spark.range(reps).select(F.col("id").alias("__rep"))).select(
+        (F.col("o_orderkey") * reps + F.col("__rep")).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_custkey",
+    )
+
+
+def probe_scd2(spark):
+    from mimic_iv_data_pipeline_spark.operators.history import pit_join, scd2_history
+
+    orders = _replicated_orders(spark, 100).persist()  # 15M keys
+    n = orders.count()
+    print(f"[scd2] {n} orders → 3-version change log ≈ {n + n // 10 + n // 100} rows")
+    v1 = orders.select("o_orderkey", "o_orderstatus", F.lit(1).cast("long").alias("v"))
+    v2 = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), F.lit(2).cast("long").alias("v")
+    )
+    v3 = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), F.lit(3).cast("long").alias("v")
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    _timed(
+        "scd2_history 16.6M change rows (1 exchange)",
+        lambda: scd2_history(log, ["o_orderkey"], "v").count(),
+    )
+    hist = (
+        scd2_history(log, ["o_orderkey"], "v")
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus").alias("status_dim"),
+            "effective_from",
+            "effective_to",
+        )
+        .persist()
+    )
+    hist.count()
+    facts = orders.select(
+        "o_orderkey", (1 + F.col("o_custkey") % 3).cast("long").alias("t")
+    )
+    _timed(
+        "pit_join 15M facts × 16.6M-interval history",
+        lambda: pit_join(facts, hist, ["o_orderkey"], "t").count(),
+    )
+    hist.unpersist()
+    orders.unpersist()
+
+
+def probe_profile(spark):
+    from mimic_iv_data_pipeline_spark.operators.profiling import profile_table
+
+    orders = _replicated_orders(spark, 100).persist()  # 15M rows
+    n = orders.count()
+    print(f"[profile] {n} rows × 4 columns")
+    _timed(
+        "profile_table exact distinct (EXPAND ×4)",
+        lambda: profile_table(
+            orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        ).count(),
+    )
+    _timed(
+        "profile_table approx distinct (single pass, no EXPAND)",
+        lambda: profile_table(
+            orders,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+            exact_distinct=False,
+        ).count(),
+    )
+    orders.unpersist()
+
+
+def probe_pagerank(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # ~600k base rows × 10 reps, contracted to 100k nodes → ~6M raw
+    # edge tuples, ~millions distinct
+    edges = (
+        li.crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select(
+            ((F.col("l_suppkey") * 7919 + F.col("__rep")) % 100_000).alias("src"),
+            ((F.col("l_partkey") * 104_729 + F.col("__rep")) % 100_000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    n = edges.count()
+    print(f"[pagerank] {n} edge tuples, 100k-node domain, 3 iterations")
+    _timed(
+        "pagerank 3 iters (1 join + 1 agg per iter)",
+        lambda: pagerank(edges, iterations=3).count(),
+    )
+    edges.unpersist()
+
+
+PROBES = {"scd2": probe_scd2, "profile": probe_profile, "pagerank": probe_pagerank}
+
+
+if __name__ == "__main__":
+    wanted = sys.argv[1:] or list(PROBES)
+    # this process creates the JVM, so driver.memory is honored here;
+    # on a real cluster the submitter sizes executors instead
+    spark = get_spark("scale-probes-r5b", **{"spark.driver.memory": "48g"})
+    for w in wanted:
+        PROBES[w](spark)
