@@ -102,17 +102,21 @@ class Expectation:
     """One declarative data-quality rule.
 
     kind ∈ {'not_null', 'unique', 'accepted_values', 'in_range',
-    'foreign_key'}. ``cols`` is the checked column(s); ``values`` feeds
-    accepted_values, ``lo``/``hi`` feed in_range (inclusive; either may
-    be None for a one-sided bound), and ``ref``/``ref_cols`` feed
-    foreign_key (NULL foreign keys are not violations, per SQL FK
-    semantics)."""
+    'matches_regex', 'foreign_key'}. ``cols`` is the checked column(s);
+    ``values`` feeds accepted_values, ``lo``/``hi`` feed in_range
+    (inclusive; either may be None for a one-sided bound), ``pattern``
+    feeds matches_regex (keep patterns RE2-portable — character
+    classes/anchors/alternation — so the same rule runs on any engine;
+    NULLs are not violations, pair with not_null to forbid them), and
+    ``ref``/``ref_cols`` feed foreign_key (NULL foreign keys are not
+    violations, per SQL FK semantics)."""
 
     kind: str
     cols: tuple[str, ...]
     values: tuple = ()
     lo: object = None
     hi: object = None
+    pattern: str = ""
     ref: DataFrame | None = field(default=None, compare=False)
     ref_cols: tuple[str, ...] = ()
 
@@ -167,6 +171,13 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             if r.hi is not None:
                 bad = bad | (F.col(c) > F.lit(r.hi))
             scalar_aggs.append(F.sum((bad & F.col(c).isNotNull()).cast("long")))
+        elif r.kind == "matches_regex":
+            (c,) = r.cols
+            if not r.pattern:
+                raise ValueError(f"rule {r.name}: matches_regex needs a pattern")
+            scalar_rules.append(r)
+            bad = F.col(c).isNotNull() & ~F.col(c).rlike(r.pattern)
+            scalar_aggs.append(F.sum(bad.cast("long")))
         elif r.kind == "unique":
             key = [F.col(c) for c in r.cols]
             extras.append(

@@ -664,6 +664,17 @@ def q140_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 1 ELSE 0 END) = 0 AS BIGINT)
     FROM orders
     UNION ALL
+    SELECT 'matches_regex(o_orderpriority)', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z ]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z ]+$')
+                     THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
     SELECT 'unique(o_orderkey)', count(*),
            count(*) - count(DISTINCT o_orderkey),
            CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS BIGINT)
@@ -682,8 +693,8 @@ def q140_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q141_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five declarative expectations over orders (null / domain / range
-    / uniqueness / referential integrity) evaluated as plans
+    """Six declarative expectations over orders (null / domain / range /
+    format-regex / uniqueness / referential integrity) evaluated as plans
     (operators/profiling.py:validate_expectations)."""
     from mimic_iv_data_pipeline_spark.operators.profiling import (
         Expectation,
@@ -696,6 +707,9 @@ def q141_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         Expectation("not_null", ("o_custkey",)),
         Expectation("accepted_values", ("o_orderstatus",), values=("O", "F", "P")),
         Expectation("in_range", ("o_totalprice",), lo=0, hi=1_000_000),
+        Expectation(
+            "matches_regex", ("o_orderpriority",), pattern=r"^[1-5]-[A-Z ]+$"
+        ),
         Expectation("unique", ("o_orderkey",)),
         Expectation(
             "foreign_key", ("o_custkey",), ref=customer, ref_cols=("c_custkey",)

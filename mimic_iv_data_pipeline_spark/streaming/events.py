@@ -212,3 +212,36 @@ def stream_chunk_documents(
     from mimic_iv_data_pipeline_spark.operators.text import chunk_documents
 
     return chunk_documents(docs, "doc_id", "text", window=window, stride=stride)
+
+
+def stream_enrich_dimension(
+    events: DataFrame,
+    dimension: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming fact feed
+    against a (small) batch dimension — the serving-time counterpart of
+    the batch PIT join (``operators/history.py:pit_join``). The natural
+    dimension here is an SCD-2 history's CURRENT slice
+    (``history.as_of`` / ``is_current``), so the stream always sees the
+    latest attributes.
+
+    Semantics Spark guarantees for stream-static joins: the static side
+    is re-evaluated **per micro-batch**, so a dimension that reads from
+    a table/path picks up snapshot refreshes without restarting the
+    query; no state is kept for the static side (stateless join —
+    unlike stream-stream joins there is no watermark bookkeeping).
+    ``how`` may be 'inner' or 'left' (left keeps facts with no current
+    dimension row — Spark disallows right/full outer against a static
+    right side precisely because unmatched static rows could never be
+    emitted correctly).
+
+    Scale shape: wrap the dimension in the broadcast it almost always
+    deserves (dimension tables are the small side by construction);
+    every micro-batch is then a map-side hash join with zero shuffle of
+    the stream.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("stream-static join supports how='inner' or 'left'")
+    return events.join(F.broadcast(dimension), on, how)

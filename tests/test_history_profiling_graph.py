@@ -260,3 +260,19 @@ def test_pit_join_inner_and_validation(spark):
         pit_join(facts, hist, ["k"], "t", how="full")
     with pytest.raises(ValueError):
         pit_join(facts, hist.drop("effective_to"), ["k"], "t")
+
+
+def test_expectations_matches_regex(spark):
+    df = _orders_like(spark)
+    out = {
+        r.rule: r
+        for r in validate_expectations(
+            df,
+            [
+                Expectation("matches_regex", ("status",), pattern=r"^[OF]$"),
+            ],
+        ).collect()
+    }
+    assert out["matches_regex(status)"].n_violations == 1  # 'Z'
+    with pytest.raises(ValueError):
+        validate_expectations(df, [Expectation("matches_regex", ("status",))])

@@ -497,3 +497,76 @@ def test_stream_chunk_documents_matches_batch(spark, sf_smoke, tmp_path):
         map(tuple, chunk_documents(docs, "doc_id", "text", 30, 20).collect())
     )
     assert got == expect and len(got) > 0
+
+
+def test_stream_enrich_dimension_matches_batch_and_refreshes(spark, sf_smoke, tmp_path):
+    """Stream-static enrichment equals the batch join on the same input,
+    keeps unmatched facts on how='left', and — because Spark re-plans
+    the static side per micro-batch — picks up a dimension refresh
+    between two availableNow passes without restarting anything."""
+    from mimic_iv_data_pipeline_spark.operators.history import as_of, scd2_history
+    from mimic_iv_data_pipeline_spark.sources.readers import read_events
+    from mimic_iv_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        stream_enrich_dimension,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    batch = read_events(spark, sf_smoke).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).withColumn("props", F.lit(None).cast("string"))
+    batch.write.mode("overwrite").parquet(src)
+
+    # dimension = current slice of a user-attribute SCD-2 history
+    dim_path = str(tmp_path / "dim")
+    users = batch.select("user_id").distinct()
+    log = users.select(
+        "user_id", F.lit("basic").alias("tier"), F.lit(1).cast("long").alias("v")
+    ).unionByName(
+        users.filter(F.col("user_id") % 2 == 0).select(
+            "user_id", F.lit("pro").alias("tier"), F.lit(2).cast("long").alias("v")
+        )
+    )
+    hist = scd2_history(log, ["user_id"], "v")
+    hist.filter(F.col("is_current")).select("user_id", "tier").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    dim = spark.read.parquet(dim_path)
+    stream = read_event_stream(spark, src)
+    enriched = stream_enrich_dimension(stream, dim, ["user_id"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enrich_sink").select("event_id", "tier")
+    want = batch.join(dim, ["user_id"], "left").select("event_id", "tier")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    tiers = {r.tier for r in got.collect()}
+    assert "pro" in tiers and "basic" in tiers
+
+    # refresh the dimension snapshot (everyone upgraded), re-run the
+    # stream over NEW files only: the static side re-reads per batch
+    users.select("user_id", F.lit("pro").alias("tier")).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    batch.limit(50).write.mode("append").parquet(src)
+    q2 = (
+        stream_enrich_dimension(read_event_stream(spark, src), spark.read.parquet(dim_path), ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enrich_sink2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert {r.tier for r in spark.table("enrich_sink2").select("tier").distinct().collect()} == {"pro"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_enrich_dimension(stream, dim, ["user_id"], how="full")
