@@ -291,3 +291,64 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             6,
         ).alias("auc")
     )
+
+
+def rollup_state(
+    df: DataFrame,
+    key_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Initial partial-aggregate state for incremental rollup
+    maintenance: per key, ``(n, sum_<m>, min_<m>, max_<m>)`` for every
+    measure — the mergeable decomposition of count/sum/avg/min/max
+    (avg is DERIVED as sum/n at read time, never stored, because avg is
+    not mergeable). One map-side-combinable aggregate.
+    """
+    if not key_cols or not measure_cols:
+        raise ValueError("rollup_state needs key and measure columns")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m in measure_cols:
+        aggs += [
+            F.sum(m).alias(f"sum_{m}"),
+            F.min(m).alias(f"min_{m}"),
+            F.max(m).alias(f"max_{m}"),
+        ]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_rollup_state(
+    prev: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge a new batch's
+    partial state into the running state — the commutative monoid merge
+    (n: +, sum: +, min: min, max: max), so
+    ``merge(state(A), state(B)) == state(A ∪ B)`` exactly, for any
+    batch split (test-pinned; q146 differentially verifies against a
+    from-scratch oracle).
+
+    This is the nightly-rollup shape at 100 TB: each day aggregates
+    ONLY its delta (|delta| rows), the merge touches |keys| state rows,
+    and the raw history is never rescanned — same philosophy as the
+    incremental MinHash dedup index (operators/incremental.py). One
+    union + one keyed aggregate; with state and delta both bucketed on
+    the key the exchange is colocated.
+    """
+    expected = {"n"} | {
+        f"{f}_{m}" for m in measure_cols for f in ("sum", "min", "max")
+    }
+    for side, name in ((prev, "prev"), (delta, "delta")):
+        missing = expected - set(side.columns)
+        if missing:
+            raise ValueError(f"{name} state is missing columns: {sorted(missing)}")
+    u = prev.unionByName(delta)
+    aggs = [F.sum("n").alias("n")]
+    for m in measure_cols:
+        aggs += [
+            F.sum(f"sum_{m}").alias(f"sum_{m}"),
+            F.min(f"min_{m}").alias(f"min_{m}"),
+            F.max(f"max_{m}").alias(f"max_{m}"),
+        ]
+    return u.groupBy(*key_cols).agg(*aggs)

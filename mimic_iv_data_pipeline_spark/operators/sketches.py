@@ -377,3 +377,71 @@ def theta_set_cardinalities(
         dround(est_expr(F.col("__n_u"), F.col("__kth_u")), 6).alias("est_union"),
         dround(n_retained / theta, 6).alias("est_inter"),
     )
+
+
+def bloom_prefilter_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    how: str = "inner",
+    salt: str = "bloomj",
+) -> DataFrame:
+    """Join acceleration by Bloom pre-filtering: drop fact rows that
+    CANNOT match any dim key BEFORE the join shuffle, then run the
+    exact join (which also removes the Bloom's false positives, so the
+    result is bit-identical to ``facts.join(dim, on, how)`` — that
+    equality is the oracle).
+
+    This is the runtime-filter / sideways-information-passing pattern
+    (public: Spark's own `spark.sql.optimizer.runtime.bloomFilter.enabled`,
+    and semi-join reduction in classic distributed query processing),
+    made explicit for when the optimizer can't inject it — e.g. the dim
+    is itself a subquery the planner won't sniff, or the filter must be
+    REUSED across several fact scans.
+
+    Physical shape: the filter is ≤ ``num_bits`` DISTINCT bit rows
+    (KBs), broadcast; membership is ``num_hashes`` chained
+    broadcast-hash LEFT SEMI joins on computed bit columns — row-level,
+    ZERO shuffle and zero row multiplication on the fact side (contrast
+    ``bloom_probe``, whose explode + groupBy answers per-KEY membership).
+    At 100 TB this turns "shuffle every fact row" into "shuffle only
+    plausible matchers": with a 1%-selective dim, ~99% of the fact
+    bytes never enter the exchange. False-positive rate
+    ≈ (1 − e^{−kn/m})^k; size ``num_bits`` ≈ 10× expected distinct keys
+    for ~1% at k=3.
+
+    ``how`` is restricted to join types where pre-dropping non-matching
+    FACT rows is semantics-preserving: 'inner' and 'left_semi'.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom prefilter preserves semantics only for how='inner'/'left_semi'"
+        )
+    bloom = bloom_build(
+        dim.select(on).distinct(), on, num_bits=num_bits,
+        num_hashes=num_hashes, salt=salt,
+    )
+
+    def bit_expr(j: int) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col(on).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(num_bits),
+        )
+
+    filtered = facts
+    for j in range(num_hashes):
+        b = bloom.withColumnRenamed("bit", f"__b{j}")
+        filtered = filtered.join(
+            F.broadcast(b), bit_expr(j) == F.col(f"__b{j}"), "left_semi"
+        )
+    return filtered.join(dim, on, how)

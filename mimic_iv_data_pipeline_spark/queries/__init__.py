@@ -56,19 +56,23 @@ _MODULES = [
 #   md5, hyperplane-LSH md5, IVF fixed-centroid, SemDeDup
 #   fixed-centroid, BPE fixed-merge-list, IVF-PQ fixed, one-step
 #   Lloyd fixed, PCA fixed-basis projection — 15 first driver rows),
-#   PLUS the r5 second-wave operators q139-q144 (SCD-2 history,
+#   PLUS the r5 second-wave operators q139-q147 (SCD-2 history,
 #   table profile, expectations validation, PageRank, ANN recall@5,
-#   point-in-time join — 6 more first driver rows);
+#   point-in-time join, Bloom-prefiltered join, incremental rollup
+#   merge, unpivot — 9 more first driver rows);
 #   (c) the
-#   core; (d) 7 of the 26 r1-aged queries: q11 q16
-#   q21 q25 q31 q33 q37. The rest held back to fit the window
+#   core; (d) 4 of the 26 r1-aged queries: q16
+#   q21 q33 q37. The rest held back to fit the window
 #   keep family coverage elsewhere (q02 filter/project ~ q03/q08
 #   core scans; q05 anti-join ~ q04 semi-join core + q141's FK
 #   anti-join fresh this round; q06 dedup-first ~ q34 dedup + q15
 #   window core;
-#   q07 clamp ~ q16 same clamp family in-window; q27 global topk ~
+#   q07 clamp ~ q16 same clamp family in-window; q11 string fns ~
+#   q14 core substring/EPC family; q25 rank-AUC ~ q51/q52/q57 eval
+#   family; q27 global topk ~
 #   q17 per-group topk core; q29 hourly buckets ~ q31/q33 temporal
-#   rows in-window + bench-tracked; q09 unions ~ q45 set-ops core;
+#   rows (q33 in-window) + bench-tracked; q31 dense grid ~ q33
+#   in-window + q49 interval family; q09 unions ~ q45 set-ops core;
 #   q10 distinct counts ~ q01/q45 agg core; q22 quantile bins ~ q94
 #   source-quantiles r4-green; q23 calibration bins ~ q51/q52/q57
 #   eval family r3-green; q12 date fns ~
@@ -77,8 +81,8 @@ _MODULES = [
 #   token/quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint
 #   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
 #   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
-# r6 plan: (a) any r5 reds; (d) q02 q05 q06 q07 q09 q10 q12 q13 q22
-#   q23 q27 q28 q29 q30 q35 q36 q38 q46 q47,
+# r6 plan: (a) any r5 reds; (d) q02 q05 q06 q07 q09 q10 q11 q12 q13
+#   q22 q23 q25 q27 q28 q29 q30 q31 q35 q36 q38 q46 q47,
 #   then oldest r3-block entries (q48-q83 not re-checked since r3)
 #   and rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
 #   q114 q115 q122) to 50.
@@ -115,6 +119,9 @@ _PRIORITY = [
     "q142_pagerank",
     "q143_ann_recall",
     "q144_pit_join",
+    "q145_bloom_join",
+    "q146_incremental_rollup",
+    "q147_unpivot",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -132,11 +139,8 @@ _PRIORITY = [
     "q42_cosine_topk",
     "q45_set_ops",
     # (d) rotating block — last driver row was r1 (oldest first)
-    "q11_string_fns",
     "q16_outlier_clamp",
     "q21_sessionize",
-    "q25_rank_auc",
-    "q31_dense_grid",
     "q33_event_time_normalize",
     "q37_lang_id",
 ]

@@ -719,3 +719,30 @@ def q141_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rule", "n_checked", "n_violations", F.col("passed").cast("long").alias("passed")
     )
+
+
+# --- q147: unpivot / melt (T7's inverse) ------------------------------------
+# Wide→long reshaping with the native UNPIVOT (Spark 3.4+ DataFrame
+# .unpivot — an Expand node, one narrow pass, no shuffle), the inverse
+# of the q32 wide pivot.
+@register(
+    "q147_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def q147_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders melted to (key, measure, value) long form via the native
+    unpivot operator."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double")
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -576,3 +576,80 @@ def q144_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", "as_of_version", "status_at_version"
     )
+
+
+# --- q145: Bloom-prefiltered join -------------------------------------------
+# Semi-join reduction made explicit: the fact side is pre-filtered by a
+# broadcast Bloom filter of the dim keys before the join shuffle; the
+# exact join then removes false positives, so the result is
+# bit-identical to the plain join — which IS the oracle.
+@register(
+    "q145_bloom_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 450000
+    """,
+)
+def q145_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem joined to the ~2%-selective high-value orders through a
+    Bloom prefilter (operators/sketches.py:bloom_prefilter_join —
+    chained broadcast semi-joins, zero fact-side shuffle before the
+    join)."""
+    from mimic_iv_data_pipeline_spark.operators.sketches import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    return bloom_prefilter_join(li, dim, "l_orderkey", num_bits=1 << 16)
+
+
+# --- q146: incremental rollup maintenance -----------------------------------
+# Materialized-view maintenance as a monoid merge: two disjoint order
+# batches are rolled up independently and their partial states merged;
+# the oracle recomputes the rollup from scratch over the union —
+# merge(state(A), state(B)) == state(A ∪ B), exactly.
+@register(
+    "q146_incremental_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_o_totalprice,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice,
+           round(sum(o_totalprice) / count(*), 4) AS avg_o_totalprice
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q146_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order rollup maintained incrementally: state(batch A)
+    merged with state(batch B) (operators/aggregates.py:rollup_state /
+    merge_rollup_state); avg derived from mergeable (sum, n) at read
+    time."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        merge_rollup_state,
+        rollup_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 0)
+    merged = merge_rollup_state(
+        rollup_state(a, ["o_orderstatus"], ["o_totalprice"]),
+        rollup_state(b, ["o_orderstatus"], ["o_totalprice"]),
+        ["o_orderstatus"],
+        ["o_totalprice"],
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n",
+        dround(F.col("sum_o_totalprice"), 2).alias("sum_o_totalprice"),
+        "min_o_totalprice",
+        "max_o_totalprice",
+        dround(F.col("sum_o_totalprice") / F.col("n"), 4).alias("avg_o_totalprice"),
+    )
