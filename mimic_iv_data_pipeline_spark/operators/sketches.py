@@ -386,7 +386,6 @@ def bloom_prefilter_join(
     num_bits: int = 1 << 20,
     num_hashes: int = 3,
     how: str = "inner",
-    salt: str = "bloomj",
 ) -> DataFrame:
     """Join acceleration by Bloom pre-filtering: drop fact rows that
     CANNOT match any dim key BEFORE the join shuffle, then run the
@@ -407,8 +406,15 @@ def bloom_prefilter_join(
     ZERO shuffle and zero row multiplication on the fact side (contrast
     ``bloom_probe``, whose explode + groupBy answers per-KEY membership).
     At 100 TB this turns "shuffle every fact row" into "shuffle only
-    plausible matchers": with a 1%-selective dim, ~99% of the fact
-    bytes never enter the exchange. False-positive rate
+    plausible matchers": measured at 12M facts × a ~1%-selective dim
+    (1M bits, k=3), 6.2% of fact rows survive the prefilter against
+    3.9% true matchers — a 16× reduction in rows entering the
+    exchange. Know the trade: the prefilter COSTS ~3 narrow hash
+    passes over the fact side, so on a shuffle-cheap single node it
+    LOSES wall-clock (2.0 s vs 0.8 s in the same measurement); it wins
+    when the exchange is the constraint — network-bound clusters,
+    disk-spilling shuffles — which is the 100 TB regime it exists for
+    (PERF.md "r5 second-wave probes"). False-positive rate
     ≈ (1 − e^{−kn/m})^k; size ``num_bits`` ≈ 10× expected distinct keys
     for ~1% at k=3.
 
@@ -419,24 +425,28 @@ def bloom_prefilter_join(
         raise ValueError(
             "bloom prefilter preserves semantics only for how='inner'/'left_semi'"
         )
-    bloom = bloom_build(
-        dim.select(on).distinct(), on, num_bits=num_bits,
-        num_hashes=num_hashes, salt=salt,
-    )
-
     def bit_expr(j: int) -> Column:
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col(on).cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(num_bits),
+        # xxhash64, NOT the md5 family bloom_build/bloom_probe use: this
+        # expression runs per FACT row (x num_hashes, x num_hashes
+        # semi-joins), so hash cost is the whole game — md5-with-string-
+        # cast measured 6x SLOWER than the plain join it was meant to
+        # beat at 12M facts, while native xxhash64 on the unconverted
+        # key is ~free (PERF.md "r5 second-wave probes"). The md5 family
+        # keeps its DuckDB-twinnable hash because its *sketch contents*
+        # are oracled; here only the JOIN RESULT is oracled, so the
+        # fastest deterministic hash wins.
+        return F.pmod(F.xxhash64(F.lit(j), F.col(on)), F.lit(num_bits))
+
+    bloom = (
+        dim.select(on)
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[bit_expr(j) for j in range(num_hashes)])
+            ).alias("bit")
         )
+        .distinct()
+    )
 
     filtered = facts
     for j in range(num_hashes):

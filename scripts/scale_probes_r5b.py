@@ -130,7 +130,62 @@ def probe_pagerank(spark):
     edges.unpersist()
 
 
-PROBES = {"scd2": probe_scd2, "profile": probe_profile, "pagerank": probe_pagerank}
+
+
+def probe_bloom(spark):
+    """A/B: plain shuffled join vs Bloom-prefiltered join at a
+    1.6%-selective dim, broadcast disabled so BOTH sides pay a real
+    exchange (the local[32] stand-in for the 100 TB regime where the
+    fact side cannot broadcast)."""
+    from mimic_iv_data_pipeline_spark.operators.sketches import bloom_prefilter_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", old
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        facts = (
+            li.crossJoin(spark.range(20).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("l_orderkey") * 20 + F.col("__rep")).alias("k"),
+                "l_linenumber",
+            )
+            .persist()
+        )
+        n = facts.count()
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        dim = (
+            orders.filter(F.col("o_totalprice") > 480000)
+            .crossJoin(spark.range(20).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("o_orderkey") * 20 + F.col("__rep")).alias("k"),
+                "o_totalprice",
+            )
+            .persist()
+        )
+        nd = dim.count()
+        print(f"[bloom] {n} facts × {nd} dim keys (selectivity ~{nd/n:.3%})")
+        _timed("plain shuffled join", lambda: facts.join(dim, "k").count())
+        _timed(
+            "bloom_prefilter_join (1M bits)",
+            lambda: bloom_prefilter_join(facts, dim, "k", num_bits=1 << 20).count(),
+        )
+        facts.unpersist()
+        dim.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+PROBES = {
+    "scd2": probe_scd2,
+    "profile": probe_profile,
+    "pagerank": probe_pagerank,
+    "bloom": probe_bloom,
+}
 
 
 if __name__ == "__main__":

@@ -276,3 +276,59 @@ def test_expectations_matches_regex(spark):
     assert out["matches_regex(status)"].n_violations == 1  # 'Z'
     with pytest.raises(ValueError):
         validate_expectations(df, [Expectation("matches_regex", ("status",))])
+
+
+# --- randomized scd2 vs a python reference ---------------------------------
+
+
+def _py_scd2(rows, compact):
+    """Reference SCD-2: rows = (k, attr, v); returns the operator's
+    expected output tuples."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, a, v in rows:
+        by_key[k].append((v, a))
+    out = []
+    for k, items in by_key.items():
+        items.sort()
+        # collapse duplicate versions (keep min attr)
+        dedup = []
+        for v, a in items:
+            if dedup and dedup[-1][0] == v:
+                continue
+            dedup.append((v, a))
+        if compact:
+            kept = []
+            for v, a in dedup:
+                if kept and kept[-1][1] == a:
+                    continue
+                kept.append((v, a))
+            dedup = kept
+        for i, (v, a) in enumerate(dedup):
+            nxt = dedup[i + 1][0] if i + 1 < len(dedup) else None
+            out.append((k, a, v, v, nxt, nxt is None))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+@pytest.mark.parametrize("compact", [False, True])
+def test_scd2_matches_python_reference_randomized(spark, seed, compact):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(12), rng.choice("abc"), rng.randrange(8))
+        for _ in range(150)
+    ]
+    # reference collapses duplicate (k, v) by min attr, matching the
+    # operator's attrs-ascending tiebreak — make rows unique per (k, v,
+    # attr) so "min attr" is well-defined on both sides
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(rows, ["k", "attr", "v"]).repartition(9)
+    kwargs = {"drop_unchanged": ["attr"]} if compact else {}
+    got = sorted(
+        (r.k, r.attr, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_history(df, ["k"], "v", **kwargs).collect()
+    )
+    assert got == _py_scd2(rows, compact)
