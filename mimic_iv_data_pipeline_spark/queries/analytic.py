@@ -420,3 +420,47 @@ def q28_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("l_quantity"), 4).alias("sum_qty"),
     )
+
+
+# --- q148: retention cohort matrix ------------------------------------------
+# The product-analytics classic: users grouped by the month of their
+# FIRST event (cohort), activity counted per months-since-cohort — a
+# first-touch window aggregate + month arithmetic + distinct count, all
+# JVM-side. A 100 TB shape note: the first-touch relation is |users|
+# rows; the activity join shuffles on user_id and colocates with an
+# event log bucketed on the same key.
+@register(
+    "q148_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+    )
+    SELECT strftime(f, '%Y-%m') AS cohort_month,
+           CAST((year(ts) * 12 + month(ts))
+                - (year(f) * 12 + month(f)) AS BIGINT) AS months_since,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q148_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-month × months-since retention matrix over the event log
+    (first event per user defines the cohort; n_active = distinct users
+    of that cohort active k months later)."""
+    from mimic_iv_data_pipeline_spark.sources.readers import read_events
+
+    e = read_events(spark, sf_dir).select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("f"))
+    months = (F.year("ts") * 12 + F.month("ts")) - (
+        F.year("f") * 12 + F.month("f")
+    )
+    return (
+        e.join(first, "user_id")
+        .select(
+            F.date_format("f", "yyyy-MM").alias("cohort_month"),
+            months.cast("long").alias("months_since"),
+            "user_id",
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
