@@ -245,3 +245,52 @@ def stream_enrich_dimension(
     if how not in ("inner", "left"):
         raise ValueError("stream-static join supports how='inner' or 'left'")
     return events.join(F.broadcast(dimension), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts_r",
+    lower_seconds: int = 0,
+    upper_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    match right rows of the same key whose time falls in
+    ``[left_time + lower, left_time + upper]`` — clicks joined to the
+    purchases they led to within the hour, labs joined to meds that
+    follow, etc. The batch twin is ``asof_join``'s interval mode
+    (operators/joins.py:34) without the tie-break (ALL matches emit,
+    not just the nearest — a join, not an imputation).
+
+    Why the shape matters: a stream-stream join must BUFFER both sides
+    (either stream can arrive late), and unbounded buffering is the
+    classic streaming OOM. Spark bounds the state with exactly the two
+    things this function requires: a watermark on BOTH streams (rows
+    older than the watermark are evicted) and a time-range join
+    condition (tells the engine how long a buffered row can still
+    match — here right state can be dropped ``upper`` past the
+    watermark). Without both, append-mode inner join state grows
+    forever; with them, state ≈ rate × (watermark + interval) per key —
+    flat at 100 TB/day.
+
+    The right stream's columns must be pre-renamed (no overlap with the
+    left apart from ``on``) — streaming plans cannot be
+    suffix-rewritten after the fact the way the batch asof_join does,
+    because watermarks attach to specific column identities.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"rename right-side columns before joining (overlap: {sorted(overlap)})"
+        )
+    l_ = left.withWatermark(left_time, watermark)
+    r_ = right.withWatermark(right_time, watermark)
+    cond = (
+        (l_[on] == r_[on])
+        & (F.col(right_time) >= F.col(left_time) + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return l_.join(r_, cond, "inner").drop(r_[on])

@@ -570,3 +570,60 @@ def test_stream_enrich_dimension_matches_batch_and_refreshes(spark, sf_smoke, tm
 
     with _pytest.raises(ValueError):
         stream_enrich_dimension(stream, dim, ["user_id"], how="full")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    """Clicks joined to purchases of the same user within [0, 1h] after
+    the click — streaming result equals the batch interval join on the
+    same fully-arrived input."""
+    from mimic_iv_data_pipeline_spark.sources.readers import read_events
+    from mimic_iv_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    src = str(tmp_path / "ssj_src")
+    base = read_events(spark, sf_smoke).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).withColumn("props", F.lit(None).cast("string"))
+    base.write.mode("overwrite").parquet(src)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("ts_r"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, buys
+
+    s = read_event_stream(spark, src)
+    sc, sb = split(s)
+    joined = stream_stream_interval_join(sc, sb, "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj_sink").select("click_id", "purchase_id")
+
+    bc, bb = split(base)
+    want = bc.join(
+        bb,
+        (bc["user_id"] == bb["user_id"])
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 3600 SECONDS")),
+    ).select("click_id", "purchase_id")
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # overlapping column names must be pre-renamed
+        stream_stream_interval_join(sc, sc, "user_id")
