@@ -299,16 +299,21 @@ def rollup_state(
     measure_cols: list[str],
 ) -> DataFrame:
     """Initial partial-aggregate state for incremental rollup
-    maintenance: per key, ``(n, sum_<m>, min_<m>, max_<m>)`` for every
-    measure — the mergeable decomposition of count/sum/avg/min/max
-    (avg is DERIVED as sum/n at read time, never stored, because avg is
-    not mergeable). One map-side-combinable aggregate.
+    maintenance: per key, ``n`` (row count) plus
+    ``(cnt_<m>, sum_<m>, min_<m>, max_<m>)`` for every measure — the
+    mergeable decomposition of count/sum/avg/min/max. ``cnt_<m>`` is
+    the NON-NULL count, kept separately from ``n`` because SQL AVG
+    skips nulls: derive avg as ``sum_<m> / cnt_<m>`` (never stored —
+    avg is not mergeable; never ``/ n``, which silently drifts from
+    AVG the moment a measure has nulls). One map-side-combinable
+    aggregate.
     """
     if not key_cols or not measure_cols:
         raise ValueError("rollup_state needs key and measure columns")
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in measure_cols:
         aggs += [
+            F.count(m).alias(f"cnt_{m}"),
             F.sum(m).alias(f"sum_{m}"),
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
@@ -337,7 +342,7 @@ def merge_rollup_state(
     the key the exchange is colocated.
     """
     expected = {"n"} | {
-        f"{f}_{m}" for m in measure_cols for f in ("sum", "min", "max")
+        f"{f}_{m}" for m in measure_cols for f in ("cnt", "sum", "min", "max")
     }
     for side, name in ((prev, "prev"), (delta, "delta")):
         missing = expected - set(side.columns)
@@ -347,6 +352,7 @@ def merge_rollup_state(
     aggs = [F.sum("n").alias("n")]
     for m in measure_cols:
         aggs += [
+            F.sum(f"cnt_{m}").alias(f"cnt_{m}"),
             F.sum(f"sum_{m}").alias(f"sum_{m}"),
             F.min(f"min_{m}").alias(f"min_{m}"),
             F.max(f"max_{m}").alias(f"max_{m}"),

@@ -621,7 +621,7 @@ def q145_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 2) AS sum_o_totalprice,
            min(o_totalprice) AS min_o_totalprice,
            max(o_totalprice) AS max_o_totalprice,
-           round(sum(o_totalprice) / count(*), 4) AS avg_o_totalprice
+           round(sum(o_totalprice) / count(o_totalprice), 4) AS avg_o_totalprice
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -629,7 +629,7 @@ def q145_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q146_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status order rollup maintained incrementally: state(batch A)
     merged with state(batch B) (operators/aggregates.py:rollup_state /
-    merge_rollup_state); avg derived from mergeable (sum, n) at read
+    merge_rollup_state); avg derived from mergeable (sum, cnt) at read
     time."""
     from mimic_iv_data_pipeline_spark.operators.aggregates import (
         merge_rollup_state,
@@ -651,5 +651,7 @@ def q146_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("sum_o_totalprice"), 2).alias("sum_o_totalprice"),
         "min_o_totalprice",
         "max_o_totalprice",
-        dround(F.col("sum_o_totalprice") / F.col("n"), 4).alias("avg_o_totalprice"),
+        dround(
+            F.col("sum_o_totalprice") / F.col("cnt_o_totalprice"), 4
+        ).alias("avg_o_totalprice"),
     )

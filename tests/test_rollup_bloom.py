@@ -94,3 +94,14 @@ def test_bloom_prefilter_join_plan_and_validation(spark):
     assert plan.count("LeftSemi") == 3  # the chained broadcast prefilters
     with pytest.raises(ValueError):
         bloom_prefilter_join(facts, dim, "k", how="left")
+
+
+def test_rollup_avg_with_nulls_uses_nonnull_count(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, None), (1, 4.0), (2, None)], "g long, x double"
+    )
+    st = {r.g: r for r in rollup_state(df, ["g"], ["x"]).collect()}
+    assert st[1].n == 3 and st[1].cnt_x == 2 and st[1].sum_x == 6.0
+    assert st[2].n == 1 and st[2].cnt_x == 0 and st[2].sum_x is None
+    # derived avg must match SQL AVG (null-skipping)
+    assert st[1].sum_x / st[1].cnt_x == 3.0
