@@ -54,6 +54,11 @@ def test_clean_stages_are_independent(spark):
         "q108_kneser_ney",
         "q116_theta_sets",
         "q118_mask_layout",
+        # r5 second wave: iterative fixpoint, single-exchange history,
+        # monoid merge
+        "q142_pagerank",
+        "q139_scd2_history",
+        "q146_incremental_rollup",
     ],
 )
 def test_results_invariant_to_shuffle_partition_count(spark, sf_smoke, qname):
