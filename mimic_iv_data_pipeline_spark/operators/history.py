@@ -62,6 +62,20 @@ def scd2_history(
     if version_col not in changes.columns:
         raise ValueError(f"version column {version_col!r} not in input")
 
+    # NULL versions are a malformed change log, and they would be
+    # silently eaten by the duplicate-collapse (NULLs sort first and
+    # NULL eqNullSafe NULL is true) — raise at execution instead. The
+    # guard is embedded in the column itself (rag_corpus uid_ok
+    # pattern) so Catalyst cannot prune it away.
+    changes = changes.withColumn(
+        version_col,
+        F.when(F.col(version_col).isNotNull(), F.col(version_col)).otherwise(
+            F.raise_error(
+                F.lit(f"scd2_history: NULL in version column {version_col!r}")
+            )
+        ),
+    )
+
     other_cols = [c for c in changes.columns if c != version_col and c not in key_cols]
 
     # Stable collapse of duplicate (key, version) rows — expressed over
@@ -91,9 +105,12 @@ def scd2_history(
         same = F.lit(True)
         for c in drop_unchanged:
             prev = F.lag(F.col(c)).over(w_key)
-            same = same & (
-                (F.col(c) == prev) | (F.col(c).isNull() & prev.isNull())
-            )
+            # eqNullSafe, NOT == with an isNull fallback: plain equality
+            # yields NULL (not false) when exactly one side is NULL, and
+            # a NULL __keep is silently dropped by filter() — any
+            # attribute transition to/from NULL would be compacted away
+            # as "unchanged".
+            same = same & F.col(c).eqNullSafe(prev)
         first = F.lag(F.col(version_col)).over(w_key).isNull()
         df = df.withColumn("__keep", first | ~same).filter(F.col("__keep")).drop(
             "__keep"

@@ -40,6 +40,13 @@ def profile_table(
     max_value, mean_value)``. min/max are rendered as strings so one
     schema covers heterogeneous columns; mean is NULL for non-numerics.
 
+    Rendering caveat for oracle twins: double min/max go through
+    Spark's ``cast(string)``, which switches to scientific notation at
+    |x| >= 1e7 while DuckDB's ``CAST(... AS VARCHAR)`` does not — a
+    profile twin over larger-magnitude doubles must mirror the
+    rendering (or exclude those columns from the hash compare); q140
+    stays under the boundary by construction.
+
     ``exact_distinct=True`` uses ``count(DISTINCT col)`` — Catalyst
     plans the multi-distinct aggregate via EXPAND (one scan, rows
     multiplied by the distinct-column count before the partial
@@ -180,13 +187,20 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             scalar_aggs.append(F.sum(bad.cast("long")))
         elif r.kind == "unique":
             key = [F.col(c) for c in r.cols]
+            # NULL-keyed rows are exempt (dbt/GE unique semantics, and
+            # this module's own convention): countDistinct already
+            # ignores rows with any NULL key component, so the minuend
+            # must too, or every NULL-keyed row counts as a violation.
+            nn_key = F.lit(True)
+            for c in r.cols:
+                nn_key = nn_key & F.col(c).isNotNull()
             extras.append(
                 df.agg(
                     F.lit(r.name).alias("rule"),
                     n_rows.alias("n_checked"),
-                    (n_rows - F.countDistinct(*key)).cast("long").alias(
-                        "n_violations"
-                    ),
+                    (F.sum(nn_key.cast("long")) - F.countDistinct(*key))
+                    .cast("long")
+                    .alias("n_violations"),
                 )
             )
         elif r.kind == "foreign_key":

@@ -425,6 +425,16 @@ def bloom_prefilter_join(
         raise ValueError(
             "bloom prefilter preserves semantics only for how='inner'/'left_semi'"
         )
+    ft, dt = facts.schema[on].dataType, dim.schema[on].dataType
+    if ft != dt:
+        # xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash apart)
+        # while the exact equi-join coerces — a silent dtype mismatch
+        # would prefilter away every true match. Make the caller cast.
+        raise ValueError(
+            f"bloom_prefilter_join: key dtype mismatch (facts {ft.simpleString()}"
+            f" vs dim {dt.simpleString()}) — cast one side first; xxhash64 is"
+            " type-sensitive and would hash equal keys apart"
+        )
     def bit_expr(j: int) -> Column:
         # xxhash64, NOT the md5 family bloom_build/bloom_probe use: this
         # expression runs per FACT row (x num_hashes, x num_hashes
@@ -446,6 +456,11 @@ def bloom_prefilter_join(
             ).alias("bit")
         )
         .distinct()
+        # materialize ONCE: the per-j rename below makes the three
+        # broadcast plans non-identical, so without this the dim-side
+        # distinct+explode pipeline would recompute per semi-join
+        # (3 BroadcastExchange, 0 ReusedExchange)
+        .localCheckpoint(eager=True)
     )
 
     filtered = facts

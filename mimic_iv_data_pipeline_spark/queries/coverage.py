@@ -676,8 +676,8 @@ def q140_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'unique(o_orderkey)', count(*),
-           count(*) - count(DISTINCT o_orderkey),
-           CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS BIGINT)
+           count(o_orderkey) - count(DISTINCT o_orderkey),
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) = 0 AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'foreign_key(o_custkey)', (SELECT count(*) FROM orders),

@@ -332,3 +332,41 @@ def test_scd2_matches_python_reference_randomized(spark, seed, compact):
         for r in scd2_history(df, ["k"], "v", **kwargs).collect()
     )
     assert got == _py_scd2(rows, compact)
+
+
+# --- review-fix regressions -------------------------------------------------
+
+
+def test_scd2_compaction_null_transitions_are_changes(spark):
+    """attr 'a' -> NULL -> 'b' must produce three history rows — a
+    NULL-unsafe comparison would compact the NULL and 'b' rows away."""
+    log = spark.createDataFrame(
+        [(1, "a", 10), (1, None, 20), (1, "b", 30)], "k long, attr string, v long"
+    )
+    out = sorted(
+        (r.v, r.attr, r.effective_to)
+        for r in scd2_history(log, ["k"], "v", drop_unchanged=["attr"]).collect()
+    )
+    assert out == [(10, "a", 20), (20, None, 30), (30, "b", None)]
+    # NULL == NULL is still "unchanged"
+    log2 = spark.createDataFrame(
+        [(1, None, 10), (1, None, 20)], "k long, attr string, v long"
+    )
+    assert scd2_history(log2, ["k"], "v", drop_unchanged=["attr"]).count() == 1
+
+
+def test_scd2_null_version_raises(spark):
+    log = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", None)], "k long, attr string, v long"
+    )
+    with pytest.raises(Exception, match="NULL in version column"):
+        scd2_history(log, ["k"], "v").collect()
+
+
+def test_expectations_unique_exempts_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (1, 3), (1, 4), (2, 5)], "id long, p long"
+    )
+    out = validate_expectations(df, [Expectation("unique", ("id",))]).collect()[0]
+    # two NULL ids are NOT duplicates; id=1 twice is one violation
+    assert out.n_violations == 1 and out.n_checked == 5

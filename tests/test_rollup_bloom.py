@@ -105,3 +105,15 @@ def test_rollup_avg_with_nulls_uses_nonnull_count(spark):
     assert st[2].n == 1 and st[2].cnt_x == 0 and st[2].sum_x is None
     # derived avg must match SQL AVG (null-skipping)
     assert st[1].sum_x / st[1].cnt_x == 3.0
+
+
+def test_bloom_prefilter_join_rejects_key_dtype_mismatch(spark):
+    facts = spark.createDataFrame([(5, 1)], "k int, p int")
+    dim = spark.createDataFrame([(5, "a")], "k long, a string")
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_prefilter_join(facts, dim, "k")
+    # cast resolves it and matches the plain join
+    fixed = bloom_prefilter_join(
+        facts.withColumn("k", facts["k"].cast("long")), dim, "k"
+    )
+    assert fixed.count() == 1
