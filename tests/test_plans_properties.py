@@ -143,7 +143,7 @@ def test_impute_cascade_property(spark, data):
     }
     pdf = pd.DataFrame(rows, columns=["k", "t", "v"]).sort_values(["k", "t"])
     for k, g in pdf.groupby("k"):
-        s = g["v"].ffill().bfill()
+        s = g["v"].astype("float64").ffill().bfill()
         s = s.fillna(s.mean()).fillna(0.0)
         for t, v in zip(g["t"], s):
             assert got[(k, t)] == pytest.approx(v), (k, t)
