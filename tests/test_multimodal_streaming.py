@@ -627,3 +627,55 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
     with _pytest.raises(ValueError):
         # overlapping column names must be pre-renamed
         stream_stream_interval_join(sc, sc, "user_id")
+
+
+def test_stream_incremental_rollup_matches_batch_recompute(spark, sf_smoke, tmp_path):
+    """Two availableNow passes over a growing source maintain a state
+    snapshot equal to a from-scratch rollup over all arrived rows."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import rollup_state
+    from mimic_iv_data_pipeline_spark.sources.readers import read_events
+    from mimic_iv_data_pipeline_spark.streaming.events import read_event_stream
+    from mimic_iv_data_pipeline_spark.streaming.rollup import (
+        latest_rollup_snapshot,
+        stream_incremental_rollup,
+    )
+
+    src = str(tmp_path / "roll_src")
+    state = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+    base = read_events(spark, sf_smoke).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).withColumn("props", F.lit(None).cast("string"))
+
+    first = base.filter(F.col("event_id") % 2 == 0)
+    second = base.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        q = stream_incremental_rollup(
+            read_event_stream(spark, src),
+            ["event_type"], ["value"], state, ckpt,
+        )
+        q.awaitTermination(180)
+
+    def state_rows():
+        snap = latest_rollup_snapshot(spark, state)
+        return sorted(
+            (r.event_type, r.n, r.cnt_value, round(r.sum_value, 6),
+             r.min_value, r.max_value)
+            for r in snap.collect()
+        )
+
+    def batch_rows(df):
+        return sorted(
+            (r.event_type, r.n, r.cnt_value, round(r.sum_value, 6),
+             r.min_value, r.max_value)
+            for r in rollup_state(df, ["event_type"], ["value"]).collect()
+        )
+
+    run_pass()
+    assert state_rows() == batch_rows(first)
+
+    second.write.mode("append").parquet(src)
+    run_pass()  # same checkpoint: only the NEW files form the delta
+    assert state_rows() == batch_rows(base)
