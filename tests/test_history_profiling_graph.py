@@ -370,3 +370,37 @@ def test_expectations_unique_exempts_null_keys(spark):
     out = validate_expectations(df, [Expectation("unique", ("id",))]).collect()[0]
     # two NULL ids are NOT duplicates; id=1 twice is one violation
     assert out.n_violations == 1 and out.n_checked == 5
+
+
+def test_as_of_slice_equals_pit_join_at_same_time(spark):
+    """Cross-operator invariant: slicing the history at time v and
+    PIT-joining a probe fact at time v must agree for every key."""
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.history import pit_join
+
+    rng = random.Random(3)
+    rows = sorted(
+        {
+            (rng.randrange(8), rng.choice("xyz"), rng.randrange(6) * 10)
+            for _ in range(60)
+        }
+    )
+    hist = scd2_history(
+        spark.createDataFrame(rows, ["k", "attr", "v"]), ["k"], "v"
+    )
+    keys = [r.k for r in hist.select("k").distinct().collect()]
+    for probe_v in (0, 15, 30, 999):
+        slice_ = {
+            r.k: r.attr for r in as_of(hist, probe_v).collect()
+        }
+        probes = spark.createDataFrame([(k, probe_v) for k in keys], ["k", "t"])
+        joined = {
+            r.k: r.attr
+            for r in pit_join(
+                probes, hist.select("k", "attr", "effective_from", "effective_to"),
+                ["k"], "t",
+            ).collect()
+        }
+        for k in keys:
+            assert joined.get(k) == slice_.get(k), (k, probe_v)
