@@ -464,3 +464,40 @@ def q148_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "months_since")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# --- q149: GROUPING SETS (A14's third variant) ------------------------------
+# rollup (q28) and cube (q54) cover the hierarchical and exhaustive
+# lattices; GROUPING SETS is the explicit-list variant (two independent
+# one-dimension summaries + a grand total in ONE pass — Catalyst plans
+# a single Expand + aggregate, not three scans). Exercised through the
+# engine's SQL surface (registered views) with grouping_id
+# disambiguating the NULLs that mark aggregated-out dimensions.
+@register(
+    "q149_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q149_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status and per-priority order summaries plus the grand total
+    in one Expand pass, via the SQL surface (GROUP BY GROUPING SETS)."""
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q149_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) / 100 AS DOUBLE)
+                 AS sum_price
+        FROM __q149_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
