@@ -180,11 +180,51 @@ def probe_bloom(spark):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
 
 
+def probe_warehouse(spark):
+    """End-to-end nightly_refresh at 15M facts x 16.6M change rows —
+    the composed cost of gate + SCD-2 + PIT + rollup + profile."""
+    from mimic_iv_data_pipeline_spark.plans.warehouse import nightly_refresh
+
+    orders = _replicated_orders(spark, 100).persist()
+    orders.count()
+    changes = (
+        orders.select("o_orderkey", "o_orderstatus", F.lit(1).cast("long").alias("v"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey", F.lit("U").alias("o_orderstatus"),
+                F.lit(2).cast("long").alias("v"),
+            )
+        )
+    )
+    facts = orders.select(
+        "o_orderkey",
+        (1 + F.col("o_custkey") % 2).cast("long").alias("t"),
+        "o_totalprice",
+    )
+
+    def run():
+        out = nightly_refresh(
+            changes, facts,
+            key_cols=["o_orderkey"], version_col="v", fact_time="t",
+            attr_cols=["o_orderstatus"], measure_cols=["o_totalprice"],
+            rollup_keys=["o_orderstatus"],
+        )
+        # force the whole DAG: gate report + enrich + rollup + profile
+        return (
+            out.gate_report.count() + out.enriched.count()
+            + out.rollup.count() + out.profile.count()
+        )
+
+    _timed("nightly_refresh 15M facts (gate+scd2+pit+rollup+profile)", run)
+    orders.unpersist()
+
+
 PROBES = {
     "scd2": probe_scd2,
     "profile": probe_profile,
     "pagerank": probe_pagerank,
     "bloom": probe_bloom,
+    "warehouse": probe_warehouse,
 }
 
 

@@ -404,3 +404,14 @@ def test_as_of_slice_equals_pit_join_at_same_time(spark):
         }
         for k in keys:
             assert joined.get(k) == slice_.get(k), (k, probe_v)
+
+
+def test_scd2_plans_exactly_one_exchange(spark):
+    """Plan pin for the PERF claim: dup-collapse, compaction, and
+    interval windows all share ONE hashpartitioning(key) exchange."""
+    log = _log(spark).repartition(4)  # non-aligned input partitioning
+    plan = (
+        scd2_history(log, ["k"], "v", drop_unchanged=["attr"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
