@@ -563,3 +563,92 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    cand_col: str = "neighbor_id",
+    rel_col: str = "rel",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick, per query, the candidate maximizing
+    ``lam·rel(q, d) − (1−lam)·max_{s∈selected} sim(d, s)`` — the
+    standard diversity re-rank between ANN retrieval and a RAG prompt,
+    so the k passages are not k near-copies of each other.
+
+    Spark-first shape: ``k`` is small and static, so the greedy loop
+    unrolls at PLAN level — step t is one join of the remaining
+    candidates against the t selected rows (both bounded by the
+    candidate list, NOT the corpus) + one per-query argmax window. No
+    UDFs, no collect; the corpus is touched only to fetch candidate
+    vectors once. Candidate–candidate similarity is rounded to 6dp
+    (dround) so the greedy trace is engine-portable — the q150 oracle
+    replays the same unrolled selection in SQL.
+
+    ``candidates``: (query, candidate, rel) — rel already rounded by
+    the producing search (e.g. ``cosine_topk``). Ties break on
+    candidate id ascending, matching the search operators.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+
+    vecs = corpus.select(
+        F.col(id_col).alias(cand_col), as_double_vec(F.col(vec_col)).alias("__v")
+    )
+    cand = (
+        candidates.select(query_col, cand_col, rel_col)
+        .join(vecs, cand_col)
+    )
+
+    def argmax(df: DataFrame, score, order_cols) -> DataFrame:
+        w = Window.partitionBy(query_col).orderBy(*order_cols)
+        return (
+            df.withColumn("__score", score)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    first = argmax(
+        cand, F.col(rel_col), [F.col(rel_col).desc(), F.col(cand_col).asc()]
+    ).select(
+        query_col,
+        F.col(cand_col),
+        F.col("__v").alias("__sv"),
+        F.lit(1).alias("rank"),
+    )
+    selected = first
+    out = first.select(query_col, cand_col, "rank")
+
+    for t in range(2, k + 1):
+        remaining = cand.join(
+            selected.select(query_col, cand_col), [query_col, cand_col], "left_anti"
+        )
+        pen = (
+            remaining.join(
+                selected.select(query_col, F.col("__sv")), query_col
+            )
+            .withColumn("__sim", dround(cosine(F.col("__v"), F.col("__sv")), 6))
+            .groupBy(query_col, cand_col, rel_col)
+            .agg(F.max("__sim").alias("__maxsim"), F.first("__v").alias("__v"))
+        )
+        score = F.lit(lam) * F.col(rel_col) - F.lit(1.0 - lam) * F.col("__maxsim")
+        pick = argmax(
+            pen, score, [score.desc(), F.col(cand_col).asc()]
+        ).select(
+            query_col,
+            F.col(cand_col),
+            F.col("__v").alias("__sv"),
+            F.lit(t).alias("rank"),
+        )
+        selected = selected.unionByName(pick)
+        out = out.unionByName(pick.select(query_col, cand_col, "rank"))
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -59,11 +59,12 @@ _MODULES = [
 #   PLUS the r5 second-wave operators q139-q147 (SCD-2 history,
 #   table profile, expectations validation, PageRank, ANN recall@5,
 #   point-in-time join, Bloom-prefiltered join, incremental rollup
-#   merge, unpivot, retention cohorts, grouping sets — 11 more first
-#   driver rows);
+#   merge, unpivot, retention cohorts, grouping sets, MMR re-rank — 12
+#   more first driver rows);
 #   (c) the
-#   core; (d) 2 of the 26 r1-aged queries: q16
-#   q33 (q37 lang-id defers — bench-tracked every round and its
+#   core; (d) 1 of the 26 r1-aged queries: q16
+#   (q33 event-time normalize defers — q18/q19 core date arithmetic +
+#   q49 interval family; q37 lang-id defers — bench-tracked every round and its
 #   text-stat family is q109/q111/q86 r4-green; q21 sessionize defers — its event-window family is
 #   covered by q148 fresh this round plus the streaming sessionize
 #   tests). The rest held back to fit the window
@@ -86,7 +87,7 @@ _MODULES = [
 #   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
 #   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
 # r6 plan: (a) any r5 reds; (d) q02 q05 q06 q07 q09 q10 q11 q12 q13
-#   q21 q22 q23 q25 q27 q28 q29 q30 q31 q35 q36 q37 q38 q46 q47,
+#   q21 q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47,
 #   then oldest r3-block entries (q48-q83 not re-checked since r3)
 #   and rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
 #   q114 q115 q122) to 50.
@@ -128,6 +129,7 @@ _PRIORITY = [
     "q147_unpivot",
     "q148_retention_cohorts",
     "q149_grouping_sets",
+    "q150_mmr_rerank",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -146,7 +148,6 @@ _PRIORITY = [
     "q45_set_ops",
     # (d) rotating block — last driver row was r1 (oldest first)
     "q16_outlier_clamp",
-    "q33_event_time_normalize",
 ]
 
 

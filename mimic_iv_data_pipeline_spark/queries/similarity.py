@@ -1013,3 +1013,87 @@ def q143_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(queries, emb, k=5)
     return recall_at_k(approx, exact, k=5)
+
+
+# --- q150: MMR diversity re-rank (full hash oracle, unrolled greedy) --------
+# Carbonell & Goldstein 1998 — the diversity re-rank between ANN
+# retrieval and a RAG prompt. The greedy selection is unrolled per
+# step in BOTH engines (argmax windows over the bounded candidate
+# list), so the entire k=3 selection trace is hash-verified: scores
+# are 0.5·rel − 0.5·maxsim over 6dp-rounded cosines, deterministic
+# across engines.
+@register(
+    "q150_mmr_rerank",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), cand AS (
+      SELECT query_id, neighbor_id, cos_sim AS rel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               floor(list_dot_product(q.emb, c.emb)
+                     / (sqrt(list_dot_product(q.emb, q.emb))
+                        * sqrt(list_dot_product(c.emb, c.emb)))
+                     * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10)
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 8
+    ), candset AS (
+      SELECT DISTINCT neighbor_id AS id FROM cand
+    ), sim AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             floor(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb)))
+                   * 1e6 + 0.5) / 1e6 AS s
+      FROM e a JOIN candset ca ON ca.id = a.vec_id
+      JOIN e b ON b.vec_id != a.vec_id
+      JOIN candset cb ON cb.id = b.vec_id
+    ), s1 AS (
+      SELECT query_id, neighbor_id FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) = 1
+    ), s2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               0.5 * c.rel - 0.5 * x.s AS score
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+               AND c.neighbor_id != s1.neighbor_id
+        JOIN sim x ON x.i = c.neighbor_id AND x.j = s1.neighbor_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) = 1
+    ), s3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               0.5 * c.rel - 0.5 * greatest(x1.s, x2.s) AS score
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id
+               AND c.neighbor_id != s1.neighbor_id
+        JOIN s2 ON s2.query_id = c.query_id
+               AND c.neighbor_id != s2.neighbor_id
+        JOIN sim x1 ON x1.i = c.neighbor_id AND x1.j = s1.neighbor_id
+        JOIN sim x2 ON x2.i = c.neighbor_id AND x2.j = s2.neighbor_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) = 1
+    )
+    SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS BIGINT) FROM s3
+    """,
+)
+def q150_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank (k=3, λ=0.5) of exact top-8 cosine candidates for
+    10 queries (operators/similarity.py:mmr_rerank — plan-level
+    unrolled greedy, joins bounded by the candidate list)."""
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cand = cosine_topk(queries, emb, k=8).withColumnRenamed("cos_sim", "rel")
+    return mmr_rerank(cand, emb, k=3, lam=0.5)

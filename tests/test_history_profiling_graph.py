@@ -415,3 +415,77 @@ def test_scd2_plans_exactly_one_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- mmr_rerank -------------------------------------------------------------
+
+
+def _py_mmr(cand, sims, k, lam):
+    """cand: {(q, d): rel}; sims: {(i, j): s}; returns [(q, d, rank)]."""
+    out = []
+    by_q = {}
+    for (q, d), r in cand.items():
+        by_q.setdefault(q, {})[d] = r
+    for q, ds in by_q.items():
+        sel = []
+        for rank in range(1, k + 1):
+            best = None
+            for d, r in sorted(ds.items()):
+                if d in sel:
+                    continue
+                score = r if not sel else (
+                    lam * r - (1 - lam) * max(sims[(d, s)] for s in sel)
+                )
+                if best is None or score > best[1]:
+                    best = (d, score)
+            sel.append(best[0])
+            out.append((q, best[0], rank))
+    return sorted(out)
+
+
+def test_mmr_matches_python_reference(spark):
+    import itertools
+    import math
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(4)] for i in range(12)}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return math.floor(num / den * 1e6 + 0.5) / 1e6
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cand_rows, cand_map, sim_map = [], {}, {}
+    for q in (100, 200):
+        qv = [rng.uniform(-1, 1) for _ in range(4)]
+        for d in range(8):
+            rel = cos(qv, vecs[d])
+            cand_rows.append((q, d, rel))
+            cand_map[(q, d)] = rel
+    for i, j in itertools.permutations(range(12), 2):
+        sim_map[(i, j)] = cos(vecs[i], vecs[j])
+    cand = spark.createDataFrame(
+        cand_rows, "query_id long, neighbor_id long, rel double"
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r["rank"])
+        for r in mmr_rerank(cand, corpus, k=4, lam=0.7).collect()
+    )
+    assert got == _py_mmr(cand_map, sim_map, k=4, lam=0.7)
+
+
+def test_mmr_validates(spark):
+    from mimic_iv_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame([(1, 2, 0.5)], "query_id long, neighbor_id long, rel double")
+    emb = spark.createDataFrame([(2, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        mmr_rerank(df, emb, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, emb, k=1, lam=2.0)
