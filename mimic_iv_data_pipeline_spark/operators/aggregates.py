@@ -358,3 +358,114 @@ def merge_rollup_state(
             F.max(f"max_{m}").alias(f"max_{m}"),
         ]
     return u.groupBy(*key_cols).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    z: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier summary via median absolute deviation
+    (public: Hampel identifier / Iglewicz & Hoaglin 1993 — the robust
+    alternative to the mean±kσ clamp in ``clamp_outliers``, which a
+    single extreme value can drag).
+
+    A value is an outlier iff ``|x - median| > z · consistency · MAD``
+    (consistency 1.4826 makes MAD estimate σ under normality; z=3.5 is
+    the standard identifier cut).
+
+    Scale shape: three keyed aggregates, each over one scan of the
+    (broadcast-augmented) fact relation — group medians, then MAD of
+    the absolute deviations, then the conditional outlier count; the
+    per-group relations in between are |groups| rows and broadcast.
+    Exact ``percentile`` sorts per group inside the aggregate; for
+    extreme per-group cardinality swap in ``percentile_approx`` at
+    the call site (same plan shape). Output is one row per group:
+    (group, n, median, mad, n_outliers).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = df.join(F.broadcast(med), groups).withColumn(
+        "__dev", F.abs(v - F.col("median"))
+    )
+    mad = dev.groupBy(*groups).agg(F.expr("percentile(__dev, 0.5)").alias("mad"))
+    flagged = (
+        dev.join(F.broadcast(mad), groups)
+        .groupBy(*groups)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__dev")
+                    > F.lit(z) * F.lit(consistency) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return med.join(mad, groups).join(flagged, groups).select(
+        *groups, "n", "median", "mad", "n_outliers"
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the marginal entropies — the dependence screen for feature
+    selection / leakage detection over training tables (public:
+    Cover & Thomas; sklearn ``mutual_info_score`` semantics, natural
+    log).
+
+        MI = Σ_xy  p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+        H  = -Σ    p · ln p
+
+    Scale shape: ONE groupBy(x, y) aggregate over the facts — every
+    later relation (margins, total) derives from the |X|·|Y|-row joint,
+    so the fact table is scanned exactly once; margins broadcast back
+    onto the joint. NULLs participate as their own category (groupBy
+    semantics), matching SQL GROUP BY.
+
+    Returns ONE row: (n, mi, h_x, h_y) — unrounded; query sites round.
+    """
+    jc = (
+        df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    mx = jc.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = jc.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    n = jc.agg(F.sum("__c").alias("__n"))
+    mi = (
+        jc.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("__c") / F.col("__n"))
+                * F.log(
+                    (F.col("__c") * F.col("__n"))
+                    / (F.col("__cx") * F.col("__cy"))
+                )
+            ).alias("mi"),
+            F.first("__n").cast("long").alias("n"),
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("__cx") / F.col("__n")) * F.log(F.col("__cx") / F.col("__n"))))
+        .alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("__cy") / F.col("__n")) * F.log(F.col("__cy") / F.col("__n"))))
+        .alias("h_y")
+    )
+    return mi.crossJoin(hx).crossJoin(hy).select("n", "mi", "h_x", "h_y")

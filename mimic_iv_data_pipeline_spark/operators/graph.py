@@ -330,3 +330,116 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    per_node: bool = True,
+) -> DataFrame:
+    """Exact triangle counting over an undirected simple graph given as
+    an edge list (public algorithm: degree-ordered wedge enumeration —
+    Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    Last Reducer"; the same orientation trick GraphX's TriangleCount
+    uses).
+
+    Self-loops are dropped and the edge list is canonicalized +
+    deduplicated, so parallel/reversed duplicates count once.
+
+    Scale shape: edges are ORIENTED from the (degree, node)-smaller
+    endpoint to the larger one, so every wedge is enumerated at its
+    lowest-degree vertex — the standard bound that caps the wedge
+    relation at O(m^{3/2}) regardless of hot hubs (an unoriented
+    self-join explodes quadratically on the highest-degree node: a
+    celebrity node with 1M neighbors yields 10^12 unoriented wedges
+    but only ~m^{1/2}-bounded oriented ones). The plan is two
+    equi-joins and one aggregate: oriented ⨝ oriented on the wedge
+    center, then LEFT SEMI against oriented on the closing edge; the
+    triangle relation explodes 3 rows per triangle for per-node
+    attribution. No UDFs, no collect, no cartesian.
+
+    Returns ``(node, triangles)`` over ALL nodes (zero-triangle nodes
+    included) when ``per_node``, else a 1-row ``(triangles)`` global
+    count. Counts are exact.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the (deg, node)-lexicographically smaller
+    # endpoint; both degree lookups are |N|-row joins (broadcastable
+    # for dimension-scale graphs, hash-joined otherwise).
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+    )
+    o1 = oriented.select(F.col("u").alias("u"), F.col("v").alias("v"))
+    o2 = oriented.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    # Wedges centered at u with a deterministic v<w order in the
+    # ORIENTATION order (degree, node) — enumerate each unordered pair
+    # once. Orientation order is encoded by re-joining degrees once.
+    wedges = (
+        o1.join(o2, "u")
+        .filter(F.col("v") != F.col("w"))
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv")), "v"
+        )
+        .join(
+            deg.select(F.col("node").alias("w"), F.col("deg").alias("__dw")), "w"
+        )
+        .filter(
+            (F.col("__dv") < F.col("__dw"))
+            | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    if not per_node:
+        return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    members = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v").alias("node")))
+        .unionByName(closed.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    )
+    return (
+        deg.select("node")
+        .join(members, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("triangles")
+        )
+    )

@@ -28,7 +28,12 @@ from pyspark.sql.window import Window
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
-__all__ = ["hashed_linear_score", "mask_layout", "default_hash_weights"]
+__all__ = [
+    "hashed_linear_score",
+    "mask_layout",
+    "default_hash_weights",
+    "target_encode_kfold",
+]
 
 
 def _bucket_of(s: Column, n_buckets: int) -> Column:
@@ -170,4 +175,78 @@ def mask_layout(
                 lambda x: x.cast("string"),
             ),
         ).alias("masked_pos_csv"),
+    )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    label_col: str,
+    k: int = 5,
+    smoothing: float = 10.0,
+    salt: str = "te",
+    out_col: str = "te",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold target encoding of a categorical feature
+    (public: Micci-Barreca 2001 smoothed target statistics; the
+    out-of-fold scheme is the CatBoost/kaggle-standard leakage guard).
+
+    Each row's encoding uses ONLY labels from the other k-1 folds:
+
+        te = (s_oof(cat) + m · prior_oof) / (c_oof(cat) + m)
+
+    where ``s_oof/c_oof`` are the label sum/count of the row's category
+    EXCLUDING its own fold, and ``prior_oof`` is the global label mean
+    excluding the fold. Folds are content-addressed hash-mod
+    assignments (:func:`~...sampling.kfold_ids` convention) so the
+    encoding is bit-stable under repartitioning, retries, and engines —
+    mean-encoding with the row's own label included (the naive GROUP BY
+    join) leaks the target and inflates validation scores; the
+    per-fold exclusion is the fix.
+
+    Scale shape: ONE (cat, fold) aggregate (≤ |cats|·k rows) plus a
+    k-row fold aggregate and a 1-row global — all broadcast back onto
+    the fact relation; no window over the facts, no second scan of the
+    label column. ``smoothing`` must be > 0 (it is also the div-0
+    guard for single-fold categories).
+    """
+    from mimic_iv_data_pipeline_spark.operators.sampling import _hash_long
+
+    if k < 2:
+        raise ValueError(f"target_encode_kfold: k must be >= 2, got {k}")
+    if smoothing <= 0:
+        raise ValueError("target_encode_kfold: smoothing must be > 0")
+    base = df.withColumn(
+        fold_col,
+        F.pmod(_hash_long(F.col(key_col), f"{salt}:{k}"), F.lit(k)).cast("long"),
+    ).withColumn("__y", F.col(label_col).cast("double"))
+    cf = base.groupBy(cat_col, fold_col).agg(
+        F.sum("__y").alias("__s_cf"), F.count(F.lit(1)).alias("__c_cf")
+    )
+    ct = cf.groupBy(cat_col).agg(
+        F.sum("__s_cf").alias("__s_c"), F.sum("__c_cf").alias("__c_c")
+    )
+    gf = base.groupBy(fold_col).agg(
+        F.sum("__y").alias("__s_f"), F.count(F.lit(1)).alias("__c_f")
+    )
+    g = base.agg(
+        F.sum("__y").alias("__s_g"), F.count(F.lit(1)).alias("__c_g")
+    )
+    prior = (F.col("__s_g") - F.col("__s_f")) / F.nullif(
+        (F.col("__c_g") - F.col("__c_f")).cast("double"), F.lit(0.0)
+    )
+    enc = (
+        (F.col("__s_c") - F.col("__s_cf"))
+        + F.lit(smoothing) * F.coalesce(prior, F.col("__s_g") / F.col("__c_g"))
+    ) / ((F.col("__c_c") - F.col("__c_cf")) + F.lit(smoothing))
+    return (
+        base.join(F.broadcast(cf), [cat_col, fold_col])
+        .join(F.broadcast(ct), cat_col)
+        .join(F.broadcast(gf), fold_col)
+        .crossJoin(F.broadcast(g))
+        .withColumn(out_col, enc)
+        .drop("__y", "__s_cf", "__c_cf", "__s_c", "__c_c", "__s_f", "__c_f",
+              "__s_g", "__c_g")
     )

@@ -589,3 +589,79 @@ def oversample_minority(
         )
         .drop("__n")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Token-budget corpus selection: keep the best-scoring prefix of
+    the corpus whose cumulative token count fits ``budget`` (the
+    curation step every LLM training run ends with — rank candidates
+    by quality, cut at the compute budget; cf. the quality-ranked
+    selection in Brown et al. 2020 §2.2 / RedPajama's token-budgeted
+    mixtures).
+
+    Semantics are PREFIX selection over the total order
+    (score desc, id asc): a document is kept iff the running token sum
+    through it is <= budget. (Skip-and-continue knapsack packing is
+    inherently sequential and order-fragile; the prefix rule is the
+    deterministic, engine-portable contract.)
+
+    Scale shape — distributed prefix sum, NO single-partition window:
+    rows are range-partitioned on the selection order
+    (``repartitionByRange``), each partition computes a local running
+    sum (window partitioned by ``spark_partition_id()``), and the
+    per-partition totals — numPartitions rows, collected bounded —
+    become broadcast offsets added to the local sums. The global
+    cumulative sum is exact and independent of where the range
+    boundaries land, because the order (score desc, id asc) is total.
+    A naive ``Window.orderBy(...)`` with no partition key would funnel
+    the whole corpus through one task — the thing this plan exists to
+    avoid.
+
+    Returns the kept rows with ``cum_col`` appended (long).
+    """
+    if budget < 0:
+        raise ValueError("select_token_budget: budget must be >= 0")
+    ordered = df.repartitionByRange(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ordered.withColumn(
+        "__local_cum", F.sum(F.col(tokens_col).cast("long")).over(w)
+    )
+    # Partition totals: <= spark.sql.shuffle.partitions rows. The range
+    # partitioner orders partitions by key, so the offset of pid p is
+    # the sum of totals of partitions with SMALLER pid.
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in local.groupBy("__pid")
+        .agg(F.max("__local_cum").alias("__t"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    return (
+        local.withColumn(cum_col, (F.col("__local_cum") + offset_expr).cast("long"))
+        .filter(F.col(cum_col) <= budget)
+        .drop("__pid", "__local_cum")
+    )

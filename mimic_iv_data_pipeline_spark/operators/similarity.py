@@ -652,3 +652,88 @@ def mmr_rerank(
         selected = selected.unionByName(pick)
         out = out.unionByName(pick.select(query_col, cand_col, "rank"))
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "cos_sim",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query nDCG@k of a ranked retrieval result against graded
+    relevance judgments (public metric: Järvelin & Kekäläinen 2002;
+    the standard IR/ANN ranking-quality measure next to recall@k).
+
+    ``results`` carries a score column; ranks are derived here with
+    the repo-wide tie-break (score desc, neighbor asc) so the metric
+    is deterministic even when the retriever emits tied scores.
+    ``truth`` carries explicit grades (query, neighbor, rel).
+
+      DCG@k  = Σ_{i<=k} rel(result_i) / log2(i+1)
+      IDCG@k = the same sum over truth's top-k by (rel desc, id asc)
+      nDCG   = DCG / IDCG   (0.0 when IDCG = 0)
+
+    Queries present in ``truth`` but absent from ``results`` score 0.0
+    rather than disappearing — same no-silent-drop contract as
+    ``recall_at_k``.
+
+    Scale shape: both inputs are k·|Q|-row relations; two top-k
+    windows partitioned by query + one equi-join + one keyed
+    aggregate. Corpus-size-independent, no UDFs, no collect.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    r = results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.col(score_col).alias("__score"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        r.withColumn("__pos", F.row_number().over(wr))
+        .filter(F.col("__pos") <= k)
+        .join(t, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("__rel"), F.lit(0.0))
+                / F.log2(F.col("__pos") + F.lit(1.0))
+            ).alias("__dcg")
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("__rel").desc(), F.col("neighbor_id").asc()
+    )
+    ideal = (
+        t.withColumn("__pos", F.row_number().over(wt))
+        .filter(F.col("__pos") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("__rel") / F.log2(F.col("__pos") + F.lit(1.0))).alias(
+                "__idcg"
+            )
+        )
+    )
+    return (
+        ideal.join(ranked, "query_id", "left")
+        .select(
+            "query_id",
+            dround(
+                F.when(
+                    F.col("__idcg") > 0,
+                    F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )

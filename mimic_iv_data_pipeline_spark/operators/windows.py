@@ -198,3 +198,86 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(session_col, F.sum(is_break).over(wsum))
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached each stage IN
+    ORDER (stage i+1 counted only from events at-or-after the user's
+    earliest qualifying stage-i time). The product-analytics classic
+    next to retention (q148); the ordered-sequence semantics match
+    the windowFunnel model popularized by ClickHouse/Amplitude.
+
+    Unordered per-stage mins would over- or under-count: a user whose
+    only pre-signup clicks precede their signup must NOT convert, while
+    one with clicks both before and after must — only the sequential
+    earliest-qualifying-time recurrence gets both right.
+
+    Scale shape: one conditional aggregate per stage over the
+    events relation, each chained through an equi-join on the
+    |users|-row frontier (broadcastable — the frontier only shrinks).
+    The events scan is filtered to one stage type per step, so
+    predicate pushdown prunes each pass; no windows over the raw event
+    log, no collect. Output is len(stages) rows.
+
+    Returns ``(stage_idx, stage, users, pct_of_first, pct_of_prev)``
+    with 6dp-rounded ratios; the first stage's pct_of_prev is 1.0.
+    """
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct")
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    )
+    # Each frontier is localCheckpoint-ed (same discipline as
+    # pagerank/connected_components): step i+1 joins a materialized
+    # |users|-row relation instead of re-deriving the whole chain, so
+    # the event log is scanned exactly once per stage.
+    frontier = (
+        ev.filter(F.col("__t") == stages[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__reach"))
+        .localCheckpoint(eager=True)
+    )
+    counts = [frontier.count()]
+    for s in stages[1:]:
+        frontier = (
+            ev.filter(F.col("__t") == s)
+            .join(F.broadcast(frontier), "__u")
+            .filter(F.col("__ts") >= F.col("__reach"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__reach"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append(frontier.count())
+    rows = [
+        (
+            i + 1,
+            s,
+            counts[i],
+            counts[i] / counts[0] if counts[0] else 0.0,
+            (counts[i] / counts[i - 1] if counts[i - 1] else 0.0) if i else 1.0,
+        )
+        for i, s in enumerate(stages)
+    ]
+    out = spark.createDataFrame(
+        rows, "stage_idx long, stage string, users long, __pf double, __pp double"
+    )
+    return out.select(
+        "stage_idx",
+        "stage",
+        "users",
+        dround(F.col("__pf"), 6).alias("pct_of_first"),
+        dround(F.col("__pp"), 6).alias("pct_of_prev"),
+    )

@@ -86,11 +86,15 @@ _MODULES = [
 #   token/quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint
 #   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
 #   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
-# r6 plan: (a) any r5 reds; (d) q02 q05 q06 q07 q09 q10 q11 q12 q13
-#   q21 q22 q23 q25 q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q46 q47,
-#   then oldest r3-block entries (q48-q83 not re-checked since r3)
-#   and rows-only entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107
-#   q114 q115 q122) to 50.
+# r6 plan: (a) any r5 reds, then the third-wave queries added after
+#   the r5 window filled (q151 triangle count, q152 nDCG@5, q153
+#   funnel, q154 target encoding, q155 token budget, q156 MAD
+#   outliers, q157 mutual information — 7 first driver rows, all
+#   oracled and green in the local battery this round); (d) q02 q05
+#   q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29 q30 q31
+#   q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
+#   (q48-q83 not re-checked since r3) and rows-only entries (q40 q41
+#   q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) to 50.
 _PRIORITY = [
     # (a) never driver-checked — added after the r4 window filled
     "q117_hashed_linear_score",

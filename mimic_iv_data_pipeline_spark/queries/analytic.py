@@ -501,3 +501,142 @@ def q149_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --- q153: ordered funnel conversion ----------------------------------------
+# signup -> view -> click -> purchase over the event log; each stage
+# counts only users whose stage-i event is at-or-after their earliest
+# qualifying stage-(i-1) time (the sequential funnel recurrence —
+# unordered per-stage mins would miscount users with pre-signup
+# clicks). Companion to q148's retention matrix.
+@register(
+    "q153_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS r FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS r FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.r
+      WHERE e.event_type = 'view' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS r FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.r
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS r FROM events e
+      JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.r
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), c AS (
+      SELECT 1 AS stage_idx, 'signup' AS stage,
+             (SELECT count(*) FROM s1) AS users
+      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(users AS BIGINT) AS users,
+           floor(CASE WHEN first_value(users) OVER (ORDER BY stage_idx) = 0
+                      THEN 0.0
+                      ELSE users * 1.0
+                           / first_value(users) OVER (ORDER BY stage_idx)
+                 END * 1e6 + 0.5) / 1e6 AS pct_of_first,
+           floor(coalesce(
+                   users * 1.0
+                   / nullif(lag(users) OVER (ORDER BY stage_idx), 0),
+                   CASE WHEN stage_idx = 1 THEN 1.0 ELSE 0.0 END)
+                 * 1e6 + 0.5) / 1e6 AS pct_of_prev
+    FROM c
+    """,
+)
+def q153_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 4-stage funnel over events
+    (operators/windows.py:funnel_conversion — one filtered aggregate
+    per stage chained through a broadcast frontier join)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["signup", "view", "click", "purchase"])
+
+
+# --- q156: MAD-based robust outlier summary ----------------------------------
+# The Hampel identifier next to q16's mean±kσ clamp: medians and MADs
+# are exact percentiles (both engines interpolate), the outlier cut
+# compares against the UNROUNDED threshold on both sides, and only the
+# output columns are rounded — so the digest covers the robust
+# statistics and the flag counts.
+@register(
+    "q156_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag AS grp, median(l_extendedprice) AS m, count(*) AS n
+      FROM lineitem GROUP BY 1
+    ), dev AS (
+      SELECT l.l_returnflag AS grp,
+             abs(l.l_extendedprice - med.m) AS dv, med.m, med.n
+      FROM lineitem l JOIN med ON l.l_returnflag = med.grp
+    ), mad AS (SELECT grp, median(dv) AS mad FROM dev GROUP BY 1)
+    SELECT d.grp AS l_returnflag,
+           CAST(max(d.n) AS BIGINT) AS n,
+           floor(max(d.m) * 1e6 + 0.5) / 1e6 AS median,
+           floor(max(mad.mad) * 1e6 + 0.5) / 1e6 AS mad,
+           CAST(sum(CASE WHEN d.dv > 3.5 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.grp = d.grp
+    GROUP BY 1
+    """,
+)
+def q156_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag robust outlier summary
+    (operators/aggregates.py:mad_outliers — three keyed aggregates,
+    broadcast group stats, no window over the facts)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mad_outliers(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        "n",
+        dround(F.col("median"), 6).alias("median"),
+        dround(F.col("mad"), 6).alias("mad"),
+        "n_outliers",
+    )
+
+
+# --- q157: mutual information between categorical columns --------------------
+# Feature-dependence screen (sklearn mutual_info_score semantics,
+# natural log): MI(returnflag; linestatus) plus both marginal
+# entropies, all derived from ONE joint aggregate — fact table scanned
+# once, every downstream relation is |X|·|Y| rows.
+@register(
+    "q157_mutual_information",
+    oracle="""
+    WITH jc AS (
+      SELECT l_returnflag AS x, l_linestatus AS y, count(*) * 1.0 AS c
+      FROM lineitem GROUP BY 1, 2
+    ), mx AS (SELECT x, sum(c) AS cx FROM jc GROUP BY 1),
+    my AS (SELECT y, sum(c) AS cy FROM jc GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM jc)
+    SELECT CAST((SELECT n FROM t) AS BIGINT) AS n,
+           floor((SELECT sum((c / t.n) * ln((c * t.n) / (cx * cy)))
+                  FROM jc JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t)
+                 * 1e6 + 0.5) / 1e6 AS mi,
+           floor((SELECT -sum((cx / t.n) * ln(cx / t.n))
+                  FROM mx CROSS JOIN t) * 1e6 + 0.5) / 1e6 AS h_x,
+           floor((SELECT -sum((cy / t.n) * ln(cy / t.n))
+                  FROM my CROSS JOIN t) * 1e6 + 0.5) / 1e6 AS h_y
+    """,
+)
+def q157_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI + marginal entropies of returnflag × linestatus
+    (operators/aggregates.py:mutual_information — one fact scan)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import mutual_information
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mutual_information(li, "l_returnflag", "l_linestatus")
+    return out.select(
+        "n",
+        dround(F.col("mi"), 6).alias("mi"),
+        dround(F.col("h_x"), 6).alias("h_x"),
+        dround(F.col("h_y"), 6).alias("h_y"),
+    )

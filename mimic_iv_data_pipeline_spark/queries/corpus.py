@@ -441,3 +441,44 @@ def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
     return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))
+
+
+# --- q151: exact triangle counting ------------------------------------------
+# Same 40-node lineitem contraction as q142 (dense enough to close
+# thousands of wedges); the operator's degree-ordered wedge enumeration
+# (Suri-Vassilvitskii orientation) must agree exactly with the oracle's
+# naive canonical a<b<c three-way self-join.
+@register(
+    "q151_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+        least(l_suppkey % 40, l_partkey % 40) AS a,
+        greatest(l_suppkey % 40, l_partkey % 40) AS b
+      FROM lineitem WHERE l_suppkey % 40 != l_partkey % 40
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM raw e1
+      JOIN raw e2 ON e1.b = e2.a
+      JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), nodes AS (SELECT a AS node FROM raw UNION SELECT b FROM raw),
+    members AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ), cnt AS (SELECT node, count(*) AS t FROM members GROUP BY node)
+    SELECT nodes.node, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
+    FROM nodes LEFT JOIN cnt ON nodes.node = cnt.node
+    """,
+)
+def q151_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts over the q142 graph
+    (operators/graph.py:triangle_count — degree-oriented wedge join,
+    O(m^{3/2}) wedge bound, no cartesian)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_suppkey") % 40).alias("src"), (F.col("l_partkey") % 40).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges)

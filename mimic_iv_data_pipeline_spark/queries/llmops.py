@@ -1547,3 +1547,109 @@ def q135_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("tokens"), " ").alias("tokens_csv"),
         "n_tokens",
     )
+
+
+# --- q154: leakage-safe k-fold target encoding -------------------------------
+# Smoothed out-of-fold target statistics (Micci-Barreca 2001) for
+# o_orderpriority against the order-completion label: each order's
+# encoding excludes its own hash-fold's labels — the full (key, fold,
+# te) map is hash-verified, so any leak of the row's own label into
+# its encoding flips the digest.
+@register(
+    "q154_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             cast(concat('0x', substr(md5(concat('te:5:',
+               cast(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 5 AS fold
+      FROM orders
+    ), cf AS (
+      SELECT cat, fold, sum(y) AS s, count(*) AS c FROM base GROUP BY 1, 2
+    ), ct AS (SELECT cat, sum(s) AS s, sum(c) AS c FROM cf GROUP BY 1),
+    gf AS (SELECT fold, sum(y) AS s, count(*) AS c FROM base GROUP BY 1),
+    g AS (SELECT sum(y) AS s, count(*) AS c FROM base)
+    SELECT b.o_orderkey, CAST(b.fold AS BIGINT) AS fold,
+           floor(((ct.s - cf.s)
+                  + 10.0 * ((g.s - gf.s) / (g.c - gf.c)))
+                 / ((ct.c - cf.c) + 10.0) * 1e6 + 0.5) / 1e6 AS te
+    FROM base b
+    JOIN cf ON cf.cat = b.cat AND cf.fold = b.fold
+    JOIN ct ON ct.cat = b.cat
+    JOIN gf ON gf.fold = b.fold
+    CROSS JOIN g
+    """,
+)
+def q154_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe smoothed target encoding of order priority
+    (operators/mlprep.py:target_encode_kfold — one (cat, fold)
+    aggregate broadcast back, no fact-side window)."""
+    from mimic_iv_data_pipeline_spark.operators.mlprep import target_encode_kfold
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    out = target_encode_kfold(
+        df, key_col="o_orderkey", cat_col="o_orderpriority",
+        label_col="label", k=5, smoothing=10.0,
+    )
+    return out.select("o_orderkey", "fold", dround(F.col("te"), 6).alias("te"))
+
+
+# --- q155: token-budget corpus selection -------------------------------------
+# Quality-ranked prefix selection at a fixed token budget: rank docs by
+# alphabetic-character ratio, keep the prefix whose running token sum
+# fits 12k tokens (~45% of the sf0.01 corpus, so the cut bites). The operator's distributed prefix sum
+# (range-partition + per-partition window + broadcast offsets) must
+# reproduce the oracle's single ordered window EXACTLY — the digest
+# covers every kept row's cumulative sum.
+@register(
+    "q155_token_budget",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+             coalesce(
+               floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                     / nullif(length(text), 0) * 1e6 + 0.5) / 1e6,
+               0.0) AS score
+      FROM documents
+    ), c AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 12000
+    """,
+)
+def q155_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget prefix selection by alpha-ratio quality score
+    (operators/sampling.py:select_token_budget — distributed prefix
+    sum, no single-partition window)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import select_token_budget
+    from mimic_iv_data_pipeline_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.coalesce(
+            dround(
+                F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+                / F.nullif(F.length(F.col("text")).cast("double"), F.lit(0.0)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("score"),
+    )
+    out = select_token_budget(
+        base, score_col="score", tokens_col="n_tokens", budget=12_000
+    )
+    return out.select("doc_id", "score", "n_tokens", "cum_tokens")

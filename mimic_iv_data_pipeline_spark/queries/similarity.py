@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
@@ -1097,3 +1098,113 @@ def q150_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     cand = cosine_topk(queries, emb, k=8).withColumnRenamed("cos_sim", "rel")
     return mmr_rerank(cand, emb, k=3, lam=0.5)
+
+
+# --- q152: nDCG@5 of the fixed-centroid IVF search --------------------------
+# Ranking-quality companion to q143's recall@5: graded relevance from
+# the exact top-5 (rel = 6 - exact_rank), position-discounted. Both
+# retrieval sides, the rank derivation, and the DCG/IDCG aggregation
+# are mirrored in SQL — the evaluation harness is hash-verified end to
+# end (Järvelin & Kekäläinen 2002).
+@register(
+    "q152_ann_ndcg",
+    oracle="""
+    WITH cent AS (
+      SELECT c.c AS c,
+             list(floor((cast(concat('0x', substr(md5(concat('ivf:', c.c, ':', d.d)), 1, 8)) AS BIGINT)
+                         / 2147483648.0 - 1.0) * 1e6 + 0.5) / 1e6 ORDER BY d.d) AS cv
+      FROM range(16) c(c), range(64) d(d) GROUP BY 1
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), dist AS (
+      SELECT e.vec_id, cent.c,
+             list_dot_product(emb, emb) + list_dot_product(cv, cv)
+               - 2 * list_dot_product(emb, cv) AS d
+      FROM e, cent
+    ), cell1 AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ), qprobe AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dist WHERE vec_id < 10) WHERE rn <= 4
+    ), approx AS (
+      SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT DISTINCT q.vec_id AS query_id, cv2.vec_id AS neighbor_id,
+               floor(list_dot_product(qe.emb, ce.emb)
+                     / (sqrt(list_dot_product(qe.emb, qe.emb))
+                        * sqrt(list_dot_product(ce.emb, ce.emb)))
+                     * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM qprobe q
+        JOIN cell1 cv2 ON cv2.cell = q.cell AND cv2.vec_id != q.vec_id
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN e ce ON ce.vec_id = cv2.vec_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+    ), ranked AS (
+      SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS pos
+      FROM approx
+    ), exact0 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(q.emb, c.emb)
+                   / (sqrt(list_dot_product(q.emb, q.emb))
+                      * sqrt(list_dot_product(c.emb, c.emb)))
+                   * 1e6 + 0.5) / 1e6 AS cos_sim
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ), truth AS (
+      SELECT query_id, neighbor_id, CAST(6 - rn AS DOUBLE) AS rel FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM exact0) WHERE rn <= 5
+    ), dcg AS (
+      SELECT r.query_id, sum(coalesce(t.rel, 0) / log2(r.pos + 1.0)) AS dcg
+      FROM ranked r LEFT JOIN truth t
+        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+      GROUP BY 1
+    ), idcg AS (
+      SELECT query_id, sum(rel / log2(p + 1.0)) AS idcg FROM (
+        SELECT query_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS p
+        FROM truth) WHERE p <= 5
+      GROUP BY 1
+    )
+    SELECT i.query_id,
+           floor(CASE WHEN i.idcg > 0
+                      THEN coalesce(d.dcg, 0) / i.idcg ELSE 0 END
+                 * 1e6 + 0.5) / 1e6 AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+    """,
+)
+def q152_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the fixed-centroid IVF search against graded exact
+    top-5 relevance (operators/similarity.py:ndcg_at_k — two k·|Q|-row
+    windows + one equi-join, corpus-size-independent)."""
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ndcg_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(
+        queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
+    )
+    exact = cosine_topk(queries, emb, k=5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(6) - F.col("__rn")).cast("double").alias("rel"),
+        )
+    )
+    return ndcg_at_k(approx, truth, k=5)

@@ -1,0 +1,325 @@
+"""Round-5 third-wave operators: triangle counting, nDCG@k, funnel
+conversion, leakage-safe target encoding, token-budget selection,
+MAD outliers, mutual information.
+
+Each is checked against an independent brute-force python reference
+(not against its own SQL twin — the driver does that), plus the
+contract edges the oracle can't see (empty inputs, validation
+raise-paths, partition invariance).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.aggregates import (
+    mad_outliers,
+    mutual_information,
+)
+from mimic_iv_data_pipeline_spark.operators.graph import triangle_count
+from mimic_iv_data_pipeline_spark.operators.mlprep import target_encode_kfold
+from mimic_iv_data_pipeline_spark.operators.sampling import select_token_budget
+from mimic_iv_data_pipeline_spark.operators.similarity import ndcg_at_k
+from mimic_iv_data_pipeline_spark.operators.windows import funnel_conversion
+
+
+# ---------------------------------------------------------------- triangles
+def _brute_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per = {n: 0 for n in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            per[a] += 1  # each triangle visited via each of its 3 edges
+    return {n: t // 2 for n, t in per.items()}
+
+
+@pytest.fixture(scope="module")
+def tri_edges():
+    # Deterministic pseudo-random multigraph with self-loops, reversed
+    # duplicates, and hubs: hash-derived so no RNG state involved.
+    edges = []
+    for i in range(400):
+        a = (i * i * 31 + 7) % 23
+        b = (i * 17 + 3) % 23
+        edges.append((a, b))
+        if i % 5 == 0:
+            edges.append((b, a))  # reversed duplicate
+        if i % 11 == 0:
+            edges.append((a, a))  # self-loop
+    return edges
+
+
+def test_triangle_count_matches_bruteforce(spark, tri_edges):
+    df = spark.createDataFrame(tri_edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(tri_edges)
+
+
+def test_triangle_count_global_is_sum_over_three(spark, tri_edges):
+    df = spark.createDataFrame(tri_edges, "src long, dst long")
+    per = triangle_count(df).agg(F.sum("triangles")).collect()[0][0]
+    tot = triangle_count(df, per_node=False).collect()[0]["triangles"]
+    assert per == 3 * tot
+
+
+def test_triangle_count_zero_triangle_nodes_present(spark):
+    # A path graph has no triangles but every node must appear.
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    rows = triangle_count(df).collect()
+    assert len(rows) == 7 and all(r["triangles"] == 0 for r in rows)
+
+
+def test_triangle_count_partition_invariance(spark, tri_edges):
+    df = spark.createDataFrame(tri_edges, "src long, dst long")
+    a = sorted(map(tuple, triangle_count(df).collect()))
+    b = sorted(map(tuple, triangle_count(df.repartition(13)).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------------------- nDCG
+def _brute_ndcg(results, truth, k):
+    # results: {q: [(neighbor, score)]}, truth: {q: {neighbor: rel}}
+    out = {}
+    for q, grades in truth.items():
+        ideal = sorted(grades.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(rel / math.log2(i + 2) for i, (_, rel) in enumerate(ideal))
+        ranked = sorted(results.get(q, []), key=lambda kv: (-kv[1], kv[0]))[:k]
+        dcg = sum(
+            grades.get(n, 0.0) / math.log2(i + 2) for i, (n, _) in enumerate(ranked)
+        )
+        out[q] = 0.0 if idcg == 0 else dcg / idcg
+    return out
+
+
+def test_ndcg_matches_bruteforce(spark):
+    results = {
+        1: [(10, 0.9), (11, 0.8), (12, 0.7), (13, 0.6)],
+        2: [(20, 0.5), (21, 0.5), (22, 0.4)],  # tied scores -> id tiebreak
+        3: [(30, 0.9)],
+    }
+    truth = {
+        1: {10: 3.0, 12: 2.0, 99: 1.0},
+        2: {21: 2.0, 22: 1.0},
+        3: {40: 1.0},  # retrieved nothing relevant
+        4: {50: 2.0},  # query missing from results -> 0.0
+    }
+    rdf = spark.createDataFrame(
+        [(q, n, s) for q, rs in results.items() for n, s in rs],
+        "query_id long, neighbor_id long, cos_sim double",
+    )
+    tdf = spark.createDataFrame(
+        [(q, n, r) for q, gs in truth.items() for n, r in gs.items()],
+        "query_id long, neighbor_id long, rel double",
+    )
+    got = {r["query_id"]: r["ndcg"] for r in ndcg_at_k(rdf, tdf, k=3).collect()}
+    want = _brute_ndcg(results, truth, 3)
+    assert set(got) == set(want)
+    for q in want:
+        assert got[q] == pytest.approx(want[q], abs=1e-6)
+
+
+def test_ndcg_zero_idcg_and_validation(spark):
+    rdf = spark.createDataFrame(
+        [(1, 10, 0.9)], "query_id long, neighbor_id long, cos_sim double"
+    )
+    tdf = spark.createDataFrame(
+        [(1, 10, 0.0)], "query_id long, neighbor_id long, rel double"
+    )
+    assert ndcg_at_k(rdf, tdf, k=3).collect()[0]["ndcg"] == 0.0
+    with pytest.raises(ValueError):
+        ndcg_at_k(rdf, tdf, k=0)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    tdf = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 11, 2.0), (1, 12, 1.0)],
+        "query_id long, neighbor_id long, rel double",
+    )
+    rdf = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, neighbor_id long, cos_sim double",
+    )
+    assert ndcg_at_k(rdf, tdf, k=3).collect()[0]["ndcg"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------------ funnel
+def test_funnel_ordered_semantics(spark):
+    rows = [
+        # u1 completes in order
+        (1, 100, "signup"), (1, 200, "view"), (1, 300, "buy"),
+        # u2: view only BEFORE signup -> must NOT pass view
+        (2, 100, "view"), (2, 200, "signup"),
+        # u3: view before AND after signup -> must pass via the later one
+        (3, 100, "view"), (3, 200, "signup"), (3, 300, "view"),
+        # u4 never signs up
+        (4, 100, "view"), (4, 200, "buy"),
+        # u5: same-timestamp signup+view (>= boundary) then buy
+        (5, 100, "signup"), (5, 100, "view"), (5, 150, "buy"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows],
+        "user_id long, ts double, event_type string",
+    )
+    out = {
+        r["stage"]: (r["users"], r["pct_of_first"], r["pct_of_prev"])
+        for r in funnel_conversion(df, ["signup", "view", "buy"]).collect()
+    }
+    assert out["signup"] == (4, 1.0, 1.0)
+    assert out["view"][0] == 3  # u1, u3, u5 — not u2
+    assert out["buy"][0] == 2  # u1, u5
+    assert out["buy"][1] == pytest.approx(0.5)
+    assert out["buy"][2] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_funnel_empty_first_stage_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, "view")], "user_id long, ts double, event_type string"
+    )
+    out = funnel_conversion(df, ["signup", "view"]).collect()
+    assert [r["users"] for r in out] == [0, 0]
+    assert [r["pct_of_first"] for r in out] == [0.0, 0.0]
+    with pytest.raises(ValueError):
+        funnel_conversion(df, [])
+    with pytest.raises(ValueError):
+        funnel_conversion(df, ["a", "a"])
+
+
+# --------------------------------------------------------- target encoding
+def test_target_encoding_leakage_safe(spark):
+    data = [(i, "ab"[i % 2], float(i % 3 == 0)) for i in range(200)]
+    df = spark.createDataFrame(data, "id long, cat string, y double")
+    out = target_encode_kfold(
+        df, key_col="id", cat_col="cat", label_col="y", k=4, smoothing=5.0
+    ).collect()
+    # Python reference from the rows' own fold assignments.
+    folds = {r["id"]: r["fold"] for r in out}
+    from collections import defaultdict
+
+    s_cf, c_cf, s_f, c_f = (
+        defaultdict(float), defaultdict(int), defaultdict(float), defaultdict(int)
+    )
+    for i, cat, y in data:
+        f = folds[i]
+        s_cf[(cat, f)] += y
+        c_cf[(cat, f)] += 1
+        s_f[f] += y
+        c_f[f] += 1
+    s_g, c_g = sum(s_f.values()), sum(c_f.values())
+    for r in out:
+        cat, f = r["cat"], r["fold"]
+        s_c = sum(v for (c0, _), v in s_cf.items() if c0 == cat)
+        c_c = sum(v for (c0, _), v in c_cf.items() if c0 == cat)
+        prior = (s_g - s_f[f]) / (c_g - c_f[f])
+        want = ((s_c - s_cf[(cat, f)]) + 5.0 * prior) / ((c_c - c_cf[(cat, f)]) + 5.0)
+        assert r["te"] == pytest.approx(want, abs=1e-9)
+
+
+def test_target_encoding_excludes_own_label(spark):
+    # One extreme-label row: its own encoding must not see its label.
+    # Category "z" has a single row with y=1; every other row y=0.
+    data = [(0, "z", 1.0)] + [(i, "z", 0.0) for i in range(1, 50)]
+    df = spark.createDataFrame(data, "id long, cat string, y double")
+    out = {r["id"]: r for r in target_encode_kfold(
+        df, key_col="id", cat_col="cat", label_col="y", k=5, smoothing=1.0
+    ).collect()}
+    f0 = out[0]["fold"]
+    same_fold = [r for r in out.values() if r["fold"] == f0 and r["id"] != 0]
+    # Rows sharing row-0's fold exclude its label too; rows in other
+    # folds include it -> strictly larger encodings.
+    other = [r for r in out.values() if r["fold"] != f0]
+    assert other, "hash folds degenerate: all rows in one fold"
+    assert max(r["te"] for r in [out[0], *same_fold]) < min(r["te"] for r in other)
+    with pytest.raises(ValueError):
+        target_encode_kfold(df, "id", "cat", "y", k=1)
+    with pytest.raises(ValueError):
+        target_encode_kfold(df, "id", "cat", "y", smoothing=0.0)
+
+
+# ------------------------------------------------------- token budget
+def test_select_token_budget_matches_sorted_prefix(spark):
+    data = [(i, float((i * 7) % 13) / 13.0, 10 + (i * 3) % 40) for i in range(300)]
+    df = spark.createDataFrame(data, "doc_id long, score double, n_tokens long")
+    budget = 3000
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_token_budget(df, "score", "n_tokens", budget).collect()
+    }
+    want, acc = {}, 0
+    for i, s, t in sorted(data, key=lambda x: (-x[1], x[0])):
+        acc += t
+        if acc > budget:
+            break
+        want[i] = acc
+    assert got == want
+
+
+def test_select_token_budget_partition_invariance_and_edges(spark):
+    data = [(i, float(i % 5), 100) for i in range(50)]
+    df = spark.createDataFrame(data, "doc_id long, score double, n_tokens long")
+    a = sorted(r["doc_id"] for r in select_token_budget(df, "score", "n_tokens", 2000).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in select_token_budget(df.repartition(17), "score", "n_tokens", 2000).collect()
+    )
+    assert a == b and len(a) == 20
+    assert select_token_budget(df, "score", "n_tokens", 0).count() == 0
+    with pytest.raises(ValueError):
+        select_token_budget(df, "score", "n_tokens", -1)
+
+
+# ------------------------------------------------------------ MAD outliers
+def test_mad_outliers_matches_numpy(spark):
+    import numpy as np
+
+    vals = [(g, float(v)) for g in ("a", "b") for v in range(100)]
+    vals += [("a", 1e6), ("a", -1e6), ("b", 500.0)]
+    df = spark.createDataFrame(vals, "grp string, x double")
+    out = {r["grp"]: r for r in mad_outliers(df, "grp", "x").collect()}
+    for g in ("a", "b"):
+        arr = np.array([v for gg, v in vals if gg == g])
+        med = np.percentile(arr, 50)
+        mad = np.percentile(np.abs(arr - med), 50)
+        n_out = int(np.sum(np.abs(arr - med) > 3.5 * 1.4826 * mad))
+        assert out[g]["n"] == len(arr)
+        assert out[g]["median"] == pytest.approx(med)
+        assert out[g]["mad"] == pytest.approx(mad)
+        assert out[g]["n_outliers"] == n_out
+    assert out["a"]["n_outliers"] >= 2  # the planted extremes are caught
+
+
+# ------------------------------------------------------ mutual information
+def test_mutual_information_matches_reference(spark):
+    data = [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 50
+    df = spark.createDataFrame(data, "u string, v string")
+    row = mutual_information(df, "u", "v").collect()[0]
+    n = len(data)
+    from collections import Counter
+
+    jc = Counter(data)
+    cx, cy = Counter(x for x, _ in data), Counter(y for _, y in data)
+    mi = sum(
+        (c / n) * math.log((c * n) / (cx[x] * cy[y])) for (x, y), c in jc.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in cx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in cy.values())
+    assert row["n"] == n
+    assert row["mi"] == pytest.approx(mi, abs=1e-9)
+    assert row["h_x"] == pytest.approx(hx, abs=1e-9)
+    assert row["h_y"] == pytest.approx(hy, abs=1e-9)
+    # MI bounded by min(H) and non-negative
+    assert 0.0 <= row["mi"] <= min(row["h_x"], row["h_y"]) + 1e-12
+
+
+def test_mutual_information_independent_is_zero(spark):
+    data = [(x, y) for x in ("a", "b") for y in ("p", "q") for _ in range(25)]
+    df = spark.createDataFrame(data, "u string, v string")
+    assert mutual_information(df, "u", "v").collect()[0]["mi"] == pytest.approx(
+        0.0, abs=1e-12
+    )
