@@ -188,6 +188,7 @@ def target_encode_kfold(
     salt: str = "te",
     out_col: str = "te",
     fold_col: str = "fold",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Leakage-safe k-fold target encoding of a categorical feature
     (public: Micci-Barreca 2001 smoothed target statistics; the
@@ -206,6 +207,13 @@ def target_encode_kfold(
     join) leaks the target and inflates validation scores; the
     per-fold exclusion is the fix.
 
+    ``hash_fn`` picks the fold hash: ``'md5'`` (default) is the
+    engine-neutral convention every SQL oracle can mirror;
+    ``'xxhash64'`` is the production fast path — measured 20× cheaper
+    per pass at 15M rows (12.3 s vs 0.6 s, scale_probes_r5c), same
+    content-addressed stability, just not expressible in DuckDB. Same
+    seam as ``hyperplane_signature(plane_hash=...)``.
+
     Scale shape: ONE (cat, fold) aggregate (≤ |cats|·k rows) plus a
     k-row fold aggregate and a 1-row global — all broadcast back onto
     the fact relation; no window over the facts, no second scan of the
@@ -218,21 +226,32 @@ def target_encode_kfold(
         raise ValueError(f"target_encode_kfold: k must be >= 2, got {k}")
     if smoothing <= 0:
         raise ValueError("target_encode_kfold: smoothing must be > 0")
-    base = df.withColumn(
-        fold_col,
-        F.pmod(_hash_long(F.col(key_col), f"{salt}:{k}"), F.lit(k)).cast("long"),
-    ).withColumn("__y", F.col(label_col).cast("double"))
+    if hash_fn == "md5":
+        fold = F.pmod(_hash_long(F.col(key_col), f"{salt}:{k}"), F.lit(k))
+    elif hash_fn == "xxhash64":
+        fold = F.pmod(F.xxhash64(F.lit(f"{salt}:{k}"), F.col(key_col)), F.lit(k))
+    else:
+        raise ValueError(f"target_encode_kfold: unknown hash_fn={hash_fn!r}")
+    base = df.withColumn(fold_col, fold.cast("long")).withColumn(
+        "__y", F.col(label_col).cast("double")
+    )
+    # ONE pass over the facts builds the (cat, fold) joint; the
+    # category totals, fold totals, and global total all re-aggregate
+    # that ≤|cats|·k-row relation (margins-from-the-joint, same trick
+    # as mutual_information) — without this, gf/g each rescanned the
+    # facts and recomputed the md5 fold per row (measured 45 s → 23 s
+    # at 15M rows, scale_probes_r5c).
     cf = base.groupBy(cat_col, fold_col).agg(
         F.sum("__y").alias("__s_cf"), F.count(F.lit(1)).alias("__c_cf")
-    )
+    ).localCheckpoint(eager=True)
     ct = cf.groupBy(cat_col).agg(
         F.sum("__s_cf").alias("__s_c"), F.sum("__c_cf").alias("__c_c")
     )
-    gf = base.groupBy(fold_col).agg(
-        F.sum("__y").alias("__s_f"), F.count(F.lit(1)).alias("__c_f")
+    gf = cf.groupBy(fold_col).agg(
+        F.sum("__s_cf").alias("__s_f"), F.sum("__c_cf").alias("__c_f")
     )
-    g = base.agg(
-        F.sum("__y").alias("__s_g"), F.count(F.lit(1)).alias("__c_g")
+    g = cf.agg(
+        F.sum("__s_cf").alias("__s_g"), F.sum("__c_cf").alias("__c_g")
     )
     prior = (F.col("__s_g") - F.col("__s_f")) / F.nullif(
         (F.col("__c_g") - F.col("__c_f")).cast("double"), F.lit(0.0)

@@ -1,0 +1,157 @@
+"""Round-5 third-wave scale probes: the analytics/eval/curation
+operators at ~100× sf0.1 (method identical to scale_probes_r5.py —
+replicate in-session, time the warm second run).
+
+Families probed:
+  * triangle_count (q151) on a 2M-edge hub-heavy graph — the probe the
+    degree orientation exists for: a 4k-degree hub makes unoriented
+    wedge enumeration ~8M rows per hub, oriented stays m^{3/2}-bounded;
+  * funnel_conversion (q153) over 20M events;
+  * target_encode_kfold (q154) over 15M orders;
+  * select_token_budget (q155) over 5M docs (distributed prefix sum);
+  * mad_outliers (q156) + mutual_information (q157) over 15M rows.
+
+Usage: python scripts/scale_probes_r5c.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mimic_iv_data_pipeline_spark import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _timed(tag, fn):
+    fn()  # codegen warm-up
+    t0 = time.perf_counter()
+    n = fn()
+    dt = time.perf_counter() - t0
+    print(f"{tag}: {dt:.2f} s  ({n} rows)")
+    return dt
+
+
+def probe_triangles(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import triangle_count
+
+    # 2M hash-derived edges over 50k nodes, PLUS a 4000-edge hub: the
+    # hub's unoriented wedge count would be ~16M rows from one node;
+    # orientation caps its out-degree at ~sqrt-scale.
+    base = spark.range(2_000_000).select(
+        (F.xxhash64("id") % 50_000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 50_000).alias("dst"),
+    )
+    hub = spark.range(4_000).select(
+        F.lit(7).cast("long").alias("src"), (F.col("id") % 50_000).alias("dst")
+    )
+    edges = base.unionByName(hub).persist()
+    edges.count()
+    _timed("[triangles] 2M edges + 4k-degree hub, per-node",
+           lambda: triangle_count(edges).count())
+    edges.unpersist()
+
+
+def probe_funnel(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import funnel_conversion
+
+    # 20M events over 200k users, 4 stage types with realistic drop-off.
+    ev = spark.range(20_000_000).select(
+        (F.xxhash64("id") % 200_000).alias("user_id"),
+        (F.xxhash64("id", F.lit(2)) % 1_000_000).cast("double").alias("ts"),
+        F.element_at(
+            F.array(F.lit("signup"), F.lit("view"), F.lit("view"),
+                    F.lit("click"), F.lit("purchase"), F.lit("other")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(6)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    # NOT persisted: the synthesized source is one codegen'd projection
+    # over range() — recomputing per stage scan is cheaper than holding
+    # 20M cached rows in a 32-thread single JVM (GC-locker thrash).
+    _timed("[funnel] 20M events, 4 stages",
+           lambda: funnel_conversion(
+               ev, ["signup", "view", "click", "purchase"]).count())
+
+
+
+def probe_target_encoding(spark):
+    from mimic_iv_data_pipeline_spark.operators.mlprep import target_encode_kfold
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    big = o.crossJoin(spark.range(100).select(F.col("id").alias("__rep"))).select(
+        (F.col("o_orderkey") * 100 + F.col("__rep")).alias("k"),
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    ).persist()
+    n = big.count()
+    print(f"[te] {n} rows")
+    _timed("[te] k-fold target encoding, 15M rows (md5 folds)",
+           lambda: target_encode_kfold(
+               big, "k", "o_orderpriority", "y", k=5).count())
+    _timed("[te] k-fold target encoding, 15M rows (xxhash64 folds)",
+           lambda: target_encode_kfold(
+               big, "k", "o_orderpriority", "y", k=5,
+               hash_fn="xxhash64").count())
+    big.unpersist()
+
+
+def probe_token_budget(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import select_token_budget
+
+    docs = spark.range(5_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1e6).alias("score"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(900)) + 100).alias("n_tokens"),
+    ).persist()
+    docs.count()
+    # budget = ~40% of ~3B total tokens
+    _timed("[budget] 5M docs, distributed prefix sum",
+           lambda: select_token_budget(
+               docs, "score", "n_tokens", budget=1_200_000_000).count())
+    docs.unpersist()
+
+
+def probe_robust_stats(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        mad_outliers,
+        mutual_information,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    big = li.select("l_returnflag", "l_linestatus", "l_extendedprice").crossJoin(
+        spark.range(25).select(F.col("id").alias("__rep"))
+    ).persist()
+    n = big.count()
+    print(f"[robust] {n} rows")
+    _timed("[robust] MAD outliers (exact percentile), 15M rows",
+           lambda: mad_outliers(big, "l_returnflag", "l_extendedprice").count())
+    _timed("[robust] mutual information, 15M rows",
+           lambda: mutual_information(big, "l_returnflag", "l_linestatus").count())
+    big.unpersist()
+
+
+PROBES = {
+    "triangles": probe_triangles,
+    "funnel": probe_funnel,
+    "te": probe_target_encoding,
+    "budget": probe_token_budget,
+    "robust": probe_robust_stats,
+}
+
+
+def main():
+    spark = get_spark("scale_probes_r5c")
+    which = sys.argv[1:] or list(PROBES)
+    for name in which:
+        PROBES[name](spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,12 @@ def test_clean_stages_are_independent(spark):
         "q142_pagerank",
         "q139_scd2_history",
         "q146_incremental_rollup",
+        # r5 third wave: oriented wedge join, distributed prefix sum,
+        # out-of-fold encoding — the ones whose partitioning carries
+        # correctness weight
+        "q151_triangle_count",
+        "q154_target_encoding",
+        "q155_token_budget",
     ],
 )
 def test_results_invariant_to_shuffle_partition_count(spark, sf_smoke, qname):

@@ -192,11 +192,13 @@ def test_funnel_empty_first_stage_and_validation(spark):
 
 
 # --------------------------------------------------------- target encoding
-def test_target_encoding_leakage_safe(spark):
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_target_encoding_leakage_safe(spark, hash_fn):
     data = [(i, "ab"[i % 2], float(i % 3 == 0)) for i in range(200)]
     df = spark.createDataFrame(data, "id long, cat string, y double")
     out = target_encode_kfold(
-        df, key_col="id", cat_col="cat", label_col="y", k=4, smoothing=5.0
+        df, key_col="id", cat_col="cat", label_col="y", k=4, smoothing=5.0,
+        hash_fn=hash_fn,
     ).collect()
     # Python reference from the rows' own fold assignments.
     folds = {r["id"]: r["fold"] for r in out}
