@@ -80,6 +80,12 @@ HEADLINE = [
     "q142_pagerank",
     "q144_pit_join",
     "q140_profile_table",
+    # round-5 third wave: oriented wedge join (the second graph
+    # workload beside PageRank), multi-pass funnel over the event log,
+    # and the distributed-prefix-sum corpus selection.
+    "q151_triangle_count",
+    "q153_funnel",
+    "q155_token_budget",
 ]
 
 

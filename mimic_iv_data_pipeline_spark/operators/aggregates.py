@@ -469,3 +469,110 @@ def mutual_information(
         .alias("h_y")
     )
     return mi.crossJoin(hx).crossJoin(hy).select("n", "mi", "h_x", "h_y")
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    variant_col: str,
+    y_col: str,
+    x_col: str,
+    control: str | int = 0,
+    treatment: str | int = 1,
+) -> DataFrame:
+    """Two-variant experiment readout with CUPED variance reduction
+    (public: Welch's unequal-variance z on the raw metric; CUPED per
+    Deng, Xu, Kohavi & Walker WSDM 2013 — adjust the metric by a
+    pre-experiment covariate, θ = cov(x,y)/var(x) pooled, which leaves
+    the treatment effect unbiased and shrinks variance by the squared
+    correlation).
+
+        y'      = y − θ·(x − mean_pooled(x))
+        var(y') = var(y) − 2θ·cov(x,y) + θ²·var(x)      (per variant)
+        z       = (mean_t − mean_c) / sqrt(var_c/n_c + var_t/n_t)
+
+    Scale shape: ONE aggregate pass over the facts collecting the six
+    sufficient moments (n, Σy, Σy², Σx, Σx², Σxy) per variant — a
+    2-row relation collected once (bounded by construction) for
+    validation and re-lifted as plan literals; everything downstream
+    (θ, lifts, z-scores) is arithmetic on those moments. Sample
+    variances use the n−1 denominator.
+
+    Returns ONE row: (n_c, n_t, mean_c, mean_t, lift, z, theta,
+    lift_cuped, z_cuped, var_reduction_pct) — unrounded; query sites
+    round. Raises if either variant has < 2 rows (variance undefined).
+    """
+    v = F.col(variant_col)
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    m = (
+        df.filter(v.isin([control, treatment]))
+        .groupBy(
+            F.when(v == F.lit(treatment), F.lit(1)).otherwise(F.lit(0)).alias("__g")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    # ONE scan of the facts: the 2-row moment relation is collected
+    # (bounded by construction), validated, and re-lifted as literals —
+    # the facts are never rescanned for validation or the output.
+    rows = {int(r["__g"]): r for r in m.collect()}
+    if set(rows) != {0, 1} or any(r["n"] < 2 for r in rows.values()):
+        raise ValueError(
+            "cuped_ab_test: both variants must be present with >= 2 rows"
+        )
+    spark = df.sparkSession
+    j = spark.createDataFrame(
+        [
+            tuple(float(rows[0][col]) for col in ["n", "sy", "syy", "sx", "sxx", "sxy"])
+            + tuple(float(rows[1][col]) for col in ["n", "sy", "syy", "sx", "sxx", "sxy"])
+        ],
+        "n_c double, sy_c double, syy_c double, sx_c double, sxx_c double, sxy_c double, "
+        "n_t double, sy_t double, syy_t double, sx_t double, sxx_t double, sxy_t double",
+    )
+
+    def stats(side: str):
+        n = F.col(f"n_{side}")
+        my = F.col(f"sy_{side}") / n
+        mx = F.col(f"sx_{side}") / n
+        vy = (F.col(f"syy_{side}") - n * my * my) / (n - 1)
+        vx = (F.col(f"sxx_{side}") - n * mx * mx) / (n - 1)
+        cxy = (F.col(f"sxy_{side}") - n * mx * my) / (n - 1)
+        return n, my, mx, vy, vx, cxy
+
+    n_c, my_c, mx_c, vy_c, vx_c, cxy_c = stats("c")
+    n_t, my_t, mx_t, vy_t, vx_t, cxy_t = stats("t")
+    # Pooled moments over both variants for θ and mean_pooled(x).
+    n_p = n_c + n_t
+    mx_p = (F.col("sx_c") + F.col("sx_t")) / n_p
+    my_p = (F.col("sy_c") + F.col("sy_t")) / n_p
+    vx_p = (F.col("sxx_c") + F.col("sxx_t") - n_p * mx_p * mx_p) / (n_p - 1)
+    cxy_p = (F.col("sxy_c") + F.col("sxy_t") - n_p * mx_p * my_p) / (n_p - 1)
+    theta = cxy_p / vx_p
+    lift = my_t - my_c
+    se = F.sqrt(vy_c / n_c + vy_t / n_t)
+    madj_c = my_c - theta * (mx_c - mx_p)
+    madj_t = my_t - theta * (mx_t - mx_p)
+    vadj_c = vy_c - 2 * theta * cxy_c + theta * theta * vx_c
+    vadj_t = vy_t - 2 * theta * cxy_t + theta * theta * vx_t
+    lift_cuped = madj_t - madj_c
+    se_cuped = F.sqrt(vadj_c / n_c + vadj_t / n_t)
+    return j.select(
+        n_c.cast("long").alias("n_c"),
+        n_t.cast("long").alias("n_t"),
+        my_c.alias("mean_c"),
+        my_t.alias("mean_t"),
+        lift.alias("lift"),
+        (lift / se).alias("z"),
+        theta.alias("theta"),
+        lift_cuped.alias("lift_cuped"),
+        (lift_cuped / se_cuped).alias("z_cuped"),
+        (
+            (F.lit(1.0) - (vadj_c + vadj_t) / (vy_c + vy_t)) * F.lit(100.0)
+        ).alias("var_reduction_pct"),
+    )

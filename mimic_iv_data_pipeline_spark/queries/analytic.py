@@ -640,3 +640,100 @@ def q157_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("h_x"), 6).alias("h_x"),
         dround(F.col("h_y"), 6).alias("h_y"),
     )
+
+
+# --- q158: CUPED A/B experiment readout --------------------------------------
+# Welch z on per-user purchase revenue (variant = user parity) plus the
+# CUPED-adjusted readout using view count as the pre-period covariate
+# (Deng et al. WSDM 2013). The oracle mirrors the operator's exact
+# moment formulas term-for-term so the digest covers θ, both lifts,
+# both z-scores, and the variance-reduction percentage.
+@register(
+    "q158_cuped_ab",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS y,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS x,
+             user_id % 2 AS g
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT g, count(*) * 1.0 AS n, sum(y) AS sy, sum(y*y) AS syy,
+             sum(x) AS sx, sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM pu GROUP BY 1
+    ), j AS (
+      SELECT c.n AS n_c, c.sy AS sy_c, c.syy AS syy_c, c.sx AS sx_c,
+             c.sxx AS sxx_c, c.sxy AS sxy_c,
+             t.n AS n_t, t.sy AS sy_t, t.syy AS syy_t, t.sx AS sx_t,
+             t.sxx AS sxx_t, t.sxy AS sxy_t
+      FROM (SELECT * FROM m WHERE g = 0) c, (SELECT * FROM m WHERE g = 1) t
+    ), s AS (
+      SELECT *,
+             sy_c / n_c AS my_c, sx_c / n_c AS mx_c,
+             sy_t / n_t AS my_t, sx_t / n_t AS mx_t,
+             (syy_c - n_c * (sy_c / n_c) * (sy_c / n_c)) / (n_c - 1) AS vy_c,
+             (sxx_c - n_c * (sx_c / n_c) * (sx_c / n_c)) / (n_c - 1) AS vx_c,
+             (sxy_c - n_c * (sx_c / n_c) * (sy_c / n_c)) / (n_c - 1) AS cxy_c,
+             (syy_t - n_t * (sy_t / n_t) * (sy_t / n_t)) / (n_t - 1) AS vy_t,
+             (sxx_t - n_t * (sx_t / n_t) * (sx_t / n_t)) / (n_t - 1) AS vx_t,
+             (sxy_t - n_t * (sx_t / n_t) * (sy_t / n_t)) / (n_t - 1) AS cxy_t,
+             (sx_c + sx_t) / (n_c + n_t) AS mx_p,
+             (sy_c + sy_t) / (n_c + n_t) AS my_p
+      FROM j
+    ), s2 AS (
+      SELECT *,
+             ((sxy_c + sxy_t) - (n_c + n_t) * mx_p * my_p)
+               / ((n_c + n_t) - 1)
+             / (((sxx_c + sxx_t) - (n_c + n_t) * mx_p * mx_p)
+               / ((n_c + n_t) - 1)) AS theta
+      FROM s
+    ), s3 AS (
+      SELECT *,
+             (my_t - theta * (mx_t - mx_p)) - (my_c - theta * (mx_c - mx_p))
+               AS lift_cuped,
+             vy_c - 2 * theta * cxy_c + theta * theta * vx_c AS vadj_c,
+             vy_t - 2 * theta * cxy_t + theta * theta * vx_t AS vadj_t
+      FROM s2
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+           floor(my_c * 1e6 + 0.5) / 1e6 AS mean_c,
+           floor(my_t * 1e6 + 0.5) / 1e6 AS mean_t,
+           floor((my_t - my_c) * 1e6 + 0.5) / 1e6 AS lift,
+           floor((my_t - my_c) / sqrt(vy_c / n_c + vy_t / n_t) * 1e6 + 0.5) / 1e6 AS z,
+           floor(theta * 1e6 + 0.5) / 1e6 AS theta,
+           floor(lift_cuped * 1e6 + 0.5) / 1e6 AS lift_cuped,
+           floor(lift_cuped / sqrt(vadj_c / n_c + vadj_t / n_t) * 1e6 + 0.5) / 1e6
+             AS z_cuped,
+           floor((1.0 - (vadj_c + vadj_t) / (vy_c + vy_t)) * 100.0 * 1e6 + 0.5) / 1e6
+             AS var_reduction_pct
+    FROM s3
+    """,
+)
+def q158_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED A/B readout over per-user event metrics
+    (operators/aggregates.py:cuped_ab_test — one facts scan collecting
+    six moments per variant, arithmetic on a 2-row relation)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import cuped_ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .cast("double")
+        .alias("x"),
+    ).withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
+    out = cuped_ab_test(pu, "g", "y", "x")
+    return out.select(
+        "n_c", "n_t",
+        dround(F.col("mean_c"), 6).alias("mean_c"),
+        dround(F.col("mean_t"), 6).alias("mean_t"),
+        dround(F.col("lift"), 6).alias("lift"),
+        dround(F.col("z"), 6).alias("z"),
+        dround(F.col("theta"), 6).alias("theta"),
+        dround(F.col("lift_cuped"), 6).alias("lift_cuped"),
+        dround(F.col("z_cuped"), 6).alias("z_cuped"),
+        dround(F.col("var_reduction_pct"), 6).alias("var_reduction_pct"),
+    )

@@ -325,3 +325,62 @@ def test_mutual_information_independent_is_zero(spark):
     assert mutual_information(df, "u", "v").collect()[0]["mi"] == pytest.approx(
         0.0, abs=1e-12
     )
+
+
+# ------------------------------------------------------------- CUPED A/B
+def test_cuped_matches_numpy_reference(spark):
+    import numpy as np
+
+    # Deterministic synthetic experiment: covariate x, outcome y
+    # correlated with x plus a small treatment lift.
+    rows = []
+    for i in range(400):
+        g = i % 2
+        x = float((i * 7) % 50)
+        noise = float((i * 13) % 11) - 5.0
+        y = 2.0 * x + noise + (3.0 if g else 0.0)
+        rows.append((i, g, y, x))
+    df = spark.createDataFrame(rows, "id long, g int, y double, x double")
+    from mimic_iv_data_pipeline_spark.operators.aggregates import cuped_ab_test
+
+    r = cuped_ab_test(df, "g", "y", "x").collect()[0]
+
+    arr = np.array([(g, y, x) for _, g, y, x in rows])
+    yc, xc = arr[arr[:, 0] == 0][:, 1], arr[arr[:, 0] == 0][:, 2]
+    yt, xt = arr[arr[:, 0] == 1][:, 1], arr[arr[:, 0] == 1][:, 2]
+    xa, ya = arr[:, 2], arr[:, 1]
+    theta = np.cov(xa, ya, ddof=1)[0, 1] / np.var(xa, ddof=1)
+    assert r["theta"] == pytest.approx(theta, rel=1e-9)
+    assert r["lift"] == pytest.approx(yt.mean() - yc.mean(), rel=1e-9)
+    z = (yt.mean() - yc.mean()) / np.sqrt(
+        np.var(yc, ddof=1) / len(yc) + np.var(yt, ddof=1) / len(yt)
+    )
+    assert r["z"] == pytest.approx(z, rel=1e-9)
+    adj_c = yc - theta * (xc - xa.mean())
+    adj_t = yt - theta * (xt - xa.mean())
+    assert r["lift_cuped"] == pytest.approx(adj_t.mean() - adj_c.mean(), rel=1e-9)
+    zc = (adj_t.mean() - adj_c.mean()) / np.sqrt(
+        np.var(adj_c, ddof=1) / len(adj_c) + np.var(adj_t, ddof=1) / len(adj_t)
+    )
+    assert r["z_cuped"] == pytest.approx(zc, rel=1e-6)
+    # y is strongly x-driven, so CUPED must remove most of the variance
+    # and sharpen the z-score.
+    assert r["var_reduction_pct"] > 90
+    assert abs(r["z_cuped"]) > abs(r["z"])
+    # The true planted lift is 3.0 and CUPED keeps it unbiased-ish.
+    assert r["lift_cuped"] == pytest.approx(3.0, abs=1.0)
+
+
+def test_cuped_validation(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import cuped_ab_test
+
+    one_variant = spark.createDataFrame(
+        [(0, 1.0, 1.0), (0, 2.0, 2.0)], "g int, y double, x double"
+    )
+    with pytest.raises(ValueError):
+        cuped_ab_test(one_variant, "g", "y", "x")
+    tiny = spark.createDataFrame(
+        [(0, 1.0, 1.0), (0, 2.0, 2.0), (1, 3.0, 3.0)], "g int, y double, x double"
+    )
+    with pytest.raises(ValueError):
+        cuped_ab_test(tiny, "g", "y", "x")
