@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -443,3 +444,71 @@ def triangle_count(
             "node", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("triangles")
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (public:
+    Raghavan, Albert & Kumara 2007; the GraphFrames ``labelPropagation``
+    semantics — undirected, every node starts in its own community,
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by smallest label for determinism).
+
+    Fixed iteration count keeps the job graph static and the output
+    deterministic/oracle-able (LPA has no convergence guarantee —
+    synchronous updates can oscillate, which is WHY the public
+    formulations run a bounded round count).
+
+    Scale shape per iteration: ONE equi-join of the symmetrized edge
+    list against the |N|-row label relation + ONE (node, label) count
+    aggregate + ONE per-node argmax window over that count relation
+    (bounded by degree sums, i.e. 2m rows). Labels are
+    localCheckpoint-ed per round — same lineage discipline as
+    ``pagerank``/``connected_components``. The node set is the
+    endpoints of non-self-loop edges (an edge-list representation
+    carries no isolated nodes; self-loop-only nodes are dropped with
+    their loops).
+
+    Returns ``(node, label)``.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().repartition("b").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        neigh = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        picked = (
+            neigh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

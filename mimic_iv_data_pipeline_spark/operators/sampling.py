@@ -665,3 +665,80 @@ def select_token_budget(
         .filter(F.col(cum_col) <= budget)
         .drop("__pid", "__local_cum")
     )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    quality_col: str,
+    cost_col: str,
+) -> DataFrame:
+    """2-D Pareto (skyline) selection: keep rows not dominated by any
+    other — maximize ``quality_col`` while minimizing ``cost_col``
+    (public: Börzsönyi et al. 2001 "The Skyline Operator"; the
+    curation trade-off screen, e.g. max quality-score / min token-cost
+    candidates for a training mixture).
+
+    Domination: s dominates r iff s.q ≥ r.q ∧ s.c ≤ r.c with at least
+    one strict. Identical (q, c) duplicates do not dominate each other
+    — ALL rows equal to a non-dominated point are kept.
+
+    Scale shape (the 2-D case admits an exact one-sweep plan — no
+    quadratic pair join): reduce to one row per quality value (the
+    per-q min cost via a keyed window), then a row survives iff the
+    STRICT prefix minimum of cost over strictly-higher-quality rows
+    exceeds its own cost. The prefix min runs distributed — range
+    partition on quality desc, per-partition strict-prefix window,
+    numPartitions-row offset collect — same recipe as
+    :func:`select_token_budget`, no single-partition window. Survivors
+    semi-join back to the facts on (q, c).
+    """
+    q = F.col(quality_col)
+    c = F.col(cost_col)
+    pts = df.select(q.alias("__q"), c.alias("__c")).distinct()
+    wq = Window.partitionBy("__q").orderBy(F.col("__c").asc())
+    firsts = (
+        pts.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ordered = firsts.repartitionByRange(F.col("__q").desc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ordered.withColumn("__lmin", F.min("__c").over(wp))
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in local.groupBy("__pid").agg(F.min("__c").alias("__t")).collect()
+    }
+    offsets, acc = {}, None
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc = totals[pid] if acc is None else min(acc, totals[pid])
+    off_expr = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+            if off is not None
+        ],
+        F.lit(None).cast("double"),
+    ) if any(v is not None for v in offsets.values()) else F.lit(None).cast("double")
+    prefix_min = F.least(
+        F.coalesce(F.col("__lmin"), F.lit(float("inf"))),
+        F.coalesce(off_expr, F.lit(float("inf"))),
+    )
+    skyline = (
+        local.withColumn("__pm", prefix_min)
+        .filter(F.col("__pm") > F.col("__c"))
+        .select("__q", "__c")
+    )
+    return df.join(
+        skyline.withColumnRenamed("__q", quality_col).withColumnRenamed(
+            "__c", cost_col
+        ),
+        [quality_col, cost_col],
+        "left_semi",
+    )

@@ -482,3 +482,61 @@ def q151_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 40).alias("src"), (F.col("l_partkey") % 40).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     return triangle_count(edges)
+
+
+# --- q159: label-propagation communities -------------------------------------
+# Synchronous LPA (Raghavan et al. 2007) on the q142 graph, 3 rounds,
+# smallest-label tie-break; every round is mirrored as a counts CTE +
+# argmax CTE, so the whole fixpoint prefix is hash-verified like
+# q142's PageRank.
+@register(
+    "q159_label_propagation",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+        least(l_suppkey % 40, l_partkey % 40) AS a,
+        greatest(l_suppkey % 40, l_partkey % 40) AS b
+      FROM lineitem WHERE l_suppkey % 40 != l_partkey % 40
+    ), sym AS (
+      SELECT a, b FROM raw UNION SELECT b, a FROM raw
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM sym
+    ), c1 AS (
+      SELECT s.a, l.label, count(*) AS c
+      FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1, 2
+    ), l1 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (
+          PARTITION BY a ORDER BY c DESC, label ASC) AS rn FROM c1)
+      WHERE rn = 1
+    ), c2 AS (
+      SELECT s.a, l.label, count(*) AS c
+      FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1, 2
+    ), l2 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (
+          PARTITION BY a ORDER BY c DESC, label ASC) AS rn FROM c2)
+      WHERE rn = 1
+    ), c3 AS (
+      SELECT s.a, l.label, count(*) AS c
+      FROM sym s JOIN l2 l ON l.node = s.b GROUP BY 1, 2
+    ), l3 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (
+          PARTITION BY a ORDER BY c DESC, label ASC) AS rn FROM c3)
+      WHERE rn = 1
+    )
+    SELECT node, label FROM l3
+    """,
+)
+def q159_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous LPA over the q142 graph
+    (operators/graph.py:label_propagation — one edge⨝label join + one
+    (node,label) count + one argmax window per round)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_suppkey") % 40).alias("src"), (F.col("l_partkey") % 40).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return label_propagation(edges, iterations=3)

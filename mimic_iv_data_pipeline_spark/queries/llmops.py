@@ -1653,3 +1653,45 @@ def q155_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, score_col="score", tokens_col="n_tokens", budget=12_000
     )
     return out.select("doc_id", "score", "n_tokens", "cum_tokens")
+
+
+# --- q160: Pareto-front (skyline) curation screen ----------------------------
+# Non-dominated docs on (token count up, byte cost down) — the
+# token-densest documents per byte stored, a 65-point front at sf0.01.
+# The operator's one-sweep prefix-min plan must reproduce the oracle's
+# naive quadratic NOT EXISTS dominance exactly — including the
+# keep-identical-duplicates rule.
+@register(
+    "q160_pareto_front",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_chars
+    FROM base b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM base s
+      WHERE s.n_tokens >= b.n_tokens AND s.n_chars <= b.n_chars
+        AND (s.n_tokens > b.n_tokens OR s.n_chars < b.n_chars)
+    )
+    """,
+)
+def q160_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of (token count, byte cost) over documents
+    (operators/sampling.py:pareto_front_2d — per-q window + distributed
+    strict-prefix min, no pair join)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import pareto_front_2d
+    from mimic_iv_data_pipeline_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+    )
+    out = pareto_front_2d(base, quality_col="n_tokens", cost_col="n_chars")
+    return out.select("doc_id", "n_tokens", "n_chars")

@@ -136,17 +136,48 @@ def probe_robust_stats(spark):
     big.unpersist()
 
 
+def probe_lpa(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.range(2_000_000).select(
+        (F.xxhash64("id") % 50_000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 50_000).alias("dst"),
+    ).persist()
+    edges.count()
+    _timed("[lpa] 3-round LPA, 2M edges / 50k nodes",
+           lambda: label_propagation(edges, iterations=3).count())
+    edges.unpersist()
+
+
+def probe_pareto(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import pareto_front_2d
+
+    pts = spark.range(5_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1e3).alias("q"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / 1e3).alias("c"),
+    ).persist()
+    pts.count()
+    _timed("[pareto] 2-D skyline, 5M points",
+           lambda: pareto_front_2d(pts, "q", "c").count())
+    pts.unpersist()
+
+
 PROBES = {
     "triangles": probe_triangles,
     "funnel": probe_funnel,
     "te": probe_target_encoding,
     "budget": probe_token_budget,
     "robust": probe_robust_stats,
+    "lpa": probe_lpa,
+    "pareto": probe_pareto,
 }
 
 
 def main():
-    spark = get_spark("scale_probes_r5c")
+    # this process creates the JVM, so driver.memory is honored here;
+    # in local mode ALL execution memory is the driver heap.
+    spark = get_spark("scale_probes_r5c", **{"spark.driver.memory": "48g"})
     which = sys.argv[1:] or list(PROBES)
     for name in which:
         PROBES[name](spark)

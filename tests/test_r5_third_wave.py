@@ -384,3 +384,100 @@ def test_cuped_validation(spark):
     )
     with pytest.raises(ValueError):
         cuped_ab_test(tiny, "g", "y", "x")
+
+
+# ------------------------------------------------------- label propagation
+def _brute_lpa(edges, iterations):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n, nbrs in adj.items():
+            from collections import Counter
+
+            cnt = Counter(labels[m] for m in nbrs)
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[n] = best
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_bruteforce(spark, tri_edges):
+    from mimic_iv_data_pipeline_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(tri_edges, "src long, dst long")
+    for it in (0, 1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=it).collect()
+        }
+        assert got == _brute_lpa(tri_edges, it), f"iteration {it}"
+
+
+def test_label_propagation_two_cliques(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import label_propagation
+
+    # Two 4-cliques joined by one bridge edge: LPA must settle each
+    # clique on its minimum id.
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(10, 14))
+    with pytest.raises(ValueError):
+        label_propagation(df, iterations=-1)
+
+
+# ------------------------------------------------------------ Pareto front
+def _brute_skyline(pts):
+    out = []
+    for r in pts:
+        if not any(
+            s[1] >= r[1] and s[2] <= r[2] and (s[1] > r[1] or s[2] < r[2])
+            for s in pts
+        ):
+            out.append(r)
+    return sorted(out)
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import pareto_front_2d
+
+    pts = [
+        (i, float((i * 37) % 100), float((i * 53) % 90)) for i in range(250)
+    ]
+    pts += [(500, 99.0, 1.0), (501, 99.0, 1.0)]  # identical duplicates: both kept
+    df = spark.createDataFrame(pts, "id long, q double, c double")
+    got = sorted(
+        map(tuple, pareto_front_2d(df, "q", "c").select("id", "q", "c").collect())
+    )
+    assert got == _brute_skyline(pts)
+    assert (500, 99.0, 1.0) in got and (501, 99.0, 1.0) in got
+
+
+def test_pareto_front_partition_invariance_and_monotone(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import pareto_front_2d
+
+    pts = [(i, float(i % 17), float((i * 7) % 23)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, q double, c double")
+    a = sorted(r["id"] for r in pareto_front_2d(df, "q", "c").collect())
+    b = sorted(
+        r["id"] for r in pareto_front_2d(df.repartition(19), "q", "c").collect()
+    )
+    assert a == b
+    # Skyline sorted by q desc must have strictly increasing... i.e.
+    # strictly decreasing cost as quality decreases.
+    rows = sorted(
+        {(r["q"], r["c"]) for r in pareto_front_2d(df, "q", "c").collect()},
+        key=lambda t: -t[0],
+    )
+    costs = [c for _, c in rows]
+    assert all(x > y for x, y in zip(costs, costs[1:]))
