@@ -576,3 +576,79 @@ def cuped_ab_test(
             (F.lit(1.0) - (vadj_c + vadj_t) / (vy_c + vy_t)) * F.lit(100.0)
         ).alias("var_reduction_pct"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: str | list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator with right
+    censoring (public: Kaplan & Meier 1958; the lifelines
+    ``KaplanMeierFitter`` semantics) — the time-to-event readout every
+    clinical cohort pipeline ends with (the reference labels mortality
+    /LOS/readmission but leaves curve estimation to callers).
+
+    Per (group,) distinct time t with d_t events among n_t at risk:
+
+        S(t) = Π_{u ≤ t} (1 − d_u / n_u)
+             = exp( Σ_{u ≤ t} ln(1 − d_u / n_u) )
+
+    computed as an ordered running sum of logs, so the cumulative
+    product is a window expression, not an iterative job. Censored
+    subjects (event=0) leave the risk set at their duration without
+    contributing a factor. Rows are emitted at event times only
+    (d_t > 0), the standard step-curve support.
+
+    Scale shape: ONE (group, duration) aggregate over the facts, then
+    two windows over that distinct-times relation — |distinct
+    durations| rows per group, typically tiny next to the cohort (a
+    single-group call with millions of DISTINCT durations would bound
+    one partition; pre-bucket durations in that regime). Output:
+    ``(group..., t, n_risk, n_event, survival)`` with survival
+    unrounded — query sites round.
+    """
+    groups = (
+        [group_cols]
+        if isinstance(group_cols, str)
+        else list(group_cols or [])
+    )
+    t = F.col(duration_col)
+    agg = df.groupBy(*groups, t.alias("t")).agg(
+        F.sum(F.col(event_col).cast("double")).alias("__d"),
+        F.count(F.lit(1)).cast("double").alias("__c"),
+    )
+    w_tot = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    w_prev = (
+        (Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1)))
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        (Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1)))
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_risk = agg.withColumn(
+        "__n_risk",
+        F.sum("__c").over(w_tot) - F.coalesce(F.sum("__c").over(w_prev), F.lit(0.0)),
+    )
+    # Spark's log() returns NULL (not -inf) for non-positive input, and
+    # window sum() SKIPS nulls — an S(t)=0 step (d == n_risk, everyone
+    # fails) would silently vanish from the product. Emit an explicit
+    # -inf so exp() lands on exactly 0.0, matching C-family ln(0).
+    factor = F.lit(1.0) - F.col("__d") / F.col("__n_risk")
+    ln_factor = F.when(factor > 0, F.log(factor)).otherwise(
+        F.lit(float("-inf"))
+    )
+    curve = with_risk.withColumn(
+        "survival", F.exp(F.sum(ln_factor).over(w_cum))
+    )
+    return curve.filter(F.col("__d") > 0).select(
+        *groups,
+        F.col("t"),
+        F.col("__n_risk").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("n_event"),
+        "survival",
+    )

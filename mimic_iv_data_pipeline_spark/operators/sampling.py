@@ -591,6 +591,66 @@ def oversample_minority(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: Column,
+    out_col: str,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` over the TOTAL order
+    ``order_exprs`` — distributed, with no single-partition window.
+
+    Recipe: ``repartitionByRange`` on the order, per-partition running
+    sums (window keyed on ``spark_partition_id()``), then the
+    numPartitions-row per-partition totals are collected (bounded by
+    ``spark.sql.shuffle.partitions``) and re-enter the plan as a
+    broadcast-free CASE offset. The result is independent of where the
+    range boundaries land because the order is total — the partitioner
+    only has to respect the order, not any particular split.
+
+    This is the shared engine under :func:`select_token_budget`
+    (cumulative token budget) and :func:`temporal_split` (global rank
+    = prefix sum of 1). Output keeps all input columns + ``out_col``
+    (long).
+    """
+    ordered = df.repartitionByRange(*order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ordered.withColumn(
+        "__local_cum", F.sum(value_col.cast("long")).over(w)
+    )
+    # Partition totals: <= spark.sql.shuffle.partitions rows. The range
+    # partitioner orders partitions by key, so the offset of pid p is
+    # the sum of totals of partitions with SMALLER pid.
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in local.groupBy("__pid")
+        .agg(F.max("__local_cum").alias("__t"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    return (
+        local.withColumn(out_col, (F.col("__local_cum") + offset_expr).cast("long"))
+        .drop("__pid", "__local_cum")
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     score_col: str,
@@ -628,43 +688,13 @@ def select_token_budget(
     """
     if budget < 0:
         raise ValueError("select_token_budget: budget must be >= 0")
-    ordered = df.repartitionByRange(
-        F.col(score_col).desc(), F.col(id_col).asc()
-    ).withColumn("__pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = global_prefix_sum(
+        df,
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        F.col(tokens_col),
+        cum_col,
     )
-    local = ordered.withColumn(
-        "__local_cum", F.sum(F.col(tokens_col).cast("long")).over(w)
-    )
-    # Partition totals: <= spark.sql.shuffle.partitions rows. The range
-    # partitioner orders partitions by key, so the offset of pid p is
-    # the sum of totals of partitions with SMALLER pid.
-    totals = {
-        r["__pid"]: r["__t"]
-        for r in local.groupBy("__pid")
-        .agg(F.max("__local_cum").alias("__t"))
-        .collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_expr = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    return (
-        local.withColumn(cum_col, (F.col("__local_cum") + offset_expr).cast("long"))
-        .filter(F.col(cum_col) <= budget)
-        .drop("__pid", "__local_cum")
-    )
+    return cum.filter(F.col(cum_col) <= budget)
 
 
 def pareto_front_2d(
@@ -742,3 +772,46 @@ def pareto_front_2d(
         [quality_col, cost_col],
         "left_semi",
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe time-based train/val/test assignment: the
+    chronologically FIRST ``fractions[0]`` of rows are ``train``, the
+    next ``fractions[1]`` are ``val``, the rest ``test`` (the standard
+    forecasting/feature-store split discipline — a hash split would
+    leak future rows into training; time-ordered prefixes cannot).
+
+    Boundaries are RANK-based (global rank over the total order
+    ``(ts, id)``, then integer thresholds ``floor(f·n)``), not
+    timestamp-percentile-based — integer semantics are exact and
+    engine-portable where interpolated percentiles of huge epoch
+    values invite last-ulp disagreement. Ties at a boundary timestamp
+    are resolved by the id tie-break, deterministically.
+
+    Scale shape: one :func:`global_prefix_sum` of 1s (distributed
+    rank — no single-partition window) + one count.
+    """
+    f_train, f_val = fractions
+    if not (0 <= f_train and 0 <= f_val and f_train + f_val <= 1):
+        raise ValueError("temporal_split: fractions must be >= 0 and sum <= 1")
+    ranked = global_prefix_sum(
+        df,
+        [F.col(ts_col).asc(), F.col(id_col).asc()],
+        F.lit(1),
+        "__rank",
+    )
+    n = df.count()
+    k_train = int(f_train * n)
+    k_val = int((f_train + f_val) * n)
+    return ranked.withColumn(
+        split_col,
+        F.when(F.col("__rank") <= k_train, F.lit("train"))
+        .when(F.col("__rank") <= k_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).drop("__rank")

@@ -737,3 +737,67 @@ def q158_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("z_cuped"), 6).alias("z_cuped"),
         dround(F.col("var_reduction_pct"), 6).alias("var_reduction_pct"),
     )
+
+
+# --- q162: Kaplan-Meier survival curves --------------------------------------
+# Product-limit estimator over order→first-ship duration, grouped by
+# order priority; non-F orders are right-censored. The running-log
+# cumulative product, the at-risk windows, and the S(t)=0 guard are
+# all mirrored in SQL, so the digest covers the whole step curve.
+@register(
+    "q162_kaplan_meier",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS s FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT o_orderpriority AS grp,
+             date_diff('day', o_orderdate, s) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS e
+      FROM orders JOIN ship ON l_orderkey = o_orderkey
+    ), a AS (
+      SELECT grp, t, sum(e) AS d, count(*) * 1.0 AS c FROM base GROUP BY 1, 2
+    ), r AS (
+      SELECT grp, t, d, c,
+             sum(c) OVER (PARTITION BY grp)
+               - coalesce(sum(c) OVER (PARTITION BY grp ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM a
+    ), s AS (
+      SELECT grp, t, d, n_risk,
+             exp(sum(CASE WHEN 1 - d / n_risk > 0
+                          THEN ln(1 - d / n_risk)
+                          ELSE CAST('-infinity' AS DOUBLE) END)
+                 OVER (PARTITION BY grp ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS surv
+      FROM r
+    )
+    SELECT grp AS o_orderpriority, CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_event,
+           floor(surv * 1e6 + 0.5) / 1e6 AS survival
+    FROM s WHERE d > 0
+    """,
+)
+def q162_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival of order→first-ship time by priority, F-status as
+    the event (operators/aggregates.py:kaplan_meier — one keyed
+    aggregate + two windows over the distinct-times relation)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("s"))
+    base = orders.join(ship, orders["o_orderkey"] == ship["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("s"), F.col("o_orderdate")).alias("dur"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("event"),
+    )
+    km = kaplan_meier(base, "dur", "event", "o_orderpriority")
+    return km.select(
+        "o_orderpriority",
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "n_event",
+        dround(F.col("survival"), 6).alias("survival"),
+    )

@@ -1695,3 +1695,37 @@ def q160_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pareto_front_2d(base, quality_col="n_tokens", cost_col="n_chars")
     return out.select("doc_id", "n_tokens", "n_chars")
+
+
+# --- q161: leakage-safe temporal split ---------------------------------------
+# Chronological train/val/test prefixes over the event log, rank-based
+# (integer thresholds — exact and engine-portable where interpolated
+# timestamp percentiles invite last-ulp drift). The full (event_id,
+# split) map is hash-verified; the oracle mirrors the operator's
+# floor(f·n) arithmetic including the (0.8 + 0.1) float sum.
+@register(
+    "q161_temporal_split",
+    oracle="""
+    WITH r AS (
+      SELECT event_id,
+             row_number() OVER (ORDER BY ts, event_id) AS rk,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN rk <= CAST(floor(0.8 * n) AS BIGINT) THEN 'train'
+                WHEN rk <= CAST(floor((0.8 + 0.1) * n) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def q161_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 chronological split of the event log
+    (operators/sampling.py:temporal_split — distributed global rank via
+    global_prefix_sum, no single-partition window)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import temporal_split
+    from mimic_iv_data_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "ts")
+    out = temporal_split(ev, ts_col="ts", id_col="event_id")
+    return out.select("event_id", "split")

@@ -364,3 +364,93 @@ def stream_weighted_sample(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage_reached integer, reach_ts double"
+FUNNEL_STATE_SCHEMA = "times array<double>"
+
+
+def stream_funnel(
+    events: DataFrame,
+    stages: list[str],
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.funnel_conversion``: a
+    per-user funnel state machine over ``applyInPandasWithState``.
+
+    State per user is the length-k array of earliest-qualifying stage
+    times (the exact quantities the batch recurrence computes): an
+    event of stage ``i`` advances the user iff stage ``i-1`` is
+    reached and ``ts >= times[i-1]`` and stage ``i`` is still unset.
+    Events are processed in (ts, event_id) order within each
+    micro-batch group, so for a per-user event-time-ordered stream the
+    final states match the batch funnel EXACTLY (asserted by the
+    batch-equivalence test, including cross-batch chains where the
+    signup arrives batches before the purchase). For out-of-order
+    streams the state machine is a monotone approximation — a late
+    earlier-stage event cannot retroactively lower an already-set
+    stage time; bound lateness upstream with a watermark + sort, the
+    same contract as ``stream_sessionize``.
+
+    Output (update-per-appearance, append mode): the user's current
+    ``(stage_reached, reach_ts)`` — stage_reached counts completed
+    stages (0 = none), reach_ts is the furthest stage's qualifying
+    time. Aggregate per-stage conversion = a batch groupBy over the
+    latest row per user. State is k doubles per user — bounded; add a
+    TTL timeout if the user space is unbounded.
+    """
+    if not stages or len(set(stages)) != len(stages):
+        raise ValueError("stream_funnel: stages must be non-empty and distinct")
+    k = len(stages)
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def funnel_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        def tsv(ts) -> float:
+            # epoch seconds for TimestampType, passthrough for numerics
+            return float(ts.timestamp()) if hasattr(ts, "timestamp") else float(ts)
+
+        # unset stages are NaN (null-in-array round-trips are codec
+        # territory; NaN is a plain double everywhere)
+        (times,) = state.get if state.exists else ([math.nan] * k,)
+        times = list(times)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                i = stage_idx.get(et)
+                if i is None or not math.isnan(times[i]):
+                    continue
+                t = tsv(ts)
+                if i == 0:
+                    times[0] = t
+                elif not math.isnan(times[i - 1]) and t >= times[i - 1]:
+                    times[i] = t
+            reached = 0
+            for t in times:
+                if math.isnan(t):
+                    break
+                reached += 1
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage_reached": [reached],
+                    "reach_ts": [times[reached - 1] if reached else math.nan],
+                }
+            )
+        state.update((times,))
+
+    src = events.selectExpr("user_id", "event_id", "ts", "event_type")
+    return src.groupBy("user_id").applyInPandasWithState(
+        funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

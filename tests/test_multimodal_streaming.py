@@ -679,3 +679,109 @@ def test_stream_incremental_rollup_matches_batch_recompute(spark, sf_smoke, tmp_
     second.write.mode("append").parquet(src)
     run_pass()  # same checkpoint: only the NEW files form the delta
     assert state_rows() == batch_rows(base)
+
+
+def test_stream_funnel_matches_batch_and_chains_across_batches(spark, tmp_path):
+    """Streaming funnel state machine == batch funnel_conversion on the
+    union of the micro-batches (per-user event-time-ordered drops),
+    including the cross-batch chain where the signup arrives one batch
+    before the purchase, and the pre-signup-view user who must NOT
+    convert."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mimic_iv_data_pipeline_spark.operators.windows import funnel_conversion
+    from mimic_iv_data_pipeline_spark.streaming.events import read_event_stream
+    from mimic_iv_data_pipeline_spark.streaming.stateful import stream_funnel
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1)
+
+    def m(i):
+        return t0 + timedelta(minutes=i)
+
+    # u1 completes across batches; u2's only view precedes signup (never
+    # converts past signup); u3 completes inside batch 1; u4 views twice
+    # (before AND after signup) — the later view must qualify.
+    batch1 = [
+        (1, m(0), 1, "signup", None, "{}"),
+        (2, m(1), 1, "view", None, "{}"),
+        (3, m(0), 2, "view", None, "{}"),
+        (4, m(2), 2, "signup", None, "{}"),
+        (5, m(0), 3, "signup", None, "{}"),
+        (6, m(1), 3, "view", None, "{}"),
+        (7, m(2), 3, "buy", None, "{}"),
+        (8, m(0), 4, "view", None, "{}"),
+        (9, m(1), 4, "signup", None, "{}"),
+    ]
+    batch2 = [
+        (10, m(10), 1, "buy", None, "{}"),
+        (11, m(10), 2, "buy", None, "{}"),  # no view yet -> must not count
+        (12, m(10), 4, "view", None, "{}"),
+        (13, m(11), 4, "buy", None, "{}"),
+    ]
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "funnel_ckpt")
+    out_dir = str(tmp_path / "funnel_out")
+    stages = ["signup", "view", "buy"]
+
+    def run_available():
+        stream = read_event_stream(spark, str(src) + "/*")
+        q = (
+            stream_funnel(stream, stages)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+    run_available()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+    run_available()
+
+    final = (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("stage_reached").alias("stage"))
+        .collect()
+    )
+    got = {r["user_id"]: r["stage"] for r in final}
+    # u1: signup+view batch1, buy batch2 -> 3. u2: pre-signup view only
+    # -> 1 (signup), the batch-2 buy can't skip the unreached view.
+    # u3: all three in batch 1. u4: later view qualifies, then buy -> 3.
+    assert got == {1: 3, 2: 1, 3: 3, 4: 3}
+
+    # Batch equivalence: per-stage user counts from the streaming final
+    # states == funnel_conversion over the union of both batches.
+    union = spark.createDataFrame(batch1 + batch2, schema).select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "event_type"
+    )
+    batch_counts = {
+        r["stage_idx"]: r["users"]
+        for r in funnel_conversion(union, stages).collect()
+    }
+    stream_counts = {
+        i: sum(1 for s in got.values() if s >= i) for i in (1, 2, 3)
+    }
+    assert stream_counts == batch_counts

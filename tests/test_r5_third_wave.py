@@ -481,3 +481,109 @@ def test_pareto_front_partition_invariance_and_monotone(spark):
     )
     costs = [c for _, c in rows]
     assert all(x > y for x, y in zip(costs, costs[1:]))
+
+
+# ---------------------------------------------------------- temporal split
+def test_temporal_split_matches_sorted_prefix(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import temporal_split
+
+    # Duplicate timestamps force the id tie-break.
+    data = [(i, float((i * 3) % 40)) for i in range(200)]
+    df = spark.createDataFrame(data, "id long, ts double")
+    got = {r["id"]: r["split"] for r in temporal_split(df, "ts", "id").collect()}
+    order = sorted(data, key=lambda r: (r[1], r[0]))
+    want = {}
+    for rank, (i, _) in enumerate(order, start=1):
+        want[i] = (
+            "train" if rank <= int(0.8 * 200)
+            else "val" if rank <= int((0.8 + 0.1) * 200)
+            else "test"
+        )
+    assert got == want
+    sizes = {s: sum(1 for v in got.values() if v == s) for s in set(got.values())}
+    assert sizes == {"train": 160, "val": 20, "test": 20}
+    # Leakage-safety invariant: every train ts <= every test ts.
+    by_split = {"train": [], "test": []}
+    for i, ts in data:
+        if got[i] in by_split:
+            by_split[got[i]].append(ts)
+    assert max(by_split["train"]) <= min(by_split["test"])
+
+
+def test_temporal_split_partition_invariance_and_validation(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import temporal_split
+
+    data = [(i, float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(data, "id long, ts double")
+    a = sorted(map(tuple, temporal_split(df, "ts", "id").collect()))
+    b = sorted(map(tuple, temporal_split(df.repartition(11), "ts", "id").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", "id", fractions=(0.8, 0.3))
+
+
+# ------------------------------------------------------------ Kaplan-Meier
+def _brute_km(rows):
+    # rows: (group, duration, event). Returns {(g, t): (n_risk, d, S)}.
+    from collections import defaultdict
+
+    out = {}
+    by_g = defaultdict(list)
+    for g, t, e in rows:
+        by_g[g].append((t, e))
+    for g, obs in by_g.items():
+        times = sorted({t for t, _ in obs})
+        surv, at_risk = 1.0, len(obs)
+        for t in times:
+            d = sum(1 for tt, e in obs if tt == t and e)
+            c = sum(1 for tt, _ in obs if tt == t)
+            surv *= 1.0 - d / at_risk
+            if d:
+                out[(g, t)] = (at_risk, d, surv)
+            at_risk -= c
+    return out
+
+
+def test_kaplan_meier_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import kaplan_meier
+
+    rows = []
+    for i in range(300):
+        g = "ab"[i % 2]
+        t = (i * 7) % 25
+        e = 1 if (i * 3) % 4 else 0  # ~75% events, rest censored
+        rows.append((g, t, e))
+    # group "z": everyone dies at t=5 -> S must step to exactly 0.0
+    rows += [("z", 5, 1)] * 4 + [("z", 2, 0)]
+    df = spark.createDataFrame(rows, "grp string, dur int, event int")
+    got = {
+        (r["grp"], r["t"]): (r["n_risk"], r["n_event"], r["survival"])
+        for r in kaplan_meier(df, "dur", "event", "grp").collect()
+    }
+    want = _brute_km(rows)
+    assert set(got) == set(want)
+    for k, (nr, d, s) in want.items():
+        gnr, gd, gs = got[k]
+        assert (gnr, gd) == (nr, d), k
+        assert gs == pytest.approx(s, abs=1e-9), k
+    assert got[("z", 5)] == (4, 4, pytest.approx(0.0))
+    # survival is non-increasing in t within each group
+    for g in ("a", "b"):
+        curve = sorted((t, s) for (gg, t), (_, _, s) in got.items() if gg == g)
+        vals = [s for _, s in curve]
+        assert all(x >= y - 1e-12 for x, y in zip(vals, vals[1:]))
+
+
+def test_kaplan_meier_ungrouped_and_all_censored(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(5, 1), (7, 0), (7, 1), (9, 0)], "dur int, event int"
+    )
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "event").collect()}
+    assert got[5]["n_risk"] == 4 and got[5]["survival"] == pytest.approx(0.75)
+    # at t=7: 3 at risk, 1 event -> S = 0.75 * (1 - 1/3) = 0.5
+    assert got[7]["n_risk"] == 3 and got[7]["survival"] == pytest.approx(0.5)
+    assert 9 not in got  # censor-only time emits no step
+    censored = spark.createDataFrame([(3, 0), (4, 0)], "dur int, event int")
+    assert kaplan_meier(censored, "dur", "event").count() == 0
