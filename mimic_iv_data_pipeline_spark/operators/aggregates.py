@@ -652,3 +652,102 @@ def kaplan_meier(
         F.col("__d").cast("long").alias("n_event"),
         "survival",
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test for survival-curve
+    difference (public: Mantel 1966; lifelines ``logrank_test``
+    semantics) — the hypothesis test that pairs with
+    :func:`kaplan_meier`.
+
+    At each pooled event time t with d_t total events among n_t at
+    risk, group g contributes observed ``d_gt`` vs expected
+    ``E_gt = d_t·n_gt/n_t``; the statistic is
+
+        chi2 = ( Σ_t (d_1t − E_1t) )² / Σ_t V_t,
+        V_t  = d_t · (n_1t/n_t) · (n_2t/n_t) · (n_t − d_t)/(n_t − 1)
+
+    (V_t term is 0 when n_t = 1). Exactly two groups are required —
+    raises otherwise.
+
+    Scale shape: one (group, duration) aggregate over the facts, a
+    |times|×2 grid (distinct-times relation crossed with the 2-row
+    group list), per-group cumulative windows for the at-risk counts,
+    and a final 1-row sum — same distinct-times regime as
+    ``kaplan_meier``. Output ONE row:
+    ``(group_a, group_b, obs_a, exp_a, obs_b, exp_b, chi2)``
+    (groups in ascending order; unrounded — query sites round).
+    """
+    g = F.col(group_col)
+    agg = df.groupBy(g.alias("g"), F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("double")).alias("d"),
+        F.count(F.lit(1)).cast("double").alias("c"),
+    ).localCheckpoint(eager=True)
+    groups = [r["g"] for r in agg.select("g").distinct().collect()]
+    if len(groups) != 2:
+        raise ValueError(
+            f"logrank_test: exactly 2 groups required, got {len(groups)}"
+        )
+    ga, gb = sorted(groups)
+    times = agg.select("t").distinct()
+    grid = times.crossJoin(
+        agg.sparkSession.createDataFrame(
+            [(ga,), (gb,)], agg.select("g").schema
+        )
+    )
+    cells = grid.join(agg, ["g", "t"], "left").select(
+        "g",
+        "t",
+        F.coalesce(F.col("d"), F.lit(0.0)).alias("d"),
+        F.coalesce(F.col("c"), F.lit(0.0)).alias("c"),
+    )
+    w_tot = Window.partitionBy("g")
+    w_prev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = cells.withColumn(
+        "n",
+        F.sum("c").over(w_tot) - F.coalesce(F.sum("c").over(w_prev), F.lit(0.0)),
+    )
+    a = risk.filter(F.col("g") == ga).select(
+        "t", F.col("d").alias("d1"), F.col("n").alias("n1")
+    )
+    b = risk.filter(F.col("g") == gb).select(
+        "t", F.col("d").alias("d2"), F.col("n").alias("n2")
+    )
+    per_t = (
+        a.join(b, "t")
+        .withColumn("dt", F.col("d1") + F.col("d2"))
+        .withColumn("nt", F.col("n1") + F.col("n2"))
+        .filter(F.col("dt") > 0)
+        .withColumn("e1", F.col("dt") * F.col("n1") / F.col("nt"))
+        .withColumn(
+            "v",
+            F.when(
+                F.col("nt") > 1,
+                F.col("dt")
+                * (F.col("n1") / F.col("nt"))
+                * (F.col("n2") / F.col("nt"))
+                * (F.col("nt") - F.col("dt"))
+                / (F.col("nt") - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return per_t.agg(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.sum("d1").alias("obs_a"),
+        F.sum("e1").alias("exp_a"),
+        F.sum("d2").alias("obs_b"),
+        (F.sum("dt") - F.sum("e1")).alias("exp_b"),
+        (
+            F.pow(F.sum("d1") - F.sum("e1"), F.lit(2.0)) / F.sum("v")
+        ).alias("chi2"),
+    )

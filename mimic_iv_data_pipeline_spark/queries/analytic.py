@@ -801,3 +801,85 @@ def q162_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_event",
         dround(F.col("survival"), 6).alias("survival"),
     )
+
+
+# --- q163: log-rank test -----------------------------------------------------
+# Mantel-Cox test that the 1-URGENT and 3-MEDIUM survival curves from
+# q162 differ: per pooled event time, observed vs expected events and
+# the hypergeometric variance, summed — the whole contingency walk is
+# mirrored in SQL and the 1-row (obs, exp, chi2) readout is
+# hash-verified.
+@register(
+    "q163_logrank",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS s FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT o_orderpriority AS grp,
+             date_diff('day', o_orderdate, s) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS e
+      FROM orders JOIN ship ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+    ), a AS (
+      SELECT grp, t, sum(e) AS d, count(*) * 1.0 AS c FROM base GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.grp, ts.t
+      FROM (SELECT DISTINCT grp FROM a) g, (SELECT DISTINCT t FROM a) ts
+    ), cells AS (
+      SELECT grid.grp, grid.t,
+             coalesce(a.d, 0) AS d, coalesce(a.c, 0) AS c
+      FROM grid LEFT JOIN a ON a.grp = grid.grp AND a.t = grid.t
+    ), risk AS (
+      SELECT grp, t, d, c,
+             sum(c) OVER (PARTITION BY grp)
+               - coalesce(sum(c) OVER (PARTITION BY grp ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+      FROM cells
+    ), j AS (
+      SELECT x.d AS d1, x.n AS n1, y.d AS d2, y.n AS n2,
+             x.d + y.d AS dt, x.n + y.n AS nt
+      FROM (SELECT * FROM risk WHERE grp = '1-URGENT') x
+      JOIN (SELECT * FROM risk WHERE grp = '3-MEDIUM') y ON x.t = y.t
+      WHERE x.d + y.d > 0
+    )
+    SELECT '1-URGENT' AS group_a, '3-MEDIUM' AS group_b,
+           CAST(sum(d1) AS BIGINT) AS obs_a,
+           floor(sum(dt * n1 / nt) * 1e6 + 0.5) / 1e6 AS exp_a,
+           CAST(sum(d2) AS BIGINT) AS obs_b,
+           floor((sum(dt) - sum(dt * n1 / nt)) * 1e6 + 0.5) / 1e6 AS exp_b,
+           floor(pow(sum(d1) - sum(dt * n1 / nt), 2)
+                 / sum(CASE WHEN nt > 1
+                            THEN dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - 1)
+                            ELSE 0 END) * 1e6 + 0.5) / 1e6 AS chi2
+    FROM j
+    """,
+)
+def q163_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two priority groups' survival
+    (operators/aggregates.py:logrank_test — distinct-times grid +
+    per-group cumulative windows + one final sum)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import logrank_test
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("s"))
+    base = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .join(ship, orders["o_orderkey"] == ship["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("s"), F.col("o_orderdate")).alias("dur"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("event"),
+        )
+    )
+    out = logrank_test(base, "dur", "event", "o_orderpriority")
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("obs_a").cast("long").alias("obs_a"),
+        dround(F.col("exp_a"), 6).alias("exp_a"),
+        F.col("obs_b").cast("long").alias("obs_b"),
+        dround(F.col("exp_b"), 6).alias("exp_b"),
+        dround(F.col("chi2"), 6).alias("chi2"),
+    )

@@ -163,6 +163,27 @@ def probe_pareto(spark):
     pts.unpersist()
 
 
+def probe_survival(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        kaplan_meier,
+        logrank_test,
+    )
+
+    # 15M subjects, ~1000 distinct durations, 2 groups, 25% censoring.
+    cohort = spark.range(15_000_000).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(2)) == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("grp"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))).alias("dur"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(4)) > 0).cast("int").alias("event"),
+    ).persist()
+    cohort.count()
+    _timed("[survival] Kaplan-Meier, 15M subjects / 1k times / 2 groups",
+           lambda: kaplan_meier(cohort, "dur", "event", "grp").count())
+    _timed("[survival] log-rank test, 15M subjects",
+           lambda: logrank_test(cohort, "dur", "event", "grp").count())
+    cohort.unpersist()
+
+
 PROBES = {
     "triangles": probe_triangles,
     "funnel": probe_funnel,
@@ -171,6 +192,7 @@ PROBES = {
     "robust": probe_robust_stats,
     "lpa": probe_lpa,
     "pareto": probe_pareto,
+    "survival": probe_survival,
 }
 
 

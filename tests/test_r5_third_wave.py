@@ -587,3 +587,54 @@ def test_kaplan_meier_ungrouped_and_all_censored(spark):
     assert 9 not in got  # censor-only time emits no step
     censored = spark.createDataFrame([(3, 0), (4, 0)], "dur int, event int")
     assert kaplan_meier(censored, "dur", "event").count() == 0
+
+
+# ---------------------------------------------------------------- log-rank
+def _brute_logrank(rows, ga, gb):
+    times = sorted({t for _, t, _ in rows})
+    o1 = e1 = v = dtot = 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in rows if g == ga and tt >= t)
+        n2 = sum(1 for g, tt, _ in rows if g == gb and tt >= t)
+        d1 = sum(1 for g, tt, e in rows if g == ga and tt == t and e)
+        d2 = sum(1 for g, tt, e in rows if g == gb and tt == t and e)
+        dt, nt = d1 + d2, n1 + n2
+        if dt == 0:
+            continue
+        o1 += d1
+        e1 += dt * n1 / nt
+        dtot += dt
+        if nt > 1:
+            v += dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - 1)
+    return o1, e1, dtot - e1, (o1 - e1) ** 2 / v
+
+
+def test_logrank_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import logrank_test
+
+    # Group b systematically survives longer; some censoring in both.
+    rows = [("a", (i * 3) % 20 + 1, 1 if i % 4 else 0) for i in range(120)]
+    rows += [("b", (i * 5) % 30 + 8, 1 if i % 5 else 0) for i in range(110)]
+    df = spark.createDataFrame(rows, "grp string, dur int, event int")
+    r = logrank_test(df, "dur", "event", "grp").collect()[0]
+    o1, e1, e2, chi2 = _brute_logrank(rows, "a", "b")
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["obs_a"] == pytest.approx(o1)
+    assert r["exp_a"] == pytest.approx(e1, rel=1e-9)
+    assert r["exp_b"] == pytest.approx(e2, rel=1e-9)
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert r["chi2"] > 10  # the planted difference is detected
+
+
+def test_logrank_identical_groups_and_validation(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import logrank_test
+
+    same = [(g, t, 1) for g in ("a", "b") for t in (1, 2, 3, 4, 5) for _ in (0, 1)]
+    df = spark.createDataFrame(same, "grp string, dur int, event int")
+    r = logrank_test(df, "dur", "event", "grp").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+    three = spark.createDataFrame(
+        [("a", 1, 1), ("b", 1, 1), ("c", 1, 1)], "grp string, dur int, event int"
+    )
+    with pytest.raises(ValueError):
+        logrank_test(three, "dur", "event", "grp")
