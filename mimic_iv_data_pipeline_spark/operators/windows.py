@@ -200,6 +200,50 @@ def sessionize(
     return df.withColumn(session_col, F.sum(is_break).over(wsum))
 
 
+def _funnel_frontiers(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> list[DataFrame]:
+    """Shared funnel recurrence: per stage i, the (user, reach-time)
+    frontier of users who completed stages 0..i in order, with the
+    earliest qualifying stage-i time. Each frontier is
+    localCheckpoint-ed (same discipline as pagerank/
+    connected_components): step i+1 joins a materialized |users|-row
+    relation instead of re-deriving the whole chain, so the event log
+    is scanned exactly once per stage (type-filtered, pushdown-pruned).
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct")
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    )
+    frontier = (
+        ev.filter(F.col("__t") == stages[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__reach"))
+        .localCheckpoint(eager=True)
+    )
+    frontiers = [frontier]
+    for s in stages[1:]:
+        frontier = (
+            ev.filter(F.col("__t") == s)
+            .join(F.broadcast(frontier), "__u")
+            .filter(F.col("__ts") >= F.col("__reach"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__reach"))
+            .localCheckpoint(eager=True)
+        )
+        frontiers.append(frontier)
+    return frontiers
+
+
 def funnel_conversion(
     events: DataFrame,
     stages: list[str],
@@ -230,37 +274,11 @@ def funnel_conversion(
     """
     from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
-    if not stages:
-        raise ValueError("stages must be non-empty")
-    if len(set(stages)) != len(stages):
-        raise ValueError("stages must be distinct")
     spark = events.sparkSession
-    ev = events.select(
-        F.col(user_col).alias("__u"),
-        F.col(ts_col).alias("__ts"),
-        F.col(type_col).alias("__t"),
-    )
-    # Each frontier is localCheckpoint-ed (same discipline as
-    # pagerank/connected_components): step i+1 joins a materialized
-    # |users|-row relation instead of re-deriving the whole chain, so
-    # the event log is scanned exactly once per stage.
-    frontier = (
-        ev.filter(F.col("__t") == stages[0])
-        .groupBy("__u")
-        .agg(F.min("__ts").alias("__reach"))
-        .localCheckpoint(eager=True)
-    )
-    counts = [frontier.count()]
-    for s in stages[1:]:
-        frontier = (
-            ev.filter(F.col("__t") == s)
-            .join(F.broadcast(frontier), "__u")
-            .filter(F.col("__ts") >= F.col("__reach"))
-            .groupBy("__u")
-            .agg(F.min("__ts").alias("__reach"))
-            .localCheckpoint(eager=True)
-        )
-        counts.append(frontier.count())
+    counts = [
+        f.count()
+        for f in _funnel_frontiers(events, stages, user_col, ts_col, type_col)
+    ]
     rows = [
         (
             i + 1,
@@ -281,3 +299,34 @@ def funnel_conversion(
         dround(F.col("__pf"), 6).alias("pct_of_first"),
         dround(F.col("__pp"), 6).alias("pct_of_prev"),
     )
+
+
+def funnel_times(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel reach times: one row per (user, completed
+    stage) with the earliest qualifying time of that stage — the
+    row-level relation behind :func:`funnel_conversion`'s counts,
+    for time-to-convert analyses (median lag between stages, cohort
+    comparisons).
+
+    Same recurrence, same scale shape (shared ``_funnel_frontiers``):
+    one type-filtered aggregate per stage chained through broadcast
+    frontiers. Output ``(user_col, stage_idx, stage, reach_ts)``;
+    users appear once per stage they completed.
+    """
+    fronts = _funnel_frontiers(events, stages, user_col, ts_col, type_col)
+    out = None
+    for i, (s, f) in enumerate(zip(stages, fronts)):
+        part = f.select(
+            F.col("__u").alias(user_col),
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col("__reach").alias("reach_ts"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -883,3 +883,80 @@ def q163_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("exp_b"), 6).alias("exp_b"),
         dround(F.col("chi2"), 6).alias("chi2"),
     )
+
+
+# --- q164: funnel time-to-convert --------------------------------------------
+# Per-transition lag statistics between consecutive funnel stages
+# (signup→view→click→purchase): count, mean and exact p50/p90 of the
+# seconds between each user's earliest-qualifying stage times. Built on
+# the same frontier recurrence as q153 — the oracle rebuilds the
+# frontiers as chained CTEs and the lag percentiles with quantile_cont.
+@register(
+    "q164_funnel_lag",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS r FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS r FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.r
+      WHERE e.event_type = 'view' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS r FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.r
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS r FROM events e
+      JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.r
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), lags AS (
+      SELECT 1 AS transition_idx, 'signup->view' AS transition,
+             (epoch_us(s2.r) - epoch_us(s1.r)) / 1e6 AS lag_s
+      FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+      UNION ALL
+      SELECT 2, 'view->click', (epoch_us(s3.r) - epoch_us(s2.r)) / 1e6
+      FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+      UNION ALL
+      SELECT 3, 'click->purchase', (epoch_us(s4.r) - epoch_us(s3.r)) / 1e6
+      FROM s3 JOIN s4 ON s3.user_id = s4.user_id
+    )
+    SELECT CAST(transition_idx AS BIGINT) AS transition_idx, transition,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(avg(lag_s) * 1e6 + 0.5) / 1e6 AS mean_s,
+           floor(quantile_cont(lag_s, 0.5) * 1e6 + 0.5) / 1e6 AS p50_s,
+           floor(quantile_cont(lag_s, 0.9) * 1e6 + 0.5) / 1e6 AS p90_s
+    FROM lags GROUP BY 1, 2
+    """,
+)
+def q164_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert stats per funnel transition
+    (operators/windows.py:funnel_times — shared frontier recurrence;
+    lags via per-user equi-joins of consecutive frontiers)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import funnel_times
+
+    ev = _t(spark, sf_dir, "events")
+    stages = ["signup", "view", "click", "purchase"]
+    ft = funnel_times(ev, stages)
+    names = {1: "signup->view", 2: "view->click", 3: "click->purchase"}
+    out = None
+    for i in (1, 2, 3):
+        a = ft.filter(F.col("stage_idx") == i).select(
+            "user_id", F.col("reach_ts").alias("__ta")
+        )
+        b = ft.filter(F.col("stage_idx") == i + 1).select(
+            "user_id", F.col("reach_ts").alias("__tb")
+        )
+        lag = a.join(b, "user_id").select(
+            F.lit(i).cast("long").alias("transition_idx"),
+            F.lit(names[i]).alias("transition"),
+            (
+                (F.unix_micros("__tb") - F.unix_micros("__ta")) / F.lit(1e6)
+            ).alias("lag_s"),
+        )
+        out = lag if out is None else out.unionByName(lag)
+    return out.groupBy("transition_idx", "transition").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dround(F.avg("lag_s"), 6).alias("mean_s"),
+        dround(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_s"),
+        dround(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_s"),
+    )

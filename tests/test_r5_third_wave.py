@@ -638,3 +638,34 @@ def test_logrank_identical_groups_and_validation(spark):
     )
     with pytest.raises(ValueError):
         logrank_test(three, "dur", "event", "grp")
+
+
+# ------------------------------------------------------------- funnel times
+def test_funnel_times_matches_conversion_and_recurrence(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import (
+        funnel_conversion,
+        funnel_times,
+    )
+
+    rows = [
+        (1, 100.0, "signup"), (1, 200.0, "view"), (1, 300.0, "buy"),
+        (2, 100.0, "view"), (2, 200.0, "signup"),
+        (3, 100.0, "view"), (3, 200.0, "signup"), (3, 300.0, "view"),
+        (5, 100.0, "signup"), (5, 100.0, "view"), (5, 150.0, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    stages = ["signup", "view", "buy"]
+    ft = funnel_times(df, stages).collect()
+    times = {(r["user_id"], r["stage_idx"]): r["reach_ts"] for r in ft}
+    # u3's qualifying view is the post-signup one at 300, not 100.
+    assert times[(3, 2)] == 300.0
+    # same-timestamp boundary: u5's view at signup time qualifies.
+    assert times[(5, 2)] == 100.0 and times[(5, 3)] == 150.0
+    # u2 reaches only signup.
+    assert (2, 1) in times and (2, 2) not in times
+    # per-stage user counts agree with funnel_conversion
+    counts = {r["stage_idx"]: r["users"] for r in funnel_conversion(df, stages).collect()}
+    from collections import Counter
+
+    got = Counter(i for _, i in times)
+    assert {i: got.get(i, 0) for i in counts} == counts
