@@ -751,3 +751,207 @@ def logrank_test(
             F.pow(F.sum("d1") - F.sum("e1"), F.lit(2.0)) / F.sum("v")
         ).alias("chi2"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V effect size (public: Pearson 1900;
+    scipy ``chi2_contingency(correction=False)`` semantics) — the
+    frequentist sibling of :func:`mutual_information`, same
+    scale shape: ONE joint groupBy over the facts, margins derived
+    from the |X|·|Y|-row joint, broadcast back.
+
+        chi2 = Σ_xy (o_xy − e_xy)² / e_xy,   e_xy = c_x·c_y / n
+        V    = sqrt( chi2 / (n · min(|X|−1, |Y|−1)) )
+
+    The sum runs over the FULL margin grid (observed 0 cells still
+    contribute e_xy), built by crossing the margins and left-joining
+    the joint. Returns ONE row: (n, dof, chi2, cramers_v) — unrounded.
+    """
+    jc = (
+        df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    mx = jc.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = jc.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    n = jc.agg(F.sum("__c").alias("__n"))
+    kx = mx.agg(F.count(F.lit(1)).alias("__kx"))
+    ky = my.agg(F.count(F.lit(1)).alias("__ky"))
+    grid = (
+        mx.crossJoin(my)
+        .join(jc, ["__x", "__y"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce(F.col("__c"), F.lit(0.0)).alias("o"),
+            (F.col("__cx") * F.col("__cy") / F.col("__n")).alias("e"),
+        )
+    )
+    chi2 = grid.agg(
+        F.sum(F.pow(F.col("o") - F.col("e"), F.lit(2.0)) / F.col("e")).alias(
+            "chi2"
+        )
+    )
+    return (
+        chi2.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(kx))
+        .crossJoin(F.broadcast(ky))
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            ((F.col("__kx") - 1) * (F.col("__ky") - 1)).cast("long").alias("dof"),
+            F.col("chi2"),
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("__n") * F.least(F.col("__kx") - 1, F.col("__ky") - 1))
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    alpha: float = 1e-6,
+) -> DataFrame:
+    """Population stability index between a reference and a current
+    distribution of a numeric column (public: the standard credit-risk
+    /ML-monitoring drift metric; PSI < 0.1 stable, > 0.25 shifted):
+
+        PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    over ``bins`` buckets cut at the REFERENCE distribution's exact
+    quantiles (the convention that makes p_i ≈ 1/bins by construction);
+    shares are Laplace-smoothed with ``alpha`` so empty current-side
+    buckets stay finite. Interior boundary buckets: value v lands in
+    bucket i iff edge_{i-1} < v ≤ edge_i, with the outer edges open
+    (±∞) so every value is binned.
+
+    Scale shape: one exact-percentile aggregate over the reference
+    (one row of ``bins−1`` interior edges, broadcast as a literal-free
+    cross join), then one conditional-sum bucket aggregate per side —
+    each side scanned once. Returns per-bucket rows
+    ``(bucket, ref_share, cur_share, psi_term)`` plus the total as
+    bucket = −1 (so one relation carries both the diagnosis and the
+    headline number).
+    """
+    if bins < 2:
+        raise ValueError("population_stability: bins must be >= 2")
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = ref.agg(
+        F.expr(f"percentile({value_col}, array({','.join(map(str, qs))}))").alias(
+            "__edges"
+        )
+    )
+
+    def bucket_counts(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = df.crossJoin(F.broadcast(edges_row)).select(
+            F.aggregate(
+                F.col("__edges"),
+                F.lit(0),
+                lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
+            ).alias("__b")
+        )
+        return b.groupBy("__b").agg(
+            F.count(F.lit(1)).cast("double").alias(f"__c_{side}")
+        )
+
+    rc = bucket_counts(ref, "r")
+    cc = bucket_counts(cur, "c")
+    all_b = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("__b"))
+    joined = (
+        all_b.join(rc, "__b", "left")
+        .join(cc, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce(F.col("__c_r"), F.lit(0.0)).alias("cr"),
+            F.coalesce(F.col("__c_c"), F.lit(0.0)).alias("cc"),
+        )
+    )
+    nr = joined.agg(F.sum("cr").alias("__nr"), F.sum("cc").alias("__nc"))
+    terms = joined.crossJoin(F.broadcast(nr)).select(
+        "__b",
+        ((F.col("cr") + alpha) / (F.col("__nr") + bins * alpha)).alias("p"),
+        ((F.col("cc") + alpha) / (F.col("__nc") + bins * alpha)).alias("q"),
+    ).select(
+        "__b",
+        "p",
+        "q",
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
+            "psi_term"
+        ),
+    )
+    per_bucket = terms.select(
+        F.col("__b").cast("long").alias("bucket"),
+        F.col("p").alias("ref_share"),
+        F.col("q").alias("cur_share"),
+        "psi_term",
+    )
+    total = terms.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(None).cast("double").alias("ref_share"),
+        F.lit(None).cast("double").alias("cur_share"),
+        F.sum("psi_term").alias("psi_term"),
+    )
+    return per_bucket.unionByName(total)
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic
+    ``D = sup_v |F_a(v) − F_b(v)|`` (public: the classic nonparametric
+    distribution-equality test; scipy ``ks_2samp`` statistic — the
+    p-value's asymptotic series is left to callers).
+
+    Scale shape: each side collapses to its (value, count) relation in
+    one aggregate; the union of distinct values forms the evaluation
+    grid, per-side CDFs are DISTRIBUTED cumulative sums over that grid
+    (``sampling.global_prefix_sum`` — no single-partition window;
+    right-continuous: F(v) = #{x ≤ v}/n), and D is a 1-row max over
+    the grid. The grid is |distinct values| rows — for continuous data
+    at extreme scale, pre-round values at the call site (the statistic
+    degrades gracefully with binning). Returns ONE row:
+    (n_a, n_b, d_stat).
+    """
+    from mimic_iv_data_pipeline_spark.operators.sampling import global_prefix_sum
+
+    a = df_a.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = df_b.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    grid = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = global_prefix_sum(grid, [F.col("v").asc()], F.col("ca"), "fa")
+    cum = global_prefix_sum(cum, [F.col("v").asc()], F.col("cb"), "fb")
+    tots = grid.agg(
+        F.sum("ca").cast("double").alias("__na"),
+        F.sum("cb").cast("double").alias("__nb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tots))
+        .agg(
+            F.first("__na").cast("long").alias("n_a"),
+            F.first("__nb").cast("long").alias("n_b"),
+            F.max(
+                F.abs(F.col("fa") / F.col("__na") - F.col("fb") / F.col("__nb"))
+            ).alias("d_stat"),
+        )
+    )

@@ -960,3 +960,165 @@ def q164_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_s"),
         dround(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_s"),
     )
+
+
+# --- q165: chi-square test of independence -----------------------------------
+# Pearson chi2 + Cramér's V for returnflag × linestatus — the
+# frequentist sibling of q157's MI, over the full margin grid
+# (unobserved cells contribute their expectation).
+@register(
+    "q165_chi_square",
+    oracle="""
+    WITH jc AS (
+      SELECT l_returnflag AS x, l_linestatus AS y, count(*) * 1.0 AS c
+      FROM lineitem GROUP BY 1, 2
+    ), mx AS (SELECT x, sum(c) AS cx FROM jc GROUP BY 1),
+    my AS (SELECT y, sum(c) AS cy FROM jc GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM jc),
+    grid AS (
+      SELECT mx.cx, my.cy, coalesce(jc.c, 0) AS o
+      FROM mx CROSS JOIN my
+      LEFT JOIN jc ON jc.x = mx.x AND jc.y = my.y
+    ), s AS (
+      SELECT sum(pow(o - cx * cy / (SELECT n FROM t), 2)
+                 / (cx * cy / (SELECT n FROM t))) AS chi2
+      FROM grid
+    )
+    SELECT CAST((SELECT n FROM t) AS BIGINT) AS n,
+           CAST(((SELECT count(*) FROM mx) - 1)
+                * ((SELECT count(*) FROM my) - 1) AS BIGINT) AS dof,
+           floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+           floor(sqrt(chi2 / ((SELECT n FROM t)
+                 * least((SELECT count(*) FROM mx) - 1,
+                         (SELECT count(*) FROM my) - 1)))
+                 * 1e6 + 0.5) / 1e6 AS cramers_v
+    FROM s
+    """,
+)
+def q165_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of returnflag × linestatus
+    (operators/aggregates.py:chi_square_independence — one joint
+    aggregate, margins derived)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        chi_square_independence,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = chi_square_independence(li, "l_returnflag", "l_linestatus")
+    return out.select(
+        "n",
+        "dof",
+        dround(F.col("chi2"), 6).alias("chi2"),
+        dround(F.col("cramers_v"), 6).alias("cramers_v"),
+    )
+
+
+# --- q166: PSI distribution drift --------------------------------------------
+# Population stability of o_totalprice between pre- and post-1998
+# orders: deciles cut on the reference half, Laplace-smoothed shares,
+# per-bucket terms plus the bucket = -1 total row — all hash-verified.
+@register(
+    "q166_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ), e AS (
+      SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS edges
+      FROM ref
+    ), rb AS (
+      SELECT len(list_filter((SELECT edges FROM e), x -> v > x)) AS b,
+             count(*) * 1.0 AS c
+      FROM ref GROUP BY 1
+    ), cb AS (
+      SELECT len(list_filter((SELECT edges FROM e), x -> v > x)) AS b,
+             count(*) * 1.0 AS c
+      FROM cur GROUP BY 1
+    ), allb AS (SELECT range AS b FROM range(10)),
+    j AS (
+      SELECT allb.b, coalesce(rb.c, 0) AS cr, coalesce(cb.c, 0) AS cc
+      FROM allb LEFT JOIN rb ON rb.b = allb.b LEFT JOIN cb ON cb.b = allb.b
+    ), t AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM j),
+    terms AS (
+      SELECT b,
+             (cr + 1e-6) / ((SELECT nr FROM t) + 10 * 1e-6) AS p,
+             (cc + 1e-6) / ((SELECT nc FROM t) + 10 * 1e-6) AS q
+      FROM j
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           floor(p * 1e6 + 0.5) / 1e6 AS ref_share,
+           floor(q * 1e6 + 0.5) / 1e6 AS cur_share,
+           floor((p - q) * ln(p / q) * 1e6 + 0.5) / 1e6 AS psi_term
+    FROM terms
+    UNION ALL
+    SELECT -1, NULL, NULL,
+           floor(sum((p - q) * ln(p / q)) * 1e6 + 0.5) / 1e6
+    FROM terms
+    """,
+)
+def q166_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of order totals, pre- vs post-1998
+    (operators/aggregates.py:population_stability — reference-decile
+    buckets, one scan per side)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        population_stability,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    out = population_stability(ref, cur, "o_totalprice", bins=10, alpha=1e-6)
+    return out.select(
+        "bucket",
+        dround(F.col("ref_share"), 6).alias("ref_share"),
+        dround(F.col("cur_share"), 6).alias("cur_share"),
+        dround(F.col("psi_term"), 6).alias("psi_term"),
+    )
+
+
+# --- q167: two-sample KS statistic -------------------------------------------
+# D = sup |F_a - F_b| between the same two halves' price
+# distributions; CDFs are distributed prefix sums over the distinct-
+# value grid (~15k values), the oracle a single ordered window.
+@register(
+    "q167_ks_statistic",
+    oracle="""
+    WITH a AS (
+      SELECT o_totalprice AS v, count(*) AS ca FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ), b AS (
+      SELECT o_totalprice AS v, count(*) AS cb FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    ), grid AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL JOIN b ON a.v = b.v
+    ), c AS (
+      SELECT sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+      FROM grid
+    ), t AS (SELECT sum(ca) * 1.0 AS na, sum(cb) * 1.0 AS nb FROM grid)
+    SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+           floor(max(abs(fa / (SELECT na FROM t) - fb / (SELECT nb FROM t)))
+                 * 1e6 + 0.5) / 1e6 AS d_stat
+    FROM c
+    """,
+)
+def q167_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic between pre- and post-1998 order totals
+    (operators/aggregates.py:ks_statistic — per-side count collapse +
+    distributed CDF prefix sums)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import ks_statistic
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    b = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    out = ks_statistic(a, b, "o_totalprice")
+    return out.select("n_a", "n_b", dround(F.col("d_stat"), 6).alias("d_stat"))

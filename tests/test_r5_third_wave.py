@@ -669,3 +669,81 @@ def test_funnel_times_matches_conversion_and_recurrence(spark):
 
     got = Counter(i for _, i in times)
     assert {i: got.get(i, 0) for i in counts} == counts
+
+
+# ------------------------------------------------- distribution diagnostics
+def test_chi_square_matches_reference(spark):
+    from collections import Counter
+
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        chi_square_independence,
+    )
+
+    data = [("a", "x")] * 40 + [("a", "y")] * 10 + [("b", "x")] * 15 + [("b", "y")] * 35
+    data += [("c", "x")] * 25  # zero cell (c, y) must still contribute e
+    df = spark.createDataFrame(data, "u string, v string")
+    r = chi_square_independence(df, "u", "v").collect()[0]
+    n = len(data)
+    cx, cy = Counter(x for x, _ in data), Counter(y for _, y in data)
+    jc = Counter(data)
+    chi2 = sum(
+        (jc.get((x, y), 0) - cx[x] * cy[y] / n) ** 2 / (cx[x] * cy[y] / n)
+        for x in cx
+        for y in cy
+    )
+    assert r["n"] == n and r["dof"] == (3 - 1) * (2 - 1)
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert r["cramers_v"] == pytest.approx(
+        math.sqrt(chi2 / (n * min(2, 1))), rel=1e-9
+    )
+    # independence -> chi2 ~ 0
+    ind = [(x, y) for x in "ab" for y in "xy" for _ in range(25)]
+    r0 = chi_square_independence(
+        spark.createDataFrame(ind, "u string, v string"), "u", "v"
+    ).collect()[0]
+    assert r0["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_reference_and_identity(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        population_stability,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    # identical distribution -> PSI ~ 0
+    same = population_stability(ref, ref, "x").collect()
+    total = [r for r in same if r["bucket"] == -1][0]
+    assert total["psi_term"] == pytest.approx(0.0, abs=1e-9)
+    shares = [r["ref_share"] for r in same if r["bucket"] >= 0]
+    assert all(s == pytest.approx(0.1, abs=1e-3) for s in shares)
+    # shifted distribution -> large PSI, monotone in shift
+    cur1 = spark.createDataFrame([(float(i) + 200,) for i in range(1000)], "x double")
+    cur2 = spark.createDataFrame([(float(i) + 600,) for i in range(1000)], "x double")
+    p1 = [r["psi_term"] for r in population_stability(ref, cur1, "x").collect() if r["bucket"] == -1][0]
+    p2 = [r["psi_term"] for r in population_stability(ref, cur2, "x").collect() if r["bucket"] == -1][0]
+    assert 0.1 < p1 < p2
+    with pytest.raises(ValueError):
+        population_stability(ref, cur1, "x", bins=1)
+
+
+def test_ks_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import ks_statistic
+
+    xs = [float((i * 7) % 50) for i in range(300)]
+    ys = [float((i * 11) % 50) + 5.0 for i in range(200)]
+    a = spark.createDataFrame([(v,) for v in xs], "x double")
+    b = spark.createDataFrame([(v,) for v in ys], "x double")
+    r = ks_statistic(a, b, "x").collect()[0]
+    grid = sorted(set(xs) | set(ys))
+    d = max(
+        abs(
+            sum(1 for v in xs if v <= g) / len(xs)
+            - sum(1 for v in ys if v <= g) / len(ys)
+        )
+        for g in grid
+    )
+    assert (r["n_a"], r["n_b"]) == (300, 200)
+    assert r["d_stat"] == pytest.approx(d, abs=1e-9)
+    # identical samples -> D = 0
+    r0 = ks_statistic(a, a, "x").collect()[0]
+    assert r0["d_stat"] == pytest.approx(0.0, abs=1e-12)
