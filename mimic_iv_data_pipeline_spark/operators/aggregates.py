@@ -688,7 +688,10 @@ def logrank_test(
         F.sum(F.col(event_col).cast("double")).alias("d"),
         F.count(F.lit(1)).cast("double").alias("c"),
     ).localCheckpoint(eager=True)
-    groups = [r["g"] for r in agg.select("g").distinct().collect()]
+    # Bounded collect (repo convention): 3 rows decide the contract —
+    # a high-cardinality column passed as the group never floods the
+    # driver.
+    groups = [r["g"] for r in agg.select("g").distinct().limit(3).collect()]
     if len(groups) != 2:
         raise ValueError(
             f"logrank_test: exactly 2 groups required, got {len(groups)}"
@@ -850,14 +853,20 @@ def population_stability(
     )
 
     def bucket_counts(df: DataFrame, side: str) -> DataFrame:
+        # Unrolled edge comparisons (bins is static) — higher-order
+        # array lambdas (F.aggregate/F.filter) evaluate interpreted,
+        # outside whole-stage codegen (measured 47 s vs sub-second on
+        # the same shape, PERF.md "interpreted-lambda trap"); a chain
+        # of bins-1 scalar WHENs stays in codegen.
         v = F.col(value_col).cast("double")
-        b = df.crossJoin(F.broadcast(edges_row)).select(
-            F.aggregate(
-                F.col("__edges"),
-                F.lit(0),
-                lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
-            ).alias("__b")
+        b_expr = sum(
+            [
+                F.when(v > F.col("__edges")[i], 1).otherwise(0)
+                for i in range(bins - 1)
+            ],
+            start=F.lit(0),
         )
+        b = df.crossJoin(F.broadcast(edges_row)).select(b_expr.alias("__b"))
         return b.groupBy("__b").agg(
             F.count(F.lit(1)).cast("double").alias(f"__c_{side}")
         )

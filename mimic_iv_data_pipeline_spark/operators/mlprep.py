@@ -260,12 +260,30 @@ def target_encode_kfold(
         (F.col("__s_c") - F.col("__s_cf"))
         + F.lit(smoothing) * F.coalesce(prior, F.col("__s_g") / F.col("__c_g"))
     ) / ((F.col("__c_c") - F.col("__c_cf")) + F.lit(smoothing))
+    # NULL-SAFE category join: a plain equi-join on the category would
+    # silently DROP every NULL-category row from the output (NULL !=
+    # NULL in join predicates) — the same class of bug the r5 SCD-2
+    # compaction fix closed. NULL is a legitimate category level here
+    # (groupBy already treats it as one); eqNullSafe keeps those rows
+    # and encodes them like any other level. The fold key is never
+    # null (hash of the key column), so it stays a plain condition.
+    cf_a = cf.select(
+        F.col(cat_col).alias("__cf_cat"),
+        F.col(fold_col).alias("__cf_fold"),
+        "__s_cf",
+        "__c_cf",
+    )
+    ct_a = ct.select(F.col(cat_col).alias("__ct_cat"), "__s_c", "__c_c")
     return (
-        base.join(F.broadcast(cf), [cat_col, fold_col])
-        .join(F.broadcast(ct), cat_col)
+        base.join(
+            F.broadcast(cf_a),
+            F.col(cat_col).eqNullSafe(F.col("__cf_cat"))
+            & (F.col(fold_col) == F.col("__cf_fold")),
+        )
+        .join(F.broadcast(ct_a), F.col(cat_col).eqNullSafe(F.col("__ct_cat")))
         .join(F.broadcast(gf), fold_col)
         .crossJoin(F.broadcast(g))
         .withColumn(out_col, enc)
-        .drop("__y", "__s_cf", "__c_cf", "__s_c", "__c_c", "__s_f", "__c_f",
-              "__s_g", "__c_g")
+        .drop("__y", "__cf_cat", "__cf_fold", "__ct_cat", "__s_cf", "__c_cf",
+              "__s_c", "__c_c", "__s_f", "__c_f", "__s_g", "__c_g")
     )

@@ -626,11 +626,14 @@ def global_prefix_sum(
     )
     # Partition totals: <= spark.sql.shuffle.partitions rows. The range
     # partitioner orders partitions by key, so the offset of pid p is
-    # the sum of totals of partitions with SMALLER pid.
+    # the sum of totals of partitions with SMALLER pid. Totals are
+    # sum(value), NOT max(cumsum) — identical for the non-negative
+    # token/rank callers, but this is a general helper and a negative
+    # value would silently corrupt max-based offsets.
     totals = {
         r["__pid"]: r["__t"]
         for r in local.groupBy("__pid")
-        .agg(F.max("__local_cum").alias("__t"))
+        .agg(F.sum(value_col.cast("long")).alias("__t"))
         .collect()
     }
     offsets = {}
@@ -710,7 +713,11 @@ def pareto_front_2d(
 
     Domination: s dominates r iff s.q ≥ r.q ∧ s.c ≤ r.c with at least
     one strict. Identical (q, c) duplicates do not dominate each other
-    — ALL rows equal to a non-dominated point are kept.
+    — ALL rows equal to a non-dominated point are kept. Rows with a
+    NULL quality or cost never reach the front (NULL comparisons are
+    never true), and a NULL-quality row cannot shadow later rows (DESC
+    ordering places NULLs last); filter NULLs upstream if they should
+    participate.
 
     Scale shape (the 2-D case admits an exact one-sweep plan — no
     quadratic pair join): reduce to one row per quality value (the

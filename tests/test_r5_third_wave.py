@@ -747,3 +747,17 @@ def test_ks_matches_bruteforce(spark):
     # identical samples -> D = 0
     r0 = ks_statistic(a, a, "x").collect()[0]
     assert r0["d_stat"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_target_encoding_keeps_null_category(spark):
+    # NULL is a legitimate category level: rows must not be dropped and
+    # must be encoded from the other NULL-category rows' labels.
+    data = [(i, None if i % 3 == 0 else "a", float(i % 2)) for i in range(90)]
+    df = spark.createDataFrame(data, "id long, cat string, y double")
+    out = target_encode_kfold(
+        df, key_col="id", cat_col="cat", label_col="y", k=3, smoothing=2.0
+    ).collect()
+    assert len(out) == 90  # nothing silently dropped
+    nulls = [r for r in out if r["cat"] is None]
+    assert len(nulls) == 30
+    assert all(r["te"] is not None for r in out)
