@@ -86,6 +86,10 @@ HEADLINE = [
     "q151_triangle_count",
     "q153_funnel",
     "q155_token_budget",
+    # survival estimator (distinct-times windows) and the Apriori pair
+    # join — the two remaining plan families not yet tracked.
+    "q162_kaplan_meier",
+    "q168_association_rules",
 ]
 
 

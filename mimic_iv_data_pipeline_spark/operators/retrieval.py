@@ -246,3 +246,69 @@ def embed_hashed_projection(
         )
         .select(F.col("doc").alias(id_col), "embedding")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+) -> DataFrame:
+    """Frequent-pair association mining with support / confidence /
+    lift (public: Agrawal & Srikant 1994 Apriori; the market-basket
+    classic — co-occurrence signals for recommendations or feature
+    interactions).
+
+    Pair semantics are SET-based: duplicate (basket, item) rows count
+    once, and each unordered pair is emitted once as (item_a < item_b)
+    with both directed confidences.
+
+    Scale shape — Apriori pruning BEFORE the pair join: items below
+    ``min_support`` are dropped from the basket relation first (the
+    downward-closure property guarantees no frequent pair is lost), so
+    the per-basket self-join is bounded by the frequent-item count per
+    basket, not the raw basket width; the join itself is an equi-join
+    on the basket key (no cartesian), and item supports broadcast back
+    onto the |pairs| relation. A hot basket with B frequent items still
+    emits B²/2 rows — cap upstream if baskets are adversarial.
+
+    Returns ``(item_a, item_b, n_ab, support, conf_a_to_b,
+    conf_b_to_a, lift)`` for pairs meeting ``min_support`` (fraction
+    of baskets), unrounded.
+    """
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError("association_rules: min_support must be in (0, 1]")
+    pairs_src = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct().localCheckpoint(eager=True)
+    n_baskets = pairs_src.select("__b").distinct().count()
+    if n_baskets == 0:
+        raise ValueError("association_rules: empty input")
+    min_count = min_support * n_baskets
+    supp = pairs_src.groupBy("__i").agg(F.count(F.lit(1)).alias("__s"))
+    frequent = pairs_src.join(
+        F.broadcast(supp.filter(F.col("__s") >= min_count)), "__i"
+    )
+    a = frequent.select("__b", F.col("__i").alias("item_a"), F.col("__s").alias("__sa"))
+    b = frequent.select("__b", F.col("__i").alias("item_b"), F.col("__s").alias("__sb"))
+    pair_counts = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ab"),
+            F.first("__sa").alias("__sa"),
+            F.first("__sb").alias("__sb"),
+        )
+        .filter(F.col("n_ab") >= min_count)
+    )
+    n = F.lit(float(n_baskets))
+    return pair_counts.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        (F.col("n_ab") / n).alias("support"),
+        (F.col("n_ab") / F.col("__sa")).alias("conf_a_to_b"),
+        (F.col("n_ab") / F.col("__sb")).alias("conf_b_to_a"),
+        (F.col("n_ab") * n / (F.col("__sa") * F.col("__sb"))).alias("lift"),
+    )

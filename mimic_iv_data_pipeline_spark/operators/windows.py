@@ -330,3 +330,41 @@ def funnel_times(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    sequences: for each ordered pair of consecutive events,
+    ``P(next | current) = n(current→next) / Σ_next n(current→·)``
+    (the path-analysis / clickstream classic; MLE of the Markov chain).
+
+    Scale shape: ONE lag window partitioned by user (the sequence
+    order needs a total order — ``tie_break`` joins the sort key for
+    same-timestamp events) + one (from, to) count aggregate; the
+    row-sum normalizer is a window over the |states|² count relation,
+    not the facts. Returns ``(from_state, to_state, n, prob)``,
+    unrounded.
+    """
+    order = [F.col(ts_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_state"),
+            F.col("__next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wf = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "prob", F.col("n") / F.sum("n").over(wf)
+    )

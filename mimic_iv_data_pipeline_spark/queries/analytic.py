@@ -1122,3 +1122,38 @@ def q167_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.filter(F.col("o_orderdate") >= "1998-01-01")
     out = ks_statistic(a, b, "o_totalprice")
     return out.select("n_a", "n_b", dround(F.col("d_stat"), 6).alias("d_stat"))
+
+
+# --- q169: event transition matrix -------------------------------------------
+# Clickstream path analysis: MLE first-order Markov transition
+# probabilities between consecutive events per user — the full
+# |states|² matrix is hash-verified.
+@register(
+    "q169_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events
+    ), c AS (
+      SELECT f AS from_state, t AS to_state, count(*) AS n
+      FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           floor(n * 1.0 / sum(n) OVER (PARTITION BY from_state)
+                 * 1e6 + 0.5) / 1e6 AS prob
+    FROM c
+    """,
+)
+def q169_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of the event stream
+    (operators/windows.py:transition_matrix — one lag window + one
+    pair aggregate)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_matrix(ev, tie_break="event_id")
+    return out.select(
+        "from_state", "to_state", "n", dround(F.col("prob"), 6).alias("prob")
+    )

@@ -1729,3 +1729,55 @@ def q161_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir).select("event_id", "ts")
     out = temporal_split(ev, ts_col="ts", id_col="event_id")
     return out.select("event_id", "split")
+
+
+# --- q168: association-rule mining -------------------------------------------
+# Frequent part-group pairs across orders (Apriori pruning before the
+# pair join): support / both confidences / lift for every pair above
+# 0.5% basket support — the whole rule table is hash-verified.
+@register(
+    "q168_association_rules",
+    oracle="""
+    WITH src AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem
+    ), n AS (SELECT count(DISTINCT b) * 1.0 AS nb FROM src),
+    s AS (SELECT i, count(*) AS c FROM src GROUP BY 1),
+    freq AS (
+      SELECT src.b, src.i, s.c FROM src JOIN s USING (i)
+      WHERE s.c >= (SELECT nb FROM n) * 0.005
+    ), pc AS (
+      SELECT a.i AS item_a, b2.i AS item_b,
+             count(*) AS n_ab, max(a.c) AS sa, max(b2.c) AS sb
+      FROM freq a JOIN freq b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           floor(n_ab / (SELECT nb FROM n) * 1e6 + 0.5) / 1e6 AS support,
+           floor(n_ab * 1.0 / sa * 1e6 + 0.5) / 1e6 AS conf_a_to_b,
+           floor(n_ab * 1.0 / sb * 1e6 + 0.5) / 1e6 AS conf_b_to_a,
+           floor(n_ab * (SELECT nb FROM n) / (sa * 1.0 * sb) * 1e6 + 0.5) / 1e6
+             AS lift
+    FROM pc WHERE n_ab >= (SELECT nb FROM n) * 0.005
+    """,
+)
+def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part-group pair rules over orders
+    (operators/retrieval.py:association_rules — Apriori item pruning
+    before the basket self-join, supports broadcast back)."""
+    from mimic_iv_data_pipeline_spark.operators.retrieval import association_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    out = association_rules(src, "basket", "item", min_support=0.005)
+    return out.select(
+        F.col("item_a"),
+        F.col("item_b"),
+        "n_ab",
+        dround(F.col("support"), 6).alias("support"),
+        dround(F.col("conf_a_to_b"), 6).alias("conf_a_to_b"),
+        dround(F.col("conf_b_to_a"), 6).alias("conf_b_to_a"),
+        dround(F.col("lift"), 6).alias("lift"),
+    )

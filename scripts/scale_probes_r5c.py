@@ -184,6 +184,34 @@ def probe_survival(spark):
     cohort.unpersist()
 
 
+def probe_paths(spark):
+    from mimic_iv_data_pipeline_spark.operators.retrieval import association_rules
+    from mimic_iv_data_pipeline_spark.operators.windows import transition_matrix
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    big = li.select("l_orderkey", "l_partkey").crossJoin(
+        spark.range(10).select(F.col("id").alias("__rep"))
+    ).select(
+        (F.col("l_orderkey") * 10 + F.col("__rep")).alias("b"),
+        (F.col("l_partkey") % 200).alias("i"),
+    ).persist()
+    n = big.count()
+    print(f"[paths] association input {n} rows")
+    _timed("[paths] association rules, 6M basket-items / 200 items",
+           lambda: association_rules(big, "b", "i", min_support=0.0005).count())
+    big.unpersist()
+    ev = spark.range(20_000_000).select(
+        F.col("id").alias("event_id"),
+        (F.xxhash64("id") % 200_000).alias("user_id"),
+        (F.xxhash64("id", F.lit(2)) % 1_000_000).cast("double").alias("ts"),
+        F.concat(F.lit("s"), (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(6)))).alias(
+            "event_type"
+        ),
+    )
+    _timed("[paths] transition matrix, 20M events / 200k users",
+           lambda: transition_matrix(ev, tie_break="event_id").count())
+
+
 PROBES = {
     "triangles": probe_triangles,
     "funnel": probe_funnel,
@@ -193,6 +221,7 @@ PROBES = {
     "lpa": probe_lpa,
     "pareto": probe_pareto,
     "survival": probe_survival,
+    "paths": probe_paths,
 }
 
 

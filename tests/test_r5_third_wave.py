@@ -761,3 +761,80 @@ def test_target_encoding_keeps_null_category(spark):
     nulls = [r for r in out if r["cat"] is None]
     assert len(nulls) == 30
     assert all(r["te"] is not None for r in out)
+
+
+# ---------------------------------------------------- association & paths
+def test_association_rules_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from mimic_iv_data_pipeline_spark.operators.retrieval import association_rules
+
+    # Deterministic baskets with duplicates (must count once) and a
+    # rare item that min_support prunes.
+    baskets = defaultdict(set)
+    for i in range(600):
+        baskets[i % 60].add((i * 7) % 12)
+    baskets[0].add(99)  # support 1/60 -> pruned at 5%
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    rows += rows[:25]  # duplicates
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "b", "i", min_support=0.05).collect()
+    }
+    nb = len(baskets)
+    supp = Counter(i for items in baskets.values() for i in items)
+    pair = Counter()
+    for items in baskets.values():
+        fs = sorted(x for x in items if supp[x] >= 0.05 * nb)
+        for ai in range(len(fs)):
+            for bi in range(ai + 1, len(fs)):
+                pair[(fs[ai], fs[bi])] += 1
+    want = {p: c for p, c in pair.items() if c >= 0.05 * nb}
+    assert set(got) == set(want)
+    for (x, y), c in want.items():
+        r = got[(x, y)]
+        assert r["n_ab"] == c
+        assert r["support"] == pytest.approx(c / nb)
+        assert r["conf_a_to_b"] == pytest.approx(c / supp[x])
+        assert r["conf_b_to_a"] == pytest.approx(c / supp[y])
+        assert r["lift"] == pytest.approx(c * nb / (supp[x] * supp[y]))
+    assert all(99 not in p for p in got)
+    with pytest.raises(ValueError):
+        association_rules(df, "b", "i", min_support=0.0)
+
+
+def test_transition_matrix_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from mimic_iv_data_pipeline_spark.operators.windows import transition_matrix
+
+    rows = [
+        (i, u, float(t), "abcd"[(u + t * i) % 4])
+        for i, (u, t) in enumerate((u, t) for u in range(8) for t in range(15))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts double, event_type string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in transition_matrix(df, tie_break="event_id").collect()
+    }
+    seqs = defaultdict(list)
+    for eid, u, t, et in rows:
+        seqs[u].append((t, eid, et))
+    cnt = Counter()
+    for u, s in seqs.items():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            cnt[(a, b)] += 1
+    from_tot = Counter()
+    for (a, _), c in cnt.items():
+        from_tot[a] += c
+    assert set(got) == set(cnt)
+    for k, c in cnt.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(c / from_tot[k[0]])
+    # probabilities sum to 1 per from-state
+    sums = Counter()
+    for (a, _), (_, p) in got.items():
+        sums[a] += p
+    assert all(s == pytest.approx(1.0) for s in sums.values())
