@@ -261,3 +261,58 @@ def upsert_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__origin")
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str,
+    version_col: str,
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture log (insert/update/delete ops) onto
+    a base snapshot — the full MERGE shape ``upsert_latest`` covers
+    minus deletes (public semantics: Debezium/Delta CDF apply; "latest
+    op per key wins, delete removes the key").
+
+    Per key, the single row with the highest ``(version, origin)``
+    decides the outcome: an upsert op keeps its row (change columns),
+    a delete op removes the key entirely — including keys whose delete
+    arrived in the same batch as earlier upserts. Unknown op values
+    raise at plan build. Base rows carry an implicit upsert op.
+
+    Scale shape: identical to ``upsert_latest`` — ONE union + ONE
+    per-key window on the merge key (colocates with a base
+    bucketed/z-ordered on that key; AQE coalesces the change side) +
+    one filter dropping delete-winners. Deterministic: ties on version
+    break to the change row.
+    """
+    from pyspark.sql.window import Window
+
+    ops = set(upsert_ops) | {delete_op}
+    data_cols = [c for c in base.columns]
+    known = F.col("__op").isin(list(ops))
+    tagged = base.select(*data_cols).withColumn("__op", F.lit(upsert_ops[0])).withColumn(
+        "__origin", F.lit(0)
+    ).unionByName(
+        changes.select(*data_cols, F.col(op_col).alias("__op")).withColumn(
+            "__origin", F.lit(1)
+        )
+    ).withColumn(
+        "__op",
+        F.when(known, F.col("__op")).otherwise(
+            F.raise_error(
+                F.concat(F.lit("apply_cdc: unknown op "), F.col("__op"))
+            )
+        ),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__origin").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__op") != delete_op))
+        .drop("__rn", "__origin", "__op")
+    )

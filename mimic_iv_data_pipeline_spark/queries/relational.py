@@ -655,3 +655,63 @@ def q146_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_o_totalprice") / F.col("cnt_o_totalprice"), 4
         ).alias("avg_o_totalprice"),
     )
+
+
+# --- q170: CDC apply (MERGE with deletes) ------------------------------------
+# The q119 upsert's missing half: a Debezium-shaped change log with
+# inserts/updates/deletes applied onto the snapshot — latest (version,
+# origin) op per key wins, delete-winners vanish. Survivor set AND
+# surviving attribute values are hash-verified.
+@register(
+    "q170_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, 0 AS v, 'I' AS op, 0 AS orig
+      FROM orders
+    ), chg AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS v, 'U' AS op, 1 AS orig
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 2 AS v, 'D' AS op, 1 AS orig
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), allr AS (
+      SELECT * FROM base UNION ALL SELECT * FROM chg
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY v DESC, orig DESC) AS rn
+      FROM allr
+    )
+    SELECT o_orderkey, o_orderstatus, CAST(v AS BIGINT) AS version
+    FROM r WHERE rn = 1 AND op != 'D'
+    """,
+)
+def q170_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log applied to the orders snapshot
+    (operators/joins.py:apply_cdc — one union + one per-key window +
+    delete filter, same exchange as the q119 upsert)."""
+    from mimic_iv_data_pipeline_spark.operators.joins import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.lit(0).cast("long").alias("version")
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(2).cast("long").alias("version"),
+        F.lit("D").alias("op"),
+    )
+    out = apply_cdc(
+        base,
+        upd.unionByName(dels),
+        key_cols=["o_orderkey"],
+        op_col="op",
+        version_col="version",
+    )
+    return out.select("o_orderkey", "o_orderstatus", "version")

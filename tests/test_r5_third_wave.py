@@ -838,3 +838,70 @@ def test_transition_matrix_matches_bruteforce(spark):
     for (a, _), (_, p) in got.items():
         sums[a] += p
     assert all(s == pytest.approx(1.0) for s in sums.values())
+
+
+# ----------------------------------------------------------------- CDC apply
+def test_apply_cdc_semantics(spark):
+    from mimic_iv_data_pipeline_spark.operators.joins import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0), (4, "d", 0)],
+        "k long, val string, version long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),     # update wins
+            (3, "c2", 1, "U"),     # update then delete in same batch
+            (3, "xx", 2, "D"),     #   -> key 3 gone
+            (5, "e", 1, "I"),      # fresh insert
+            (6, "f", 1, "D"),      # delete of an unknown key -> no row
+            (4, "d9", 0, "U"),     # tie on version -> change wins
+        ],
+        "k long, val string, version long, op string",
+    )
+    got = {
+        r["k"]: (r["val"], r["version"])
+        for r in apply_cdc(base, changes, ["k"], "op", "version").collect()
+    }
+    assert got == {1: ("a", 0), 2: ("b2", 1), 4: ("d9", 0), 5: ("e", 1)}
+
+
+def test_apply_cdc_unknown_op_raises(spark):
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from mimic_iv_data_pipeline_spark.operators.joins import apply_cdc
+
+    base = spark.createDataFrame([(1, "a", 0)], "k long, val string, version long")
+    bad = spark.createDataFrame(
+        [(1, "z", 1, "X")], "k long, val string, version long, op string"
+    )
+    out = apply_cdc(base, bad, ["k"], "op", "version")
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        out.collect()
+
+
+# ------------------------------------------------------------- plan pins
+def test_target_encoding_plan_all_stat_joins_broadcast(spark, sf_smoke):
+    """The (cat,fold)/category/fold/global stat relations are tiny by
+    construction — every join back onto the facts must be broadcast;
+    a SortMergeJoin would mean a full fact shuffle per stat relation."""
+    from mimic_iv_data_pipeline_spark.queries import all_queries
+
+    plan = all_queries()["q154_target_encoding"](
+        spark, sf_smoke
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_association_rules_support_join_broadcast(spark, sf_smoke):
+    """Item supports broadcast onto the basket relation; the pair join
+    itself is an equi-join on the basket key (never nested-loop)."""
+    from mimic_iv_data_pipeline_spark.queries import all_queries
+
+    plan = all_queries()["q168_association_rules"](
+        spark, sf_smoke
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
