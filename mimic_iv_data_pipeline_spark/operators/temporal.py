@@ -162,3 +162,48 @@ def interval_signal(
         time_col,
         F.coalesce(F.col("__on"), F.lit(0)).alias(signal_col),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    partition_by: str | list[str],
+    start_col: str,
+    end_col: str,
+    island_col: str = "island",
+) -> DataFrame:
+    """Union overlapping-or-touching intervals per key (gaps-and-
+    islands; the standalone generalization of the span-merge inside
+    ``dedup.duplicate_spans``). A new island starts where the interval's
+    start exceeds the running max end of all predecessors; intervals
+    sharing a start can never break (end >= start), so tie order is
+    irrelevant and the result is deterministic without a tie-break.
+
+    Returns one row per merged island:
+    ``(partition cols, island, island_start, island_end, n_merged)``.
+
+    Scale shape: one shuffle on the partition key, two sequential
+    window passes (running max-end, prefix-sum of breaks) and one
+    aggregate on (key, island) — no self-join, no explode; the
+    quadratic interval-overlap join this replaces is the 100TB trap.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else partition_by
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*parts).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("long")
+    with_island = df.withColumn(
+        island_col,
+        F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_island.groupBy(*parts, island_col).agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    )

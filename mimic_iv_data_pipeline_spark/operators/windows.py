@@ -368,3 +368,38 @@ def transition_matrix(
     return pairs.withColumn(
         "prob", F.col("n") / F.sum("n").over(wf)
     )
+
+
+def rolling_window(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    exprs: dict[str, Column],
+    window_seconds: int,
+) -> DataFrame:
+    """Event-time rolling aggregates: each aggregate in ``exprs`` is
+    evaluated over the trailing ``window_seconds`` RANGE frame ending
+    at the current row (the "30-day rolling revenue per customer"
+    classic; scale extension — the reference's pandas equivalent is
+    ``rolling()`` over small pivoted frames).
+
+    Scale shape: ONE hash shuffle on the partition key, then a sorted
+    RANGE frame per partition — peers (equal timestamps) enter the
+    frame together in both Spark and ANSI SQL, so the semantics are
+    engine-portable. Spark evaluates bounded sliding frames by
+    re-aggregating the frame buffer per row (O(rows_in_window) per
+    row); for windows spanning millions of rows per key, pre-bucket to
+    coarse grains (``bucketize_events``) and roll over bucket
+    partials instead — same pattern as ``incremental_rollup``.
+
+    Float caution: rolling SUM over doubles is order-sensitive across
+    engines; callers that need exact hash-compare should aggregate
+    integer-scaled values (see q171's cents-as-long convention).
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else partition_by
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.unix_timestamp(F.col(ts_col)).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select("*", *[e.over(w).alias(n) for n, e in exprs.items()])

@@ -1157,3 +1157,51 @@ def q169_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "from_state", "to_state", "n", dround(F.col("prob"), 6).alias("prob")
     )
+
+
+# --- q171: event-time rolling aggregates (scale extension) ------------------
+# 30-day trailing revenue per customer over the orders stream — the
+# RANGE-frame rolling classic. Sums run over integer cents so the hash
+# compare is exact regardless of either engine's in-frame add order.
+@register(
+    "q171_rolling_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS revenue_cents_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT)
+      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q171_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day order count + revenue per customer
+    (operators/windows.py:rolling_window — one shuffle, RANGE frame)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import rolling_window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("__cents"),
+    )
+    out = rolling_window(
+        orders,
+        partition_by="o_custkey",
+        ts_col="o_orderdate",
+        exprs={
+            "n_30d": F.count(F.lit(1)),
+            "revenue_cents_30d": F.sum("__cents"),
+        },
+        window_seconds=2592000,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("n_30d").cast("long").alias("n_30d"),
+        F.col("revenue_cents_30d").cast("long").alias("revenue_cents_30d"),
+    )

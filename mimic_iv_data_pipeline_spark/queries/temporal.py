@@ -185,3 +185,65 @@ def q33_event_time_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# --- q172: merge overlapping intervals (gaps-and-islands) -------------------
+# Each event opens an interval [ts, ts + value minutes); overlapping or
+# touching intervals per user merge into islands. Pure integer
+# microsecond arithmetic on both sides — exact hash compare.
+@register(
+    "q172_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s ASC, e ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s ASC, e ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY s ASC, e ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def q172_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping event intervals
+    (operators/temporal.py:merge_intervals — two window passes + one
+    aggregate, no interval self-join)."""
+    from mimic_iv_data_pipeline_spark.operators.temporal import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * 60).cast("long") * 1000000
+        ).alias("e"),
+    )
+    out = merge_intervals(ev, "user_id", "s", "e")
+    return out.select(
+        "user_id",
+        F.col("island").cast("long").alias("island"),
+        F.col("island_start").alias("island_start"),
+        F.col("island_end").alias("island_end"),
+        "n_merged",
+    )

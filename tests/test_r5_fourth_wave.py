@@ -1,0 +1,84 @@
+"""Round-5 fourth-wave operator tests: rolling windows, interval merge,
+EWMA, CUSUM, ROC/PR curves, lift/gains, attribution, key-skew profile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ rolling window
+def test_rolling_window_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import rolling_window
+
+    rows = []
+    for k in range(3):
+        for i in range(40):
+            ts = (i * 37 + k * 11) % 300          # deliberately unsorted + dups
+            rows.append((k, i, ts, (i * 7 + k) % 13))
+    df = spark.createDataFrame(rows, "k long, rid long, sec long, x long")
+    ts = df.withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = rolling_window(
+        ts, "k", "ts", {"n": F.count(F.lit(1)), "s": F.sum("x")}, window_seconds=50
+    )
+    got = {(r["k"], r["rid"]): (r["n"], r["s"]) for r in out.collect()}
+    for k, rid, sec, x in rows:
+        frame = [r for r in rows if r[0] == k and sec - 50 <= r[2] <= sec]
+        assert got[(k, rid)] == (len(frame), sum(r[3] for r in frame))
+
+
+def test_rolling_window_peers_share_frame(spark):
+    """RANGE frame: rows with equal timestamps see identical frames."""
+    from mimic_iv_data_pipeline_spark.operators.windows import rolling_window
+
+    df = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 10, 4)], "k long, sec long, x long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = rolling_window(df, "k", "ts", {"s": F.sum("x")}, window_seconds=5)
+    assert {r["s"] for r in out.collect()} == {7}
+
+
+# ----------------------------------------------------------- interval merge
+def test_merge_intervals_semantics(spark):
+    from mimic_iv_data_pipeline_spark.operators.temporal import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10),    # island 1: [0,15] (overlap + touch chain)
+            ("a", 5, 12),
+            ("a", 12, 15),   # touching merges
+            ("a", 16, 20),   # island 2 (gap of 1)
+            ("b", 0, 1),     # other key unaffected
+        ],
+        "k string, s long, e long",
+    )
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [("a", 0, 15, 3), ("a", 16, 20, 1), ("b", 0, 1, 1)]
+
+
+def test_merge_intervals_islands_are_disjoint(spark, sf_smoke):
+    """Property: consecutive islands per key are separated by a real gap
+    and n_merged sums back to the input row count."""
+    from mimic_iv_data_pipeline_spark.operators.temporal import merge_intervals
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 60).cast("long") * 1000000)
+        .alias("e"),
+    )
+    n_in = ev.count()
+    out = merge_intervals(ev, "user_id", "s", "e").collect()
+    assert sum(r["n_merged"] for r in out) == n_in
+    per_key: dict[int, list] = {}
+    for r in out:
+        per_key.setdefault(r["user_id"], []).append(r)
+    for islands in per_key.values():
+        islands.sort(key=lambda r: r["island_start"])
+        for a, b in zip(islands, islands[1:]):
+            assert b["island_start"] > a["island_end"]
+            assert a["island_end"] >= a["island_start"]
