@@ -403,3 +403,112 @@ def rolling_window(
         .rangeBetween(-window_seconds, 0)
     )
     return df.select("*", *[e.over(w).alias(n) for n, e in exprs.items()])
+
+
+def ewma(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tie_break: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with the exact
+    recursion ``e_t = alpha*x_t + (1-alpha)*e_{t-1}`` (``e_0 = x_0``)
+    evaluated at every row — the smoothing/monitoring classic that no
+    plain window frame can express (the weight depends on the distance
+    to every predecessor).
+
+    Implementation: ONE shuffle collecting each key's series into a
+    sorted array, then a JVM-side ``aggregate`` fold emitting the full
+    running trace, exploded back to one row per input. The fold applies
+    the recursion sequentially in (ts, tie_break) order, so the IEEE
+    float op sequence is identical to any engine's ordered scan —
+    results are bitwise engine-portable (q173 exploits this with a
+    recursive-CTE DuckDB twin; pick an alpha exactly representable in
+    binary, e.g. 0.25, so ``1-alpha`` agrees across engines too).
+
+    Scale bound: the whole series of ONE key must fit in executor
+    memory (arrays + the O(n^2/2) append-copies of the trace builder)
+    — right for per-user/per-sensor series (thousands of points), wrong
+    for a single global series; re-key long series by (key, epoch) and
+    chain epoch boundaries if needed.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else partition_by
+    fields = [F.col(ts_col).alias("__ts")]
+    if tie_break:
+        fields.append(F.col(tie_break).alias("__tb"))
+    fields.append(F.col(value_col).cast("double").alias("__x"))
+    carried = [c for c in df.columns if c not in parts]
+    a = float(alpha)
+
+    packed = df.groupBy(*parts).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*fields, *[F.col(c).alias(f"__c_{c}") for c in carried if True]))
+        ).alias("__series")
+    )
+    # fold: acc is the running trace; each step appends the new EWMA
+    trace = F.aggregate(
+        F.col("__series"),
+        F.expr("CAST(array() AS array<double>)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, s["__x"]).otherwise(
+                    F.lit(a) * s["__x"] + (F.lit(1.0) - F.lit(a)) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    exploded = packed.withColumn("__trace", trace).select(
+        *parts, F.posexplode(F.arrays_zip("__series", "__trace")).alias("__i", "__z")
+    )
+    carried_cols = [
+        F.col(f"__z.__series.__c_{c}").alias(c) for c in carried
+    ]
+    return exploded.select(
+        *parts, *carried_cols, F.col("__z.__trace").alias(out_col)
+    )
+
+
+def cusum(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    value_col: str,
+    target,
+    tie_break: str | None = None,
+    out_col: str = "cusum_plus",
+) -> DataFrame:
+    """One-sided upward CUSUM change detection:
+    ``S_t = max(0, S_{t-1} + (x_t - target))`` per key, computed
+    WITHOUT a recurrence via the prefix identity
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` where ``P`` is the running
+    sum of deviations (Page 1954's classic, restated as two ordered
+    window passes).
+
+    Scale shape: one shuffle on the key, two sequential window frames
+    (running sum, then running min over it) — O(n) per partition, no
+    fold, no self-join; unlike :func:`ewma` this streams, so a single
+    key's series can be arbitrarily long. Feed integer-scaled values
+    (micro-units) for exact cross-engine hash compares.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else partition_by
+    order = [F.col(ts_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*parts).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prefixed = df.withColumn(
+        "__p", F.sum(F.col(value_col) - F.lit(target)).over(run)
+    )
+    w2 = Window.partitionBy(*parts).orderBy(*order)
+    return prefixed.withColumn(
+        out_col,
+        F.col("__p")
+        - F.least(
+            F.lit(0).cast(prefixed.schema["__p"].dataType),
+            F.min("__p").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        ),
+    ).drop("__p")

@@ -247,3 +247,83 @@ def q172_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("island_end").alias("island_end"),
         "n_merged",
     )
+
+
+# --- q173: per-key EWMA trace (smoothing recurrence) ------------------------
+# alpha = 0.25 (exactly representable in binary, so 1-alpha agrees
+# across engines); the Spark fold and the DuckDB recursive CTE execute
+# the identical IEEE op sequence, making the 6dp hash compare exact.
+@register(
+    "q173_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS e
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn, 0.25 * o.value + (1 - 0.25) * r.e
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, round(floor(e * 1e6 + 0.5) / 1e6, 6) AS ewma_val
+    FROM rec
+    """,
+)
+def q173_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values at every event
+    (operators/windows.py:ewma — one shuffle + JVM array fold)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.25, tie_break="event_id")
+    return out.select("user_id", "event_id", dround("ewma", 6).alias("ewma_val"))
+
+
+# --- q174: CUSUM drift detection (prefix-sum identity) ----------------------
+# Values scaled to integer micro-units so every prefix sum, running
+# min, and threshold compare is exact integer math on both engines.
+# target = 55.0 (the parameterized in-control mean), alarm h = 500.0.
+@register(
+    "q174_cusum",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) - 55000000 AS dev
+      FROM events
+    ), p AS (
+      SELECT user_id, ts, event_id,
+             sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+      FROM v
+    ), s AS (
+      SELECT user_id,
+             pf - least(0, min(pf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS su
+      FROM p
+    )
+    SELECT user_id, CAST(max(su) AS BIGINT) AS max_cusum_micro,
+           CAST(count(*) FILTER (su > 500000000) AS BIGINT) AS n_alarms
+    FROM s GROUP BY user_id
+    """,
+)
+def q174_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user upward CUSUM vs a target mean of 55.0, alarm at 500
+    (operators/windows.py:cusum — two window passes, no recurrence)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import cusum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 1e6 + 0.5).cast("long") - F.lit(55000000)).alias(
+            "dev_micro"
+        ),
+    )
+    out = cusum(ev, "user_id", "ts", "dev_micro", target=0, tie_break="event_id")
+    return out.groupBy("user_id").agg(
+        F.max("cusum_plus").cast("long").alias("max_cusum_micro"),
+        F.count_if(F.col("cusum_plus") > 500000000).cast("long").alias("n_alarms"),
+    )

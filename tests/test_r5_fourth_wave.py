@@ -82,3 +82,66 @@ def test_merge_intervals_islands_are_disjoint(spark, sf_smoke):
         for a, b in zip(islands, islands[1:]):
             assert b["island_start"] > a["island_end"]
             assert a["island_end"] >= a["island_start"]
+
+
+# ------------------------------------------------------------------- EWMA
+def test_ewma_matches_recursion(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+
+    rows = [(k, i, float(((i * 37 + k * 11) % 50) - 20)) for k in range(3) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, rid long, x double").withColumn(
+        "ts", F.timestamp_seconds(F.col("rid") * 10)
+    )
+    got = {
+        (r["k"], r["rid"]): r["e"]
+        for r in ewma(df, "k", "ts", "x", 0.25, tie_break="rid", out_col="e").collect()
+    }
+    for k in range(3):
+        e = None
+        for i in range(30):
+            x = float(((i * 37 + k * 11) % 50) - 20)
+            e = x if e is None else 0.25 * x + 0.75 * e
+            assert got[(k, i)] == pytest.approx(e, abs=1e-12)
+
+
+def test_ewma_carries_other_columns(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 2.0, "a"), (1, 1, 4.0, "b")], "k long, rid long, x double, tag string"
+    ).withColumn("ts", F.timestamp_seconds("rid"))
+    out = {r["rid"]: (r["tag"], r["e"]) for r in
+           ewma(df, "k", "ts", "x", 0.25, tie_break="rid", out_col="e").collect()}
+    assert out == {0: ("a", 2.0), 1: ("b", 0.25 * 4.0 + 0.75 * 2.0)}
+
+
+# ------------------------------------------------------------------- CUSUM
+def test_cusum_matches_recursion(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import cusum
+
+    rows = [(k, i, ((i * 37 + k * 11) % 50) - 20) for k in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, rid long, x long").withColumn(
+        "ts", F.timestamp_seconds(F.col("rid"))
+    )
+    got = {
+        (r["k"], r["rid"]): r["s"]
+        for r in cusum(df, "k", "ts", "x", target=2, tie_break="rid", out_col="s").collect()
+    }
+    for k in range(3):
+        s = 0
+        for i in range(40):
+            x = ((i * 37 + k * 11) % 50) - 20
+            s = max(0, s + (x - 2))
+            assert got[(k, i)] == s
+
+
+def test_cusum_never_negative_and_resets(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import cusum
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, -100), (1, 2, 5)], "k long, rid long, x long"
+    ).withColumn("ts", F.timestamp_seconds("rid"))
+    vals = [r["cusum_plus"] for r in
+            cusum(df, "k", "ts", "x", target=0, tie_break="rid")
+            .orderBy("rid").collect()]
+    assert vals == [10, 0, 5]     # huge negative resets the statistic to 0
