@@ -964,3 +964,135 @@ def ks_statistic(
             ).alias("d_stat"),
         )
     )
+
+
+def roc_pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Full ROC + precision/recall curve at every distinct score
+    threshold, with step-interpolated average precision and the
+    trapezoidal ROC-AUC as constant summary columns (the evaluation
+    twins of :func:`rank_auc`, which returns only the scalar
+    Mann-Whitney AUC — for tied-score data trapezoid == rank AUC, a
+    cross-check the tests pin).
+
+    Exactness: thresholds collapse by GROUP BY score, cumulative
+    TP/FP are integer :func:`~.sampling.global_prefix_sums` over the
+    score-descending total order, and AP/AUC are assembled from
+    integer term sums (precision quantized to micro-units first), so
+    every output is a deterministic function of integer counts — no
+    float summation-order sensitivity anywhere.
+
+    Scale shape: one groupBy(score) shuffle, one range shuffle for the
+    prefix sums (curve size = distinct scores — quantize scores
+    upstream if they're near-unique doubles), one 1-row totals
+    aggregate cross-joined back (literal broadcast), one integer term
+    aggregate. No single-partition window over the facts.
+    """
+    from mimic_iv_data_pipeline_spark.operators.sampling import global_prefix_sums
+
+    lab = F.col(label_col).cast("long")
+    by_score = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(lab).alias("pos"),
+        F.sum(F.lit(1) - lab).alias("neg"),
+    )
+    cum = global_prefix_sums(
+        by_score,
+        [F.col("score").desc()],
+        {"cum_tp": F.col("pos"), "cum_fp": F.col("neg")},
+    )
+    totals = df.agg(
+        F.sum(lab).cast("long").alias("__P"),
+        F.sum(F.lit(1) - lab).cast("long").alias("__N"),
+    )
+    curve = cum.crossJoin(F.broadcast(totals)).withColumn(
+        "prec_micro",
+        F.floor(
+            F.lit(1e6) * F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp"))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    summary = curve.agg(
+        F.sum(F.col("pos") * F.col("prec_micro")).alias("__ap_micro"),
+        F.sum(F.col("neg") * (2 * F.col("cum_tp") - F.col("pos"))).alias("__auc2"),
+        F.first("__P").alias("__P2"),
+        F.first("__N").alias("__N2"),
+    ).select(
+        (F.col("__ap_micro") / (F.col("__P2") * F.lit(1e6))).alias("ap"),
+        (F.col("__auc2") / (2.0 * F.col("__P2") * F.col("__N2"))).alias("roc_auc"),
+    )
+    return curve.crossJoin(F.broadcast(summary)).select(
+        "score",
+        "pos",
+        "neg",
+        "cum_tp",
+        "cum_fp",
+        (F.col("cum_tp") / F.col("__P")).alias("tpr"),
+        (F.col("cum_fp") / F.col("__N")).alias("fpr"),
+        (F.col("prec_micro") / F.lit(1e6)).alias("precision"),
+        "ap",
+        "roc_auc",
+    )
+
+
+def lift_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tie_break: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank by score descending, cut
+    into ``n_buckets`` equal-depth buckets, and report per bucket the
+    captured-positive share (gain) and lift vs. random targeting (the
+    campaign-targeting decile classic).
+
+    Bucket rule: ``1 + (rank-1)*B div n`` over the total order
+    ``(score desc, tie_break asc)`` — pure integer arithmetic, so both
+    engines agree on every boundary (ANSI ntile differs only in where
+    the remainder rows land; this floor rule is pinned on both sides).
+
+    Scale shape: one distributed global rank
+    (:func:`~.sampling.global_prefix_sum` — no single-partition
+    window over the facts), one B-row bucket aggregate, cumulative
+    sums over the B-row relation only. One ``count()`` action for n.
+    """
+    from mimic_iv_data_pipeline_spark.operators.sampling import global_prefix_sum
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("lift_gains: empty input")
+    ranked = global_prefix_sum(
+        df,
+        [F.col(score_col).desc(), F.col(tie_break).asc()],
+        F.lit(1),
+        "__rank",
+    )
+    b = ranked.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(1 + ((__rank - 1) * {int(n_buckets)}) DIV {int(n)} AS BIGINT)"
+        ),
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(w).cast("long").alias("cum_rows"),
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        (F.sum("n_pos").over(w) / F.sum("n_pos").over(wall)).alias("gain"),
+        (
+            (F.sum("n_pos").over(w) / F.sum("n_pos").over(wall))
+            / (F.sum("n_rows").over(w) / F.sum("n_rows").over(wall))
+        ).alias("lift"),
+    )

@@ -613,6 +613,25 @@ def global_prefix_sum(
     = prefix sum of 1). Output keeps all input columns + ``out_col``
     (long).
     """
+    return global_prefix_sums(df, order_exprs, {out_col: value_col})
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_exprs: list,
+    values: dict[str, Column],
+) -> DataFrame:
+    """Multi-column :func:`global_prefix_sum`: every entry of
+    ``values`` gets its exact global running sum over the same total
+    order in ONE range shuffle + ONE window pass (all sums share the
+    window spec, so Spark evaluates them in a single frame walk) + ONE
+    bounded totals collect. This is the engine under
+    :func:`global_prefix_sum` and the multi-counter callers
+    (``roc_pr_curve`` needs cum-TP and cum-FP over the same score
+    order — two separate calls would range-shuffle twice).
+    """
+    if not values:
+        raise ValueError("global_prefix_sums: values must be non-empty")
     ordered = df.repartitionByRange(*order_exprs).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -621,37 +640,50 @@ def global_prefix_sum(
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ordered.withColumn(
-        "__local_cum", F.sum(value_col.cast("long")).over(w)
-    )
+    local = ordered
+    for name, col in values.items():
+        local = local.withColumn(f"__lc_{name}", F.sum(col.cast("long")).over(w))
     # Partition totals: <= spark.sql.shuffle.partitions rows. The range
     # partitioner orders partitions by key, so the offset of pid p is
     # the sum of totals of partitions with SMALLER pid. Totals are
     # sum(value), NOT max(cumsum) — identical for the non-negative
     # token/rank callers, but this is a general helper and a negative
     # value would silently corrupt max-based offsets.
-    totals = {
-        r["__pid"]: r["__t"]
-        for r in local.groupBy("__pid")
-        .agg(F.sum(value_col.cast("long")).alias("__t"))
+    totals_rows = (
+        local.groupBy("__pid")
+        .agg(
+            *[
+                F.sum(col.cast("long")).alias(f"__t_{name}")
+                for name, col in values.items()
+            ]
+        )
         .collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_expr = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    return (
-        local.withColumn(out_col, (F.col("__local_cum") + offset_expr).cast("long"))
-        .drop("__pid", "__local_cum")
     )
+    by_pid = {r["__pid"]: r for r in totals_rows}
+    offsets: dict[str, dict[int, int]] = {name: {} for name in values}
+    acc = {name: 0 for name in values}
+    for pid in sorted(by_pid):
+        for name in values:
+            offsets[name][pid] = acc[name]
+            acc[name] += by_pid[pid][f"__t_{name}"] or 0
+    out = local
+    for name in values:
+        offs = offsets[name]
+        offset_expr = (
+            F.coalesce(
+                *[
+                    F.when(F.col("__pid") == pid, F.lit(off))
+                    for pid, off in sorted(offs.items())
+                ],
+                F.lit(0),
+            )
+            if offs
+            else F.lit(0)
+        )
+        out = out.withColumn(
+            name, (F.col(f"__lc_{name}") + offset_expr).cast("long")
+        )
+    return out.drop("__pid", *[f"__lc_{name}" for name in values])
 
 
 def select_token_budget(

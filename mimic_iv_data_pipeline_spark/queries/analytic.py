@@ -1205,3 +1205,125 @@ def q171_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_30d").cast("long").alias("n_30d"),
         F.col("revenue_cents_30d").cast("long").alias("revenue_cents_30d"),
     )
+
+
+# --- q175: ROC / PR curve with AP + trapezoid AUC ---------------------------
+# label = purchase event, score = value. All curve quantities are exact
+# functions of integer counts (precision pre-quantized to micro-units,
+# AP/AUC assembled from integer term sums) — see roc_pr_curve.
+@register(
+    "q175_roc_pr_curve",
+    oracle="""
+    WITH lab AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), by_score AS (
+      SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM lab GROUP BY score
+    ), cum AS (
+      SELECT *,
+             CAST(sum(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+             CAST(sum(neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fp
+      FROM by_score
+    ), tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS P, CAST(sum(1 - y) AS BIGINT) AS N FROM lab
+    ), c2 AS (
+      SELECT cum.*, tot.P, tot.N,
+             CAST(floor(1e6 * cum_tp / (cum_tp + cum_fp) + 0.5) AS BIGINT)
+               AS prec_micro
+      FROM cum, tot
+    ), summ AS (
+      SELECT sum(pos * prec_micro) / (any_value(P) * 1e6) AS ap,
+             sum(neg * (2 * cum_tp - pos)) / (2.0 * any_value(P) * any_value(N))
+               AS roc_auc
+      FROM c2
+    )
+    SELECT round(score, 6) AS score, pos, neg, cum_tp, cum_fp,
+           round(floor((cum_tp / P) * 1e6 + 0.5) / 1e6, 6) AS tpr,
+           round(floor((cum_fp / N) * 1e6 + 0.5) / 1e6, 6) AS fpr,
+           round(prec_micro / 1e6, 6) AS precision_val,
+           round(floor(ap * 1e6 + 0.5) / 1e6, 6) AS ap,
+           round(floor(roc_auc * 1e6 + 0.5) / 1e6, 6) AS roc_auc
+    FROM c2, summ
+    """,
+)
+def q175_roc_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC + PR curve over purchase-vs-rest scored by event value
+    (operators/aggregates.py:roc_pr_curve — integer-exact curve)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import roc_pr_curve
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    out = roc_pr_curve(ev, "score", "y")
+    return out.select(
+        dround("score", 6).alias("score"),
+        "pos",
+        "neg",
+        "cum_tp",
+        "cum_fp",
+        dround("tpr", 6).alias("tpr"),
+        dround("fpr", 6).alias("fpr"),
+        F.round(F.col("precision"), 6).alias("precision_val"),
+        dround("ap", 6).alias("ap"),
+        dround("roc_auc", 6).alias("roc_auc"),
+    )
+
+
+# --- q176: cumulative gains / lift deciles ----------------------------------
+@register(
+    "q176_lift_gains",
+    oracle="""
+    WITH lab AS (
+      SELECT event_id, value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), ranked AS (
+      SELECT y, row_number() OVER (ORDER BY score DESC, event_id ASC) AS rnk,
+             (SELECT count(*) FROM lab) AS n
+      FROM lab
+    ), b AS (
+      SELECT CAST(1 + ((rnk - 1) * 10) // n AS BIGINT) AS bucket, y FROM ranked
+    ), per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_rows, n_pos,
+           CAST(sum(n_rows) OVER w AS BIGINT) AS cum_rows,
+           CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+           round(floor((sum(n_pos) OVER w * 1.0 / sum(n_pos) OVER ()) * 1e6 + 0.5)
+                 / 1e6, 6) AS gain,
+           round(floor(((sum(n_pos) OVER w * 1.0 / sum(n_pos) OVER ())
+                 / (sum(n_rows) OVER w * 1.0 / sum(n_rows) OVER ())) * 1e6 + 0.5)
+                 / 1e6, 6) AS lift
+    FROM per
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q176_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for purchase targeting by event value
+    (operators/aggregates.py:lift_gains — distributed rank, B-row
+    cumulative relation)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import lift_gains
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    out = lift_gains(ev, "score", "y", tie_break="event_id", n_buckets=10)
+    return out.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        dround("gain", 6).alias("gain"),
+        dround("lift", 6).alias("lift"),
+    )

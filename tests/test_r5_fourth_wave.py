@@ -145,3 +145,99 @@ def test_cusum_never_negative_and_resets(spark):
             cusum(df, "k", "ts", "x", target=0, tie_break="rid")
             .orderBy("rid").collect()]
     assert vals == [10, 0, 5]     # huge negative resets the statistic to 0
+
+
+# ------------------------------------------------------------- ROC/PR curve
+def _roc_fixture(spark):
+    rows = [(i, float((i * 7) % 23), 1 if (i * 13) % 5 == 0 else 0) for i in range(200)]
+    return rows, spark.createDataFrame(rows, "rid long, score double, y long")
+
+
+def test_roc_pr_curve_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import roc_pr_curve
+
+    rows, df = _roc_fixture(spark)
+    got = {r["score"]: r for r in roc_pr_curve(df, "score", "y").collect()}
+    P = sum(r[2] for r in rows)
+    N = len(rows) - P
+    scores = sorted({r[1] for r in rows}, reverse=True)
+    tp = fp = 0
+    ap = 0.0
+    auc2 = 0
+    for s in scores:
+        pos = sum(1 for r in rows if r[1] == s and r[2] == 1)
+        neg = sum(1 for r in rows if r[1] == s and r[2] == 0)
+        tp += pos
+        fp += neg
+        prec_micro = int(1e6 * tp / (tp + fp) + 0.5)
+        ap += pos * prec_micro
+        auc2 += neg * (2 * tp - pos)
+        g = got[s]
+        assert (g["cum_tp"], g["cum_fp"]) == (tp, fp)
+        assert g["tpr"] == pytest.approx(tp / P)
+        assert g["precision"] == pytest.approx(prec_micro / 1e6)
+    any_row = next(iter(got.values()))
+    assert any_row["ap"] == pytest.approx(ap / (P * 1e6))
+    assert any_row["roc_auc"] == pytest.approx(auc2 / (2.0 * P * N))
+
+
+def test_roc_trapezoid_equals_rank_auc(spark):
+    """With ties credited half, trapezoid ROC-AUC over grouped
+    thresholds is exactly the Mann-Whitney rank AUC."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        rank_auc,
+        roc_pr_curve,
+    )
+
+    _, df = _roc_fixture(spark)
+    trap = roc_pr_curve(df, "score", "y").select("roc_auc").first()["roc_auc"]
+    mw = rank_auc(df, "score", "y").first()[0]   # rank_auc rounds to 6dp
+    import math
+
+    assert math.floor(trap * 1e6 + 0.5) / 1e6 == pytest.approx(mw, abs=1e-12)
+
+
+# --------------------------------------------------------------- lift/gains
+def test_lift_gains_matches_bruteforce(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import lift_gains
+
+    rows, df = _roc_fixture(spark)
+    out = {r["bucket"]: r for r in
+           lift_gains(df, "score", "y", tie_break="rid", n_buckets=10).collect()}
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n = len(ranked)
+    total_pos = sum(r[2] for r in ranked)
+    cum_rows = cum_pos = 0
+    for bkt in range(1, 11):
+        members = [r for i, r in enumerate(ranked) if 1 + (i * 10) // n == bkt]
+        cum_rows += len(members)
+        cum_pos += sum(r[2] for r in members)
+        g = out[bkt]
+        assert (g["n_rows"], g["n_pos"]) == (len(members), sum(r[2] for r in members))
+        assert (g["cum_rows"], g["cum_pos"]) == (cum_rows, cum_pos)
+        assert g["gain"] == pytest.approx(cum_pos / total_pos)
+        assert g["lift"] == pytest.approx((cum_pos / total_pos) / (cum_rows / n))
+    assert out[10]["gain"] == pytest.approx(1.0)   # last decile captures all
+
+
+def test_global_prefix_sums_multi_matches_single(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        global_prefix_sum,
+        global_prefix_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13, (i * 11) % 5) for i in range(500)],
+        "k long, a long, b long",
+    )
+    multi = global_prefix_sums(
+        df, [F.col("k").asc()], {"ca": F.col("a"), "cb": F.col("b")}
+    )
+    single_a = global_prefix_sum(df, [F.col("k").asc()], F.col("a"), "ca")
+    ma = {r["k"]: (r["ca"], r["cb"]) for r in multi.collect()}
+    sa = {r["k"]: r["ca"] for r in single_a.collect()}
+    run_b = 0
+    for i in range(500):
+        run_b += (i * 11) % 5
+        assert ma[i][0] == sa[i]
+        assert ma[i][1] == run_b
