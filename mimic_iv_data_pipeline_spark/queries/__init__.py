@@ -93,8 +93,10 @@ _MODULES = [
 #   propagation, q160 Pareto front, q161 temporal split, q162
 #   Kaplan-Meier, q163 log-rank, q164 funnel lag, q165
 #   chi-square, q166 PSI drift, q167 KS, q168 association rules,
-#   q169 transition matrix, q170 CDC apply — 20 first driver rows, all oracled and green in the
-#   local battery this round); (d) q02 q05
+#   q169 transition matrix, q170 CDC apply, q171 event-time rolling
+#   aggregates, q172 interval merge, q173 EWMA, q174 CUSUM, q175
+#   ROC/PR curve, q176 lift/gains — 26 first driver rows, all oracled
+#   and green in the local battery this round); (d) q02 q05
 #   q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29 q30 q31
 #   q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
 #   (q48-q83 not re-checked since r3) and rows-only entries (q40 q41
