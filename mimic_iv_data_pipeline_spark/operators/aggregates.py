@@ -1096,3 +1096,179 @@ def lift_gains(
             / (F.sum("n_rows").over(w) / F.sum("n_rows").over(wall))
         ).alias("lift"),
     )
+
+
+def _exact_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    terms: dict[str, Column],
+) -> DataFrame:
+    """Per-group exact sums: each term is cast to decimal(38,0) BEFORE
+    summation so the aggregate is integer-exact (order-insensitive —
+    double accumulation order differs between engines and across
+    partitionings; decimal sums don't). Callers quantize inputs to
+    integer units (cents / micro-units) upstream and convert the exact
+    sums to double only for the final closed-form arithmetic, which is
+    then a fixed sequence of IEEE ops both engines execute identically.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(c.cast("decimal(38,0)")).alias(name)
+            for name, c in terms.items()
+        ],
+    )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_by: str | list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple (one-feature) least-squares fit: slope,
+    intercept, and R² from the closed form — ONE hash aggregate over
+    the facts (map-side combinable), no iteration, no driver math.
+
+    ``x_col``/``y_col`` must be integer-quantized (long) — quantize
+    doubles to cents/micro-units upstream. The five sufficient
+    statistics (Σx, Σy, Σx², Σy², Σxy) are decimal(38,0)-exact, so the
+    slope/intercept/R² doubles are bit-identical across engines and
+    partitionings (the SQL twin runs the same formula on the same
+    exact sums). Degenerate groups: ``var(x)=0`` → slope/intercept/R²
+    NULL; ``var(y)=0`` with ``var(x)>0`` → R² NULL (0/0).
+
+    Scale shape: one groupBy shuffle carrying 6 numeric partials per
+    group — the same cost as any multi-agg; output is |groups| rows.
+    """
+    groups = _cols(group_by)
+    x, y = F.col(x_col), F.col(y_col)
+    s = _exact_sums(
+        df,
+        groups,
+        {"sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y},
+    )
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nD * F.col("sxx").cast("double") - sxD * sxD
+    vy = nD * F.col("syy").cast("double") - syD * syD
+    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    slope = F.when(vx != 0, cov / vx)
+    return s.select(
+        *groups,
+        "n",
+        slope.alias("slope"),
+        F.when(vx != 0, (syD - (cov / vx) * sxD) / nD).alias("intercept"),
+        F.when((vx != 0) & (vy != 0), (cov * cov) / (vx * vy)).alias("r2"),
+    )
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    group_by: str | list[str],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal anomaly flagging: z-score every row against the
+    mean/std of its OWN seasonal cell (e.g. (event_type, hour-of-day))
+    and keep |z| >= threshold — the de-seasonalized outlier detector.
+
+    ``value_col`` must be integer-quantized (long): cell mean and the
+    sample std come from decimal-exact Σy/Σy², so z is a fixed IEEE
+    expression both engines evaluate identically. Cells with n <= 1 or
+    zero variance produce no anomalies (no std to score against).
+
+    Scale shape: one |cells|-row exact-sum aggregate broadcast-joined
+    back onto the facts (seasonal keys are low-cardinality by
+    construction — document yours if not), then a narrow filter. No
+    window over the facts.
+    """
+    groups = _cols(group_by)
+    y = F.col(value_col)
+    stats = _exact_sums(df, groups, {"sy": y, "syy": y * y})
+    nD = F.col("n").cast("double")
+    syD, syyD = F.col("sy").cast("double"), F.col("syy").cast("double")
+    vy = nD * syyD - syD * syD
+    stats = stats.select(
+        *groups,
+        (syD / nD).alias("__mean"),
+        F.when(
+            (F.col("n") > 1) & (vy > 0),
+            F.sqrt(vy / (nD * (nD - F.lit(1.0)))),
+        ).alias("__std"),
+    )
+    z = (y.cast("double") - F.col("__mean")) / F.col("__std")
+    return (
+        df.join(F.broadcast(stats), on=groups, how="inner")
+        .withColumn("z", z)
+        .filter(F.col("__std").isNotNull() & (F.abs(F.col("z")) >= F.lit(threshold)))
+        .drop("__mean", "__std")
+    )
+
+
+def acf(
+    df: DataFrame,
+    key_cols: str | list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Per-key autocorrelation function: Pearson r between the series
+    and its lag-L shift for L = 1..max_lag, over the total order
+    ``order_col`` within each key.
+
+    Lags are POSITIONAL (row lags) — on a gappy series run the dense
+    grid operator (``temporal.dense_grid``) upstream so position =
+    time step. ``value_col`` must be integer-quantized (long); each
+    (key, lag) correlation comes from decimal-exact sums over the
+    non-null pairs, so r is engine-exact. Pairs with zero variance on
+    either side → r NULL.
+
+    Scale shape: ONE window pass per key computes all max_lag shifts
+    (shared sort), a narrow explode stacks them (≤ max_lag× row
+    inflation before the aggregate's map-side combine), one hash
+    aggregate to |keys|·max_lag rows. No self-join on the facts.
+    """
+    keys = _cols(key_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    shifted = df.select(
+        *keys,
+        F.col(value_col).alias("__y"),
+        *[
+            F.lag(value_col, lag).over(w).alias(f"__x{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    lagged = shifted.select(
+        *keys,
+        "__y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).cast("long").alias("lag"),
+                        F.col(f"__x{lag}").alias("__x"),
+                    )
+                    for lag in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(*keys, "__y", F.col("__p.lag").alias("lag"), F.col("__p.__x").alias("__x"))
+    pairs = lagged.filter(F.col("__x").isNotNull())
+    x, y = F.col("__x"), F.col("__y")
+    s = _exact_sums(
+        pairs,
+        keys + ["lag"],
+        {"sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y},
+    )
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nD * F.col("sxx").cast("double") - sxD * sxD
+    vy = nD * F.col("syy").cast("double") - syD * syD
+    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    return s.select(
+        *keys,
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("r"),
+    )

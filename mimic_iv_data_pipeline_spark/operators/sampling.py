@@ -854,3 +854,100 @@ def temporal_split(
         .when(F.col("__rank") <= k_val, F.lit("val"))
         .otherwise(F.lit("test")),
     ).drop("__rank")
+
+
+# Poisson(1) inverse-CDF thresholds: P(N <= k) for k = 0..7 (count 8
+# beyond). Fixed literals so Spark and any SQL twin bucket the SAME
+# uniform into the SAME count — the determinism contract of
+# poisson_bootstrap_ci.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999916758850712,
+)
+
+
+def poisson_count(u: Column) -> Column:
+    """Map a uniform [0,1) column to a Poisson(1) count via the fixed
+    inverse CDF (codegen WHEN chain — no lambda)."""
+    expr = F.lit(8).cast("long")
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k).cast("long")).otherwise(
+            expr
+        )
+    return expr
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_by: str | list[str],
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group mean with a percentile bootstrap CI — the Poisson
+    bootstrap (each replicate reweights every row by an independent
+    Poisson(1) count), the resampling scheme that works on partitioned
+    data because no replicate ever needs a global sample of exactly n
+    rows (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012).
+
+    Deterministic: the replicate-b weight of a row is
+    ``poisson_count(hash_unit(id ':' b, salt))`` — content-addressed
+    like every sampler in this module, so the CI is reproducible at any
+    partitioning and expressible verbatim in the SQL twin.
+    ``value_col`` must be integer-quantized (long); replicate means are
+    exact-sum ratios. CI rule: order the B replicate means (ties broken
+    by replicate id), take ranks ``floor(alpha/2·B)+1`` and
+    ``B - floor(alpha/2·B)``. Replicates whose weights sum to 0 in a
+    group (probability e^{-n·B}-ish — only tiny groups) are dropped
+    from the order; groups with fewer than 2 surviving replicate means
+    return NULL bounds.
+
+    Scale shape: one narrow explode (B× inflation feeding a map-side
+    combine), one groupBy(group, b) shuffle to |groups|·B partial rows,
+    windows over that small relation only. The point estimate rides the
+    same aggregate (weight-independent exact sums at b=0 … any b).
+    """
+    groups = [group_by] if isinstance(group_by, str) else list(group_by)
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))).alias("__b")
+    rows = df.select(
+        *groups, F.col(value_col).alias("__y"), F.col(id_col).alias("__id"), b
+    )
+    u = hash_unit(
+        F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__b").cast("string")),
+        salt,
+    )
+    weighted = rows.withColumn("__w", poisson_count(u))
+    per_rep = weighted.groupBy(*groups, "__b").agg(
+        F.sum("__w").cast("long").alias("__sw"),
+        F.sum((F.col("__w") * F.col("__y")).cast("decimal(38,0)")).alias("__swy"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__sy"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    means = per_rep.filter(F.col("__sw") > 0).withColumn(
+        "__mb", F.col("__swy").cast("double") / F.col("__sw").cast("double")
+    )
+    wo = Window.partitionBy(*groups).orderBy(F.col("__mb").asc(), F.col("__b").asc())
+    lo_rank = int(alpha / 2 * n_replicates) + 1
+    hi_rank = n_replicates - (lo_rank - 1)
+    ranked = means.withColumn("__rn", F.row_number().over(wo)).withColumn(
+        "__nb", F.count(F.lit(1)).over(Window.partitionBy(*groups))
+    )
+    return ranked.groupBy(*groups).agg(
+        F.max("__n").alias("n"),
+        (F.max("__sy").cast("double") / F.max("__n").cast("double")).alias("mean"),
+        F.max(
+            F.when((F.col("__rn") == lo_rank) & (F.col("__nb") >= 2), F.col("__mb"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when((F.col("__rn") == hi_rank) & (F.col("__nb") >= 2), F.col("__mb"))
+        ).alias("ci_hi"),
+    )

@@ -1327,3 +1327,278 @@ def q176_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("gain", 6).alias("gain"),
         dround("lift", 6).alias("lift"),
     )
+
+
+# --- q177-q180: regression / anomaly / ACF / bootstrap ----------------------
+# Shared exactness contract: quantize value to cents (integer) on both
+# sides, aggregate with decimal(38,0)-exact sums, run the SAME fixed
+# IEEE formula on the exact sums — outputs are bit-identical, rounding
+# is belt-and-braces. The SQL fragments below are generated from the
+# same constants the operators use, so the twins can't drift.
+
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _linreg_tail_sql(var_terms: str, group: str) -> str:
+    """Exact-sum → closed-form slope/intercept/r2 SQL tail (shared by
+    q177; mirrors grouped_linreg's formula order exactly)."""
+    return f"""
+    s AS (
+      SELECT {group}, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM f GROUP BY {group}
+    ), e AS (
+      SELECT {group}, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(n AS DOUBLE) AS nD, CAST(sx AS DOUBLE) AS sxD,
+             CAST(sy AS DOUBLE) AS syD
+      FROM s
+    )
+    SELECT {group}, n,
+           round(floor((CASE WHEN vx <> 0 THEN cov / vx END) * 1e6 + 0.5) / 1e6, 6)
+             AS {var_terms},
+           round(floor((CASE WHEN vx <> 0
+                        THEN (syD - (cov / vx) * sxD) / nD END) * 1e6 + 0.5) / 1e6, 6)
+             AS intercept,
+           round(floor((CASE WHEN vx <> 0 AND vy <> 0
+                        THEN (cov * cov) / (vx * vy) END) * 1e6 + 0.5) / 1e6, 6)
+             AS r2
+    FROM e
+    """
+
+
+@register(
+    "q177_grouped_linreg",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS x, {_CENTS} AS y
+      FROM events
+    ),{_linreg_tail_sql("slope", "event_type")}
+    """,
+)
+def q177_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares fit of value-in-cents on
+    hour-of-day (operators/aggregates.py:grouped_linreg — one exact-sum
+    hash aggregate, closed-form coefficients)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import grouped_linreg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    out = grouped_linreg(ev, "event_type", "x", "y")
+    return out.select(
+        "event_type",
+        "n",
+        dround("slope", 6).alias("slope"),
+        dround("intercept", 6).alias("intercept"),
+        dround("r2", 6).alias("r2"),
+    )
+
+
+@register(
+    "q178_seasonal_anomalies",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hr, {_CENTS} AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+      FROM f GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, hr,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CASE WHEN n > 1 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             END AS std
+      FROM s
+    )
+    SELECT f.event_id, f.event_type, f.hr, f.y AS value_cents,
+           round(floor(((CAST(f.y AS DOUBLE) - st.mean) / st.std) * 1e6 + 0.5)
+                 / 1e6, 6) AS z
+    FROM f JOIN st ON f.event_type = st.event_type AND f.hr = st.hr
+    WHERE st.std IS NOT NULL
+      AND abs((CAST(f.y AS DOUBLE) - st.mean) / st.std) >= 3.0
+    """,
+)
+def q178_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-seasonalized outliers: z-score each event against its
+    (event_type, hour-of-day) cell, keep |z| >= 3
+    (operators/aggregates.py:seasonal_zscore — 120-cell exact-sum stats
+    broadcast back onto the facts)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import seasonal_zscore
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    out = seasonal_zscore(ev, ["event_type", "hr"], "y", threshold=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        "hr",
+        F.col("y").alias("value_cents"),
+        dround("z", 6).alias("z"),
+    )
+
+
+_ACF_MAX_LAG = 7
+_ACF_LAG_COLS = ",\n             ".join(
+    f"lag(y, {lag}) OVER (PARTITION BY event_type ORDER BY day) AS x{lag}"
+    for lag in range(1, _ACF_MAX_LAG + 1)
+)
+_ACF_STACK = "\n      UNION ALL ".join(
+    f"SELECT event_type, CAST({lag} AS BIGINT) AS lag, y, x{lag} AS x "
+    f"FROM lagged WHERE x{lag} IS NOT NULL"
+    for lag in range(1, _ACF_MAX_LAG + 1)
+)
+
+
+@register(
+    "q179_daily_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, y,
+             {_ACF_LAG_COLS}
+      FROM daily
+    ), pairs AS (
+      {_ACF_STACK}
+    ), s AS (
+      SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM pairs GROUP BY 1, 2
+    ), e AS (
+      SELECT event_type, lag, n_pairs,
+             CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+      FROM s
+    )
+    SELECT event_type, lag, n_pairs,
+           round(floor((CASE WHEN vx > 0 AND vy > 0
+                        THEN cov / sqrt(vx * vy) END) * 1e6 + 0.5) / 1e6, 6) AS r
+    FROM e
+    """,
+)
+def q179_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the per-event-type daily revenue series at
+    lags 1..7 (operators/aggregates.py:acf — one window pass computes
+    all shifts, exact-sum Pearson per (key, lag))."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import acf
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    out = acf(daily, "event_type", "day", "y", max_lag=_ACF_MAX_LAG)
+    return out.select(
+        "event_type", "lag", "n_pairs", dround("r", 6).alias("r")
+    )
+
+
+def _poisson_case_sql(u_expr: str) -> str:
+    from mimic_iv_data_pipeline_spark.operators.sampling import _POISSON1_CDF
+
+    whens = "\n             ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CAST(CASE {whens}\n             ELSE 8 END AS BIGINT)"
+
+
+@register(
+    "q180_bootstrap_ci",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type, event_id, {_CENTS} AS y FROM events
+    ), reps AS (
+      SELECT f.*, b.b FROM f, (SELECT unnest(range(0, 40)) AS b) b
+    ), u AS (
+      SELECT event_type, b, y,
+             CAST(concat('0x', substr(md5(concat('boot:',
+                    cast(event_id AS VARCHAR), ':', cast(b AS VARCHAR))), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u01
+      FROM reps
+    ), w AS (
+      SELECT event_type, b, y, {_poisson_case_sql("u01")} AS wgt FROM u
+    ), per_rep AS (
+      SELECT event_type, b,
+             CAST(sum(wgt) AS BIGINT) AS sw,
+             sum(CAST(wgt * y AS DECIMAL(38,0))) AS swy,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2
+    ), means AS (
+      SELECT event_type, b, sy, n,
+             CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) AS mb
+      FROM per_rep WHERE sw > 0
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY mb ASC, b ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM means
+    )
+    SELECT event_type, max(n) AS n,
+           round(floor((CAST(max(sy) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6, 6) AS mean,
+           round(floor(max(CASE WHEN rn = 2 AND nb >= 2 THEN mb END)
+                 * 1e6 + 0.5) / 1e6, 6) AS ci_lo,
+           round(floor(max(CASE WHEN rn = 39 AND nb >= 2 THEN mb END)
+                 * 1e6 + 0.5) / 1e6, 6) AS ci_hi
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q180_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean value-in-cents per event type,
+    B=40 deterministic md5 replicates
+    (operators/sampling.py:poisson_bootstrap_ci)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    out = poisson_bootstrap_ci(
+        ev, "event_type", "y", "event_id", n_replicates=40, alpha=0.05, salt="boot"
+    )
+    return out.select(
+        "event_type",
+        "n",
+        dround("mean", 6).alias("mean"),
+        dround("ci_lo", 6).alias("ci_lo"),
+        dround("ci_hi", 6).alias("ci_hi"),
+    )
