@@ -948,8 +948,8 @@ def ks_statistic(
         )
         .localCheckpoint(eager=True)
     )
-    cum = global_prefix_sum(grid, [F.col("v").asc()], F.col("ca"), "fa")
-    cum = global_prefix_sum(cum, [F.col("v").asc()], F.col("cb"), "fb")
+    cum = global_prefix_sum(grid, [F.col("v").asc()], F.col("ca"), "fa", bucket_col="v")
+    cum = global_prefix_sum(cum, [F.col("v").asc()], F.col("cb"), "fb", bucket_col="v")
     tots = grid.agg(
         F.sum("ca").cast("double").alias("__na"),
         F.sum("cb").cast("double").alias("__nb"),
@@ -1002,6 +1002,8 @@ def roc_pr_curve(
         by_score,
         [F.col("score").desc()],
         {"cum_tp": F.col("pos"), "cum_fp": F.col("neg")},
+        bucket_col="score",
+        bucket_desc=True,
     )
     totals = df.agg(
         F.sum(lab).cast("long").alias("__P"),
@@ -1069,6 +1071,8 @@ def lift_gains(
         [F.col(score_col).desc(), F.col(tie_break).asc()],
         F.lit(1),
         "__rank",
+        bucket_col=score_col,
+        bucket_desc=True,
     )
     b = ranked.withColumn(
         "bucket",

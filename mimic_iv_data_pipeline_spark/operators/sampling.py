@@ -596,94 +596,148 @@ def global_prefix_sum(
     order_exprs: list,
     value_col: Column,
     out_col: str,
+    bucket_col: str | None = None,
+    bucket_desc: bool = False,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` over the TOTAL order
     ``order_exprs`` — distributed, with no single-partition window.
 
-    Recipe: ``repartitionByRange`` on the order, per-partition running
-    sums (window keyed on ``spark_partition_id()``), then the
-    numPartitions-row per-partition totals are collected (bounded by
-    ``spark.sql.shuffle.partitions``) and re-enter the plan as a
-    broadcast-free CASE offset. The result is independent of where the
-    range boundaries land because the order is total — the partitioner
-    only has to respect the order, not any particular split.
-
-    This is the shared engine under :func:`select_token_budget`
-    (cumulative token budget) and :func:`temporal_split` (global rank
-    = prefix sum of 1). Output keeps all input columns + ``out_col``
-    (long).
+    Thin wrapper over :func:`global_prefix_sums` (see there for the
+    recipe and the deterministic-bucketing correctness contract).
+    Output keeps all input columns + ``out_col`` (long).
     """
-    return global_prefix_sums(df, order_exprs, {out_col: value_col})
+    return global_prefix_sums(
+        df,
+        order_exprs,
+        {out_col: value_col},
+        bucket_col=bucket_col,
+        bucket_desc=bucket_desc,
+    )
 
 
 def global_prefix_sums(
     df: DataFrame,
     order_exprs: list,
     values: dict[str, Column],
+    bucket_col: str | None = None,
+    bucket_desc: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Multi-column :func:`global_prefix_sum`: every entry of
     ``values`` gets its exact global running sum over the same total
-    order in ONE range shuffle + ONE window pass (all sums share the
-    window spec, so Spark evaluates them in a single frame walk) + ONE
-    bounded totals collect. This is the engine under
-    :func:`global_prefix_sum` and the multi-counter callers
-    (``roc_pr_curve`` needs cum-TP and cum-FP over the same score
-    order — two separate calls would range-shuffle twice).
+    order in ONE hash shuffle + ONE window pass (all sums share the
+    window spec, so Spark evaluates them in a single frame walk), with
+    the cross-bucket offsets from a groupBy(bucket) to a ≤n_buckets-row
+    relation, a prefix window over that tiny relation, and a broadcast
+    join back.
+
+    Bucketing is DETERMINISTIC BY VALUE, not by partitioner:
+    ``bucket_col`` (the leading column of ``order_exprs``; numeric or
+    timestamp) is split on approximate-quantile bounds collected ONCE
+    and embedded as literals, so a row's bucket is a pure function of
+    its value. This is a correctness requirement, not a style choice:
+    an earlier version used ``repartitionByRange`` +
+    ``spark_partition_id()``, but the range partitioner samples its
+    bounds with a seed derived from the RDD id, so the totals pass and
+    the facts pass could land rows in DIFFERENT partitions — at 20M
+    rows ranks silently duplicated/overshot (caught by the r5d lift
+    probe: an 11th decile). Value bucketing makes every branch agree
+    by construction, with no fact-relation materialization and no
+    reliance on exchange reuse. Bound quality only affects balance,
+    never results — any bounds give correct sums.
+
+    Nulls in ``bucket_col`` go to the first bucket for ascending /
+    last for descending, matching Spark's default NULLS FIRST/LAST so
+    buckets stay contiguous in the total order. A single hot value
+    lands in one bucket (same caveat as any range partitioning of a
+    tied sort key). Totals are sum(value), NOT max(cumsum) — identical
+    for the non-negative token/rank callers, but this is a general
+    helper and a negative value would corrupt max-based offsets.
+
+    This is the shared engine under :func:`select_token_budget`,
+    :func:`temporal_split`, ``lift_gains`` (global rank = prefix sum
+    of 1) and ``roc_pr_curve`` (cum-TP and cum-FP ride one shuffle).
     """
     if not values:
         raise ValueError("global_prefix_sums: values must be non-empty")
-    ordered = df.repartitionByRange(*order_exprs).withColumn(
-        "__pid", F.spark_partition_id()
+    if bucket_col is None:
+        raise ValueError(
+            "global_prefix_sums: bucket_col (the leading order column) is "
+            "required — bucketing must be a pure function of the data"
+        )
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Sort key: numeric/timestamp cast to double, negated for desc so
+    # "ascending key" == the requested total order. Nulls get the
+    # infinity that matches Spark's default null ordering.
+    key_raw = F.col(bucket_col).cast("double")
+    key = (
+        F.coalesce(-key_raw, F.lit(float("inf")))
+        if bucket_desc
+        else F.coalesce(key_raw, F.lit(float("-inf")))
     )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    rel_err = max(0.001, 0.25 / n_buckets)
+    bounds = (
+        df.select(key.alias("__gps_key")).stat.approxQuantile(
+            "__gps_key", probs, rel_err
+        )
+        if probs
+        else []
+    )
+    if bounds:
+        # codegen WHEN chain (first bound >= key), not an array-filter
+        # lambda — higher-order functions run interpreted per row (the
+        # PERF.md lambda trap; this expression touches every fact row)
+        bucket = F.lit(len(bounds))
+        for i in range(len(bounds) - 1, -1, -1):
+            bucket = F.when(key <= F.lit(float(bounds[i])), F.lit(i)).otherwise(
+                bucket
+            )
+    else:
+        bucket = F.lit(0)
+    withpid = df.withColumn("__pid", bucket)
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ordered
+    local = withpid
     for name, col in values.items():
         local = local.withColumn(f"__lc_{name}", F.sum(col.cast("long")).over(w))
-    # Partition totals: <= spark.sql.shuffle.partitions rows. The range
-    # partitioner orders partitions by key, so the offset of pid p is
-    # the sum of totals of partitions with SMALLER pid. Totals are
-    # sum(value), NOT max(cumsum) — identical for the non-negative
-    # token/rank callers, but this is a general helper and a negative
-    # value would silently corrupt max-based offsets.
-    totals_rows = (
-        local.groupBy("__pid")
-        .agg(
-            *[
-                F.sum(col.cast("long")).alias(f"__t_{name}")
-                for name, col in values.items()
-            ]
-        )
-        .collect()
+    totals = withpid.groupBy("__pid").agg(
+        *[
+            F.sum(col.cast("long")).alias(f"__t_{name}")
+            for name, col in values.items()
+        ]
     )
-    by_pid = {r["__pid"]: r for r in totals_rows}
-    offsets: dict[str, dict[int, int]] = {name: {} for name in values}
-    acc = {name: 0 for name in values}
-    for pid in sorted(by_pid):
-        for name in values:
-            offsets[name][pid] = acc[name]
-            acc[name] += by_pid[pid][f"__t_{name}"] or 0
-    out = local
-    for name in values:
-        offs = offsets[name]
-        offset_expr = (
-            F.coalesce(
-                *[
-                    F.when(F.col("__pid") == pid, F.lit(off))
-                    for pid, off in sorted(offs.items())
-                ],
-                F.lit(0),
+    # Offset of bucket p = sum of totals of buckets before it: a
+    # prefix window over the ≤n_buckets-row totals relation
+    # (single-partition window — fine, the relation is bucket-count
+    # sized, not fact sized).
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{name}").over(wo), F.lit(0)).alias(
+                f"__off_{name}"
             )
-            if offs
-            else F.lit(0)
-        )
+            for name in values
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid", "left")
+    for name in values:
         out = out.withColumn(
-            name, (F.col(f"__lc_{name}") + offset_expr).cast("long")
+            name,
+            (F.col(f"__lc_{name}") + F.coalesce(F.col(f"__off_{name}"), F.lit(0)))
+            .cast("long"),
         )
-    return out.drop("__pid", *[f"__lc_{name}" for name in values])
+    return out.drop(
+        "__pid",
+        *[f"__lc_{name}" for name in values],
+        *[f"__off_{name}" for name in values],
+    )
 
 
 def select_token_budget(
@@ -728,6 +782,8 @@ def select_token_budget(
         [F.col(score_col).desc(), F.col(id_col).asc()],
         F.col(tokens_col),
         cum_col,
+        bucket_col=score_col,
+        bucket_desc=True,
     )
     return cum.filter(F.col(cum_col) <= budget)
 
@@ -844,6 +900,7 @@ def temporal_split(
         [F.col(ts_col).asc(), F.col(id_col).asc()],
         F.lit(1),
         "__rank",
+        bucket_col=ts_col,
     )
     n = df.count()
     k_train = int(f_train * n)

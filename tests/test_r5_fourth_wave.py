@@ -231,9 +231,11 @@ def test_global_prefix_sums_multi_matches_single(spark):
         "k long, a long, b long",
     )
     multi = global_prefix_sums(
-        df, [F.col("k").asc()], {"ca": F.col("a"), "cb": F.col("b")}
+        df, [F.col("k").asc()], {"ca": F.col("a"), "cb": F.col("b")}, bucket_col="k"
     )
-    single_a = global_prefix_sum(df, [F.col("k").asc()], F.col("a"), "ca")
+    single_a = global_prefix_sum(
+        df, [F.col("k").asc()], F.col("a"), "ca", bucket_col="k"
+    )
     ma = {r["k"]: (r["ca"], r["cb"]) for r in multi.collect()}
     sa = {r["k"]: r["ca"] for r in single_a.collect()}
     run_b = 0
