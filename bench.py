@@ -90,6 +90,15 @@ HEADLINE = [
     # join — the two remaining plan families not yet tracked.
     "q162_kaplan_meier",
     "q168_association_rules",
+    # round-5 fourth/fifth wave: the event-time RANGE frame, the two
+    # per-key recurrences (fold vs prefix identity), the global-rank
+    # pipeline (prefix-sum engine, post layout-drift fix), and the
+    # replicate-weighted bootstrap (md5-bound).
+    "q171_rolling_revenue",
+    "q173_ewma",
+    "q174_cusum",
+    "q176_lift_gains",
+    "q180_bootstrap_ci",
 ]
 
 
