@@ -99,6 +99,13 @@ HEADLINE = [
     "q174_cusum",
     "q176_lift_gains",
     "q180_bootstrap_ci",
+    # round-5 sixth wave: the narrow bigram build + pair aggregate
+    # (PMI) and the two-state struct fold (Holt, the q173 fold's
+    # heavier sibling).
+    "q184_pmi_collocations",
+    "q187_holt_trend",
+    # round-5 seventh wave: the tokens x classes scoring join.
+    "q190_naive_bayes",
 ]
 
 

@@ -1276,3 +1276,300 @@ def acf(
         F.col("n").alias("n_pairs"),
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("r"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test with midrank
+    tie handling and the tie-corrected normal approximation (public:
+    Mann & Whitney 1947; ``scipy.stats.mannwhitneyu``
+    method='asymptotic' without continuity correction). The
+    nonparametric A/B readout beside :func:`cuped_ab_test` (means) and
+    :func:`ks_statistic` (full-distribution distance); exactly two
+    groups are required — raises otherwise (bounded probe collect,
+    repo convention).
+
+    Rank arithmetic is INTEGER-exact: after collapsing the facts to
+    DISTINCT values carrying per-group counts, a tied block of size t
+    at cumulative offset c has midrank c + (t+1)/2, so
+
+        2·R_a = Σ_blocks n_a(block) · (2·c + t + 1)
+
+    is an exact decimal sum; U_a = R_a − n_a(n_a+1)/2, the tie term
+    Σ(t³−t), and the z / AUC doubles derive from those integers in a
+    pinned IEEE op sequence both engines execute identically
+    (``value_col`` must be exactly representable — integers or
+    parquet-carried doubles compared bitwise by the collapse).
+
+    Scale shape: ONE groupBy(value) collapse (map-side combinable);
+    the only ordered window runs over the |distinct values| relation —
+    the :func:`rank_auc` regime — never the raw facts.
+
+    Returns ONE row: ``(group_a, group_b, n_a, n_b, u_a, z, auc_a)``
+    (groups ascending; ``auc_a`` = P(a > b) + ½P(a = b) = U_a/(n_a·n_b);
+    z is NULL when every value is tied). Unrounded — query sites round.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c")).localCheckpoint(eager=True)
+    groups = [r["__g"] for r in per.select("__g").distinct().limit(3).collect()]
+    if len(groups) != 2:
+        raise ValueError(
+            f"mann_whitney_u: exactly 2 groups required, got {len(groups)}"
+        )
+    ga, gb = sorted(groups)
+    blocks = per.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == ga, F.col("__c")).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__g") == gb, F.col("__c")).otherwise(0)).alias("__nb"),
+    )
+    t = (F.col("__na") + F.col("__nb")).cast("decimal(38,0)")
+    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = blocks.withColumn(
+        "__cb",
+        F.coalesce(
+            F.sum((F.col("__na") + F.col("__nb")).cast("decimal(38,0)")).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ),
+    )
+    s = cum.agg(
+        F.sum("__na").cast("decimal(38,0)").alias("n1"),
+        F.sum("__nb").cast("decimal(38,0)").alias("n2"),
+        F.sum(
+            F.col("__na").cast("decimal(38,0)")
+            * (F.lit(2).cast("decimal(38,0)") * F.col("__cb") + t + 1)
+        ).alias("two_ra"),
+        F.sum(t * t * t - t).alias("tie"),
+    )
+    n1D, n2D = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nD = n1D + n2D
+    # 2·U_a exact, then one halving: U_a = (2R_a − n_a(n_a+1)) / 2
+    two_u = (
+        F.col("two_ra") - F.col("n1") * (F.col("n1") + 1)
+    ).cast("double")
+    u_a = two_u / F.lit(2.0)
+    var_u = (n1D * n2D / F.lit(12.0)) * (
+        (nD + F.lit(1.0)) - F.col("tie").cast("double") / (nD * (nD - F.lit(1.0)))
+    )
+    z = F.when(var_u > 0, (u_a - n1D * n2D / F.lit(2.0)) / F.sqrt(var_u))
+    return s.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        z.alias("z"),
+        (u_a / (n1D * n2D)).alias("auc_a"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-test across k groups (public: Fisher; scipy
+    ``f_oneway`` semantics) with the effect size eta² — the k-group
+    generalization of the two-sample mean tests.
+
+    ``value_col`` must be integer-quantized (long). Per-group n/Σy/Σy²
+    are decimal(38,0)-exact. Sums of squares are shift-invariant, and
+    computing them at raw magnitude is catastrophic cancellation
+    (SS − S²/n subtracts ~1e16 doubles whose true difference is
+    O(variance) — observed: negative SSW on cent-scale prices), so the
+    exact sums are re-centered ALGEBRAICALLY around the integer global
+    mean c = floor(S/n): s' = s − n·c and ss' = ss − 2c·s + c²·n,
+    decimal-exact, no second scan of the facts. The one
+    order-sensitive reduction — the between-group term Σ_g s'_g²/n_g,
+    a double sum over the groups relation — is pre-quantized to
+    integer micro-units per group (floor(x·1e6 + 0.5), the
+    roc_pr_curve recipe) and summed exactly, so the final F/eta²
+    doubles are a fixed IEEE sequence identical across engines and
+    partitionings (defined at 1e-6 resolution of the centered group
+    terms — negligible, and deterministic).
+
+    Scale shape: ONE map-side-combinable hash aggregate over the facts
+    to |groups| rows, two tiny re-aggregates (the first derives the
+    shift constant). Returns ONE row:
+    ``(k, n, ss_between, ss_within, f_stat, eta_sq)`` — f_stat NULL
+    when k < 2, n ≤ k, or SSW = 0; eta_sq NULL when SST = 0.
+    Unrounded — query sites round.
+    """
+    y = F.col(value_col)
+    # square in decimal(18,0) so |y| up to ~1e18 never overflows the
+    # long multiply (decimal(18,0)² → decimal(37,0), exact)
+    y18 = y.cast("decimal(18,0)")
+    g = _exact_sums(df, [group_col], {"s": y, "ss": y18 * y18})
+    # Integer shift constant ≈ the global mean. floor(double(S)/double(n))
+    # is a fixed IEEE sequence (cast, divide, floor — identical in any
+    # engine), so c is the same integer everywhere; ANY c preserves the
+    # sums of squares exactly, its only job is magnitude reduction.
+    shift = g.agg(
+        F.floor(
+            F.sum("s").cast("double") / F.sum("n").cast("double")
+        ).cast("decimal(38,0)").alias("__c")
+    )
+    gc = g.crossJoin(F.broadcast(shift)).select(
+        (F.col("s") - F.col("n") * F.col("__c")).alias("s"),
+        (
+            F.col("ss")
+            - 2 * F.col("__c") * F.col("s")
+            + F.col("__c") * F.col("__c") * F.col("n")
+        ).alias("ss"),
+        "n",
+    )
+    term_micro = F.floor(
+        (F.col("s").cast("double") * F.col("s").cast("double"))
+        / F.col("n").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    tot = gc.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("S"),
+        F.sum("ss").alias("SS"),
+        F.sum(term_micro).alias("T_micro"),
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    grand = (
+        F.col("S").cast("double") * F.col("S").cast("double") / nD
+    )
+    ssb = F.col("T_micro").cast("double") / F.lit(1e6) - grand
+    sst = F.col("SS").cast("double") - grand
+    ssw = sst - ssb
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        (ssb / (kD - F.lit(1.0))) / (ssw / (nD - kD)),
+    )
+    return tot.select(
+        "k",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+        F.when(sst > 0, ssb / sst).alias("eta_sq"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    id_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a relation of hypothesis
+    tests (public: Benjamini & Hochberg 1995; ``statsmodels``
+    ``multipletests(method='fdr_bh')`` q-value semantics) — the
+    multiple-testing companion of :func:`chi_square_independence` /
+    :func:`mann_whitney_u` / :func:`anova_oneway` when one run fans
+    out over many segments.
+
+        q_i = min(1, min_{j ≥ i} p_(j)·m / j),   reject ⟺ q_i ≤ alpha
+
+    with p ranked ascending and ties broken by ``id_col`` — the
+    step-up rule expressed as a reverse running minimum, so the reject
+    set equals the classic "largest i with p_(i) ≤ i·alpha/m" rule.
+
+    Scale shape: two windows over the TESTS relation — one row per
+    hypothesis, bounded by the number of segments tested (thousands),
+    never by the fact table the p-values came from. The windows are
+    deliberately single-partition (|tests| rows); a million-test
+    screen should pre-bucket via ``sampling.global_prefix_sums``.
+
+    Returns one row per test: ``(id, p, rank, m, q_value, reject)``
+    with ``p`` passed through unchanged. q unrounded — query sites
+    round.
+    """
+    wr = Window.orderBy(F.col(p_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col),
+        F.col(p_col),
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("m"),
+    )
+    raw = F.col(p_col) * F.col("m").cast("double") / F.col("rank").cast("double")
+    wmin = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = ranked.withColumn(
+        "q_value", F.least(F.lit(1.0), F.min(raw).over(wmin))
+    )
+    return out.select(
+        id_col,
+        p_col,
+        F.col("rank").cast("long").alias("rank"),
+        "m",
+        "q_value",
+        (F.col("q_value") <= F.lit(float(alpha))).alias("reject"),
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring (public:
+    Hughes 1994; the standard product-analytics segmentation) — each
+    user's last-activity age, event count, and integer-quantized spend,
+    each quantile-binned 1..n_bins with 5 (n_bins) = best.
+
+    Determinism: recency is an exact integer second difference from
+    the corpus max timestamp (no wall clock — reproducible snapshots);
+    ntile runs with the repo's pinned tie-break (metric, then user id),
+    the same ANSI remainder semantics q22 proved identical across
+    engines. The ntile windows run over the |users| AGGREGATE relation
+    (one row per user), not the facts — at extreme user cardinality
+    swap in the ``sampling.global_prefix_sums`` rank engine (the
+    lift_gains recipe).
+
+    Returns ``(user, recency_s, frequency, monetary, r, f, m,
+    rfm_cell)`` with rfm_cell = 100·r + 10·f + m.
+    """
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.unix_micros(F.max(ts_col)).alias("__last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).cast("long").alias("monetary"),
+    )
+    corpus_max = df.agg(F.unix_micros(F.max(ts_col)).alias("__max_us"))
+    base = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user",
+        # integral division (`div` here, `//` in the SQL twin) — a
+        # float divide + cast would truncate in Spark but
+        # round-to-nearest in DuckDB's BIGINT cast
+        F.expr("(__max_us - __last_us) div 1000000").alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    # score 5 = best: most recent (smallest recency), most frequent,
+    # highest spend — so recency orders DESC and the others ASC.
+    r = F.ntile(n_bins).over(
+        Window.orderBy(F.col("recency_s").desc(), F.col("user").asc())
+    )
+    f = F.ntile(n_bins).over(
+        Window.orderBy(F.col("frequency").asc(), F.col("user").asc())
+    )
+    m = F.ntile(n_bins).over(
+        Window.orderBy(F.col("monetary").asc(), F.col("user").asc())
+    )
+    return base.select(
+        "user",
+        "recency_s",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    ).withColumn("rfm_cell", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")))

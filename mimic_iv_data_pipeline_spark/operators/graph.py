@@ -512,3 +512,63 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source breadth-first search: the minimum hop count from
+    any seed node within ``max_hops`` (public: the Pregel/GraphFrames
+    ``shortestPaths`` special case for unit edge weights — k-hop
+    neighborhood expansion, the reachability primitive under fraud
+    rings, dependency blast-radius, and social-distance features).
+
+    ``seeds`` is a one-column relation of seed node ids (column name
+    ``node``); they report level 0. Nodes never reached within
+    ``max_hops`` are absent from the output — left-join the node list
+    at the call site if unreached rows are wanted.
+
+    Scale shape per hop: ONE equi-join of the current FRONTIER (only
+    the nodes first reached last hop — not the whole visited set)
+    against the edge list, ONE distinct, ONE left-anti join against
+    the visited relation; visited/frontier are ``localCheckpoint``-ed
+    per hop (the repo's fixed-iteration lineage discipline, same as
+    ``pagerank``/``label_propagation``). Frontier size is bounded by
+    the hop's reach, so early hops never pay whole-graph cost.
+
+    Returns ``(node, level)`` with level in 0..max_hops.
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_levels: max_hops must be >= 0")
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+        )
+    e = e.filter(F.col("__s") != F.col("__d")).distinct()
+    visited = (
+        seeds.select(F.col("node"), F.lit(0).cast("long").alias("level"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("node", "__s"), "__s")
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            break
+        visited = visited.unionByName(
+            reached.select("node", F.lit(hop).cast("long").alias("level"))
+        ).localCheckpoint(eager=True)
+        frontier = reached
+    return visited

@@ -312,3 +312,92 @@ def association_rules(
         (F.col("n_ab") / F.col("__sb")).alias("conf_b_to_a"),
         (F.col("n_ab") * n / (F.col("__sa") * F.col("__sb"))).alias("lift"),
     )
+
+
+def item_cooccurrence_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors from co-occurrence
+    cosine (public: Sarwar et al. WWW 2001 item-based CF; the
+    "customers also bought" kernel):
+
+        cos(i,j) = c_ij / sqrt(c_i · c_j)
+
+    with c counted over DISTINCT (basket, item) pairs. The
+    recommendation sibling of :func:`association_rules` — that one
+    scores directional rules at a support floor; this one emits each
+    item's top-k symmetric neighbor list.
+
+    Scale shape (the Apriori discipline): items below ``min_count``
+    baskets are pruned BEFORE the pair join — c_ij ≤ min(c_i, c_j), so
+    no surviving pair is lost — bounding the per-basket self-join by
+    frequent items per basket; the join is an equi-join on the basket
+    key, item counts broadcast onto the pair relation, and the final
+    per-item top-k is a keyed window over pairs (never a global sort).
+    A hot basket with B frequent items still emits B²/2 rows — cap
+    basket width upstream if baskets are adversarial.
+
+    Returns ``(item, neighbor, n_pair, n_item, n_neighbor, cosine,
+    rank)`` with rank 1..k per item by (cosine desc, neighbor asc);
+    cosine unrounded.
+    """
+    if k < 1:
+        raise ValueError("item_cooccurrence_topk: k must be >= 1")
+    if min_count < 1:
+        raise ValueError("item_cooccurrence_topk: min_count must be >= 1")
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    counts = bi.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    frequent = counts.filter(F.col("__c") >= min_count)
+    pruned = bi.join(
+        F.broadcast(frequent.select("__i")), "__i"
+    ).select("__b", "__i")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="__b")
+        .filter(F.col("a.__i") < F.col("b.__i"))
+        .groupBy(
+            F.col("a.__i").alias("__ia"), F.col("b.__i").alias("__ib")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    # symmetrize: each unordered pair serves both items' neighbor lists
+    sym = pairs.select(
+        F.col("__ia").alias("item"), F.col("__ib").alias("neighbor"), "n_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("__ib").alias("item"), F.col("__ia").alias("neighbor"), "n_pair"
+        )
+    )
+    enriched = sym.join(
+        F.broadcast(frequent.select(F.col("__i").alias("item"), F.col("__c").alias("n_item"))),
+        "item",
+    ).join(
+        F.broadcast(
+            frequent.select(
+                F.col("__i").alias("neighbor"), F.col("__c").alias("n_neighbor")
+            )
+        ),
+        "neighbor",
+    )
+    cosine = F.col("n_pair").cast("double") / F.sqrt(
+        F.col("n_item").cast("double") * F.col("n_neighbor").cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(
+        cosine.desc(), F.col("neighbor").asc()
+    )
+    return (
+        enriched.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item", "neighbor", "n_pair", "n_item", "n_neighbor", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

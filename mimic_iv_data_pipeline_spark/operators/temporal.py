@@ -207,3 +207,101 @@ def merge_intervals(
         F.max(end_col).alias("island_end"),
         F.count(F.lit(1)).cast("long").alias("n_merged"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: str | list[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition of a per-key DAILY series
+    (public: the classical decomposition statsmodels
+    ``seasonal_decompose(model='additive')`` implements — Kendall &
+    Stuart):  y = trend + seasonal + residual, with
+
+      trend_t    = centered ``trend_window``-day moving average
+                   (NULL unless the window is complete, per the
+                   classical definition),
+      seasonal_j = mean of the detrended values at period position
+                   j = (days since 1970-01-01) mod ``period``
+                   (weekday for period=7; NOT re-centered — the means
+                   already sum to ~0 for balanced panels, documented
+                   rather than hidden),
+      residual   = detrended − seasonal.
+
+    Input must be ONE ROW PER (key, day) with ``value_col`` integer-
+    quantized (aggregate upstream — same contract as :func:`acf`).
+    Determinism: the trend mean is an exact decimal window sum divided
+    once; detrended values are micro-quantized (floor(x·1e6+0.5))
+    before the per-position mean, so every emitted double is a pinned
+    IEEE sequence. The period position is pure integer date arithmetic
+    (datediff from the epoch, mod period) — identical in any engine,
+    unlike dow/dayofweek whose origin differs per engine.
+
+    Scale shape: one per-key ordered window (ROWS frame ±w/2) + one
+    (key, position) aggregate broadcast back — the facts are scanned
+    twice, shuffled once on the key. Returns the input plus
+    ``(trend, position, seasonal, detrended, residual)``; trend/
+    seasonal/residual NULL where the trend window is incomplete.
+    """
+    from pyspark.sql.window import Window
+
+    if trend_window % 2 == 0 or trend_window < 1:
+        raise ValueError(
+            "seasonal_decompose: trend_window must be odd and >= 1 "
+            "(classical centered moving average)"
+        )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    half = trend_window // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(day_col).asc())
+        .rowsBetween(-half, half)
+    )
+    y = F.col(value_col)
+    with_trend = df.withColumn(
+        "__wn", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "trend",
+        F.when(
+            F.col("__wn") == trend_window,
+            F.sum(y.cast("decimal(38,0)")).over(w).cast("double")
+            / F.lit(float(trend_window)),
+        ),
+    ).withColumn(
+        "position",
+        F.pmod(F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date")), F.lit(period)).cast("long"),
+    ).withColumn(
+        "__dt_micro",
+        F.floor((y.cast("double") - F.col("trend")) * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    seasonal = (
+        with_trend.filter(F.col("trend").isNotNull())
+        .groupBy(*keys, "position")
+        .agg(
+            (
+                F.sum("__dt_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("seasonal")
+        )
+    )
+    out = with_trend.join(F.broadcast(seasonal), [*keys, "position"], "left")
+    detrended = F.when(
+        F.col("trend").isNotNull(), y.cast("double") - F.col("trend")
+    )
+    return out.select(
+        *keys,
+        day_col,
+        value_col,
+        "trend",
+        "position",
+        F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias("seasonal"),
+        detrended.alias("detrended"),
+        (detrended - F.col("seasonal")).alias("residual"),
+    )

@@ -824,3 +824,201 @@ def clean_web_text(
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent
+    token pairs (public: Church & Hanks 1990 — the classic "strongly
+    associated word pairs" signal used for phrase induction / tokenizer
+    seeding ahead of BPE/WordPiece training):
+
+        PMI(w1,w2) = ln( (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)) )
+
+    with c12 counted over ADJACENT (position i, i+1) pairs, c over all
+    tokens, N_bi = Σ(len−1), N_uni = Σlen. Evaluated as one double
+    expression ``ln((c12·N_uni·N_uni)/(N_bi·c1·c2))`` from exact long
+    counts — identical IEEE sequence in the SQL twin.
+
+    Scale shape: bigrams are built WITHOUT a shuffle — a slice/
+    transform over the token array (narrow, codegen) — then ONE
+    groupBy(w1,w2) count and ONE token-count aggregate; the global
+    counts broadcast onto the ≥min_count pair relation. min_count is
+    the noise floor AND the skew wall: it prunes the hapax tail before
+    the broadcast joins, so the pair relation is bounded by the
+    frequent-bigram vocabulary, not the corpus. Final top-k is a
+    TakeOrdered (pmi desc, w1, w2 asc), never a global sort.
+
+    Returns ``(w1, w2, n_pair, n_w1, n_w2, pmi)``, pmi unrounded.
+    """
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count must be >= 1")
+    toks = df.select(tokens(F.col(text_col)).alias("__w"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+                " (t, i) -> struct(t AS w1, __w[i + 1] AS w2))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    # c(w) >= c12 >= min_count for any surviving pair member (downward
+    # closure), so the broadcast side is the FREQUENT vocabulary, not
+    # the hapax-dominated full one.
+    uni = (
+        toks.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        .filter(F.col("n_w") >= min_count)
+    )
+    totals = toks.agg(
+        F.sum(F.size("__w")).cast("long").alias("__n_uni"),
+        F.sum(F.greatest(F.size("__w") - 1, F.lit(0))).cast("long").alias("__n_bi"),
+    )
+    joined = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (
+            F.col("n_pair").cast("double")
+            * F.col("__n_uni").cast("double")
+            * F.col("__n_uni").cast("double")
+        )
+        / (
+            F.col("__n_bi").cast("double")
+            * F.col("n_w1").cast("double")
+            * F.col("n_w2").cast("double")
+        )
+    )
+    out = joined.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi.alias("pmi"))
+    return out.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)
+
+
+def naive_bayes_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: float = 1.0,
+    reuse: bool = True,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and scored on the corpus itself
+    (public: the add-α multinomial NB of Manning/Raghavan/Schütze IR
+    ch.13; sklearn ``MultinomialNB`` semantics with
+    ``fit_prior=True``) — the cheap supervised baseline every corpus
+    pipeline runs for language/domain routing before a neural model.
+
+        score(d, c) = log P(c) + Σ_{w ∈ d} log( (c(w,c)+α) / (N_c+α·V) )
+
+    with V the corpus vocabulary and duplicate tokens counted (true
+    multinomial). Per-token log-likelihoods are quantized to integer
+    micro-nats (floor(x·1e6 + 0.5)) BEFORE the per-(doc, class) sum,
+    so the score is an exact integer sum — order-insensitive and
+    engine-portable (the per-doc double sum a textbook implementation
+    does is the one order-sensitive reduction here).
+
+    Scale shape: ONE token explode; the (word, class) count matrix and
+    the class totals are vocab-bounded aggregates; scoring joins the
+    token relation to the |classes|-row relation (broadcast — classes
+    are few by definition) and LEFT-joins the count matrix on
+    (word, class) — a hash equi-join, |tokens|·|classes| rows, no
+    driver state. Prediction is one (doc, class) aggregate + one
+    per-doc argmax window over |docs|·|classes| rows.
+
+    Returns ``(id, pred_label, score_micro)`` — score_micro is the
+    winning class's integer micro-nat score including the prior
+    (argmax ties break on ascending label).
+
+    ``reuse=True`` persists the exploded token relation (it feeds the
+    count matrix, the class totals, the vocabulary count, AND the
+    scoring join — four consumers, so an unpersisted plan tokenizes
+    the corpus four times). Same cache-entry caveat as
+    ``kneser_ney_scores``: in a long-lived session scoring many
+    different corpora pass ``reuse=False``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.col(label_col).alias("__y"), tokens(F.col(text_col)).alias("__w")
+    )
+    tok = toks.select(id_col, "__y", F.explode("__w").alias("__t"))
+    if reuse:
+        tok = tok.persist()
+    # training statistics (the corpus is its own training set)
+    wc = tok.groupBy(F.col("__t"), F.col("__y").alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    class_tot = tok.groupBy(F.col("__y").alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nc")
+    )
+    priors = toks.groupBy(F.col("__y").alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__dc")
+    )
+    vocab_n = tok.select("__t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    classes = (
+        class_tot.join(F.broadcast(priors), "__c")
+        .crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    a = float(alpha)
+    # every (token occurrence, class) pair, unseen pairs included
+    scored = (
+        tok.select(id_col, "__t")
+        .crossJoin(F.broadcast(classes))
+        .join(wc, ["__t", "__c"], "left")
+        .select(
+            id_col,
+            "__c",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("__cnt"), F.lit(0)).cast("double") + F.lit(a))
+                    / (F.col("__nc").cast("double") + F.lit(a) * F.col("__v").cast("double"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("__lp_micro"),
+        )
+    )
+    prior_micro = F.floor(
+        F.log(F.col("__dc").cast("double") / F.col("__nd").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_class = (
+        scored.groupBy(id_col, "__c")
+        .agg(F.sum("__lp_micro").alias("__ll"))
+        .join(F.broadcast(classes.select("__c", prior_micro.alias("__pm"))), "__c")
+        .select(id_col, "__c", (F.col("__ll") + F.col("__pm")).alias("__score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("__c").asc()
+    )
+    return (
+        per_class.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__c").alias("pred_label"),
+            F.col("__score").alias("score_micro"),
+        )
+    )

@@ -512,3 +512,92 @@ def cusum(
             F.min("__p").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
         ),
     ).drop("__p")
+
+
+def holt_linear(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) with
+    the exact recursion (public: Holt 1957; ``statsmodels``
+    ``Holt(initialization_method='known', initial_level=x_0,
+    initial_trend=0)`` semantics):
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1}),    l_0 = x_0
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},    b_0 = 0
+
+    The trend-aware sibling of :func:`ewma`, for drifting series where
+    a single-state EWMA lags systematically. Same engine-portability
+    contract: the fold applies the recursion sequentially in
+    (ts, tie_break) order, so the IEEE op sequence matches any
+    engine's ordered scan — pick α/β exactly representable in binary
+    (0.5, 0.25) and a recursive-CTE SQL twin reproduces every double
+    bitwise.
+
+    Implementation/scale bound: identical to :func:`ewma` — ONE
+    shuffle collects each key's series into a sorted array, a JVM-side
+    ``aggregate`` fold carries the (level, trend) struct trace,
+    exploded back to one row per input. One key's series must fit in
+    executor memory; re-key epic series by (key, epoch) and chain.
+
+    Output adds ``level``, ``trend``, and ``forecast`` (= level +
+    trend, the one-step-ahead prediction) to the carried columns.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else partition_by
+    fields = [F.col(ts_col).alias("__ts")]
+    if tie_break:
+        fields.append(F.col(tie_break).alias("__tb"))
+    fields.append(F.col(value_col).cast("double").alias("__x"))
+    carried = [c for c in df.columns if c not in parts]
+    a, b = float(alpha), float(beta)
+
+    packed = df.groupBy(*parts).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(*fields, *[F.col(c).alias(f"__c_{c}") for c in carried])
+            )
+        ).alias("__series")
+    )
+    new_l = lambda acc, s: (
+        F.lit(a) * s["__x"]
+        + (F.lit(1.0) - F.lit(a))
+        * (F.element_at(acc, -1)["l"] + F.element_at(acc, -1)["b"])
+    )
+    trace = F.aggregate(
+        F.col("__series"),
+        F.expr("CAST(array() AS array<struct<l: double, b: double>>)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.struct(s["__x"].alias("l"), F.lit(0.0).alias("b")),
+                ).otherwise(
+                    F.struct(
+                        new_l(acc, s).alias("l"),
+                        (
+                            F.lit(b)
+                            * (new_l(acc, s) - F.element_at(acc, -1)["l"])
+                            + (F.lit(1.0) - F.lit(b)) * F.element_at(acc, -1)["b"]
+                        ).alias("b"),
+                    )
+                )
+            ),
+        ),
+    )
+    exploded = packed.withColumn("__trace", trace).select(
+        *parts, F.posexplode(F.arrays_zip("__series", "__trace")).alias("__i", "__z")
+    )
+    carried_cols = [F.col(f"__z.__series.__c_{c}").alias(c) for c in carried]
+    return exploded.select(
+        *parts,
+        *carried_cols,
+        F.col("__z.__trace.l").alias("level"),
+        F.col("__z.__trace.b").alias("trend"),
+        (F.col("__z.__trace.l") + F.col("__z.__trace.b")).alias("forecast"),
+    )

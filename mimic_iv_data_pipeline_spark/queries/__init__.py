@@ -35,6 +35,7 @@ _MODULES = [
     "coverage",
     "llmops",
     "corpus",
+    "stats",
 ]
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
@@ -86,19 +87,28 @@ _MODULES = [
 #   token/quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint
 #   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
 #   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
-# r6 plan: (a) any r5 reds, then the third-wave queries added after
-#   the r5 window filled (q151 triangle count, q152 nDCG@5, q153
-#   funnel, q154 target encoding, q155 token budget, q156 MAD
-#   outliers, q157 mutual information, q158 CUPED A/B, q159 label
-#   propagation, q160 Pareto front, q161 temporal split, q162
-#   Kaplan-Meier, q163 log-rank, q164 funnel lag, q165
-#   chi-square, q166 PSI drift, q167 KS, q168 association rules,
-#   q169 transition matrix, q170 CDC apply, q171 event-time rolling
-#   aggregates, q172 interval merge, q173 EWMA, q174 CUSUM, q175
-#   ROC/PR curve, q176 lift/gains — 26 first driver rows, all oracled
-#   and green in the local battery this round); (d) q02 q05
-#   q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29 q30 q31
-#   q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
+# r6 plan: (a) any r5 reds, then the third/fourth/fifth/sixth-wave
+#   queries added after the r5 window filled — 35 never-driver-checked
+#   rows, all oracled and green in the local battery this round:
+#   q151 triangle count, q152 nDCG@5, q153 funnel, q154 target
+#   encoding, q155 token budget, q156 MAD outliers, q157 mutual
+#   information, q158 CUPED A/B, q159 label propagation, q160 Pareto
+#   front, q161 temporal split, q162 Kaplan-Meier, q163 log-rank,
+#   q164 funnel lag, q165 chi-square, q166 PSI drift, q167 KS, q168
+#   association rules, q169 transition matrix, q170 CDC apply, q171
+#   event-time rolling aggregates, q172 interval merge, q173 EWMA,
+#   q174 CUSUM, q175 ROC/PR curve, q176 lift/gains, q177 grouped OLS,
+#   q178 seasonal z-score, q179 ACF, q180 bootstrap CI, q181
+#   Mann-Whitney, q182 ANOVA, q183 BH-FDR, q184 PMI collocations,
+#   q185 item CF neighbors, q186 BFS levels, q187 Holt trend, q188
+#   session stats, q189 TextRank, q190 Naive Bayes, q191 RFM, q192
+#   seasonal decomposition (that is 42 — if the 50-row window forces
+#   a cut after (c)'s 15-core, defer q172/q174/q178/q179/q188/q191
+#   whose families have fresh green siblings: q171 RANGE frame + q173
+#   fold, q177 exact-sum stats, q180 prefix-free md5, q21-family
+#   sessionize + q148 cohorts, q22-family ntile); (c) the core; (d)
+#   q02 q05 q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29
+#   q30 q31 q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
 #   (q48-q83 not re-checked since r3) and rows-only entries (q40 q41
 #   q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) to 50.
 _PRIORITY = [

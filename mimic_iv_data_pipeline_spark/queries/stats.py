@@ -1,0 +1,788 @@
+"""Statistical-inference / recommendation / graph-traversal queries
+(round-5 sixth wave): the hypothesis-test family around the A/B and
+drift monitors (Mann-Whitney, ANOVA, BH-FDR), collocation mining and
+TextRank keywords on the documents corpus, item-based CF neighbors,
+multi-source BFS, and Holt trend smoothing.
+
+Every query here carries a full hash-compare DuckDB oracle; the float
+outputs are engine-portable by construction (exact integer/decimal
+sufficient statistics + a pinned IEEE op sequence — see each operator's
+docstring for the determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.functions.rounding import dround
+from mimic_iv_data_pipeline_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+# --- q181: Mann-Whitney U (rank-sum A/B test) -------------------------------
+# Groups: even vs odd user ids (a deterministic A/B assignment); the
+# oracle mirrors the operator's integer rank algebra (2·R_a as an exact
+# decimal sum over distinct-value blocks) and its pinned IEEE sequence
+# for z / AUC term by term.
+@register(
+    "q181_mann_whitney",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             {_CENTS} AS v
+      FROM events
+    ), blocks AS (
+      SELECT v,
+             sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS nb
+      FROM f GROUP BY v
+    ), cum AS (
+      SELECT v, na, nb, na + nb AS t,
+             coalesce(sum(na + nb) OVER (
+               ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM blocks
+    ), s AS (
+      SELECT CAST(sum(na) AS DECIMAL(38,0)) AS n1,
+             CAST(sum(nb) AS DECIMAL(38,0)) AS n2,
+             sum(CAST(na AS DECIMAL(38,0))
+                 * (2 * CAST(cb AS DECIMAL(38,0))
+                    + CAST(t AS DECIMAL(38,0)) + 1)) AS two_ra,
+             sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                   * CAST(t AS DECIMAL(38,0))
+                 - CAST(t AS DECIMAL(38,0))) AS tie
+      FROM cum
+    ), e AS (
+      SELECT n1, n2, tie,
+             CAST(two_ra - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_a,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd
+      FROM s
+    ), v AS (
+      SELECT *,
+             (n1d * n2d / 12.0)
+             * ((nd + 1.0) - CAST(tie AS DOUBLE) / (nd * (nd - 1.0))) AS var_u
+      FROM e
+    )
+    SELECT 'even' AS group_a, 'odd' AS group_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(floor(u_a * 1e6 + 0.5) / 1e6, 6) AS u_a,
+           round(floor((CASE WHEN var_u > 0
+                  THEN (u_a - n1d * n2d / 2.0) / sqrt(var_u) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS z,
+           round(floor((u_a / (n1d * n2d)) * 1e6 + 0.5) / 1e6, 6) AS auc_a
+    FROM v
+    """,
+)
+def q181_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test of value-in-cents between even- and odd-id users
+    (operators/aggregates.py:mann_whitney_u — one groupBy(value)
+    collapse; the ordered window runs over distinct values only)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    out = mann_whitney_u(ev, "g", "v")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        dround("u_a", 6).alias("u_a"),
+        dround("z", 6).alias("z"),
+        dround("auc_a", 6).alias("auc_a"),
+    )
+
+
+# --- q182: one-way ANOVA across return flags --------------------------------
+# The between-group term is quantized to micro-units per group before
+# the exact decimal sum (the roc_pr_curve recipe), so the F statistic
+# is a fixed IEEE sequence on both engines.
+@register(
+    "q182_anova",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y AS DECIMAL(38,0))) AS s,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS ss
+      FROM f GROUP BY g
+    ), shift AS (
+      SELECT CAST(floor(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+                  AS DECIMAL(38,0)) AS c
+      FROM grp
+    ), cgrp AS (
+      SELECT n,
+             grp.s - n * c AS cs,
+             grp.ss - 2 * c * grp.s + c * c * n AS css
+      FROM grp CROSS JOIN shift
+    ), tm AS (
+      SELECT *,
+             CAST(floor(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1e6 + 0.5)
+                  AS DECIMAL(38,0)) AS t
+      FROM cgrp
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+             sum(cs) AS S, sum(css) AS SS, sum(t) AS T
+      FROM tm
+    ), e AS (
+      SELECT k, n,
+             CAST(T AS DOUBLE) / 1e6
+               - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+             CAST(SS AS DOUBLE)
+               - CAST(S AS DOUBLE) * CAST(S AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+      FROM tot
+    )
+    SELECT k, n,
+           CAST(floor(ssb) AS BIGINT) AS ss_between,
+           CAST(floor(sst - ssb) AS BIGINT) AS ss_within,
+           round(floor((CASE WHEN k > 1 AND n > k AND sst - ssb > 0
+                  THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                       / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                  END) * 1e6 + 0.5) / 1e6, 6) AS f_stat,
+           round(floor((CASE WHEN sst > 0 THEN ssb / sst END)
+                 * 1e6 + 0.5) / 1e6, 6) AS eta_sq
+    FROM e
+    """,
+)
+def q182_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of extended-price cents across the three return
+    flags (operators/aggregates.py:anova_oneway — one exact-sum hash
+    aggregate + a |groups|-row re-aggregate)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import anova_oneway
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    out = anova_oneway(li, "l_returnflag", "y")
+    # SS magnitudes are ~1e17 cents² — 6dp would overflow the ×1e6
+    # long path; integer resolution is already sub-ulp there.
+    return out.select(
+        "k",
+        "n",
+        F.floor("ss_between").cast("long").alias("ss_between"),
+        F.floor("ss_within").cast("long").alias("ss_within"),
+        dround("f_stat", 6).alias("f_stat"),
+        dround("eta_sq", 6).alias("eta_sq"),
+    )
+
+
+# --- q183: Benjamini-Hochberg FDR over a segment screen ---------------------
+# 120 deterministic pseudo p-values (md5-u01 cubed, skewed toward 0 so
+# the step-up rule actually fires) — one per (event_type, hour) cell;
+# the BH mechanics (rank, reverse running min, cap, reject) are what
+# the hash verifies.
+@register(
+    "q183_bh_fdr",
+    oracle="""
+    WITH cells AS (
+      SELECT DISTINCT event_type, CAST(hour(ts) AS BIGINT) AS hr FROM events
+    ), tests AS (
+      SELECT concat(event_type, '#', CAST(hr AS VARCHAR)) AS test_id,
+             pow(CAST(concat('0x', substr(md5(concat('pval:', event_type, '#',
+                    CAST(hr AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0,
+                 3) AS p
+      FROM cells
+    ), ranked AS (
+      SELECT test_id, p,
+             row_number() OVER (ORDER BY p ASC, test_id ASC) AS rank,
+             count(*) OVER () AS m
+      FROM tests
+    ), q AS (
+      SELECT test_id, p, rank, CAST(m AS BIGINT) AS m,
+             least(1.0, min(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE)) OVER (
+               ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
+      FROM ranked
+    )
+    SELECT test_id, round(floor(p * 1e6 + 0.5) / 1e6, 6) AS p,
+           CAST(rank AS BIGINT) AS rank, m,
+           round(floor(q_value * 1e6 + 0.5) / 1e6, 6) AS q_value,
+           q_value <= 0.05 AS reject
+    FROM q
+    """,
+)
+def q183_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR control over a 120-cell segment screen
+    (operators/aggregates.py:bh_fdr — two windows over the tests
+    relation, never the facts)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import bh_fdr
+    from mimic_iv_data_pipeline_spark.operators.sampling import hash_unit
+
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").cast("long").alias("hr"))
+        .distinct()
+    )
+    tests = cells.select(
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("hr").cast("string")
+        ).alias("test_id")
+    ).select(
+        "test_id",
+        F.pow(hash_unit(F.col("test_id"), salt="pval"), F.lit(3)).alias("p"),
+    )
+    out = bh_fdr(tests, "test_id", "p", alpha=0.05)
+    return out.select(
+        "test_id",
+        dround("p", 6).alias("p"),
+        "rank",
+        "m",
+        dround("q_value", 6).alias("q_value"),
+        "reject",
+    )
+
+
+# --- q184: PMI collocations over the documents corpus -----------------------
+@register(
+    "q184_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(
+               range(0, greatest(len(w) - 2, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2]))) AS g
+      FROM toks WHERE len(w) >= 2
+    ), pc AS (
+      SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM grams GROUP BY 1, 2 HAVING count(*) >= 5
+    ), uni AS (
+      SELECT u.w, CAST(count(*) AS BIGINT) AS n_w
+      FROM toks, unnest(w) AS u(w) GROUP BY 1 HAVING count(*) >= 5
+    ), tt AS (
+      SELECT CAST(sum(len(w)) AS BIGINT) AS n_uni,
+             CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_bi
+      FROM toks
+    ), scored AS (
+      SELECT pc.w1, pc.w2, pc.n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+             ln((CAST(pc.n_pair AS DOUBLE) * CAST(tt.n_uni AS DOUBLE)
+                 * CAST(tt.n_uni AS DOUBLE))
+                / (CAST(tt.n_bi AS DOUBLE) * CAST(a.n_w AS DOUBLE)
+                   * CAST(b.n_w AS DOUBLE))) AS pmi
+      FROM pc
+      JOIN uni a ON pc.w1 = a.w
+      JOIN uni b ON pc.w2 = b.w
+      CROSS JOIN tt
+    )
+    SELECT w1, w2, n_pair, n_w1, n_w2,
+           round(floor(pmi * 1e6 + 0.5) / 1e6, 6) AS pmi
+    FROM scored
+    ORDER BY scored.pmi DESC, w1, w2 LIMIT 100
+    """,
+)
+def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations (adjacent-token pairs seen >= 5 times)
+    over the documents corpus (operators/text.py:pmi_collocations —
+    narrow bigram build, one pair aggregate, frequent-vocab broadcast)."""
+    from mimic_iv_data_pipeline_spark.operators.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, "text", min_count=5, top_k=100)
+    return out.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2", dround("pmi", 6).alias("pmi")
+    )
+
+
+# --- q185: item-item CF neighbors over order baskets ------------------------
+@register(
+    "q185_item_neighbors",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i FROM lineitem
+    ), cnt AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY i
+      HAVING count(*) >= 5
+    ), pruned AS (
+      SELECT bi.b, bi.i FROM bi JOIN cnt ON bi.i = cnt.i
+    ), pairs AS (
+      SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS n_pair
+      FROM pruned a JOIN pruned b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), sym AS (
+      SELECT ia AS item, ib AS neighbor, n_pair FROM pairs
+      UNION ALL
+      SELECT ib AS item, ia AS neighbor, n_pair FROM pairs
+    ), scored AS (
+      SELECT s.item, s.neighbor, s.n_pair, ci.c AS n_item, cn.c AS n_neighbor,
+             CAST(s.n_pair AS DOUBLE)
+               / sqrt(CAST(ci.c AS DOUBLE) * CAST(cn.c AS DOUBLE)) AS cosine
+      FROM sym s
+      JOIN cnt ci ON s.item = ci.i
+      JOIN cnt cn ON s.neighbor = cn.i
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rank
+      FROM scored
+    )
+    SELECT item, neighbor, n_pair, n_item, n_neighbor,
+           round(floor(cosine * 1e6 + 0.5) / 1e6, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q185_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 co-occurrence-cosine neighbors per item over order
+    baskets, item-support pruning before the pair join
+    (operators/retrieval.py:item_cooccurrence_topk)."""
+    from mimic_iv_data_pipeline_spark.operators.retrieval import (
+        item_cooccurrence_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"), (F.col("l_partkey") % 100).alias("i")
+    )
+    out = item_cooccurrence_topk(li, "b", "i", k=5, min_count=5)
+    return out.select(
+        "item",
+        "neighbor",
+        "n_pair",
+        "n_item",
+        "n_neighbor",
+        dround("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+# --- q186: multi-source BFS levels ------------------------------------------
+# Sparse 200-node contraction (quantity-1 lineitems only) so the 3-hop
+# expansion produces non-trivial levels; the oracle unrolls each hop as
+# a frontier-minus-visited CTE.
+@register(
+    "q186_bfs_levels",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey % 200 AS src, l_partkey % 200 AS dst
+      FROM lineitem
+      WHERE l_quantity = 1 AND l_suppkey % 200 != l_partkey % 200
+    ), l0 AS (
+      SELECT unnest([0, 1, 2]) AS node
+    ), r1 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN l0 ON e.src = l0.node
+    ), l1 AS (
+      SELECT node FROM r1 WHERE node NOT IN (SELECT node FROM l0)
+    ), r2 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node
+    ), l2 AS (
+      SELECT node FROM r2 WHERE node NOT IN (SELECT node FROM l0)
+        AND node NOT IN (SELECT node FROM l1)
+    ), r3 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node
+    ), l3 AS (
+      SELECT node FROM r3 WHERE node NOT IN (SELECT node FROM l0)
+        AND node NOT IN (SELECT node FROM l1)
+        AND node NOT IN (SELECT node FROM l2)
+    )
+    SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+    UNION ALL SELECT node, 1 FROM l1
+    UNION ALL SELECT node, 2 FROM l2
+    UNION ALL SELECT node, 3 FROM l3
+    """,
+)
+def q186_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop multi-source BFS levels over a sparse 200-node lineitem
+    contraction (operators/graph.py:bfs_levels — per hop one
+    frontier-edge equi-join + one anti-join, localCheckpoint-ed)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import bfs_levels
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        (F.col("l_suppkey") % 200).alias("src"),
+        (F.col("l_partkey") % 200).alias("dst"),
+    )
+    seeds = li.sparkSession.createDataFrame([(0,), (1,), (2,)], "node long")
+    out = bfs_levels(edges, seeds, max_hops=3, directed=True)
+    return out.select(F.col("node").cast("long").alias("node"), "level")
+
+
+# --- q187: Holt double exponential smoothing --------------------------------
+# alpha = 0.5, beta = 0.25 (binary-exact); the DuckDB recursive CTE
+# carries (level, trend) and inlines the new-level expression inside
+# the trend update exactly as the Spark fold does.
+@register(
+    "q187_holt_trend",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, event_id, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn,
+             0.5 * o.x + 0.5 * (r.l + r.b) AS l,
+             0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           round(floor(l * 1e6 + 0.5) / 1e6, 6) AS level,
+           round(floor(b * 1e6 + 0.5) / 1e6, 6) AS trend,
+           round(floor((l + b) * 1e6 + 0.5) / 1e6, 6) AS forecast
+    FROM rec
+    """,
+)
+def q187_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend smoothing of event values
+    (operators/windows.py:holt_linear — one shuffle + JVM struct fold,
+    bitwise engine-portable)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import holt_linear
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = holt_linear(
+        ev, "user_id", "ts", "value", alpha=0.5, beta=0.25, tie_break="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        dround("level", 6).alias("level"),
+        dround("trend", 6).alias("trend"),
+        dround("forecast", 6).alias("forecast"),
+    )
+
+
+# --- q188: per-user session stats (bounce rate inputs) ----------------------
+# Composes sessionize (q21's operator) into the product-analytics
+# readout: session counts, bounces, and exact integer-microsecond
+# durations (the q164 lesson: sub-second-safe on both engines).
+@register(
+    "q188_session_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounce_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(dur_us) AS BIGINT) AS total_session_micros
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q188_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts / bounces / exact-microsecond dwell from
+    gap-based sessionization (operators/windows.py:sessionize + two
+    keyed aggregates)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("bounce_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("dur_us").cast("long").alias("total_session_micros"),
+    )
+
+
+# --- q189: TextRank keywords (PageRank over the word adjacency graph) -------
+# Composition capstone: the q184 bigram relation (count >= 5) becomes
+# an undirected word graph; 3 damped PageRank iterations (the q142
+# operator, reused verbatim) rank keywords (Mihalcea & Tarau 2004).
+# The oracle rebuilds the graph and unrolls all 3 iterations as the
+# q142 CTE chain.
+_PR_ITER_SQL = "".join(
+    f""",
+    d{i} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{i - 1} r
+             LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+    c{i} AS (SELECT e.dst, sum(r.rank / o.outdeg) AS cin
+             FROM e JOIN outdeg o ON e.src = o.src JOIN r{i - 1} r ON r.node = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    0.15 / (SELECT n FROM nn)
+                    + 0.85 * (coalesce(c{i}.cin, 0)
+                              + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+             FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst)"""
+    for i in (1, 2, 3)
+)
+
+
+@register(
+    "q189_textrank_keywords",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(
+               range(0, greatest(len(w) - 2, 0) + 1),
+               i -> concat_ws(' ', w[i+1], w[i+2]))) AS g
+      FROM toks WHERE len(w) >= 2
+    ), pc AS (
+      SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+      FROM grams GROUP BY 1, 2 HAVING count(*) >= 5
+    ), e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT w1 AS src, w2 AS dst FROM pc WHERE w1 != w2
+        UNION ALL
+        SELECT w2 AS src, w1 AS dst FROM pc WHERE w1 != w2
+      )
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src
+    ),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes){_PR_ITER_SQL}
+    SELECT node AS word, round(floor(rank * 1e6 + 0.5) / 1e6, 6) AS rank
+    FROM r3
+    ORDER BY r3.rank DESC, node ASC LIMIT 50
+    """,
+)
+def q189_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 TextRank keywords: PageRank over the frequent-bigram
+    word graph (operators/text.py bigram relation +
+    operators/graph.py:pagerank reused verbatim)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import pagerank
+    from mimic_iv_data_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("__w"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, __w[i + 1] AS w2))"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") >= 5) & (F.col("w1") != F.col("w2")))
+    )
+    edges = pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionByName(
+        pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(50)
+        .select(F.col("node").alias("word"), dround("rank", 6).alias("rank"))
+    )
+
+
+# --- q190: multinomial Naive Bayes language routing --------------------------
+# Trained and scored on the corpus itself; per-token log-likelihoods
+# quantized to integer micro-nats BEFORE the per-(doc, class) sum so
+# the scores are exact integer sums (order-insensitive) — the oracle
+# replays training counts, smoothing, quantization, and the argmax.
+@register(
+    "q190_naive_bayes",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, u.t FROM toks, unnest(w) AS u(t)
+    ), wc AS (
+      SELECT t, lang AS c, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ), ct AS (
+      SELECT lang AS c, CAST(count(*) AS BIGINT) AS nc FROM tok GROUP BY 1
+    ), pr AS (
+      SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc FROM toks GROUP BY 1
+    ), vn AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS ndocs FROM toks
+    ), classes AS (
+      SELECT ct.c, nc, dc, v, ndocs
+      FROM ct JOIN pr ON ct.c = pr.c CROSS JOIN vn CROSS JOIN nd
+    ), scored AS (
+      SELECT tok.doc_id, cl.c,
+             CAST(floor(ln((CAST(coalesce(wc.cnt, 0) AS DOUBLE) + 1.0)
+                           / (CAST(cl.nc AS DOUBLE)
+                              + 1.0 * CAST(cl.v AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) AS lp
+      FROM tok
+      CROSS JOIN classes cl
+      LEFT JOIN wc ON wc.t = tok.t AND wc.c = cl.c
+    ), per AS (
+      SELECT doc_id, c, CAST(sum(lp) AS BIGINT) AS ll FROM scored GROUP BY 1, 2
+    ), pm AS (
+      SELECT c, CAST(floor(ln(CAST(dc AS DOUBLE) / CAST(ndocs AS DOUBLE))
+                           * 1e6 + 0.5) AS BIGINT) AS pmv
+      FROM classes
+    ), fin AS (
+      SELECT per.doc_id, per.c, ll + pmv AS score,
+             row_number() OVER (PARTITION BY per.doc_id
+                                ORDER BY ll + pmv DESC, per.c ASC) AS rn
+      FROM per JOIN pm ON per.c = pm.c
+    )
+    SELECT doc_id, c AS pred_label, CAST(score AS BIGINT) AS score_micro
+    FROM fin WHERE rn = 1
+    """,
+)
+def q190_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1 multinomial NB language prediction per document
+    (operators/text.py:naive_bayes_scores — vocab-bounded training
+    aggregates, micro-nat integer scoring)."""
+    from mimic_iv_data_pipeline_spark.operators.text import naive_bayes_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return naive_bayes_scores(docs, "doc_id", "text", "lang", alpha=1.0)
+
+
+# --- q191: RFM customer segmentation -----------------------------------------
+@register(
+    "q191_rfm",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, ts, {_CENTS} AS cents FROM events
+    ), per_user AS (
+      SELECT user_id AS usr, epoch_us(max(ts)) AS last_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS monetary
+      FROM f GROUP BY 1
+    ), mx AS (
+      SELECT epoch_us(max(ts)) AS max_us FROM f
+    ), base AS (
+      SELECT usr, (max_us - last_us) // 1000000 AS recency_s,
+             frequency, monetary
+      FROM per_user CROSS JOIN mx
+    ), scored AS (
+      SELECT usr, recency_s, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_s DESC, usr ASC) AS BIGINT) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency ASC, usr ASC) AS BIGINT) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary ASC, usr ASC) AS BIGINT) AS m
+      FROM base
+    )
+    SELECT usr AS user, recency_s, frequency, monetary, r, f, m,
+           r * 100 + f * 10 + m AS rfm_cell
+    FROM scored
+    """,
+)
+def q191_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of users over the event log
+    (operators/aggregates.py:rfm_scores — one fact aggregate, ntile
+    windows over the |users| relation)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import rfm_scores
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return rfm_scores(ev, "user_id", "ts", "cents", n_bins=5)
+
+
+# --- q192: classical seasonal decomposition ----------------------------------
+# Daily revenue per event type -> trend (centered 7-day MA), weekday
+# seasonal means (micro-quantized detrended), residual. Period position
+# is epoch-day mod 7 (pure integer date arithmetic — dow origins
+# differ between engines).
+@register(
+    "q192_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), wn AS (
+      SELECT event_type, day, y,
+             count(*) OVER w7 AS n_in_window,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(CAST(y AS DECIMAL(38,0))) OVER w7 AS DOUBLE) / 7.0
+             END AS trend,
+             CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+               AS position
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day ASC
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), dt AS (
+      SELECT *,
+             CAST(floor((CAST(y AS DOUBLE) - trend) * 1e6 + 0.5) AS BIGINT)
+               AS dt_micro
+      FROM wn
+    ), seas AS (
+      SELECT event_type, position,
+             (CAST(sum(dt_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e6
+               AS seasonal
+      FROM dt WHERE trend IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT dt.event_type, strftime(dt.day, '%Y-%m-%d') AS day, dt.y,
+           round(floor(dt.trend * 1e6 + 0.5) / 1e6, 6) AS trend,
+           dt.position,
+           round(floor((CASE WHEN dt.trend IS NOT NULL THEN seas.seasonal END)
+                 * 1e6 + 0.5) / 1e6, 6) AS seasonal,
+           round(floor((CAST(dt.y AS DOUBLE) - dt.trend) * 1e6 + 0.5) / 1e6, 6)
+             AS detrended,
+           round(floor(((CAST(dt.y AS DOUBLE) - dt.trend) - seas.seasonal)
+                 * 1e6 + 0.5) / 1e6, 6) AS residual
+    FROM dt LEFT JOIN seas
+      ON dt.event_type = seas.event_type AND dt.position = seas.position
+    """,
+)
+def q192_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of per-type daily
+    revenue (operators/temporal.py:seasonal_decompose)."""
+    from mimic_iv_data_pipeline_spark.operators.temporal import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    out = seasonal_decompose(
+        daily, "event_type", "day", "y", period=7, trend_window=7
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        dround("trend", 6).alias("trend"),
+        "position",
+        dround("seasonal", 6).alias("seasonal"),
+        dround("detrended", 6).alias("detrended"),
+        dround("residual", 6).alias("residual"),
+    )
