@@ -106,6 +106,9 @@ HEADLINE = [
     "q187_holt_trend",
     # round-5 seventh wave: the tokens x classes scoring join.
     "q190_naive_bayes",
+    # xxhash64 twin of q180 (EXTRA) — isolates the md5 digest cost
+    # that dominates the oracle-mirrorable bootstrap.
+    "q180_bootstrap_xxhash",
 ]
 
 
@@ -116,7 +119,29 @@ def _q92_edit_distance_nocap(spark, sf_dir):
     return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1, max_bucket=None)
 
 
-EXTRA = {"q92_edit_distance_nocap": _q92_edit_distance_nocap}
+def _q180_bootstrap_xxhash(spark, sf_dir):
+    """q180's twin on the JVM-hash seam: same plan, xxhash64 digests
+    instead of md5 — tracks how much of the bootstrap's wall-clock is
+    the oracle-mirrorable digest (the 100 TB path drops md5)."""
+    from pyspark.sql import functions as F
+
+    from mimic_iv_data_pipeline_spark.operators.sampling import poisson_bootstrap_ci
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    return poisson_bootstrap_ci(
+        ev, "event_type", "y", "event_id", n_replicates=40, hasher="xxhash64"
+    )
+
+
+EXTRA = {
+    "q92_edit_distance_nocap": _q92_edit_distance_nocap,
+    "q180_bootstrap_xxhash": _q180_bootstrap_xxhash,
+}
 
 
 def main() -> None:

@@ -287,3 +287,124 @@ def target_encode_kfold(
         .drop("__y", "__cf_cat", "__cf_fold", "__ct_cat", "__s_cf", "__c_cf",
               "__s_c", "__c_c", "__s_f", "__c_f", "__s_g", "__c_g")
     )
+
+
+def best_split(
+    df: DataFrame,
+    x_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Information-gain scan of every candidate binary split of a
+    numeric feature against a binary label (public: the CART/C4.5
+    decision-stump split criterion, Quinlan 1986) — the univariate
+    feature-screening / binning primitive run before tree training or
+    monotonic binning.
+
+    For each distinct value v (candidate: left = x ≤ v, excluding the
+    max, whose right side is empty):
+
+        IG(v) = H(n⁺, n) − (nL/n)·H(nL⁺, nL) − (nR/n)·H(nR⁺, nR)
+
+    with H the binary entropy in nats from exact integer counts —
+    every double derives from the same pinned op sequence both engines
+    execute, so the full gain curve hash-verifies.
+
+    Scale shape: ONE groupBy(x) collapse of the facts (map-side
+    combinable); cumulative class counts come from one ordered window
+    over the |distinct x| relation (the rank_auc regime — never the
+    raw rows); totals broadcast back. High-cardinality features should
+    be pre-quantized upstream (bins ARE the use case).
+
+    Returns one row per candidate:
+    ``(v, n_left, pos_left, n_right, pos_right, ig)`` — unrounded.
+    """
+    per = df.groupBy(F.col(x_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("__p"),
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "v",
+        F.sum("__n").over(w).cast("long").alias("n_left"),
+        F.sum("__p").over(w).cast("long").alias("pos_left"),
+    )
+    tot = per.agg(
+        F.sum("__n").cast("long").alias("__nt"),
+        F.sum("__p").cast("long").alias("__pt"),
+    )
+
+    def _h(pos: Column, n: Column) -> Column:
+        """Binary entropy (nats) from counts; 0·ln0 terms drop out."""
+        pD, nD = pos.cast("double"), n.cast("double")
+        p1 = pD / nD
+        p0 = (nD - pD) / nD
+        t1 = F.when(pos > 0, -p1 * F.log(p1)).otherwise(F.lit(0.0))
+        t0 = F.when(n - pos > 0, -p0 * F.log(p0)).otherwise(F.lit(0.0))
+        return t1 + t0
+
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("n_left") < F.col("__nt"))
+    n_right = (F.col("__nt") - F.col("n_left")).alias("n_right")
+    pos_right = (F.col("__pt") - F.col("pos_left")).alias("pos_right")
+    parent = _h(F.col("__pt"), F.col("__nt"))
+    left = _h(F.col("pos_left"), F.col("n_left"))
+    right = _h(F.col("__pt") - F.col("pos_left"), F.col("__nt") - F.col("n_left"))
+    ig = parent - (
+        F.col("n_left").cast("double") / F.col("__nt").cast("double") * left
+        + (F.col("__nt") - F.col("n_left")).cast("double")
+        / F.col("__nt").cast("double")
+        * right
+    )
+    return j.select("v", "n_left", "pos_left", n_right, pos_right, ig.alias("ig"))
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding with per-category information-value
+    terms (public: the credit-scorecard standard, Siddiqi 2006;
+    scikit-learn-contrib ``category_encoders.WOEEncoder`` semantics
+    with additive smoothing):
+
+        WoE(c) = ln( ((pos_c + s)/(pos + 2s)) / ((neg_c + s)/(neg + 2s)) )
+        IV(c)  = (pos_share − neg_share) · WoE(c)
+
+    where s is the Laplace ``smoothing`` that keeps single-class
+    categories finite (the ±inf the unsmoothed textbook form produces).
+    The supervised sibling of q154's target encoding — WoE is the
+    monotone-odds transform scorecards require, and Σ IV(c) is the
+    classic feature-strength screen (<0.02 useless, >0.5 suspicious).
+
+    Scale shape: ONE (category) aggregate over the facts with
+    conditional sums; the 1-row class totals broadcast back onto the
+    |categories| relation. All doubles derive from exact longs in a
+    pinned op sequence.
+
+    Returns ``(cat, n_pos, n_neg, woe, iv_term)`` — unrounded.
+    """
+    s = float(smoothing)
+    per = df.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        F.sum(1 - F.col(label_col).cast("long")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("__pt"),
+        F.sum("n_neg").cast("long").alias("__nt"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ps = (F.col("n_pos").cast("double") + F.lit(s)) / (
+        F.col("__pt").cast("double") + F.lit(2 * s)
+    )
+    ns = (F.col("n_neg").cast("double") + F.lit(s)) / (
+        F.col("__nt").cast("double") + F.lit(2 * s)
+    )
+    woe = F.log(ps / ns)
+    return j.select(
+        "cat",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        ((ps - ns) * woe).alias("iv_term"),
+    )

@@ -349,9 +349,16 @@ def item_cooccurrence_topk(
         raise ValueError("item_cooccurrence_topk: k must be >= 1")
     if min_count < 1:
         raise ValueError("item_cooccurrence_topk: min_count must be >= 1")
-    bi = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # Materialize the distinct basket-item relation ONCE (the pagerank
+    # edge-list discipline): it feeds the item counts, both self-join
+    # sides, and the enrichment joins — unmaterialized, the lazy plan
+    # re-scans the fact table and re-runs the distinct shuffle per
+    # consumer (measured: 10 parquet scans, 0 reused exchanges).
+    bi = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     counts = bi.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__c"))
     frequent = counts.filter(F.col("__c") >= min_count)
     pruned = bi.join(

@@ -948,6 +948,7 @@ def poisson_bootstrap_ci(
     n_replicates: int = 40,
     alpha: float = 0.05,
     salt: str = "boot",
+    hasher: str = "md5",
 ) -> DataFrame:
     """Per-group mean with a percentile bootstrap CI — the Poisson
     bootstrap (each replicate reweights every row by an independent
@@ -972,16 +973,28 @@ def poisson_bootstrap_ci(
     combine), one groupBy(group, b) shuffle to |groups|·B partial rows,
     windows over that small relation only. The point estimate rides the
     same aggregate (weight-independent exact sums at b=0 … any b).
+
+    ``hasher``: ``"md5"`` (default) is the oracle-mirrorable path
+    DuckDB can replay verbatim; ``"xxhash64"`` swaps the per-(row,
+    replicate) digest for the JVM-side hash — ~same CI coverage, no
+    SQL twin (the module-wide seam; r5d measured md5 as the dominant
+    bootstrap cost at ~14M digests/s/32 threads, and the bench tracks
+    both paths).
     """
     groups = [group_by] if isinstance(group_by, str) else list(group_by)
     b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))).alias("__b")
     rows = df.select(
         *groups, F.col(value_col).alias("__y"), F.col(id_col).alias("__id"), b
     )
-    u = hash_unit(
-        F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__b").cast("string")),
-        salt,
+    key = F.concat(
+        F.col("__id").cast("string"), F.lit(":"), F.col("__b").cast("string")
     )
+    if hasher == "md5":
+        u = hash_unit(key, salt)
+    elif hasher == "xxhash64":
+        u = F.pmod(F.xxhash64(F.lit(salt), key), F.lit(2**32)) / F.lit(float(2**32))
+    else:
+        raise ValueError(f"poisson_bootstrap_ci: unknown hasher {hasher!r}")
     weighted = rows.withColumn("__w", poisson_count(u))
     per_rep = weighted.groupBy(*groups, "__b").agg(
         F.sum("__w").cast("long").alias("__sw"),

@@ -601,3 +601,126 @@ def holt_linear(
         F.col("__z.__trace.b").alias("trend"),
         (F.col("__z.__trace.l") + F.col("__z.__trace.b")).alias("forecast"),
     )
+
+
+def attribute_revenue(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    channel_types: list[str],
+    lookback_seconds: int,
+    tie_break: str,
+) -> DataFrame:
+    """Multi-touch revenue attribution over the event log (public: the
+    standard marketing-attribution models — first-touch, last-touch,
+    and linear — e.g. the GA4 / Adjust model definitions): every
+    conversion's revenue is credited to the channel touchpoints the
+    same user produced within the lookback window ending at (and
+    including ties with) the conversion.
+
+    Per conversion c with touch set T(c):
+      * first-touch: all revenue to the earliest touch (ties:
+        ``tie_break`` asc),
+      * last-touch: all to the latest touch (ties: tie_break desc),
+      * linear: revenue/|T(c)| to every touch — each touch's share is
+        quantized to integer micro-cents (floor(cents·1e6/n + 0.5 is
+        NOT used: the exact rational cents·1e6 div n keeps the sum
+        bounded by the revenue) BEFORE the per-channel sum, so channel
+        totals are exact integer sums, order-insensitive.
+
+    Conversions with NO touch in window are emitted under channel
+    ``'(unattributed)'`` so revenue is conserved: for every model the
+    output column sums to the total converted revenue in micro-cents
+    (a test pins this conservation).
+
+    Scale shape: conversions ⨝ touches is an equi-join on the user
+    plus a residual time-range predicate (the pit_join/asof shape —
+    per-user candidate sets, no cross join); the first/last picks are
+    one row_number window over the per-conversion candidates; channel
+    totals are one aggregate. ``value_col`` must be integer-quantized
+    cents.
+
+    Returns ``(channel, n_first, n_last, first_micro, last_micro,
+    linear_micro)``.
+    """
+    u, t = F.col("__u"), F.col("__ts")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col(value_col).alias("__cents"),
+        F.col(tie_break).alias("__cid"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(channel_types))).select(
+        F.col(user_col).alias("__tu"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ch"),
+        F.col(tie_break).alias("__tid"),
+    )
+    # The window predicate must live IN the join condition: a plain
+    # left join + post-filter silently drops every conversion whose
+    # only touches are out of window (caught by the conservation
+    # smoke), where the in-join residual correctly leaves a NULL-touch
+    # row for it.
+    cand = conv.join(
+        touch,
+        (F.col("__u") == F.col("__tu"))
+        & (F.col("__ts") <= F.col("__cts"))
+        & (
+            F.unix_micros(F.col("__ts"))
+            > F.unix_micros(F.col("__cts"))
+            - F.lit(int(lookback_seconds) * 1_000_000)
+        ),
+        "left",
+    )
+    # no-touch (or no in-window-touch) conversions: __ts stays NULL
+    per_conv = Window.partitionBy("__u", "__cid")
+    wf = Window.partitionBy("__u", "__cid").orderBy(
+        F.col("__ts").asc_nulls_last(), F.col("__tid").asc()
+    )
+    wl = Window.partitionBy("__u", "__cid").orderBy(
+        F.col("__ts").desc_nulls_last(), F.col("__tid").desc()
+    )
+    marked = cand.select(
+        "__u",
+        "__cid",
+        "__cents",
+        F.coalesce(F.col("__ch"), F.lit("(unattributed)")).alias("channel"),
+        F.count("__ts").over(per_conv).alias("__nt"),
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wl).alias("__rl"),
+    )
+    cents_micro = F.col("__cents").cast("decimal(38,0)") * 1_000_000
+    linear_micro = F.when(
+        F.col("__nt") > 0,
+        # exact integral division: each touch gets floor(micro/n); the
+        # first touch absorbs the remainder so revenue is conserved
+        F.expr("(__cents * 1000000) div __nt")
+        + F.when(
+            F.col("__rf") == 1, F.expr("(__cents * 1000000) % __nt")
+        ).otherwise(F.lit(0)),
+    ).otherwise(cents_micro)
+    return (
+        marked.select(
+            "channel",
+            F.when(F.col("__rf") == 1, 1).otherwise(0).alias("__isf"),
+            F.when(F.col("__rl") == 1, 1).otherwise(0).alias("__isl"),
+            (F.when(F.col("__rf") == 1, cents_micro).otherwise(F.lit(0))).alias(
+                "__fm"
+            ),
+            (F.when(F.col("__rl") == 1, cents_micro).otherwise(F.lit(0))).alias(
+                "__lm"
+            ),
+            linear_micro.alias("__lin"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("__isf").cast("long").alias("n_first"),
+            F.sum("__isl").cast("long").alias("n_last"),
+            F.sum("__fm").cast("long").alias("first_micro"),
+            F.sum("__lm").cast("long").alias("last_micro"),
+            F.sum("__lin").cast("long").alias("linear_micro"),
+        )
+    )

@@ -102,11 +102,14 @@ _MODULES = [
 #   Mann-Whitney, q182 ANOVA, q183 BH-FDR, q184 PMI collocations,
 #   q185 item CF neighbors, q186 BFS levels, q187 Holt trend, q188
 #   session stats, q189 TextRank, q190 Naive Bayes, q191 RFM, q192
-#   seasonal decomposition (that is 42 — if the 50-row window forces
-#   a cut after (c)'s 15-core, defer q172/q174/q178/q179/q188/q191
-#   whose families have fresh green siblings: q171 RANGE frame + q173
-#   fold, q177 exact-sum stats, q180 prefix-free md5, q21-family
-#   sessionize + q148 cohorts, q22-family ntile); (c) the core; (d)
+#   seasonal decomposition, q193 attribution, q194 split gain, q195
+#   WoE/IV (that is 45 — the 50-row window minus (c)'s 15-core fits
+#   35, so cut in this order, each covered by a fresh green sibling
+#   family: q172/q174 (q171 RANGE frame + q173 fold in-window),
+#   q178/q179 (q177 exact-sum stats), q188 (q21 sessionize + q148
+#   cohorts), q191 (q22-family ntile), q175 (q176 shares the prefix-
+#   sum engine), q164 (q153 funnel recurrence), q165/q166 (q167 KS +
+#   q157 MI cover the diagnostics family)); (c) the core; (d)
 #   q02 q05 q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29
 #   q30 q31 q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
 #   (q48-q83 not re-checked since r3) and rows-only entries (q40 q41

@@ -786,3 +786,209 @@ def q192_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("detrended", 6).alias("detrended"),
         dround("residual", 6).alias("residual"),
     )
+
+
+# --- q193: multi-touch revenue attribution -----------------------------------
+# Purchases credited to click/view touches within a 7-day lookback;
+# first/last/linear models in one pass. Linear shares are exact
+# integral micro-cent divisions with the remainder on the first touch,
+# so every model column sums to total converted revenue (conservation
+# is pinned by a test and implied by the oracle match).
+@register(
+    "q193_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id AS u, ts AS cts, {_CENTS} AS cents, event_id AS cid
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id AS tu, ts, event_type AS ch, event_id AS tid
+      FROM events WHERE event_type IN ('click', 'view')
+    ), cand AS (
+      SELECT conv.*, touch.ts AS tts, touch.ch, touch.tid
+      FROM conv LEFT JOIN touch
+        ON conv.u = touch.tu
+       AND touch.ts <= conv.cts
+       AND epoch_us(touch.ts) > epoch_us(conv.cts) - 604800000000
+    ), marked AS (
+      SELECT u, cid, cents,
+             coalesce(ch, '(unattributed)') AS channel,
+             count(tts) OVER (PARTITION BY u, cid) AS nt,
+             row_number() OVER (PARTITION BY u, cid
+                                ORDER BY tts ASC NULLS LAST, tid ASC) AS rf,
+             row_number() OVER (PARTITION BY u, cid
+                                ORDER BY tts DESC NULLS LAST, tid DESC) AS rl
+      FROM cand
+    ), shares AS (
+      SELECT channel,
+             CASE WHEN rf = 1 THEN 1 ELSE 0 END AS isf,
+             CASE WHEN rl = 1 THEN 1 ELSE 0 END AS isl,
+             CASE WHEN rf = 1 THEN cents * 1000000 ELSE 0 END AS fm,
+             CASE WHEN rl = 1 THEN cents * 1000000 ELSE 0 END AS lm,
+             CASE WHEN nt > 0
+                  THEN (cents * 1000000) // nt
+                       + CASE WHEN rf = 1 THEN (cents * 1000000) % nt
+                              ELSE 0 END
+                  ELSE cents * 1000000 END AS lin
+      FROM marked
+    )
+    SELECT channel,
+           CAST(sum(isf) AS BIGINT) AS n_first,
+           CAST(sum(isl) AS BIGINT) AS n_last,
+           CAST(sum(fm) AS BIGINT) AS first_micro,
+           CAST(sum(lm) AS BIGINT) AS last_micro,
+           CAST(sum(lin) AS BIGINT) AS linear_micro
+    FROM shares GROUP BY channel
+    """,
+)
+def q193_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear-touch revenue attribution of purchases to
+    click/view touchpoints in a 7-day lookback
+    (operators/windows.py:attribute_revenue — per-user range join +
+    one window + one aggregate)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import attribute_revenue
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+    )
+    return attribute_revenue(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "cents",
+        conversion_type="purchase",
+        channel_types=["click", "view"],
+        lookback_seconds=604800,
+        tie_break="event_id",
+    )
+
+
+# --- q194: decision-stump information-gain scan ------------------------------
+@register(
+    "q194_best_split",
+    oracle="""
+    WITH f AS (
+      SELECT l_quantity AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), per AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+      FROM f GROUP BY x
+    ), cum AS (
+      SELECT v,
+             CAST(sum(n) OVER w AS BIGINT) AS n_left,
+             CAST(sum(p) OVER w AS BIGINT) AS pos_left
+      FROM per
+      WINDOW w AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(p) AS BIGINT) AS pt
+      FROM per
+    ), e AS (
+      SELECT v, n_left, pos_left, nt - n_left AS n_right,
+             pt - pos_left AS pos_right, nt, pt
+      FROM cum CROSS JOIN tot WHERE n_left < nt
+    ), h AS (
+      SELECT *,
+             (CASE WHEN pt > 0 THEN -(CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE))
+                   * ln(CAST(pt AS DOUBLE)/CAST(nt AS DOUBLE)) ELSE 0.0 END
+              + CASE WHEN nt - pt > 0
+                     THEN -((CAST(nt AS DOUBLE)-CAST(pt AS DOUBLE))/CAST(nt AS DOUBLE))
+                          * ln((CAST(nt AS DOUBLE)-CAST(pt AS DOUBLE))/CAST(nt AS DOUBLE))
+                     ELSE 0.0 END) AS hp,
+             (CASE WHEN pos_left > 0
+                   THEN -(CAST(pos_left AS DOUBLE)/CAST(n_left AS DOUBLE))
+                        * ln(CAST(pos_left AS DOUBLE)/CAST(n_left AS DOUBLE)) ELSE 0.0 END
+              + CASE WHEN n_left - pos_left > 0
+                     THEN -((CAST(n_left AS DOUBLE)-CAST(pos_left AS DOUBLE))/CAST(n_left AS DOUBLE))
+                          * ln((CAST(n_left AS DOUBLE)-CAST(pos_left AS DOUBLE))/CAST(n_left AS DOUBLE))
+                     ELSE 0.0 END) AS hl,
+             (CASE WHEN pt - pos_left > 0
+                   THEN -((CAST(pt AS DOUBLE)-CAST(pos_left AS DOUBLE))/(CAST(nt AS DOUBLE)-CAST(n_left AS DOUBLE)))
+                        * ln((CAST(pt AS DOUBLE)-CAST(pos_left AS DOUBLE))/(CAST(nt AS DOUBLE)-CAST(n_left AS DOUBLE))) ELSE 0.0 END
+              + CASE WHEN (nt - pt) - (n_left - pos_left) > 0
+                     THEN -(((CAST(nt AS DOUBLE)-CAST(pt AS DOUBLE))-(CAST(n_left AS DOUBLE)-CAST(pos_left AS DOUBLE)))/(CAST(nt AS DOUBLE)-CAST(n_left AS DOUBLE)))
+                          * ln(((CAST(nt AS DOUBLE)-CAST(pt AS DOUBLE))-(CAST(n_left AS DOUBLE)-CAST(pos_left AS DOUBLE)))/(CAST(nt AS DOUBLE)-CAST(n_left AS DOUBLE)))
+                     ELSE 0.0 END) AS hr
+      FROM e
+    )
+    SELECT CAST(v AS BIGINT) AS v, n_left, pos_left, n_right, pos_right,
+           round(floor((hp - (CAST(n_left AS DOUBLE)/CAST(nt AS DOUBLE) * hl
+                              + (CAST(nt AS DOUBLE)-CAST(n_left AS DOUBLE))/CAST(nt AS DOUBLE) * hr))
+                 * 1e6 + 0.5) / 1e6, 6) AS ig
+    FROM h
+    """,
+)
+def q194_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of every l_quantity split point against the
+    'R' return flag (operators/mlprep.py:best_split — one value
+    collapse + distinct-values window)."""
+    from mimic_iv_data_pipeline_spark.operators.mlprep import best_split
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    out = best_split(li, "l_quantity", "y")
+    return out.select(
+        F.col("v").cast("long").alias("v"),
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        dround("ig", 6).alias("ig"),
+    )
+
+
+# --- q195: weight-of-evidence / information value -----------------------------
+@register(
+    "q195_woe_iv",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), per AS (
+      SELECT cat, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM f GROUP BY cat
+    ), tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+             CAST(sum(n_neg) AS BIGINT) AS nt
+      FROM per
+    ), e AS (
+      SELECT cat, n_pos, n_neg,
+             (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(pt AS DOUBLE) + 1.0) AS ps,
+             (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 1.0) AS ns
+      FROM per CROSS JOIN tot
+    )
+    SELECT cat, n_pos, n_neg,
+           round(floor(ln(ps / ns) * 1e6 + 0.5) / 1e6, 6) AS woe,
+           round(floor((ps - ns) * ln(ps / ns) * 1e6 + 0.5) / 1e6, 6) AS iv_term
+    FROM e
+    """,
+)
+def q195_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order priority against a
+    deterministic customer-segment label
+    (operators/mlprep.py:woe_iv — one conditional aggregate + 1-row
+    broadcast)."""
+    from mimic_iv_data_pipeline_spark.operators.mlprep import woe_iv
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 3 == 0).cast("int").alias("y"),
+    )
+    out = woe_iv(od, "o_orderpriority", "y", smoothing=0.5)
+    return out.select(
+        "cat",
+        "n_pos",
+        "n_neg",
+        dround("woe", 6).alias("woe"),
+        dround("iv_term", 6).alias("iv_term"),
+    )
