@@ -1573,3 +1573,224 @@ def rfm_scores(
         f.cast("long").alias("f"),
         m.cast("long").alias("m"),
     ).withColumn("rfm_cell", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")))
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_bins: int = 2000,
+) -> DataFrame:
+    """Isotonic-regression calibration map over BINNED scores — the
+    nonparametric recalibrator next to :func:`fit_temperature`
+    (public: Zadrozny & Elkan 2002; sklearn ``IsotonicRegression``).
+    The fit is computed with the minimax identity for weighted
+    isotonic regression (Barlow et al. 1972):
+
+        iso_i = max_{k ≤ i} min_{j ≥ i} avg(k..j)
+
+    which is EXACTLY the pool-adjacent-violators solution but
+    expressible as relational windows — no sequential driver loop, and
+    a DuckDB twin can replay it verbatim (PAV itself is not plain
+    SQL; the minimax form is).
+
+    ``score_col`` must be pre-quantized: the operator refuses more
+    than ``max_bins`` distinct scores (bounded probe + raise, the repo
+    convention) because the pair relation is O(B²) — the intended
+    regime is percent/logit bins, where B² is trivial. Averages are
+    ratios of exact integer prefix-sum differences; the running
+    min/max are comparisons only, so the whole map is engine-portable.
+
+    Scale shape: ONE groupBy(score) collapse of the facts; everything
+    after runs on the B-row bin relation (B² pairs, two windows, one
+    aggregate). Returns one row per bin:
+    ``(score, n, pos, rate, iso)`` with iso the calibrated
+    probability, non-decreasing in score (property-tested).
+    """
+    bins = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("pos"),
+    )
+    probe = bins.limit(max_bins + 1).count()
+    if probe > max_bins:
+        raise ValueError(
+            f"isotonic_calibration: more than max_bins={max_bins} distinct "
+            "scores — quantize the score upstream (bins ARE the use case)"
+        )
+    w = Window.orderBy(F.col("s").asc())
+    cum = bins.select(
+        "s",
+        "n",
+        "pos",
+        F.row_number().over(w).alias("i"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cn"),
+        F.sum("pos").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cp"),
+    )
+    lo = cum.select(
+        F.col("i").alias("k"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cp") - F.col("pos")).alias("cp_before"),
+    )
+    hi = cum.select(F.col("i").alias("j"), F.col("cn").alias("cn_j"), F.col("cp").alias("cp_j"))
+    pairs = lo.join(F.broadcast(hi), F.col("k") <= F.col("j")).select(
+        "k",
+        "j",
+        (
+            (F.col("cp_j") - F.col("cp_before")).cast("double")
+            / (F.col("cn_j") - F.col("cn_before")).cast("double")
+        ).alias("avg"),
+    )
+    # m(k, i) = min over j >= i of avg(k..j): per-k suffix min
+    wk = Window.partitionBy("k").orderBy(F.col("j").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = pairs.select("k", F.col("j").alias("i"), F.min("avg").over(wk).alias("m"))
+    # iso_i = max over k <= i of m(k, i); rows only exist for k <= i
+    iso = m.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        cum.join(F.broadcast(iso), "i")
+        .select(
+            "s",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias("rate"),
+            "iso",
+        )
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    group_col: str,
+    covariate_cols: list[str],
+) -> DataFrame:
+    """Standardized mean differences between two groups for a set of
+    integer-quantized covariates (public: the covariate-balance
+    diagnostic of propensity-score analysis — Austin 2009; |SMD| < 0.1
+    is the usual balance rule):
+
+        SMD = (mean_a − mean_b) / sqrt((var_a + var_b) / 2)
+
+    with the sample variance computed from the EXACT decimal identity
+    var = (n·Σy² − (Σy)²) / (n·(n−1)) — the numerator is an exact
+    integer subtraction, so there is no raw-magnitude cancellation
+    (the anova_oneway failure mode) and no shift is needed. Exactly
+    two groups (raises otherwise; bounded probe).
+
+    Scale shape: ONE hash aggregate over the facts computing every
+    covariate's (n, Σy, Σy²) per group, a 2-row relation reshaped
+    plan-side. Returns one row per covariate:
+    ``(covariate, mean_a, mean_b, var_a, var_b, smd)`` — groups in
+    ascending label order; smd NULL when both variances are 0.
+    """
+    g = df.select(F.col(group_col).alias("__g")).distinct().limit(3).collect()
+    groups = sorted(r["__g"] for r in g)
+    if len(groups) != 2:
+        raise ValueError(f"smd_balance: exactly 2 groups required, got {len(groups)}")
+    ga, gb = groups
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in covariate_cols:
+        y = F.col(c)
+        y18 = y.cast("decimal(18,0)")
+        aggs.append(F.sum(y.cast("decimal(38,0)")).alias(f"__s_{c}"))
+        aggs.append(F.sum(y18 * y18).alias(f"__ss_{c}"))
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
+    a = per.filter(F.col("__g") == ga).drop("__g")
+    b = per.filter(F.col("__g") == gb).drop("__g")
+    j = a.crossJoin(
+        F.broadcast(
+            b.select(
+                F.col("__n").alias("__nb"),
+                *[F.col(f"__s_{c}").alias(f"__sb_{c}") for c in covariate_cols],
+                *[F.col(f"__ss_{c}").alias(f"__ssb_{c}") for c in covariate_cols],
+            )
+        )
+    )
+
+    def _stats(s, ss, n):
+        nD = n.cast("double")
+        mean = s.cast("double") / nD
+        # exact decimal numerator: no cancellation at any magnitude
+        num = (n.cast("decimal(38,0)") * ss - s * s).cast("double")
+        var = F.when(n > 1, num / (nD * (nD - F.lit(1.0))))
+        return mean, var
+
+    rows = []
+    for c in covariate_cols:
+        ma, va = _stats(F.col(f"__s_{c}"), F.col(f"__ss_{c}"), F.col("__n"))
+        mb, vb = _stats(F.col(f"__sb_{c}"), F.col(f"__ssb_{c}"), F.col("__nb"))
+        pooled = (va + vb) / F.lit(2.0)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                ma.alias("mean_a"),
+                mb.alias("mean_b"),
+                va.alias("var_a"),
+                vb.alias("var_b"),
+                F.when(pooled > 0, (ma - mb) / F.sqrt(pooled)).alias("smd"),
+            )
+        )
+    return j.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
+
+
+def epi_2x2(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Classical 2×2 epidemiological effect measures with Wald
+    log-scale confidence intervals (public: Rothman/Greenland; the
+    risk-ratio/odds-ratio readout every cohort study reports — the
+    reference's mortality/readmission labels feed exactly this):
+
+        RR = (a/(a+b)) / (c/(c+d)),   OR = (a·d)/(b·c),
+        RD = a/(a+b) − c/(c+d)
+        ln RR ± z·sqrt(1/a − 1/(a+b) + 1/c − 1/(c+d))   (Katz)
+        ln OR ± z·sqrt(1/a + 1/b + 1/c + 1/d)           (Woolf)
+
+    with a,b = exposed outcome/no-outcome and c,d = unexposed.
+    ``exposure_col``/``outcome_col`` must be 0/1 ints. Any zero cell
+    → the affected CI bounds (and OR for b·c = 0) are NULL rather
+    than ±inf, stated plainly instead of a hidden continuity
+    correction (apply Haldane-Anscombe upstream if wanted).
+
+    Scale shape: ONE conditional-sum aggregate over the facts → 1 row;
+    every double derives from the four exact counts in a pinned
+    sequence. Returns ONE row:
+    ``(a, b, c, d, rr, rr_lo, rr_hi, or_, or_lo, or_hi, rd)``.
+    """
+    e, o = F.col(exposure_col).cast("long"), F.col(outcome_col).cast("long")
+    t = df.agg(
+        F.sum(e * o).cast("long").alias("a"),
+        F.sum(e * (1 - o)).cast("long").alias("b"),
+        F.sum((1 - e) * o).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - o)).cast("long").alias("d"),
+    )
+    aD, bD = F.col("a").cast("double"), F.col("b").cast("double")
+    cD, dD = F.col("c").cast("double"), F.col("d").cast("double")
+    r1 = aD / (aD + bD)
+    r0 = cD / (cD + dD)
+    rr = F.when((F.col("a") > 0) & (F.col("c") > 0), r1 / r0)
+    se_rr = F.sqrt(
+        F.lit(1.0) / aD - F.lit(1.0) / (aD + bD) + F.lit(1.0) / cD - F.lit(1.0) / (cD + dD)
+    )
+    orr = F.when(
+        (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0),
+        (aD * dD) / (bD * cD),
+    )
+    se_or = F.sqrt(1.0 / aD + 1.0 / bD + 1.0 / cD + 1.0 / dD)
+    zl = F.lit(float(z))
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        rr.alias("rr"),
+        F.when(rr.isNotNull(), F.exp(F.log(rr) - zl * se_rr)).alias("rr_lo"),
+        F.when(rr.isNotNull(), F.exp(F.log(rr) + zl * se_rr)).alias("rr_hi"),
+        orr.alias("or_"),
+        F.when(orr.isNotNull(), F.exp(F.log(orr) - zl * se_or)).alias("or_lo"),
+        F.when(orr.isNotNull(), F.exp(F.log(orr) + zl * se_or)).alias("or_hi"),
+        (r1 - r0).alias("rd"),
+    )

@@ -992,3 +992,211 @@ def q195_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("woe", 6).alias("woe"),
         dround("iv_term", 6).alias("iv_term"),
     )
+
+
+# --- q196: isotonic calibration map (PAV via the minimax identity) ----------
+# Score = floor(value) (~100 bins), label deterministically correlated
+# with the score so the fit is a non-trivial increasing staircase. The
+# oracle replays the minimax windows verbatim — PAV itself is not
+# plain SQL, max_{k<=i} min_{j>=i} avg(k..j) is.
+@register(
+    "q196_isotonic",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(floor(value) AS BIGINT) AS s,
+             CASE WHEN event_id % 100 < floor(value) THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bins AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM f GROUP BY s
+    ), cum AS (
+      SELECT s, n, pos, row_number() OVER (ORDER BY s ASC) AS i,
+             sum(n) OVER wo AS cn, sum(pos) OVER wo AS cp
+      FROM bins
+      WINDOW wo AS (ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)
+    ), lo AS (
+      SELECT i AS k, cn - n AS cnb, cp - pos AS cpb FROM cum
+    ), hi AS (
+      SELECT i AS j, cn AS cnj, cp AS cpj FROM cum
+    ), pairs AS (
+      SELECT k, j, CAST(cpj - cpb AS DOUBLE) / CAST(cnj - cnb AS DOUBLE) AS avg
+      FROM lo JOIN hi ON k <= j
+    ), m AS (
+      SELECT k, j AS i,
+             min(avg) OVER (PARTITION BY k ORDER BY j DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m
+      FROM pairs
+    ), iso AS (
+      SELECT i, max(m) AS iso FROM m GROUP BY i
+    )
+    SELECT cum.s, cum.n, cum.pos,
+           round(floor(CAST(cum.pos AS DOUBLE) / CAST(cum.n AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6, 6) AS rate,
+           round(floor(iso.iso * 1e6 + 0.5) / 1e6, 6) AS iso
+    FROM cum JOIN iso ON cum.i = iso.i
+    """,
+)
+def q196_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration map over ~100 score bins
+    (operators/aggregates.py:isotonic_calibration — one collapse, B²
+    pair relation, two windows)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        isotonic_calibration,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("s"),
+        F.when(F.col("event_id") % 100 < F.floor("value"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    out = isotonic_calibration(ev, "s", "y")
+    return out.select(
+        "s", "n", "pos", dround("rate", 6).alias("rate"), dround("iso", 6).alias("iso")
+    )
+
+
+# --- q197: SMD covariate balance ---------------------------------------------
+@register(
+    "q197_smd_balance",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             {_CENTS} AS cents, CAST(hour(ts) AS BIGINT) AS hr
+      FROM events
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s_c,
+             sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+               AS ss_c,
+             sum(CAST(hr AS DECIMAL(38,0))) AS s_h,
+             sum(CAST(hr AS DECIMAL(18,0)) * CAST(hr AS DECIMAL(18,0))) AS ss_h
+      FROM f GROUP BY g
+    ), a AS (SELECT * FROM per WHERE g = 'even'),
+    b AS (SELECT * FROM per WHERE g = 'odd'),
+    wide AS (
+      SELECT 'cents' AS covariate,
+             a.n AS na, b.n AS nb, a.s_c AS sa, a.ss_c AS ssa,
+             b.s_c AS sb, b.ss_c AS ssb
+      FROM a CROSS JOIN b
+      UNION ALL
+      SELECT 'hr', a.n, b.n, a.s_h, a.ss_h, b.s_h, b.ss_h
+      FROM a CROSS JOIN b
+    ), e AS (
+      SELECT covariate,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+             CAST(CAST(na AS DECIMAL(38,0)) * ssa - sa * sa AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS var_a,
+             CAST(CAST(nb AS DECIMAL(38,0)) * ssb - sb * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS var_b
+      FROM wide
+    )
+    SELECT covariate,
+           round(floor(mean_a * 1e6 + 0.5) / 1e6, 6) AS mean_a,
+           round(floor(mean_b * 1e6 + 0.5) / 1e6, 6) AS mean_b,
+           round(floor(var_a * 1e6 + 0.5) / 1e6, 6) AS var_a,
+           round(floor(var_b * 1e6 + 0.5) / 1e6, 6) AS var_b,
+           round(floor((CASE WHEN (var_a + var_b) / 2.0 > 0
+                  THEN (mean_a - mean_b) / sqrt((var_a + var_b) / 2.0) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS smd
+    FROM e
+    """,
+)
+def q197_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean differences (cents, hour-of-day) between
+    even/odd-id user cohorts (operators/aggregates.py:smd_balance —
+    one multi-covariate exact-sum aggregate)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import smd_balance
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    out = smd_balance(ev, "g", ["cents", "hr"])
+    return out.select(
+        "covariate",
+        dround("mean_a", 6).alias("mean_a"),
+        dround("mean_b", 6).alias("mean_b"),
+        dround("var_a", 6).alias("var_a"),
+        dround("var_b", 6).alias("var_b"),
+        dround("smd", 6).alias("smd"),
+    )
+
+
+# --- q198: 2x2 cohort effect measures ----------------------------------------
+@register(
+    "q198_epi_2x2",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS e,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+      FROM lineitem
+    ), t AS (
+      SELECT CAST(sum(e * o) AS BIGINT) AS a,
+             CAST(sum(e * (1 - o)) AS BIGINT) AS b,
+             CAST(sum((1 - e) * o) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d
+      FROM f
+    ), e2 AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) AS r1,
+             CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS r0,
+             CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+             CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+      FROM t
+    ), m AS (
+      SELECT *,
+             CASE WHEN a > 0 AND c > 0 THEN r1 / r0 END AS rr,
+             sqrt(1.0/ad - 1.0/(ad + bd) + 1.0/cd - 1.0/(cd + dd)) AS se_rr,
+             CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                  THEN (ad * dd) / (bd * cd) END AS orr,
+             sqrt(1.0/ad + 1.0/bd + 1.0/cd + 1.0/dd) AS se_or
+      FROM e2
+    )
+    SELECT a, b, c, d,
+           round(floor(rr * 1e6 + 0.5) / 1e6, 6) AS rr,
+           round(floor((CASE WHEN rr IS NOT NULL
+                  THEN exp(ln(rr) - 1.959963984540054 * se_rr) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS rr_lo,
+           round(floor((CASE WHEN rr IS NOT NULL
+                  THEN exp(ln(rr) + 1.959963984540054 * se_rr) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS rr_hi,
+           round(floor(orr * 1e6 + 0.5) / 1e6, 6) AS or_,
+           round(floor((CASE WHEN orr IS NOT NULL
+                  THEN exp(ln(orr) - 1.959963984540054 * se_or) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS or_lo,
+           round(floor((CASE WHEN orr IS NOT NULL
+                  THEN exp(ln(orr) + 1.959963984540054 * se_or) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS or_hi,
+           round(floor((r1 - r0) * 1e6 + 0.5) / 1e6, 6) AS rd
+    FROM m
+    """,
+)
+def q198_epi_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk ratio / odds ratio / risk difference with Wald CIs for
+    discounted-vs-not lineitems against the 'R' return outcome
+    (operators/aggregates.py:epi_2x2 — one conditional aggregate)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import epi_2x2
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") > 0.05).cast("int").alias("e"),
+        (F.col("l_returnflag") == "R").cast("int").alias("o"),
+    )
+    out = epi_2x2(li, "e", "o")
+    return out.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        dround("rr", 6).alias("rr"),
+        dround("rr_lo", 6).alias("rr_lo"),
+        dround("rr_hi", 6).alias("rr_hi"),
+        dround("or_", 6).alias("or_"),
+        dround("or_lo", 6).alias("or_lo"),
+        dround("or_hi", 6).alias("or_hi"),
+        dround("rd", 6).alias("rd"),
+    )

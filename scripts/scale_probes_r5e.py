@@ -227,6 +227,83 @@ def probe_seasonal(spark):
 PROBES.update({"nb": probe_nb, "rfm": probe_rfm, "seasonal": probe_seasonal})
 
 
+def probe_isotonic(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        isotonic_calibration,
+    )
+
+    facts = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("s"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))
+            < F.pmod(F.xxhash64("id"), F.lit(1000)),
+            1,
+        ).otherwise(0).alias("y"),
+    )
+    _timed(
+        "isotonic_calibration 20M facts -> 1000 bins (1M-pair minimax)",
+        lambda: isotonic_calibration(facts, "s", "y").count(),
+    )
+
+
+def probe_smd(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import smd_balance
+
+    facts = spark.range(20_000_000).select(
+        F.when(F.xxhash64("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.lit(5_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000))).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(24)).alias("z"),
+    )
+    _timed(
+        "smd_balance 20M rows, 2 covariates (5e9 offset)",
+        lambda: smd_balance(facts, "g", ["x", "z"]).count(),
+    )
+
+
+def probe_epi(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import epi_2x2
+
+    facts = spark.range(20_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(2))).cast("int").alias("e"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)) < 2).cast("int").alias("o"),
+    )
+    _timed("epi_2x2 20M rows", lambda: epi_2x2(facts, "e", "o").count())
+
+
+def probe_attribution(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import attribute_revenue
+
+    ev = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(500_000)).alias("u"),
+        F.timestamp_seconds(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000))
+        ).alias("ts"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(20)) == 0, "purchase")
+        .when(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(20)) < 10, "click")
+        .otherwise("view")
+        .alias("typ"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000)).alias("cents"),
+        F.col("id").alias("eid"),
+    )
+    _timed(
+        "attribute_revenue 20M events / 500k users / 1M purchases, 1h lookback",
+        lambda: attribute_revenue(
+            ev, "u", "ts", "typ", "cents", "purchase", ["click", "view"],
+            3600, "eid",
+        ).count(),
+    )
+
+
+PROBES.update(
+    {
+        "isotonic": probe_isotonic,
+        "smd": probe_smd,
+        "epi": probe_epi,
+        "attribution": probe_attribution,
+    }
+)
+
+
 def main():
     # this process creates the JVM, so driver.memory is honored here;
     # in local mode ALL execution memory is the driver heap.
