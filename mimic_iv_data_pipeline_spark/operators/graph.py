@@ -572,3 +572,66 @@ def bfs_levels(
         ).localCheckpoint(eager=True)
         frontier = reached
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Fixed-iteration multi-source weighted shortest paths — the
+    Bellman-Ford relaxation in its join-aggregate form (public: the
+    Pregel SSSP classic, cf. GraphFrames ``shortestPaths`` for the
+    unit-weight case; :func:`bfs_levels` is the hop-count special
+    case). ``iterations`` bounds path LENGTH in edges: after k rounds
+    the distances are exact for all shortest paths of ≤ k edges (the
+    standard bounded-relaxation semantics — a fixed job graph, a
+    deterministic oracle-able output, and no negative-cycle
+    divergence by construction).
+
+    Per round: relax every edge whose source currently has a distance
+    (frontierless full relaxation — ONE equi-join of the |reached|-row
+    distance relation against the edge list + ONE min-aggregate +
+    ONE min-merge with the previous distances), distances
+    ``localCheckpoint``-ed per round (the module's lineage
+    discipline). Weights must be non-negative longs (exact integer
+    arithmetic end to end — no float path sums).
+
+    ``seeds`` is a one-column ``node`` relation (distance 0). Nodes
+    unreached within ``iterations`` edges are absent. Returns
+    ``(node, dist)``.
+    """
+    if iterations < 0:
+        raise ValueError("shortest_paths: iterations must be >= 0")
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"),
+            F.col(dst_col).alias("__d"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .groupBy("__s", "__d")
+        .agg(F.min("__w").alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col("node"), F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "__s"), "__s")
+            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

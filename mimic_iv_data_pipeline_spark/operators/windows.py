@@ -724,3 +724,87 @@ def attribute_revenue(
             F.sum("__lin").cast("long").alias("linear_micro"),
         )
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    season: int = 7,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """One-step-ahead backtest of the :func:`holt_linear` forecast
+    against the seasonal-naive baseline (public: the standard forecast
+    accuracy protocol of Hyndman & Koehler 2006 — sMAPE and MASE,
+    where MASE scales the model's error by the in-sample seasonal-naive
+    error, the denominator that makes accuracy comparable across
+    series):
+
+        forecast(t) predicts y(t+1);  naive(t+1) = y(t+1−season)
+        sMAPE = mean_t  2·|f−a| / (|f|+|a|)
+        MASE  = Σ|f−a|  /  Σ|a(t) − a(t−season)|
+
+    Per-row terms are quantized to integer micro-units before the
+    per-key sums (the roc_pr recipe), so every reported double is a
+    ratio of exact integer sums — order-insensitive, engine-portable.
+    Evaluation rows are the timesteps where BOTH the model forecast
+    and the seasonal-naive reference exist (t > season), so sMAPE and
+    MASE cover the identical evaluation set.
+
+    Scale shape: the holt fold's one key shuffle + two lag/lead
+    windows on the same key ordering + one aggregate. ``value_col``
+    must be integer-quantized. Returns one row per key:
+    ``(key…, n_evals, model_abs_err_micro, naive_abs_err_micro,
+    smape, mase)`` — mase NULL when the naive error sum is 0
+    (constant seasonal series).
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    h = holt_linear(df, parts, ts_col, value_col, alpha, beta, tie_break=tie_break)
+    order = [F.col(ts_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*parts).orderBy(*order)
+    stepped = h.select(
+        *parts,
+        F.col(value_col).cast("double").alias("__a"),
+        F.lag("forecast", 1).over(w).alias("__f"),
+        F.lag(F.col(value_col).cast("double"), season).over(w).alias("__nv"),
+    ).filter(F.col("__f").isNotNull() & F.col("__nv").isNotNull())
+    err_m = F.floor(F.abs(F.col("__f") - F.col("__a")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    err_n = F.floor(F.abs(F.col("__nv") - F.col("__a")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    smape_term = F.floor(
+        F.lit(2.0)
+        * F.abs(F.col("__f") - F.col("__a"))
+        / (F.abs(F.col("__f")) + F.abs(F.col("__a")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = stepped.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.sum(err_m).cast("long").alias("model_abs_err_micro"),
+        F.sum(err_n).cast("long").alias("naive_abs_err_micro"),
+        F.sum(smape_term).cast("long").alias("__smape_sum"),
+    )
+    return agg.select(
+        *parts,
+        "n_evals",
+        "model_abs_err_micro",
+        "naive_abs_err_micro",
+        (
+            F.col("__smape_sum").cast("double")
+            / F.col("n_evals").cast("double")
+            / F.lit(1e6)
+        ).alias("smape"),
+        F.when(
+            F.col("naive_abs_err_micro") > 0,
+            F.col("model_abs_err_micro").cast("double")
+            / F.col("naive_abs_err_micro").cast("double"),
+        ).alias("mase"),
+    )

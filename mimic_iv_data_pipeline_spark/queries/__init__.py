@@ -103,8 +103,9 @@ _MODULES = [
 #   q185 item CF neighbors, q186 BFS levels, q187 Holt trend, q188
 #   session stats, q189 TextRank, q190 Naive Bayes, q191 RFM, q192
 #   seasonal decomposition, q193 attribution, q194 split gain, q195
-#   WoE/IV, q196 isotonic, q197 SMD balance, q198 epi 2x2 (that is
-#   48 — the 50-row window minus (c)'s 15-core fits 35, so cut in
+#   WoE/IV, q196 isotonic, q197 SMD balance, q198 epi 2x2, q199
+#   forecast backtest, q200 weighted shortest paths (that is 50 —
+#   the 50-row window minus (c)'s 15-core fits 35, so cut in
 #   this order, each covered by a fresh green sibling family:
 #   q172/q174 (q171 RANGE frame + q173 fold in-window), q178/q179
 #   (q177 exact-sum stats), q188 (q21 sessionize + q148 cohorts),
@@ -114,8 +115,9 @@ _MODULES = [
 #   the two-group moment shape), q185 (q168 shares the basket pair
 #   join), q183 (its windows are q194's cum shape; p-values
 #   synthetic), q187/q192 (q173's fold + q171's frame twins),
-#   q186 (q142/q159 iterate the same frontier shape)); (c) the
-#   core; (d)
+#   q186 (q200 relaxes the same frontier shape with weights),
+#   q199 (q187's fold + micro-quantized sums shared with q175)); (c)
+#   the core; (d)
 #   q02 q05 q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29
 #   q30 q31 q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
 #   (q48-q83 not re-checked since r3) and rows-only entries (q40 q41

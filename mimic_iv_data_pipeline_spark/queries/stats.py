@@ -1200,3 +1200,143 @@ def q198_epi_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("or_hi", 6).alias("or_hi"),
         dround("rd", 6).alias("rd"),
     )
+
+
+# --- q199: one-step forecast backtest (Holt vs seasonal naive) ----------------
+# The q187 recursive CTE reused verbatim for the model trace; sMAPE and
+# MASE from micro-quantized per-row terms so both engines sum exact
+# integers. Evaluation rows: both the model forecast (lag 1 of the
+# holt forecast) and the 7-step naive reference exist.
+@register(
+    "q199_forecast_backtest",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(sum({_CENTS}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), ordered AS (
+      SELECT event_type, day, CAST(y AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), rec AS (
+      SELECT event_type, day, rn, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.day, o.rn, o.x,
+             0.5 * o.x + 0.5 * (r.l + r.b) AS l,
+             0.25 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b
+      FROM ordered o JOIN rec r
+        ON o.event_type = r.event_type AND o.rn = r.rn + 1
+    ), stepped AS (
+      SELECT event_type, x AS a,
+             lag(l + b, 1) OVER w AS f,
+             lag(x, 7) OVER w AS nv
+      FROM rec
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), terms AS (
+      SELECT event_type,
+             CAST(floor(abs(f - a) * 1e6 + 0.5) AS BIGINT) AS em,
+             CAST(floor(abs(nv - a) * 1e6 + 0.5) AS BIGINT) AS en,
+             CAST(floor(2.0 * abs(f - a) / (abs(f) + abs(a)) * 1e6 + 0.5)
+                  AS BIGINT) AS st
+      FROM stepped WHERE f IS NOT NULL AND nv IS NOT NULL
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(sum(em) AS BIGINT) AS model_abs_err_micro,
+             CAST(sum(en) AS BIGINT) AS naive_abs_err_micro,
+             CAST(sum(st) AS BIGINT) AS ssum
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type, n_evals, model_abs_err_micro, naive_abs_err_micro,
+           round(floor(CAST(ssum AS DOUBLE) / CAST(n_evals AS DOUBLE) / 1e6
+                 * 1e6 + 0.5) / 1e6, 6) AS smape,
+           round(floor((CASE WHEN naive_abs_err_micro > 0
+                  THEN CAST(model_abs_err_micro AS DOUBLE)
+                       / CAST(naive_abs_err_micro AS DOUBLE) END)
+                 * 1e6 + 0.5) / 1e6, 6) AS mase
+    FROM agg
+    """,
+)
+def q199_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt one-step-ahead accuracy vs the 7-day seasonal naive on
+    per-type daily revenue (operators/windows.py:forecast_backtest)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    out = forecast_backtest(
+        daily, "event_type", "day", "y", alpha=0.5, beta=0.25, season=7
+    )
+    return out.select(
+        "event_type",
+        "n_evals",
+        "model_abs_err_micro",
+        "naive_abs_err_micro",
+        dround("smape", 6).alias("smape"),
+        dround("mase", 6).alias("mase"),
+    )
+
+
+# --- q200: bounded-length weighted shortest paths -----------------------------
+# Bellman-Ford, 3 relaxation rounds from node 0 over the weighted
+# 200-node contraction (weight = min quantity per arc) — exact integer
+# distances; the oracle unrolls each relaxation as a min-merge CTE.
+@register(
+    "q200_shortest_paths",
+    oracle="""
+    WITH e AS (
+      SELECT l_suppkey % 200 AS src, l_partkey % 200 AS dst,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_suppkey % 200 != l_partkey % 200
+      GROUP BY 1, 2
+    ), d0 AS (
+      SELECT 0 AS node, CAST(0 AS BIGINT) AS dist
+    ), r1 AS (
+      SELECT e.dst AS node, min(d0.dist + e.w) AS dist
+      FROM e JOIN d0 ON e.src = d0.node GROUP BY e.dst
+    ), d1 AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT * FROM d0 UNION ALL SELECT * FROM r1
+      ) GROUP BY node
+    ), r2 AS (
+      SELECT e.dst AS node, min(d1.dist + e.w) AS dist
+      FROM e JOIN d1 ON e.src = d1.node GROUP BY e.dst
+    ), d2 AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT * FROM d1 UNION ALL SELECT * FROM r2
+      ) GROUP BY node
+    ), r3 AS (
+      SELECT e.dst AS node, min(d2.dist + e.w) AS dist
+      FROM e JOIN d2 ON e.src = d2.node GROUP BY e.dst
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      SELECT * FROM d2 UNION ALL SELECT * FROM r3
+    ) GROUP BY node
+    """,
+)
+def q200_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Bellman-Ford distances from node 0 over the weighted
+    lineitem contraction (operators/graph.py:shortest_paths — one
+    edge⨝distance join + two min-aggregates per round)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import shortest_paths
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.filter(
+        (F.col("l_suppkey") % 200) != (F.col("l_partkey") % 200)
+    ).select(
+        (F.col("l_suppkey") % 200).alias("src"),
+        (F.col("l_partkey") % 200).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    seeds = li.sparkSession.createDataFrame([(0,)], "node long")
+    out = shortest_paths(edges, seeds, iterations=3)
+    return out.select(F.col("node").cast("long").alias("node"), "dist")

@@ -304,6 +304,40 @@ PROBES.update(
 )
 
 
+def probe_backtest(spark):
+    from mimic_iv_data_pipeline_spark.operators.windows import forecast_backtest
+
+    daily = spark.range(10_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(200)).alias("t"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)).alias("y"),
+    ).groupBy("k", "t").agg(F.max("y").alias("y"))
+    _timed(
+        "forecast_backtest ~10M (key, step) rows / 100k keys",
+        lambda: forecast_backtest(
+            daily, "k", "t", "y", alpha=0.5, beta=0.25, season=7
+        ).count(),
+    )
+
+
+def probe_sssp(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import shortest_paths
+
+    edges = spark.range(2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50_000)).alias("dst"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)) + 1).alias("w"),
+    )
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    _timed(
+        "shortest_paths 2M weighted edges / 50k nodes, 3 relaxations",
+        lambda: shortest_paths(edges, seeds, iterations=3).count(),
+    )
+
+
+PROBES.update({"backtest": probe_backtest, "sssp": probe_sssp})
+
+
 def main():
     # this process creates the JVM, so driver.memory is honored here;
     # in local mode ALL execution memory is the driver heap.
