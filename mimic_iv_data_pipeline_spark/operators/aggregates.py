@@ -1310,11 +1310,17 @@ def mann_whitney_u(
 
     Returns ONE row: ``(group_a, group_b, n_a, n_b, u_a, z, auc_a)``
     (groups ascending; ``auc_a`` = P(a > b) + ½P(a = b) = U_a/(n_a·n_b);
-    z is NULL when every value is tied). Unrounded — query sites round.
+    z is NULL when every value is tied). Rows with a NULL value or
+    group are excluded (complete-case, scipy's nan_policy='omit') —
+    a NULL block would otherwise silently enter the rank algebra as
+    the lowest rank. Unrounded — query sites round.
     """
-    per = df.groupBy(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("__c")).localCheckpoint(eager=True)
+    per = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     groups = [r["__g"] for r in per.select("__g").distinct().limit(3).collect()]
     if len(groups) != 2:
         raise ValueError(
@@ -1400,6 +1406,9 @@ def anova_oneway(
     Unrounded — query sites round.
     """
     y = F.col(value_col)
+    # complete-case: a NULL y would be counted in n but skipped by the
+    # sums, silently deflating every mean/variance
+    df = df.filter(y.isNotNull() & F.col(group_col).isNotNull())
     # square in decimal(18,0) so |y| up to ~1e18 never overflows the
     # long multiply (decimal(18,0)² → decimal(37,0), exact)
     y18 = y.cast("decimal(18,0)")
@@ -1487,6 +1496,13 @@ def bh_fdr(
     round.
     """
     wr = Window.orderBy(F.col(p_col).asc(), F.col(id_col).asc())
+    # a NULL p-value would sort last and silently poison every q at or
+    # below it through the reverse min — fail loudly instead
+    checked = F.when(
+        F.col(p_col).isNull(),
+        F.raise_error(F.lit("bh_fdr: NULL p-value — fix the test relation")),
+    ).otherwise(F.col(p_col))
+    df = df.withColumn(p_col, checked)
     ranked = df.select(
         F.col(id_col),
         F.col(p_col),
@@ -1607,9 +1623,15 @@ def isotonic_calibration(
     ``(score, n, pos, rate, iso)`` with iso the calibrated
     probability, non-decreasing in score (property-tested).
     """
-    bins = df.groupBy(F.col(score_col).alias("s")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col(label_col).cast("long")).cast("long").alias("pos"),
+    # complete-case: NULL labels would inflate n but not pos; NULL
+    # scores would form a phantom lowest bin
+    bins = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("pos"),
+        )
     )
     probe = bins.limit(max_bins + 1).count()
     if probe > max_bins:

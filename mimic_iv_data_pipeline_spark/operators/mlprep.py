@@ -318,9 +318,15 @@ def best_split(
     Returns one row per candidate:
     ``(v, n_left, pos_left, n_right, pos_right, ig)`` — unrounded.
     """
-    per = df.groupBy(F.col(x_col).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum(F.col(label_col).cast("long")).cast("long").alias("__p"),
+    # complete-case: NULL labels inflate n without pos; NULL x forms a
+    # phantom candidate
+    per = (
+        df.filter(F.col(x_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(x_col).alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("__p"),
+        )
     )
     w = Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
     cum = per.select(
@@ -381,6 +387,11 @@ def woe_iv(
     conditional sums; the 1-row class totals broadcast back onto the
     |categories| relation. All doubles derive from exact longs in a
     pinned op sequence.
+
+    NULL handling: a NULL category is its own row (GROUP BY
+    semantics, like every categorical op here); a NULL label joins
+    neither class (both conditional sums skip it) — complete-case per
+    label, stated rather than hidden.
 
     Returns ``(cat, n_pos, n_neg, woe, iv_term)`` — unrounded.
     """

@@ -157,3 +157,59 @@ def test_epi_null_effect(spark):
     r = epi_2x2(df, "e", "o").collect()[0]
     assert abs(r["rr"] - 1.0) < 1e-12 and abs(r["rd"]) < 1e-12
     assert r["rr_lo"] < 1.0 < r["rr_hi"]
+
+
+# ------------------------------------------------- NULL-policy contracts
+
+
+def test_null_policy_complete_case(spark):
+    """The r5 NULL-policy pass: NULL values/labels are excluded
+    (complete-case) rather than silently corrupting counts."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        anova_oneway,
+        mann_whitney_u,
+    )
+    from mimic_iv_data_pipeline_spark.operators.mlprep import best_split
+
+    clean = [("a", 1), ("a", 3), ("b", 2), ("b", 4)]
+    dirty = clean + [("a", None), (None, 9)]
+    mc = mann_whitney_u(
+        spark.createDataFrame(clean, "g string, v long"), "g", "v"
+    ).collect()
+    md = mann_whitney_u(
+        spark.createDataFrame(dirty, "g string, v long"), "g", "v"
+    ).collect()
+    assert mc == md
+
+    ac = anova_oneway(
+        spark.createDataFrame(clean, "g string, v long"), "g", "v"
+    ).collect()
+    ad = anova_oneway(
+        spark.createDataFrame(dirty, "g string, v long"), "g", "v"
+    ).collect()
+    assert ac == ad
+
+    rows = [(1, 1), (1, 0), (2, 1), (2, 1), (3, 0)]
+    bc = best_split(spark.createDataFrame(rows, "x long, y int"), "x", "y").collect()
+    bd = best_split(
+        spark.createDataFrame(rows + [(None, 1), (2, None)], "x long, y int"),
+        "x",
+        "y",
+    ).collect()
+    assert sorted(map(tuple, bc)) == sorted(map(tuple, bd))
+
+
+def test_bh_fdr_null_p_raises(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import bh_fdr
+
+    df = spark.createDataFrame([(1, 0.01), (2, None)], "tid long, p double")
+    with pytest.raises(Exception, match="NULL p-value"):
+        bh_fdr(df, "tid", "p").collect()
+
+
+def test_isotonic_null_label_excluded(spark):
+    rows = [(0, 1), (0, 0), (1, 1), (1, 1), (0, None), (None, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = {r["s"]: r for r in isotonic_calibration(df, "s", "y").collect()}
+    assert got[0]["n"] == 2 and got[0]["pos"] == 1
+    assert None not in got
