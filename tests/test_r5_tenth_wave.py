@@ -107,3 +107,32 @@ def test_shortest_paths_multi_source_and_dup_edges(spark):
     seeds = spark.createDataFrame([(0,), (1,)], "node long")
     got = {r["node"]: r["dist"] for r in shortest_paths(df, seeds, iterations=1).collect()}
     assert got == {0: 0, 1: 0, 5: 1}
+
+
+def test_nb_scoring_matrix_join_broadcast(spark, sf_smoke):
+    """The V·C log-likelihood matrix must broadcast onto the token
+    stream — the planner shuffling the 120M-row token side instead was
+    measured 2.4× slower (PERF ninth-wave addenda)."""
+    from mimic_iv_data_pipeline_spark.queries import all_queries
+
+    plan = (
+        all_queries()["q190_naive_bayes"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shortest_paths_no_cartesian_and_checkpointed(spark):
+    from mimic_iv_data_pipeline_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40, 1 + i % 5) for i in range(200)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = shortest_paths(edges, seeds, iterations=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
