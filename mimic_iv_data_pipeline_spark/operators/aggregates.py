@@ -1431,12 +1431,23 @@ def anova_oneway(
         ).alias("ss"),
         "n",
     )
-    term_micro = F.floor(
+    # floor WITHOUT Spark's long-returning FLOOR: the term reaches
+    # ~2e19 at sf0.001 already (cs²/n·1e6) and silently wrapped long —
+    # caught by the sf0.001 oracle sweep. Doubles ≥ 2^53 are integral,
+    # so floor is the identity there; below 2^53 FLOOR's long fits.
+    # Both branches stay double, then one exact integral-double →
+    # decimal cast. The SQL twin mirrors the CASE verbatim.
+    ty = (
         (F.col("s").cast("double") * F.col("s").cast("double"))
         / F.col("n").cast("double")
         * F.lit(1e6)
         + F.lit(0.5)
-    ).cast("decimal(38,0)")
+    )
+    term_micro = (
+        F.when(ty >= F.lit(9007199254740992.0), ty)
+        .otherwise(F.floor(ty).cast("double"))
+        .cast("decimal(38,0)")
+    )
     tot = gc.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("n"),

@@ -419,3 +419,53 @@ def woe_iv(
         woe.alias("woe"),
         ((ps - ns) * woe).alias("iv_term"),
     )
+
+
+def time_decay_features(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_col: str,
+    half_lives_days: list[float],
+) -> DataFrame:
+    """Exponential time-decay aggregates per key at the corpus
+    snapshot time (public: the standard recency-weighted feature-store
+    primitive — e.g. the half-life decayed counts of Agarwal et al.'s
+    LinkedIn feature pipelines; one column per half-life):
+
+        f_h(key) = Σ_rows value · 0.5^(Δt_days / h)
+
+    with Δt = snapshot − event time in EXACT integer microseconds
+    (epoch arithmetic, the q164 sub-second lesson) and the snapshot =
+    max(ts) over the input (reproducible — no wall clock). Per-row
+    terms are micro-quantized before the per-key sum, so each feature
+    is an exact integer sum — order-insensitive, engine-portable
+    (pow/exp2 is the same pinned double op in both engines).
+
+    Scale shape: one 1-row snapshot aggregate broadcast back, ONE
+    map-side-combinable keyed aggregate for ALL half-lives together.
+    ``value_col`` must be integer-quantized. Returns
+    ``(…key, n, decayed_<h> … )`` with one long micro-unit column per
+    half-life.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not half_lives_days:
+        raise ValueError("time_decay_features: need at least one half-life")
+    snap = df.agg(F.unix_micros(F.max(ts_col)).alias("__snap_us"))
+    dt_days = (
+        (F.col("__snap_us") - F.unix_micros(F.col(ts_col))).cast("double")
+        / F.lit(86400.0 * 1_000_000)
+    )
+    base = df.crossJoin(F.broadcast(snap))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for h in half_lives_days:
+        term = F.col(value_col).cast("double") * F.pow(
+            F.lit(0.5), dt_days / F.lit(float(h))
+        )
+        name = f"decayed_{str(h).replace('.', '_')}"
+        aggs.append(
+            F.sum(
+                F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).cast("long").alias(name)
+        )
+    return base.groupBy(*keys).agg(*aggs)

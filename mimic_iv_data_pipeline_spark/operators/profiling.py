@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
+from pyspark.sql.window import Window
 
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
@@ -251,3 +252,70 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def benford_digit_test(
+    df: DataFrame,
+    value_col: str,
+    group_by: str | list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law with the
+    Pearson chi² distance (public: Benford 1938; Nigrini's forensic-
+    accounting screen — fabricated or manipulated numeric columns
+    drift from the log10(1 + 1/d) law that organic multi-scale data
+    follows). The data-quality sibling of ``profile_table`` /
+    ``population_stability``.
+
+    The first digit is extracted ARITHMETICALLY (value / 10^floor(
+    log10(value)) — no string round-trip, stays in codegen); rows with
+    NULL or non-positive values are excluded (Benford applies to
+    positive magnitudes; stated, complete-case). Expected shares are
+    the nine log10 literals — identical constants in both engines.
+
+        chi2 = n · Σ_d (observed_share_d − expected_d)² / expected_d
+
+    Scale shape: ONE conditional aggregate over the facts to a
+    9·|groups|-row relation; chi² derives from exact counts in a
+    pinned sequence. Returns one row per (group, digit):
+    ``(…group, digit, n_digit, n, observed, expected, chi2)`` with the
+    group's chi² repeated per digit row (the relation IS the readout).
+    """
+    import math as _math
+
+    groups = (
+        [] if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    v = F.col(value_col).cast("double")
+    pos = df.filter(v.isNotNull() & (v > 0))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("long")
+    per = pos.select(*groups, digit.alias("digit")).groupBy(*groups, "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digit")
+    )
+    wtot = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(_math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    scored = per.withColumn("n", F.sum("n_digit").over(wtot)).select(
+        *groups,
+        "digit",
+        "n_digit",
+        "n",
+        (F.col("n_digit").cast("double") / F.col("n").cast("double")).alias(
+            "observed"
+        ),
+        expected.alias("expected"),
+    )
+    term = (
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected")
+    )
+    # micro-quantized per-digit terms -> exact cross-digit sum
+    term_micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return scored.withColumn(
+        "chi2",
+        F.col("n").cast("double")
+        * (F.sum(term_micro).over(wtot).cast("double") / F.lit(1e9)),
+    )

@@ -132,8 +132,13 @@ def q181_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grp CROSS JOIN shift
     ), tm AS (
       SELECT *,
-             CAST(floor(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
-                        / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             CAST(CASE WHEN CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                            / CAST(n AS DOUBLE) * 1e6 + 0.5
+                            >= 9007199254740992.0
+                       THEN CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                            / CAST(n AS DOUBLE) * 1e6 + 0.5
+                       ELSE floor(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1e6 + 0.5) END
                   AS DECIMAL(38,0)) AS t
       FROM cgrp
     ), tot AS (
@@ -1340,3 +1345,153 @@ def q200_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = li.sparkSession.createDataFrame([(0,)], "node long")
     out = shortest_paths(edges, seeds, iterations=3)
     return out.select(F.col("node").cast("long").alias("node"), "dist")
+
+
+# --- q201: Benford first-digit screen ----------------------------------------
+@register(
+    "q201_benford",
+    oracle="""
+    WITH pos AS (
+      SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ), per AS (
+      SELECT grp,
+             CAST(floor(v / pow(10.0, floor(log10(v)))) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_digit
+      FROM pos GROUP BY 1, 2
+    ), tot AS (
+      SELECT *, CAST(sum(n_digit) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM per
+    ), scored AS (
+      SELECT grp, digit, n_digit, n,
+             CAST(n_digit AS DOUBLE) / CAST(n AS DOUBLE) AS observed,
+             log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected
+      FROM tot
+    ), terms AS (
+      SELECT *,
+             CAST(floor((observed - expected) * (observed - expected)
+                        / expected * 1e9 + 0.5) AS BIGINT) AS tm
+      FROM scored
+    )
+    SELECT grp, digit, n_digit, n,
+           round(floor(observed * 1e6 + 0.5) / 1e6, 6) AS observed,
+           round(floor(expected * 1e6 + 0.5) / 1e6, 6) AS expected,
+           round(floor(CAST(n AS DOUBLE)
+                 * (CAST(sum(tm) OVER (PARTITION BY grp) AS DOUBLE) / 1e9)
+                 * 1e6 + 0.5) / 1e6, 6) AS chi2
+    FROM terms
+    """,
+)
+def q201_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution + chi² per order priority
+    (operators/profiling.py:benford_digit_test — one conditional
+    aggregate, arithmetic digit extraction)."""
+    from mimic_iv_data_pipeline_spark.operators.profiling import benford_digit_test
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v")
+    )
+    out = benford_digit_test(od, "v", group_by="grp")
+    return out.select(
+        "grp",
+        "digit",
+        "n_digit",
+        "n",
+        dround("observed", 6).alias("observed"),
+        dround("expected", 6).alias("expected"),
+        dround("chi2", 6).alias("chi2"),
+    )
+
+
+# --- q202: time-decay recency features ----------------------------------------
+# Half-lives 1 and 7 days over the event log; the snapshot is the
+# corpus max ts (reproducible), terms micro-quantized so each feature
+# is an exact integer sum.
+@register(
+    "q202_time_decay",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, ts, {_CENTS} AS cents FROM events
+    ), snap AS (
+      SELECT epoch_us(max(ts)) AS snap_us FROM f
+    ), t AS (
+      SELECT user_id,
+             CAST(snap_us - epoch_us(ts) AS DOUBLE) / (86400.0 * 1000000) AS dtd,
+             cents
+      FROM f CROSS JOIN snap
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(cents AS DOUBLE) * pow(0.5, dtd / 1.0)
+                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS decayed_1_0,
+           CAST(sum(CAST(floor(CAST(cents AS DOUBLE) * pow(0.5, dtd / 7.0)
+                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS decayed_7_0
+    FROM t GROUP BY user_id
+    """,
+)
+def q202_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed spend features (1d, 7d) per user at the
+    corpus snapshot (operators/mlprep.py:time_decay_features — one
+    keyed aggregate for all half-lives)."""
+    from mimic_iv_data_pipeline_spark.operators.mlprep import time_decay_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return time_decay_features(ev, "user_id", "ts", "cents", [1.0, 7.0])
+
+
+# --- q203: grid-bucketed geo radius join --------------------------------------
+# Deterministic synthetic coordinates on a ~100x100 city grid
+# (111m x 68m cells); radius 200 m. The oracle replays the grid
+# bucketing, the 3x3 neighbor explode, and the haversine filter.
+@register(
+    "q203_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             52.0 + CAST(c_custkey % 100 AS DOUBLE) / 1000.0 AS lat,
+             13.0 + CAST((c_custkey // 100) % 100 AS DOUBLE) / 1000.0 AS lon
+      FROM customer
+    ), cells AS (
+      SELECT *,
+             CAST(floor(lat / (200.0 / 111320.0)) AS BIGINT) AS cx,
+             CAST(floor(lon / ((200.0 / 111320.0) / cos(radians(80.0)))) AS BIGINT) AS cy
+      FROM pts
+    ), rexp AS (
+      SELECT id AS idb, lat AS latb, lon AS lonb,
+             cx + dx.x AS cx, cy + dy.y AS cy
+      FROM cells, unnest([-1, 0, 1]) AS dx(x), unnest([-1, 0, 1]) AS dy(y)
+    ), cand AS (
+      SELECT a.id AS id_a, rexp.idb AS id_b,
+             2.0 * 6371000.0 * asin(sqrt(
+               sin(radians(rexp.latb - a.lat) / 2) * sin(radians(rexp.latb - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(rexp.latb))
+                 * sin(radians(rexp.lonb - a.lon) / 2)
+                 * sin(radians(rexp.lonb - a.lon) / 2)
+             )) AS dist_m
+      FROM cells a JOIN rexp ON a.cx = rexp.cx AND a.cy = rexp.cy
+      WHERE a.id < rexp.idb
+    )
+    SELECT id_a, id_b, round(floor(dist_m * 1e6 + 0.5) / 1e6, 6) AS dist_m
+    FROM cand WHERE dist_m <= 200.0
+    """,
+)
+def q203_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 200 m on the synthetic city grid
+    (operators/geo.py:radius_join — grid bucket + 3×3 neighbor
+    equi-join + exact haversine, no cross join)."""
+    from mimic_iv_data_pipeline_spark.operators.geo import radius_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (52.0 + (F.col("c_custkey") % 100).cast("double") / 1000.0).alias("lat"),
+        (
+            13.0
+            + (F.expr("c_custkey div 100") % 100).cast("double") / 1000.0
+        ).alias("lon"),
+    )
+    out = radius_join(cust, "id", "lat", "lon", radius_m=200.0)
+    return out.select("id_a", "id_b", dround("dist_m", 6).alias("dist_m"))

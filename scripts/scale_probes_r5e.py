@@ -338,6 +338,49 @@ def probe_sssp(spark):
 PROBES.update({"backtest": probe_backtest, "sssp": probe_sssp})
 
 
+def probe_geo(spark):
+    from mimic_iv_data_pipeline_spark.operators.geo import radius_join
+
+    pts = spark.range(2_000_000).select(
+        F.col("id"),
+        (F.lit(52.0) + F.pmod(F.xxhash64("id"), F.lit(200_000)).cast("double")
+         / 100_000.0).alias("lat"),
+        (F.lit(13.0) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300_000)).cast("double")
+         / 100_000.0).alias("lon"),
+    )
+    _timed(
+        "radius_join 2M points over ~2x3 deg, r=100m",
+        lambda: radius_join(pts, "id", "lat", "lon", 100.0).count(),
+    )
+
+
+def probe_decay_benford(spark):
+    from mimic_iv_data_pipeline_spark.operators.mlprep import time_decay_features
+    from mimic_iv_data_pipeline_spark.operators.profiling import benford_digit_test
+
+    ev = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k"),
+        F.timestamp_seconds(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000_000))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000)).alias("v"),
+    )
+    _timed(
+        "time_decay_features 20M rows / 1M keys, 3 half-lives",
+        lambda: time_decay_features(ev, "k", "ts", "v", [1.0, 7.0, 30.0]).count(),
+    )
+    vals = spark.range(20_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(999_999)) + 1).cast("double").alias("v")
+    )
+    _timed(
+        "benford_digit_test 20M values",
+        lambda: benford_digit_test(vals, "v").count(),
+    )
+
+
+PROBES.update({"geo": probe_geo, "decay_benford": probe_decay_benford})
+
+
 def main():
     # this process creates the JVM, so driver.memory is honored here;
     # in local mode ALL execution memory is the driver heap.

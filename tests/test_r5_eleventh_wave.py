@@ -1,0 +1,154 @@
+"""Round-5 eleventh wave: Benford digit screen, time-decay features,
+grid-bucketed geo radius join."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.operators.geo import radius_join
+from mimic_iv_data_pipeline_spark.operators.mlprep import time_decay_features
+from mimic_iv_data_pipeline_spark.operators.profiling import benford_digit_test
+
+
+def _hv(a, b):
+    (la1, lo1), (la2, lo2) = a, b
+    rl1, rl2 = math.radians(la1), math.radians(la2)
+    dlat = math.radians(la2 - la1) / 2
+    dlon = math.radians(lo2 - lo1) / 2
+    x = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    return 2 * 6_371_000 * math.asin(math.sqrt(x))
+
+
+# ---------------------------------------------------------------- Benford
+
+
+def test_benford_counts_and_chi2(spark):
+    vals = [1.5**i for i in range(1, 120)]  # multi-scale: near-Benford
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = sorted(benford_digit_test(df, "v").collect(), key=lambda r: r["digit"])
+    from collections import Counter
+
+    def first_digit(v):
+        return int(f"{v:.10e}"[0])
+
+    digs = Counter(first_digit(v) for v in vals)
+    for r in out:
+        assert r["n_digit"] == digs[r["digit"]]
+        assert abs(r["expected"] - math.log10(1 + 1 / r["digit"])) < 1e-12
+    n = len(vals)
+    t = sum(
+        math.floor((digs.get(d, 0) / n - math.log10(1 + 1 / d)) ** 2
+                   / math.log10(1 + 1 / d) * 1e9 + 0.5)
+        for d in range(1, 10)
+    )
+    assert abs(out[0]["chi2"] - n * (t / 1e9)) < 1e-9
+
+
+def test_benford_flags_uniform_digits(spark):
+    """Uniform first digits score a much larger chi² than geometric
+    (Benford-conforming) data — the screen's purpose."""
+    geometric = [(1.5**i,) for i in range(1, 200)]
+    uniform = [(float(d) * 10 ** (i % 3),) for d in range(1, 10) for i in range(22)]
+    cg = benford_digit_test(
+        spark.createDataFrame(geometric, "v double"), "v"
+    ).collect()[0]["chi2"]
+    cu = benford_digit_test(
+        spark.createDataFrame(uniform, "v double"), "v"
+    ).collect()[0]["chi2"]
+    assert cu > 5 * cg
+
+
+def test_benford_excludes_nonpositive_and_null(spark):
+    df = spark.createDataFrame([(1.0,), (0.0,), (-5.0,), (None,)], "v double")
+    out = benford_digit_test(df, "v").collect()
+    assert len(out) == 1 and out[0]["n"] == 1 and out[0]["digit"] == 1
+
+
+# ------------------------------------------------------------- time decay
+
+
+def test_time_decay_reference(spark):
+    rows = [(1, 0, 100), (1, 86400, 100), (2, 86400, 50)]
+    df = spark.createDataFrame(rows, "k long, tsec long, v long").select(
+        "k", F.timestamp_seconds("tsec").alias("ts"), "v"
+    )
+    got = {r["k"]: r for r in time_decay_features(df, "k", "ts", "v", [1.0, 7.0]).collect()}
+    # snapshot = t 86400: user1 has one 1-day-old and one fresh event
+    exp1 = math.floor(100 * 0.5 * 1e6 + 0.5) + math.floor(100 * 1e6 + 0.5)
+    assert got[1]["decayed_1_0"] == exp1
+    exp7 = math.floor(100 * 0.5 ** (1 / 7) * 1e6 + 0.5) + math.floor(100 * 1e6 + 0.5)
+    assert got[1]["decayed_7_0"] == exp7
+    assert got[2]["n"] == 1 and got[2]["decayed_1_0"] == 50_000_000
+
+
+def test_time_decay_halflife_semantics(spark):
+    """An event exactly one half-life old contributes half its value."""
+    rows = [(1, 0, 1000), (1, 7 * 86400, 0)]
+    df = spark.createDataFrame(rows, "k long, tsec long, v long").select(
+        "k", F.timestamp_seconds("tsec").alias("ts"), "v"
+    )
+    r = time_decay_features(df, "k", "ts", "v", [7.0]).collect()[0]
+    assert r["decayed_7_0"] == 500_000_000  # 1000 * 0.5 in micro-units
+
+
+def test_time_decay_requires_halflife(spark):
+    df = spark.createDataFrame([(1, 0, 1)], "k long, tsec long, v long").select(
+        "k", F.timestamp_seconds("tsec").alias("ts"), "v"
+    )
+    with pytest.raises(ValueError, match="half-life"):
+        time_decay_features(df, "k", "ts", "v", [])
+
+
+# ------------------------------------------------------------------- geo
+
+
+def test_radius_join_bruteforce_parity(spark):
+    random.seed(11)
+    cloud = [
+        (i, 52.5 + random.uniform(-0.01, 0.01), 13.4 + random.uniform(-0.01, 0.01))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(cloud, "id long, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]) for r in radius_join(df, "id", "lat", "lon", 300.0).collect()}
+    want = {
+        (a[0], b[0])
+        for i, a in enumerate(cloud)
+        for b in cloud[i + 1:]
+        if _hv((a[1], a[2]), (b[1], b[2])) <= 300.0
+    }
+    assert got == want
+
+
+def test_radius_join_cell_boundary_pairs_found(spark):
+    """Two points just inside the radius but in DIFFERENT grid cells
+    must still pair — the 3×3 neighbor explode is what makes the
+    bucketing lossless."""
+    lat_deg = 200.0 / 111_320.0
+    pts = [(1, 52.0 + 0.999 * lat_deg, 13.4), (2, 52.0 + 1.001 * lat_deg, 13.4)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = radius_join(df, "id", "lat", "lon", 200.0).collect()
+    assert len(out) == 1 and out[0]["id_a"] == 1
+
+
+def test_radius_join_polar_guard(spark):
+    df = spark.createDataFrame([(1, 85.0, 0.0)], "id long, lat double, lon double")
+    with pytest.raises(Exception, match="polar"):
+        radius_join(df, "id", "lat", "lon", 100.0).collect()
+
+
+def test_radius_join_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, 52.0 + i * 1e-4, 13.0) for i in range(50)],
+        "id long, lat double, lon double",
+    )
+    plan = (
+        radius_join(df, "id", "lat", "lon", 150.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

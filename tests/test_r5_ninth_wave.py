@@ -213,3 +213,32 @@ def test_isotonic_null_label_excluded(spark):
     got = {r["s"]: r for r in isotonic_calibration(df, "s", "y").collect()}
     assert got[0]["n"] == 2 and got[0]["pos"] == 1
     assert None not in got
+
+
+def test_anova_term_beyond_long_floor(spark):
+    """Regression for the sf0.001 sweep find: the between-group term
+    (cs²/n·1e6) can exceed 2^63, where Spark's long-returning FLOOR
+    silently wrapped. Deviations ~2e8 over small groups put the term
+    at ~4e19 — the wrap regime; F must still match numpy."""
+    import numpy as np
+    from mimic_iv_data_pipeline_spark.operators.aggregates import anova_oneway
+
+    base = 5_000_000
+    rows = (
+        [("a", base + 200_000_000 + d) for d in range(0, 3000, 7)]
+        + [("b", base - 150_000_000 + d) for d in range(0, 3000, 7)]
+        + [("c", base + d) for d in range(0, 3000, 7)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    row = anova_oneway(df, "g", "v").collect()[0]
+    gs = {}
+    for g, v in rows:
+        gs.setdefault(g, []).append(v)
+    allv = np.array([v for _, v in rows], float)
+    grand = allv.mean()
+    ssb = sum(len(v) * (np.mean(v) - grand) ** 2 for v in gs.values())
+    ssw = sum(((np.array(v, float) - np.mean(v)) ** 2).sum() for v in gs.values())
+    k, n = 3, len(rows)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["ss_between"] > 0 and row["ss_within"] > 0
+    assert abs(row["f_stat"] - f) / f < 1e-6
