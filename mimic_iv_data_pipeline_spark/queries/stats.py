@@ -1495,3 +1495,67 @@ def q203_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = radius_join(cust, "id", "lat", "lon", radius_m=200.0)
     return out.select("id_a", "id_b", dround("dist_m", 6).alias("dist_m"))
+
+
+# --- q204: golden-record MDM capstone -----------------------------------------
+# Fuzzy dedupe (edit distance <= 1 within the nation block) -> connected
+# components -> survivorship, hash-verified end to end: DuckDB has
+# levenshtein, and the cluster closure reuses the q88 recursive-CTE
+# pattern. The Spark side composes edit_distance_join (deletion
+# neighborhoods, q92's operator) + connected_components + one keyed
+# window — no all-pairs anywhere.
+@register(
+    "q204_golden_records",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS val
+      FROM customer
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM base a JOIN base b
+        ON a.blk = b.blk AND a.id < b.id
+       AND levenshtein(a.name, b.name) <= 1
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, reach) AS (
+      SELECT id, id FROM base
+      UNION
+      SELECT e.v, w.reach FROM walk w JOIN edges e ON w.id = e.u
+    ), comp AS (
+      SELECT id, CAST(min(reach) AS BIGINT) AS cluster_id FROM walk GROUP BY 1
+    ), labeled AS (
+      SELECT base.*, comp.cluster_id FROM base JOIN comp USING (id)
+    ), rn AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY id) AS rn
+      FROM labeled
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           max(CASE WHEN rn = 1 THEN name END) AS survivor_name,
+           CAST(max(val) AS BIGINT) AS max_value,
+           CAST(count(DISTINCT name) AS BIGINT) AS n_distinct_names
+    FROM rn GROUP BY cluster_id
+    """,
+)
+def q204_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden customer records: fuzzy-name clusters within nations,
+    min-id survivorship (plans/mdm.py:golden_records)."""
+    from mimic_iv_data_pipeline_spark.plans.mdm import golden_records
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
+    )
+    out = golden_records(
+        cust, "c_custkey", "c_name", "c_nationkey", "bal", max_dist=1
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members",
+        "survivor_name",
+        F.col("max_value").cast("long").alias("max_value"),
+        "n_distinct_names",
+    )

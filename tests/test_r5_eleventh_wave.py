@@ -152,3 +152,47 @@ def test_radius_join_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- golden records
+
+
+def _gold(spark, rows, max_dist=1):
+    from mimic_iv_data_pipeline_spark.plans.mdm import golden_records
+
+    df = spark.createDataFrame(rows, "id long, name string, blk long, val long")
+    return {
+        r["cluster_id"]: r
+        for r in golden_records(df, "id", "name", "blk", "val", max_dist).collect()
+    }
+
+
+def test_golden_records_merges_and_survives(spark):
+    rows = [
+        (1, "acme corp", 10, 100),
+        (2, "acme c0rp", 10, 250),   # 1 edit from id 1, same block -> merge
+        (3, "acme corp", 20, 999),   # identical name, DIFFERENT block -> no merge
+        (4, "zenith", 10, 50),       # singleton
+    ]
+    got = _gold(spark, rows)
+    assert set(got) == {1, 3, 4}
+    c = got[1]
+    assert c["n_members"] == 2
+    assert c["survivor_name"] == "acme corp"  # min-id member's name
+    assert c["max_value"] == 250              # survivorship: max balance
+    assert c["n_distinct_names"] == 2
+    assert got[3]["n_members"] == 1 and got[4]["n_members"] == 1
+
+
+def test_golden_records_transitive_chain(spark):
+    # a-b and b-c within distance 1, a-c at distance 2: one cluster of 3
+    rows = [(1, "aaaa", 1, 1), (2, "aaab", 1, 2), (3, "aabb", 1, 3)]
+    got = _gold(spark, rows)
+    assert set(got) == {1}
+    assert got[1]["n_members"] == 3
+
+
+def test_golden_records_conserves_membership(spark):
+    rows = [(i, f"name{i % 7}x{i}", i % 3, i * 10) for i in range(60)]
+    got = _gold(spark, rows)
+    assert sum(r["n_members"] for r in got.values()) == 60
