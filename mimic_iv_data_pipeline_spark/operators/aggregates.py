@@ -1827,3 +1827,88 @@ def epi_2x2(
         F.when(orr.isNotNull(), F.exp(F.log(orr) + zl * se_or)).alias("or_hi"),
         (r1 - r0).alias("rd"),
     )
+
+
+def concentration_metrics(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Distribution-concentration readout over per-key totals — the
+    three classics in ONE pass (public: Gini 1912 / Lorenz; the
+    Herfindahl-Hirschman index of antitrust practice; the "top decile
+    share" every revenue review quotes):
+
+        gini = (2·Σ_i i·v_(i)) / (n·Σv) − (n+1)/n     (v ascending)
+        hhi  = Σ (v_i / Σv)²                           (0..1 scale)
+        top_decile_share = Σ of the ceil(n/10) largest / Σv
+
+    ``value_col`` must be integer-quantized and non-negative (NULL
+    values and NULL keys are excluded, complete-case; negative totals
+    make Lorenz curves meaningless — raise upstream). Σ i·v is an
+    exact decimal sum (rank ties broken by key asc); HHI terms are
+    quantized to pico-units (1e-12 — share² of a 1e-6 share is 1e-12,
+    micro would zero it) and summed exactly. Every emitted double is a
+    single division of exact integers.
+
+    Scale shape: ONE keyed aggregate over the facts; ranks/windows run
+    over the |keys| AGGREGATE relation (the rfm/q22 precedent — swap
+    in ``sampling.global_prefix_sums`` at extreme key cardinality).
+    Returns ONE row: ``(n_keys, total, gini, hhi, top_decile_share)``
+    — gini/hhi NULL when total is 0.
+    """
+    per = (
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.sum(F.col(value_col).cast("decimal(38,0)")).alias("__v"))
+    )
+    w_asc = Window.orderBy(F.col("__v").asc(), F.col("__k").asc())
+    w_desc = Window.orderBy(F.col("__v").desc(), F.col("__k").asc())
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "__v",
+        F.row_number().over(w_asc).cast("long").alias("__i"),
+        F.row_number().over(w_desc).cast("long").alias("__rd"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__n"),
+        F.sum("__v").over(w_all).alias("__tot"),
+    )
+    # ANSI guard: a zero grand total must yield NULL metrics, not a
+    # divide-by-zero — shares are only evaluated when total > 0
+    share = F.col("__v").cast("double") / F.col("__tot").cast("double")
+    hhi_term = F.when(
+        F.col("__tot") > 0,
+        F.floor(share * share * F.lit(1e12) + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = ranked.agg(
+        F.max("__n").alias("n_keys"),
+        F.max("__tot").alias("__total"),
+        F.sum(F.col("__i").cast("decimal(38,0)") * F.col("__v")).alias("__iv"),
+        F.sum(
+            F.when(
+                F.col("__rd") <= F.ceil(F.col("__n") / F.lit(10.0)),
+                F.col("__v"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__top"),
+        F.sum(hhi_term).cast("long").alias("__hhi_pico"),
+    )
+    nD = F.col("n_keys").cast("double")
+    totD = F.col("__total").cast("double")
+    gini = F.when(
+        F.col("__total") > 0,
+        (F.lit(2.0) * F.col("__iv").cast("double")) / (nD * totD)
+        - (nD + F.lit(1.0)) / nD,
+    )
+    return agg.select(
+        "n_keys",
+        F.col("__total").cast("long").alias("total"),
+        gini.alias("gini"),
+        F.when(
+            F.col("__total") > 0, F.col("__hhi_pico").cast("double") / F.lit(1e12)
+        ).alias("hhi"),
+        F.when(
+            F.col("__total") > 0,
+            F.col("__top").cast("double") / totD,
+        ).alias("top_decile_share"),
+    )

@@ -106,7 +106,7 @@ _MODULES = [
 #   WoE/IV, q196 isotonic, q197 SMD balance, q198 epi 2x2, q199
 #   forecast backtest, q200 weighted shortest paths, q201 Benford,
 #   q202 time-decay features, q203 geo radius join, q204 golden
-#   records (that is 54 —
+#   records, q205 concentration, q206 Weibull fit (that is 56 —
 #   the 50-row window minus (c)'s 15-core fits 35, so cut in
 #   this order, each covered by a fresh green sibling family:
 #   q172/q174 (q171 RANGE frame + q173 fold in-window), q178/q179

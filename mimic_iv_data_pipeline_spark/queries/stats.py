@@ -1559,3 +1559,182 @@ def q204_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_value").cast("long").alias("max_value"),
         "n_distinct_names",
     )
+
+
+# --- q205: revenue concentration (Gini / HHI / top-decile) --------------------
+@register(
+    "q205_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS k,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT v,
+             row_number() OVER (ORDER BY v ASC, k ASC) AS i,
+             row_number() OVER (ORDER BY v DESC, k ASC) AS rd,
+             count(*) OVER () AS n,
+             sum(v) OVER () AS tot
+      FROM per
+    ), agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_keys,
+             CAST(max(tot) AS BIGINT) AS total,
+             sum(CAST(i AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS iv,
+             CAST(sum(CASE WHEN rd <= ceil(n / 10.0) THEN v ELSE 0 END)
+                  AS BIGINT) AS top,
+             CAST(sum(CAST(floor((CAST(v AS DOUBLE) / CAST(tot AS DOUBLE))
+                                 * (CAST(v AS DOUBLE) / CAST(tot AS DOUBLE))
+                                 * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+               AS hhi_pico
+      FROM ranked
+    )
+    SELECT n_keys, total,
+           round(floor(((2.0 * CAST(iv AS DOUBLE))
+                        / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+                        - (CAST(n_keys AS DOUBLE) + 1.0)
+                          / CAST(n_keys AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6, 6) AS gini,
+           round(floor((CAST(hhi_pico AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6, 6)
+             AS hhi,
+           round(floor((CAST(top AS DOUBLE) / CAST(total AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6, 6) AS top_decile_share
+    FROM agg
+    """,
+)
+def q205_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration: Gini, HHI, top-decile share
+    (operators/aggregates.py:concentration_metrics — one keyed
+    aggregate + windows over the |customers| relation)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        concentration_metrics,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = concentration_metrics(od, "o_custkey", "cents")
+    return out.select(
+        "n_keys",
+        "total",
+        dround("gini", 6).alias("gini"),
+        dround("hhi", 6).alias("hhi"),
+        dround("top_decile_share", 6).alias("top_decile_share"),
+    )
+
+
+# --- q206: Weibull fit from the KM curve --------------------------------------
+# Reliability-engineering composition: the q162 Kaplan-Meier survival
+# curve, probability-plot-linearized (ln(-ln S) on ln t — public:
+# Weibull plotting, Nelson 1982) and fit with q177's exact-sum OLS;
+# shape = slope, scale = exp(-intercept/shape). ln values are
+# micro-quantized to longs so the regression inputs satisfy
+# grouped_linreg's integer contract; the oracle replays the whole
+# chain (q162's KM CTEs + the q177 linreg tail, shape/scale assembled
+# from the same formulas).
+@register(
+    "q206_weibull_fit",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS s FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT o_orderpriority AS grp,
+             date_diff('day', o_orderdate, s) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS e
+      FROM orders JOIN ship ON l_orderkey = o_orderkey
+    ), a AS (
+      SELECT grp, t, sum(e) AS d, count(*) * 1.0 AS c FROM base GROUP BY 1, 2
+    ), r AS (
+      SELECT grp, t, d, c,
+             sum(c) OVER (PARTITION BY grp)
+               - coalesce(sum(c) OVER (PARTITION BY grp ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM a
+    ), sv AS (
+      SELECT grp, t, d,
+             exp(sum(CASE WHEN 1 - d / n_risk > 0
+                          THEN ln(1 - d / n_risk)
+                          ELSE CAST('-infinity' AS DOUBLE) END)
+                 OVER (PARTITION BY grp ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS surv
+      FROM r
+    ), f AS (
+      SELECT grp,
+             CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(-ln(surv)) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM sv WHERE d > 0 AND t > 0 AND surv > 0 AND surv < 1
+    ), st AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+      FROM f GROUP BY grp
+    ), e AS (
+      SELECT grp, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(n AS DOUBLE) AS nD, CAST(sx AS DOUBLE) AS sxD,
+             CAST(sy AS DOUBLE) AS syD
+      FROM st
+    ), fit AS (
+      SELECT grp AS o_orderpriority, n,
+             CASE WHEN vx <> 0 THEN cov / vx END AS shape,
+             CASE WHEN vx <> 0 THEN (syD - (cov / vx) * sxD) / nD END AS b
+      FROM e
+    )
+    SELECT o_orderpriority, n,
+           round(floor(shape * 1e6 + 0.5) / 1e6, 6) AS shape,
+           round(floor((CASE WHEN shape IS NOT NULL AND shape <> 0
+                  THEN exp(-b / (1e6 * shape)) END) * 1e6 + 0.5) / 1e6, 6)
+             AS scale_days
+    FROM fit
+    """,
+)
+def q206_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale per order priority from the KM survival
+    curve via the probability-plot linearization
+    (aggregates.kaplan_meier -> grouped_linreg composition)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        grouped_linreg,
+        kaplan_meier,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("s"))
+    base = orders.join(ship, orders["o_orderkey"] == ship["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("s"), F.col("o_orderdate")).alias("dur"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("event"),
+    )
+    km = kaplan_meier(base, "dur", "event", "o_orderpriority")
+    pts = km.filter(
+        (F.col("t") > 0) & (F.col("survival") > 0) & (F.col("survival") < 1)
+    ).select(
+        "o_orderpriority",
+        F.floor(F.log(F.col("t").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(-F.log("survival")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    fit = grouped_linreg(pts, "o_orderpriority", "x", "y")
+    shape = F.col("slope")
+    return fit.select(
+        "o_orderpriority",
+        "n",
+        dround(shape, 6).alias("shape"),
+        dround(
+            F.when(
+                shape.isNotNull() & (shape != 0),
+                F.exp(-F.col("intercept") / (F.lit(1e6) * shape)),
+            ),
+            6,
+        ).alias("scale_days"),
+    )

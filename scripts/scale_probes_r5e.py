@@ -381,6 +381,24 @@ def probe_decay_benford(spark):
 PROBES.update({"geo": probe_geo, "decay_benford": probe_decay_benford})
 
 
+def probe_concentration(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        concentration_metrics,
+    )
+
+    facts = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("v"),
+    )
+    _timed(
+        "concentration_metrics 20M rows / 1M keys",
+        lambda: concentration_metrics(facts, "k", "v").count(),
+    )
+
+
+PROBES.update({"concentration": probe_concentration})
+
+
 def main():
     # this process creates the JVM, so driver.memory is honored here;
     # in local mode ALL execution memory is the driver heap.
