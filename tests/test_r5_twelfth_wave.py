@@ -81,3 +81,11 @@ def test_weibull_fit_recovers_parameters(spark):
     # integer-day quantization + KM step discreteness allow ~10%
     assert abs(shape - k_true) / k_true < 0.1, shape
     assert abs(scale - lam) / lam < 0.1, scale
+
+
+def test_concentration_partition_invariance(spark):
+    rows = [(i % 37, (i * 13) % 500) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    a = concentration_metrics(df.repartition(1), "k", "v").collect()
+    b = concentration_metrics(df.repartition(32), "k", "v").collect()
+    assert a == b
