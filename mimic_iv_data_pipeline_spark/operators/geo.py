@@ -46,16 +46,26 @@ def radius_join(
     bucketing + neighbor-cell equi-join + exact haversine filter, no
     cross join anywhere in the plan.
 
-    Cell edge: ``radius_m`` meters of latitude = radius/111320 degrees;
-    longitude cells use the same DEGREE size shrunk by cos(max_abs_lat)
-    so a cell's longitudinal extent in METERS still covers the radius
-    at the highest allowed latitude (points beyond ``max_abs_lat`` are
-    rejected with a plan-side raise — near the poles longitude cells
-    degenerate and a production system switches to a polar cap;
-    stated, not hidden). One side explodes to its 3×3 neighbor cells
-    (9× row inflation — the candidate-generation cost), the join is an
-    equi-join on (cell_x, cell_y), and each unordered pair is emitted
-    once (id_a < id_b) with its exact distance.
+    Cell edge: derived from the SAME sphere the exact filter uses —
+    one degree of latitude on the haversine sphere is
+    ``π·EARTH_RADIUS_M/180`` ≈ 111194.9 m (NOT the WGS84-ish 111320,
+    which would make cells ~0.11% smaller than the radius and silently
+    drop a true pair whose distance falls in (~0.99888r, r] across a
+    cell boundary), then widened by 0.1% so the edge is ≥ the radius
+    under any float rounding. Longitude cells use that DEGREE size
+    shrunk by cos(max_abs_lat) so a cell's longitudinal extent in
+    METERS still covers the radius at the highest allowed latitude
+    (points beyond ``max_abs_lat`` are rejected with a plan-side raise
+    — near the poles longitude cells degenerate and a production
+    system switches to a polar cap; stated, not hidden), and are made
+    UNIFORM around the circle (edge = 360/n for the largest n keeping
+    edge ≥ the minimum) with indices taken modulo n, so pairs
+    straddling the antimeridian (+179.99 vs −179.99) share/neighbor a
+    cell like any others — no seam. One side explodes to its (deduped)
+    3×3 neighbor cells (≤9× row inflation — the candidate-generation
+    cost), the join is an equi-join on (cell_x, cell_y), and each
+    unordered pair is emitted once (id_a < id_b) with its exact
+    distance.
 
     Scale shape: 9×|points| candidate rows hash-joined on the cell
     key; density per cell is the skew knob (a city-block cell with k
@@ -65,10 +75,23 @@ def radius_join(
     """
     if radius_m <= 0:
         raise ValueError("radius_join: radius_m must be positive")
-    lat_deg = radius_m / 111_320.0
     import math
 
-    lon_deg = lat_deg / math.cos(math.radians(max_abs_lat))
+    # Meters per degree of latitude ON THE FILTER'S SPHERE (π·R/180),
+    # not the 111320 m/deg geodetic figure — the cell edge must be
+    # derived from the same geometry as the exact haversine filter or
+    # boundary-straddling pairs in the last ~0.11% of the radius are
+    # lost. The 1.001 factor keeps edge ≥ radius under float rounding.
+    lat_m_per_deg = math.pi * EARTH_RADIUS_M / 180.0
+    lat_deg = (radius_m / lat_m_per_deg) * 1.001
+    lon_deg_min = lat_deg / math.cos(math.radians(max_abs_lat))
+    # Uniform wrap-safe longitude cells: n equal cells of 360/n ≥ the
+    # minimum edge. Uniformity matters — a single ragged last cell
+    # would let a pair straddle two NON-adjacent cells across the
+    # 0/360 seam. n=1 degenerates to "all longitudes one cell" (still
+    # correct: strictly more candidates, never fewer).
+    n_lon = max(1, int(math.floor(360.0 / lon_deg_min)))
+    lon_deg = 360.0 / n_lon
     lat_ok = F.abs(F.col(lat_col)) <= F.lit(float(max_abs_lat))
     guarded = points.withColumn(
         "__lat",
@@ -82,7 +105,15 @@ def radius_join(
         ),
     )
     cx = F.floor(F.col("__lat") / F.lit(lat_deg)).cast("long")
-    cy = F.floor(F.col(lon_col) / F.lit(lon_deg)).cast("long")
+    # Longitude index modulo n_lon (pmod → always in [0, n_lon)); the
+    # outer pmod also absorbs the float edge where pmod(lon,360)/edge
+    # rounds up to exactly n_lon.
+    cy = F.pmod(
+        F.floor(F.pmod(F.col(lon_col), F.lit(360.0)) / F.lit(lon_deg)).cast(
+            "long"
+        ),
+        F.lit(n_lon),
+    )
     left = guarded.select(
         F.col(id_col).alias("__ida"),
         F.col("__lat").alias("__lata"),
@@ -90,24 +121,36 @@ def radius_join(
         cx.alias("__cx"),
         cy.alias("__cy"),
     )
-    # explode the right side to its 3x3 neighborhood
+    # Explode the right side to its 3x3 neighborhood; longitude
+    # neighbors wrap modulo n_lon (antimeridian pairs become ordinary
+    # adjacent-cell pairs), and array_distinct collapses the duplicate
+    # cells wrapping creates when n_lon < 3 — without it the equi-join
+    # would emit duplicate candidate pairs.
     off = F.explode(
-        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        F.array_distinct(
+            F.array(
+                *[
+                    F.struct(
+                        (cx + F.lit(dx)).alias("nx"),
+                        F.pmod(cy + F.lit(dy), F.lit(n_lon)).alias("ny"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        )
     )
     right = guarded.select(
         F.col(id_col).alias("__idb"),
         F.col("__lat").alias("__latb"),
         F.col(lon_col).alias("__lonb"),
-        cx.alias("__bx"),
-        cy.alias("__by"),
         off.alias("__o"),
     ).select(
         "__idb",
         "__latb",
         "__lonb",
-        (F.col("__bx") + F.col("__o.dx")).alias("__cx"),
-        (F.col("__by") + F.col("__o.dy")).alias("__cy"),
+        F.col("__o.nx").alias("__cx"),
+        F.col("__o.ny").alias("__cy"),
     )
     dist = haversine_m(
         F.col("__lata"), F.col("__lona"), F.col("__latb"), F.col("__lonb")

@@ -761,17 +761,18 @@ def select_token_budget(
     inherently sequential and order-fragile; the prefix rule is the
     deterministic, engine-portable contract.)
 
-    Scale shape — distributed prefix sum, NO single-partition window:
-    rows are range-partitioned on the selection order
-    (``repartitionByRange``), each partition computes a local running
-    sum (window partitioned by ``spark_partition_id()``), and the
-    per-partition totals — numPartitions rows, collected bounded —
-    become broadcast offsets added to the local sums. The global
-    cumulative sum is exact and independent of where the range
-    boundaries land, because the order (score desc, id asc) is total.
-    A naive ``Window.orderBy(...)`` with no partition key would funnel
-    the whole corpus through one task — the thing this plan exists to
-    avoid.
+    Scale shape — delegates to :func:`global_prefix_sum`'s
+    deterministic VALUE-bucketed distributed prefix sum (quantile
+    bounds of ``score_col`` collected once and embedded as literals,
+    so a row's bucket is a pure function of its value; per-bucket
+    running-sum window + a ≤n_buckets-row broadcast offset relation).
+    See :func:`global_prefix_sums` for the correctness contract — in
+    particular why ``repartitionByRange`` + ``spark_partition_id()``
+    is NOT usable here (the range partitioner resamples bounds per
+    action, so two passes can disagree on row placement; the bb0a369
+    layout-drift fix). A naive ``Window.orderBy(...)`` with no
+    partition key would funnel the whole corpus through one task —
+    the thing this plan exists to avoid.
 
     Returns the kept rows with ``cum_col`` appended (long).
     """
@@ -811,14 +812,23 @@ def pareto_front_2d(
     quadratic pair join): reduce to one row per quality value (the
     per-q min cost via a keyed window), then a row survives iff the
     STRICT prefix minimum of cost over strictly-higher-quality rows
-    exceeds its own cost. The prefix min runs distributed — range
-    partition on quality desc, per-partition strict-prefix window,
-    numPartitions-row offset collect — same recipe as
-    :func:`select_token_budget`, no single-partition window. Survivors
-    semi-join back to the facts on (q, c).
+    exceeds its own cost. The prefix min runs distributed with the
+    DETERMINISTIC VALUE-BUCKETING recipe of :func:`global_prefix_sums`
+    (quantile bounds collected once and embedded as literals, so a
+    row's bucket is a pure function of its quality — NOT
+    ``repartitionByRange`` + ``spark_partition_id()``, whose
+    partitioner resamples bounds per action and can place the totals
+    pass and the facts pass in different partitions, silently
+    corrupting the skyline; the exact bb0a369 layout-drift class). A
+    per-bucket strict-prefix window plus a ≤n_buckets-row offset
+    relation (prefix-min window over it, broadcast back) gives the
+    exact global strict prefix min. Survivors semi-join back to the
+    facts on (q, c). No single-partition window over facts anywhere.
     """
     q = F.col(quality_col)
     c = F.col(cost_col)
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     pts = df.select(q.alias("__q"), c.alias("__c")).distinct()
     wq = Window.partitionBy("__q").orderBy(F.col("__c").asc())
     firsts = (
@@ -826,37 +836,52 @@ def pareto_front_2d(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    ordered = firsts.repartitionByRange(F.col("__q").desc()).withColumn(
-        "__pid", F.spark_partition_id()
+    # Deterministic value buckets on quality DESC: negate so ascending
+    # bucket id == descending quality; NULL quality → +inf (NULLS LAST
+    # for desc, matching the window order below).
+    key = F.coalesce(-F.col("__q").cast("double"), F.lit(float("inf")))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    rel_err = max(0.001, 0.25 / n_buckets)
+    bounds = (
+        firsts.select(key.alias("__pf_key")).stat.approxQuantile(
+            "__pf_key", probs, rel_err
+        )
+        if probs
+        else []
     )
+    if bounds:
+        bucket = F.lit(len(bounds))
+        for i in range(len(bounds) - 1, -1, -1):
+            bucket = F.when(key <= F.lit(float(bounds[i])), F.lit(i)).otherwise(
+                bucket
+            )
+    else:
+        bucket = F.lit(0)
+    withb = firsts.withColumn("__pid", bucket)
     wp = (
         Window.partitionBy("__pid")
         .orderBy(F.col("__q").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ordered.withColumn("__lmin", F.min("__c").over(wp))
-    totals = {
-        r["__pid"]: r["__t"]
-        for r in local.groupBy("__pid").agg(F.min("__c").alias("__t")).collect()
-    }
-    offsets, acc = {}, None
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc = totals[pid] if acc is None else min(acc, totals[pid])
-    off_expr = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-            if off is not None
-        ],
-        F.lit(None).cast("double"),
-    ) if any(v is not None for v in offsets.values()) else F.lit(None).cast("double")
+    local = withb.withColumn("__lmin", F.min("__c").over(wp))
+    # Offset of bucket p = min cost over all strictly-earlier buckets:
+    # a strict-prefix-min window over the ≤n_buckets-row totals
+    # relation (single-partition window — fine, it is bucket-count
+    # sized, not fact sized), broadcast back. Both passes derive the
+    # bucket from the VALUE, so they agree by construction.
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        withb.groupBy("__pid")
+        .agg(F.min("__c").alias("__t"))
+        .select("__pid", F.min("__t").over(wo).alias("__off"))
+    )
+    joined = local.join(F.broadcast(offsets), "__pid", "left")
     prefix_min = F.least(
         F.coalesce(F.col("__lmin"), F.lit(float("inf"))),
-        F.coalesce(off_expr, F.lit(float("inf"))),
+        F.coalesce(F.col("__off").cast("double"), F.lit(float("inf"))),
     )
     skyline = (
-        local.withColumn("__pm", prefix_min)
+        joined.withColumn("__pm", prefix_min)
         .filter(F.col("__pm") > F.col("__c"))
         .select("__q", "__c")
     )

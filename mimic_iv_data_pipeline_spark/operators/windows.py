@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -413,6 +414,7 @@ def ewma(
     alpha: float,
     tie_break: str | None = None,
     out_col: str = "ewma",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average with the exact
     recursion ``e_t = alpha*x_t + (1-alpha)*e_{t-1}`` (``e_0 = x_0``)
@@ -420,56 +422,87 @@ def ewma(
     plain window frame can express (the weight depends on the distance
     to every predecessor).
 
-    Implementation: ONE shuffle collecting each key's series into a
-    sorted array, then a JVM-side ``aggregate`` fold emitting the full
-    running trace, exploded back to one row per input. The fold applies
-    the recursion sequentially in (ts, tie_break) order, so the IEEE
-    float op sequence is identical to any engine's ordered scan —
-    results are bitwise engine-portable (q173 exploits this with a
-    recursive-CTE DuckDB twin; pick an alpha exactly representable in
-    binary, e.g. 0.25, so ``1-alpha`` agrees across engines too).
+    Implementation: per-key ``applyInPandas`` — ONE shuffle on the
+    key, each key's series Arrow-batched into a pandas frame, sorted
+    by (ts, tie_break), and the recursion applied by an explicit
+    Python float loop that performs EXACTLY the op sequence
+    ``a*x + (1-a)*e_prev`` on IEEE doubles — identical to any engine's
+    ordered scan, so results are bitwise engine-portable (q173
+    exploits this with a recursive-CTE DuckDB twin; pick an alpha
+    exactly representable in binary, e.g. 0.25, so ``1-alpha`` agrees
+    across engines too). Supply ``tie_break`` whenever (key, ts) is
+    not unique — ties beyond it are resolved arbitrarily.
 
-    Scale bound: the whole series of ONE key must fit in executor
-    memory (arrays + the O(n^2/2) append-copies of the trace builder)
-    — right for per-user/per-sensor series (thousands of points), wrong
-    for a single global series; re-key long series by (key, epoch) and
-    chain epoch boundaries if needed.
+    Why Python here and not a JVM fold: the recursion's weight on
+    every predecessor rules out window frames, and a Catalyst
+    ``aggregate`` fold building the trace is BOTH interpreted (never
+    enters codegen — the PERF.md lambda trap) and O(n²) per key
+    (immutable-array append copies the accumulator per element; the
+    r5 version took minutes on a single 100k-point key). The
+    Arrow-batched loop is O(n) with a tiny constant — the documented
+    "UDFs are the slow path" exception where built-ins genuinely
+    cannot express the semantics.
+
+    Grouping is by HASH BUCKET of the key (``n_buckets``, default
+    4×shuffle-partitions), not by the key itself: per-group
+    ``applyInPandas`` overhead (~100µs of pandas-frame setup per
+    call) dominates when keys number in the hundreds of thousands
+    with short series — bucketing amortizes it to one Arrow frame per
+    bucket, and the single loop resets state at key boundaries, so
+    semantics are identical (all rows of a key hash to one bucket by
+    construction). Memory bound: one BUCKET (≈|rows|/n_buckets plus
+    every row of any single key) must fit in one Python worker —
+    raise ``n_buckets`` with data size; re-key a single epic global
+    series by (key, epoch) and chain epoch boundaries if needed.
     """
-    parts = [partition_by] if isinstance(partition_by, str) else partition_by
-    fields = [F.col(ts_col).alias("__ts")]
-    if tie_break:
-        fields.append(F.col(tie_break).alias("__tb"))
-    fields.append(F.col(value_col).cast("double").alias("__x"))
-    carried = [c for c in df.columns if c not in parts]
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    sort_cols = parts + [ts_col] + ([tie_break] if tie_break else [])
     a = float(alpha)
+    one_minus_a = 1.0 - a
+    if n_buckets is None:
+        n_buckets = 4 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    value = value_col
+    key_cols = list(parts)
 
-    packed = df.groupBy(*parts).agg(
-        F.sort_array(
-            F.collect_list(F.struct(*fields, *[F.col(c).alias(f"__c_{c}") for c in carried if True]))
-        ).alias("__series")
+    def fn(pdf):
+        import numpy as np
+
+        pdf = pdf.drop(columns="__ewma_b").sort_values(
+            sort_cols, kind="mergesort"
+        ).reset_index(drop=True)
+        x = pdf[value].to_numpy(dtype="float64", na_value=float("nan"))
+        n = len(x)
+        # new-key marker: True where any key column differs from the
+        # previous row (vectorized; the loop below only resets state)
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            same = np.ones(n - 1, dtype=bool)
+            for k in key_cols:
+                cur = pdf[k].iloc[1:].reset_index(drop=True)
+                prv = pdf[k].iloc[:-1].reset_index(drop=True)
+                # null-safe equality: NULL keys form one group, as in
+                # Spark's groupBy
+                same &= ((cur == prv) | (cur.isna() & prv.isna())).to_numpy()
+            new_key[1:] = ~same
+        e = np.empty(n, dtype="float64")
+        prev = 0.0
+        for i in range(n):
+            xi = float(x[i])
+            prev = xi if new_key[i] else a * xi + one_minus_a * prev
+            e[i] = prev
+        pdf[out_col] = e
+        return pdf
+
+    bucketed = df.withColumn(
+        "__ewma_b",
+        F.pmod(F.xxhash64(*[F.col(p) for p in parts]), F.lit(int(n_buckets))),
     )
-    # fold: acc is the running trace; each step appends the new EWMA
-    trace = F.aggregate(
-        F.col("__series"),
-        F.expr("CAST(array() AS array<double>)"),
-        lambda acc, s: F.concat(
-            acc,
-            F.array(
-                F.when(F.size(acc) == 0, s["__x"]).otherwise(
-                    F.lit(a) * s["__x"] + (F.lit(1.0) - F.lit(a)) * F.element_at(acc, -1)
-                )
-            ),
-        ),
-    )
-    exploded = packed.withColumn("__trace", trace).select(
-        *parts, F.posexplode(F.arrays_zip("__series", "__trace")).alias("__i", "__z")
-    )
-    carried_cols = [
-        F.col(f"__z.__series.__c_{c}").alias(c) for c in carried
-    ]
-    return exploded.select(
-        *parts, *carried_cols, F.col("__z.__trace").alias(out_col)
-    )
+    return bucketed.groupBy("__ewma_b").applyInPandas(fn, schema=out_schema)
 
 
 def cusum(
@@ -522,6 +555,7 @@ def holt_linear(
     alpha: float,
     beta: float,
     tie_break: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-key Holt double exponential smoothing (level + trend) with
     the exact recursion (public: Holt 1957; ``statsmodels``
@@ -533,74 +567,82 @@ def holt_linear(
 
     The trend-aware sibling of :func:`ewma`, for drifting series where
     a single-state EWMA lags systematically. Same engine-portability
-    contract: the fold applies the recursion sequentially in
-    (ts, tie_break) order, so the IEEE op sequence matches any
-    engine's ordered scan — pick α/β exactly representable in binary
-    (0.5, 0.25) and a recursive-CTE SQL twin reproduces every double
-    bitwise.
+    contract: the recursion is applied sequentially in (ts, tie_break)
+    order with EXACTLY the op sequence above on IEEE doubles, so it
+    matches any engine's ordered scan — pick α/β exactly representable
+    in binary (0.5, 0.25) and a recursive-CTE SQL twin reproduces
+    every double bitwise. Supply ``tie_break`` whenever (key, ts) is
+    not unique.
 
-    Implementation/scale bound: identical to :func:`ewma` — ONE
-    shuffle collects each key's series into a sorted array, a JVM-side
-    ``aggregate`` fold carries the (level, trend) struct trace,
-    exploded back to one row per input. One key's series must fit in
-    executor memory; re-key epic series by (key, epoch) and chain.
+    Implementation/scale bound: identical to :func:`ewma` —
+    hash-bucketed ``applyInPandas`` (one Arrow frame per bucket, a
+    single O(n) Python loop carrying (level, trend) and resetting at
+    key boundaries; replaces the r5 Catalyst ``aggregate`` fold,
+    which was interpreted AND O(n²) per key from immutable-array
+    append copies). One BUCKET must fit in one Python worker's
+    memory; raise ``n_buckets`` with data size, re-key epic series by
+    (key, epoch) and chain.
 
     Output adds ``level``, ``trend``, and ``forecast`` (= level +
     trend, the one-step-ahead prediction) to the carried columns.
     """
-    parts = [partition_by] if isinstance(partition_by, str) else partition_by
-    fields = [F.col(ts_col).alias("__ts")]
-    if tie_break:
-        fields.append(F.col(tie_break).alias("__tb"))
-    fields.append(F.col(value_col).cast("double").alias("__x"))
-    carried = [c for c in df.columns if c not in parts]
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    sort_cols = parts + [ts_col] + ([tie_break] if tie_break else [])
     a, b = float(alpha), float(beta)
+    one_minus_a, one_minus_b = 1.0 - a, 1.0 - b
+    if n_buckets is None:
+        n_buckets = 4 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    value = value_col
+    key_cols = list(parts)
 
-    packed = df.groupBy(*parts).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(*fields, *[F.col(c).alias(f"__c_{c}") for c in carried])
-            )
-        ).alias("__series")
+    def fn(pdf):
+        import numpy as np
+
+        pdf = pdf.drop(columns="__holt_b").sort_values(
+            sort_cols, kind="mergesort"
+        ).reset_index(drop=True)
+        x = pdf[value].to_numpy(dtype="float64", na_value=float("nan"))
+        n = len(x)
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            same = np.ones(n - 1, dtype=bool)
+            for k in key_cols:
+                cur = pdf[k].iloc[1:].reset_index(drop=True)
+                prv = pdf[k].iloc[:-1].reset_index(drop=True)
+                same &= ((cur == prv) | (cur.isna() & prv.isna())).to_numpy()
+            new_key[1:] = ~same
+        lv = np.empty(n, dtype="float64")
+        tr = np.empty(n, dtype="float64")
+        level = trend = 0.0
+        for i in range(n):
+            xi = float(x[i])
+            if new_key[i]:
+                level, trend = xi, 0.0
+            else:
+                nl = a * xi + one_minus_a * (level + trend)
+                trend = b * (nl - level) + one_minus_b * trend
+                level = nl
+            lv[i], tr[i] = level, trend
+        pdf["level"] = lv
+        pdf["trend"] = tr
+        pdf["forecast"] = lv + tr
+        return pdf
+
+    bucketed = df.withColumn(
+        "__holt_b",
+        F.pmod(F.xxhash64(*[F.col(p) for p in parts]), F.lit(int(n_buckets))),
     )
-    new_l = lambda acc, s: (
-        F.lit(a) * s["__x"]
-        + (F.lit(1.0) - F.lit(a))
-        * (F.element_at(acc, -1)["l"] + F.element_at(acc, -1)["b"])
-    )
-    trace = F.aggregate(
-        F.col("__series"),
-        F.expr("CAST(array() AS array<struct<l: double, b: double>>)"),
-        lambda acc, s: F.concat(
-            acc,
-            F.array(
-                F.when(
-                    F.size(acc) == 0,
-                    F.struct(s["__x"].alias("l"), F.lit(0.0).alias("b")),
-                ).otherwise(
-                    F.struct(
-                        new_l(acc, s).alias("l"),
-                        (
-                            F.lit(b)
-                            * (new_l(acc, s) - F.element_at(acc, -1)["l"])
-                            + (F.lit(1.0) - F.lit(b)) * F.element_at(acc, -1)["b"]
-                        ).alias("b"),
-                    )
-                )
-            ),
-        ),
-    )
-    exploded = packed.withColumn("__trace", trace).select(
-        *parts, F.posexplode(F.arrays_zip("__series", "__trace")).alias("__i", "__z")
-    )
-    carried_cols = [F.col(f"__z.__series.__c_{c}").alias(c) for c in carried]
-    return exploded.select(
-        *parts,
-        *carried_cols,
-        F.col("__z.__trace.l").alias("level"),
-        F.col("__z.__trace.b").alias("trend"),
-        (F.col("__z.__trace.l") + F.col("__z.__trace.b")).alias("forecast"),
-    )
+    return bucketed.groupBy("__holt_b").applyInPandas(fn, schema=out_schema)
 
 
 def attribute_revenue(

@@ -87,82 +87,68 @@ _MODULES = [
 #   token/quality stats ~ q109/q111/q86 fresh in r4; q38 fingerprint
 #   ~ q34 dedup core; q46 one-hot ~ q45; q47 label-encode ~ q26
 #   vocab core) and LEAD r6's (d) block with r3-aged/rows-only rows.
-# r6 plan: (a) any r5 reds, then the third/fourth/fifth/sixth-wave
-#   queries added after the r5 window filled — 35 never-driver-checked
-#   rows, all oracled and green in the local battery this round:
-#   q151 triangle count, q152 nDCG@5, q153 funnel, q154 target
-#   encoding, q155 token budget, q156 MAD outliers, q157 mutual
-#   information, q158 CUPED A/B, q159 label propagation, q160 Pareto
-#   front, q161 temporal split, q162 Kaplan-Meier, q163 log-rank,
-#   q164 funnel lag, q165 chi-square, q166 PSI drift, q167 KS, q168
-#   association rules, q169 transition matrix, q170 CDC apply, q171
-#   event-time rolling aggregates, q172 interval merge, q173 EWMA,
-#   q174 CUSUM, q175 ROC/PR curve, q176 lift/gains, q177 grouped OLS,
-#   q178 seasonal z-score, q179 ACF, q180 bootstrap CI, q181
-#   Mann-Whitney, q182 ANOVA, q183 BH-FDR, q184 PMI collocations,
-#   q185 item CF neighbors, q186 BFS levels, q187 Holt trend, q188
-#   session stats, q189 TextRank, q190 Naive Bayes, q191 RFM, q192
-#   seasonal decomposition, q193 attribution, q194 split gain, q195
-#   WoE/IV, q196 isotonic, q197 SMD balance, q198 epi 2x2, q199
-#   forecast backtest, q200 weighted shortest paths, q201 Benford,
-#   q202 time-decay features, q203 geo radius join, q204 golden
-#   records, q205 concentration, q206 Weibull fit (that is 56 —
-#   the 50-row window minus (c)'s 15-core fits 35, so cut in
-#   this order, each covered by a fresh green sibling family:
+# r6 manifest (EXECUTED below): (a) no r5 reds; the 56
+#   never-driver-checked q151-q206 minus 21 cuts = 35 first driver
+#   rows, then (c) the stable 15-query core = 50. Cut order (each cut
+#   is covered by a fresh green sibling family IN-WINDOW this round):
 #   q172/q174 (q171 RANGE frame + q173 fold in-window), q178/q179
-#   (q177 exact-sum stats), q188 (q21 sessionize + q148 cohorts),
-#   q191 (q22-family ntile), q175 (q176 shares the prefix-sum
-#   engine), q164 (q153 funnel recurrence), q165/q166 (q167 KS +
-#   q157 MI cover the diagnostics family), q197 (q158 CUPED shares
-#   the two-group moment shape), q185 (q168 shares the basket pair
-#   join), q183 (its windows are q194's cum shape; p-values
-#   synthetic), q187/q192 (q173's fold + q171's frame twins),
-#   q186 (q200 relaxes the same frontier shape with weights),
-#   q199 (q187's fold + micro-quantized sums shared with q175)); (c)
-#   the core; (d)
-#   q02 q05 q06 q07 q09 q10 q11 q12 q13 q21 q22 q23 q25 q27 q28 q29
-#   q30 q31 q33 q35 q36 q37 q38 q46 q47, then oldest r3-block entries
-#   (q48-q83 not re-checked since r3) and rows-only entries (q40 q41
-#   q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) to 50.
+#   (q177 exact-sum stats), q188 (q153 funnel + q171 event windows),
+#   q191 (q176 shares the rank/ntile prefix engine), q175 (q176
+#   shares the prefix-sum engine), q164 (q153 funnel recurrence),
+#   q165/q166 (q167 KS + q157 MI cover the diagnostics family), q197
+#   (q158 CUPED shares the two-group moment shape), q185 (q168 shares
+#   the basket pair join), q183 (its windows are q194's cum shape),
+#   q187/q192 (q173's fold + q171's frame twins), q186 (q200 relaxes
+#   the same frontier with weights), q199 (q187's fold family via
+#   q173 + micro-quantized sums shared with q176), plus 4 more to fit
+#   the window: q184 (q157 MI shares the contingency/log-ratio
+#   shape), q169 (q168 shares the pair-count normalization), q195
+#   (q194 shares the per-bin class-stat shape), q202 (q173 shares the
+#   decay-weighted recurrence).
+# r7 plan: (a) any r6 reds; (b) the 21 r6-cut queries (q164 q165 q166
+#   q169 q172 q174 q175 q178 q179 q183 q184 q185 q186 q187 q188 q191
+#   q192 q195 q197 q199 q202) for their first driver rows; (c) the
+#   core; (d) oldest r3-aged rows (q48-q83 block) to 50. Rows-only
+#   entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115
+#   q122) stay out of the window — each has a green fixed-parameter
+#   oracle twin (q124-q138) carrying its family.
 _PRIORITY = [
-    # (a) never driver-checked — added after the r4 window filled
-    "q117_hashed_linear_score",
-    "q118_mask_layout",
-    "q119_scd_upsert",
-    "q120_clean_web_text",
-    "q121_doc_embeddings",
-    "q122_rag_retrieve",
-    "q123_pq_encode_fixed",
-    # (b) new in round 5 — fixed-parameter oracles for formerly
-    # rows-only kernels
-    "q124_pq_adc_fixed",
-    "q125_pq_rerank_fixed",
-    "q126_wordpiece_encode_fixed",
-    "q127_unigram_encode_fixed",
-    "q128_minhash_lsh_fixed",
-    "q129_rag_retrieve_exact",
-    "q130_incremental_dedup_fixed",
-    "q131_simhash_fixed",
-    "q132_ann_lsh_fixed",
-    "q133_ivf_fixed",
-    "q134_semantic_dedup_fixed",
-    "q135_bpe_encode_fixed",
-    "q136_ivfpq_fixed",
-    "q137_kmeans_step_fixed",
-    "q138_pca_project_fixed",
-    # (b cont.) r5 second wave — warehouse/eval operators
-    "q139_scd2_history",
-    "q140_profile_table",
-    "q141_expectations",
-    "q142_pagerank",
-    "q143_ann_recall",
-    "q144_pit_join",
-    "q145_bloom_join",
-    "q146_incremental_rollup",
-    "q147_unpivot",
-    "q148_retention_cohorts",
-    "q149_grouping_sets",
-    "q150_mmr_rerank",
+    # (a) never driver-checked — landed after the r5 window filled
+    "q151_triangle_count",
+    "q152_ann_ndcg",
+    "q153_funnel",
+    "q154_target_encoding",
+    "q155_token_budget",
+    "q156_mad_outliers",
+    "q157_mutual_information",
+    "q158_cuped_ab",
+    "q159_label_propagation",
+    "q160_pareto_front",
+    "q161_temporal_split",
+    "q162_kaplan_meier",
+    "q163_logrank",
+    "q167_ks_statistic",
+    "q168_association_rules",
+    "q170_cdc_apply",
+    "q171_rolling_revenue",
+    "q173_ewma",
+    "q176_lift_gains",
+    "q177_grouped_linreg",
+    "q180_bootstrap_ci",
+    "q181_mann_whitney",
+    "q182_anova",
+    "q189_textrank_keywords",
+    "q190_naive_bayes",
+    "q193_attribution",
+    "q194_best_split",
+    "q196_isotonic",
+    "q198_epi_2x2",
+    "q200_shortest_paths",
+    "q201_benford",
+    "q203_radius_join",
+    "q204_golden_records",
+    "q205_concentration",
+    "q206_weibull_fit",
     # (c) stable regression core — keep identical across rounds
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -179,8 +165,6 @@ _PRIORITY = [
     "q39_ngram_jaccard",
     "q42_cosine_topk",
     "q45_set_ops",
-    # (d) rotating block — last driver row was r1 (oldest first)
-    "q16_outlier_clamp",
 ]
 
 

@@ -448,8 +448,8 @@ def q186_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q187_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Holt level+trend smoothing of event values
-    (operators/windows.py:holt_linear — one shuffle + JVM struct fold,
-    bitwise engine-portable)."""
+    (operators/windows.py:holt_linear — hash-bucketed applyInPandas,
+    linear per key, bitwise engine-portable)."""
     from mimic_iv_data_pipeline_spark.operators.windows import holt_linear
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
@@ -1445,8 +1445,14 @@ def q202_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q203: grid-bucketed geo radius join --------------------------------------
 # Deterministic synthetic coordinates on a ~100x100 city grid
-# (111m x 68m cells); radius 200 m. The oracle replays the grid
-# bucketing, the 3x3 neighbor explode, and the haversine filter.
+# (111m x 68m cells); radius 200 m. The oracle is BRUTE-FORCE ground
+# truth (banded all-pairs + exact haversine) — deliberately NOT a
+# replay of the grid bucketing, so a green row proves the bucketing is
+# lossless, not merely self-consistent. The band predicates are a
+# coarse bounding box that provably covers 200 m on this fixture
+# (lat diff 200/111194.9 = 0.0018°, lon diff at |lat|≤52.1° ≤ 0.0030°;
+# bands 0.0025/0.0040 leave wide margin) and keep DuckDB's join off
+# the full cross product at sf0.1.
 @register(
     "q203_radius_join",
     oracle="""
@@ -1455,25 +1461,18 @@ def q202_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
              52.0 + CAST(c_custkey % 100 AS DOUBLE) / 1000.0 AS lat,
              13.0 + CAST((c_custkey // 100) % 100 AS DOUBLE) / 1000.0 AS lon
       FROM customer
-    ), cells AS (
-      SELECT *,
-             CAST(floor(lat / (200.0 / 111320.0)) AS BIGINT) AS cx,
-             CAST(floor(lon / ((200.0 / 111320.0) / cos(radians(80.0)))) AS BIGINT) AS cy
-      FROM pts
-    ), rexp AS (
-      SELECT id AS idb, lat AS latb, lon AS lonb,
-             cx + dx.x AS cx, cy + dy.y AS cy
-      FROM cells, unnest([-1, 0, 1]) AS dx(x), unnest([-1, 0, 1]) AS dy(y)
     ), cand AS (
-      SELECT a.id AS id_a, rexp.idb AS id_b,
+      SELECT a.id AS id_a, b.id AS id_b,
              2.0 * 6371000.0 * asin(sqrt(
-               sin(radians(rexp.latb - a.lat) / 2) * sin(radians(rexp.latb - a.lat) / 2)
-               + cos(radians(a.lat)) * cos(radians(rexp.latb))
-                 * sin(radians(rexp.lonb - a.lon) / 2)
-                 * sin(radians(rexp.lonb - a.lon) / 2)
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2)
+                 * sin(radians(b.lon - a.lon) / 2)
              )) AS dist_m
-      FROM cells a JOIN rexp ON a.cx = rexp.cx AND a.cy = rexp.cy
-      WHERE a.id < rexp.idb
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND abs(a.lat - b.lat) <= 0.0025
+       AND abs(a.lon - b.lon) <= 0.0040
     )
     SELECT id_a, id_b, round(floor(dist_m * 1e6 + 0.5) / 1e6, 6) AS dist_m
     FROM cand WHERE dist_m <= 200.0

@@ -251,7 +251,7 @@ def q172_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q173: per-key EWMA trace (smoothing recurrence) ------------------------
 # alpha = 0.25 (exactly representable in binary, so 1-alpha agrees
-# across engines); the Spark fold and the DuckDB recursive CTE execute
+# across engines); the Spark Arrow-batched loop and the DuckDB recursive CTE execute
 # the identical IEEE op sequence, making the 6dp hash compare exact.
 @register(
     "q173_ewma",
@@ -273,7 +273,7 @@ def q172_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q173_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values at every event
-    (operators/windows.py:ewma — one shuffle + JVM array fold)."""
+    (operators/windows.py:ewma — hash-bucketed applyInPandas, linear per key)."""
     from mimic_iv_data_pipeline_spark.operators.windows import ewma
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")

@@ -34,11 +34,21 @@ from mimic_iv_data_pipeline_spark.operators.aggregates import (
 
 
 def _snapshot_ids(state_dir: str) -> list[int]:
+    """Committed snapshot ids only: a ``v{batch_id}`` directory counts
+    iff the job-commit marker ``_SUCCESS`` exists inside it — a crash
+    mid-write leaves a directory WITHOUT the marker, and treating that
+    partial state as committed would both lose the replayed batch's
+    delta and serve corrupt state to readers.
+    """
     if not os.path.isdir(state_dir):
         return []
     out = []
     for name in os.listdir(state_dir):
-        if name.startswith("v") and name[1:].isdigit():
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and os.path.exists(os.path.join(state_dir, name, "_SUCCESS"))
+        ):
             out.append(int(name[1:]))
     return sorted(out)
 
@@ -73,10 +83,18 @@ def stream_incremental_rollup(
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
         path = f"{state_dir}/v{batch_id:012d}"
-        if os.path.exists(path):
-            return  # replay of a committed batch — idempotent skip
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return  # replay of a COMMITTED batch — idempotent skip
+        if os.path.isdir(path):
+            # A directory without _SUCCESS is a crash mid-write: the
+            # job never committed, so the batch's delta is NOT in the
+            # state. Discard the partial output and re-run the batch
+            # (replaying it is exactly what foreachBatch guarantees).
+            shutil.rmtree(path)
         delta = rollup_state(batch_df, key_cols, measure_cols)
         prev = latest_rollup_snapshot(spark, state_dir)
         merged = (
@@ -86,8 +104,6 @@ def stream_incremental_rollup(
         )
         merged.write.mode("errorifexists").parquet(path)
         for old in _snapshot_ids(state_dir)[:-keep_snapshots]:
-            import shutil
-
             shutil.rmtree(f"{state_dir}/v{old:012d}", ignore_errors=True)
 
     return (

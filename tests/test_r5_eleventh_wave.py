@@ -196,3 +196,74 @@ def test_golden_records_conserves_membership(spark):
     rows = [(i, f"name{i % 7}x{i}", i % 3, i * 10) for i in range(60)]
     got = _gold(spark, rows)
     assert sum(r["n_members"] for r in got.values()) == 60
+
+
+def test_radius_join_sphere_edge_band_pair_found(spark):
+    """Regression (r6 advice): the cell edge must come from the SAME
+    sphere as the haversine filter. With the old 111320 m/deg edge,
+    cells were ~0.11% smaller than the radius, so a true pair whose
+    distance lies in (~0.99888r, r] and straddles a cell boundary
+    could land 2 cells apart and be silently dropped. Construct
+    exactly that geometry: lat separation 199.9 m positioned across a
+    multiple of the OLD edge so the old indices differ by 2."""
+    old_edge = 200.0 / 111_320.0  # the buggy derivation
+    sep = 199.9 / (math.pi * 6_371_000.0 / 180.0)  # 199.9 m on the filter sphere
+    lat_a = 2 * old_edge - 1e-9
+    lat_b = lat_a + sep
+    # the constructed band geometry: old cells 2 apart, distance < r
+    assert math.floor(lat_b / old_edge) - math.floor(lat_a / old_edge) == 2
+    df = spark.createDataFrame(
+        [(1, lat_a, 13.4), (2, lat_b, 13.4)], "id long, lat double, lon double"
+    )
+    out = radius_join(df, "id", "lat", "lon", 200.0).collect()
+    assert len(out) == 1 and out[0]["dist_m"] <= 200.0
+    assert _hv((lat_a, 13.4), (lat_b, 13.4)) <= 200.0  # truly in-radius
+
+
+def test_radius_join_antimeridian_pair_found(spark):
+    """Pairs straddling ±180° longitude are ordinary adjacent-cell
+    pairs under the modulo-n_lon uniform cells — previously silently
+    missed (unwrapped floor(lon/edge) indices can never neighbor)."""
+    pts = [(1, 10.0, 179.9999), (2, 10.0, -179.9999), (3, 10.0, 0.0)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = radius_join(df, "id", "lat", "lon", 300.0).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+    assert out[0]["dist_m"] == pytest.approx(
+        _hv((10.0, 179.9999), (10.0, -179.9999)), rel=1e-9
+    )
+
+
+def test_radius_join_brute_parity_near_antimeridian(spark):
+    """Brute-force parity for a cloud crossing the date line — no
+    duplicate pairs (array_distinct on wrapped neighbors) and no
+    missed pairs."""
+    random.seed(23)
+    cloud = [
+        (
+            i,
+            -33.0 + random.uniform(-0.005, 0.005),
+            ((180.0 + random.uniform(-0.006, 0.006) + 180.0) % 360.0) - 180.0,
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(cloud, "id long, lat double, lon double")
+    rows = radius_join(df, "id", "lat", "lon", 400.0).collect()
+    got = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(got) == len(set(got)), "duplicate candidate pairs emitted"
+
+    def lon_diff(x, y):
+        d = abs(x - y) % 360.0
+        return min(d, 360.0 - d)
+
+    def hv_wrap(a, b):
+        # haversine is wrap-correct already (sin of half-angle)
+        return _hv(a, b)
+
+    want = {
+        (a[0], b[0])
+        for i, a in enumerate(cloud)
+        for b in cloud[i + 1:]
+        if hv_wrap((a[1], a[2]), (b[1], b[2])) <= 400.0
+    }
+    assert set(got) == want

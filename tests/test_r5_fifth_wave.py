@@ -261,3 +261,38 @@ def test_lift_gains_buckets_exact_at_scale(spark):
     out = lift_gains(df, "score", "y", tie_break="rid").collect()
     assert sorted(r["bucket"] for r in out) == list(range(1, 11))
     assert all(r["n_rows"] == 200_000 for r in out)
+
+
+def test_pareto_front_value_bucketed_exact_at_scale(spark):
+    """Regression (r6 advice): pareto_front_2d previously used
+    repartitionByRange + spark_partition_id with offsets collected in
+    a SEPARATE action — the same layout-drift class fixed in
+    global_prefix_sums (range-partitioner bounds resample per action,
+    so the totals pass and the facts pass could disagree on row
+    placement, silently keeping dominated rows or dropping true
+    skyline rows). Now value-bucketed: verify the skyline of 2M rows
+    over 50k distinct qualities exactly matches a driver-side
+    recompute from the per-quality min costs."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import pareto_front_2d
+
+    df = spark.range(2_000_000).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("q"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).cast("double"))
+        .alias("c"),
+    )
+    got = {
+        (r["q"], r["c"])
+        for r in pareto_front_2d(df, "q", "c").select("q", "c").distinct().collect()
+    }
+    firsts = {
+        r["q"]: r["mc"]
+        for r in df.groupBy("q").agg(F.min("c").alias("mc")).collect()
+    }
+    want, best = set(), None
+    for q in sorted(firsts, reverse=True):
+        c = firsts[q]
+        if best is None or c < best:
+            want.add((q, c))
+            best = c if best is None else min(best, c)
+    assert got == want and len(want) >= 3

@@ -115,6 +115,51 @@ def test_ewma_carries_other_columns(spark):
     assert out == {0: ("a", 2.0), 1: ("b", 0.25 * 4.0 + 0.75 * 2.0)}
 
 
+def test_ewma_single_long_key_is_linear_and_exact(spark):
+    """Regression for the r5 O(n^2) fold: one 50k-point key must both
+    complete fast (linear loop, not quadratic array copies) and match
+    the exact recursion at every index."""
+    import time
+
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit(1).alias("k"),
+        F.col("id").alias("rid"),
+        ((F.col("id") * 37 % 101) - 50).cast("double").alias("x"),
+    ).withColumn("ts", F.timestamp_seconds(F.col("rid")))
+    t0 = time.time()
+    got = {
+        r["rid"]: r["e"]
+        for r in ewma(df, "k", "ts", "x", 0.25, tie_break="rid", out_col="e").collect()
+    }
+    assert time.time() - t0 < 60  # the r5 fold took minutes here
+    e = None
+    for i in range(n):
+        x = float((i * 37 % 101) - 50)
+        e = x if e is None else 0.25 * x + 0.75 * e
+        if i % 997 == 0 or i == n - 1:
+            assert got[i] == e, i  # bitwise — same IEEE op sequence
+    assert len(got) == n
+
+
+def test_ewma_null_keys_form_one_group(spark):
+    """NULL keys group together (Spark groupBy semantics), preserved
+    across the bucketed-pandas rewrite's null-safe key-change marker."""
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(None, 0, 2.0), (None, 1, 4.0), (7, 0, 10.0)],
+        "k int, rid long, x double",
+    ).withColumn("ts", F.timestamp_seconds("rid"))
+    out = {(r["k"], r["rid"]): r["e"] for r in
+           ewma(df, "k", "ts", "x", 0.25, tie_break="rid", out_col="e").collect()}
+    assert out[(None, 0)] == 2.0
+    assert out[(None, 1)] == 0.25 * 4.0 + 0.75 * 2.0  # chained, not reset
+    assert out[(7, 0)] == 10.0
+
+
 # ------------------------------------------------------------------- CUSUM
 def test_cusum_matches_recursion(spark):
     from mimic_iv_data_pipeline_spark.operators.windows import cusum
