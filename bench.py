@@ -109,6 +109,11 @@ HEADLINE = [
     # xxhash64 twin of q180 (EXTRA) — isolates the md5 digest cost
     # that dominates the oracle-mirrorable bootstrap.
     "q180_bootstrap_xxhash",
+    # round-6: the reference's actual workload shape end-to-end
+    # (cohort -> cleaning -> windows -> dense grid -> features/tensors,
+    # six stage writes) — regression-guards the composed pipeline, not
+    # just operator micro-queries. Single-run (see ONCE).
+    "e2e_mimic_pipeline",
 ]
 
 
@@ -138,10 +143,135 @@ def _q180_bootstrap_xxhash(spark, sf_dir):
     )
 
 
+def _e2e_mimic_pipeline(spark, sf_dir):
+    """The reference's ACTUAL workload shape, end to end: cohort →
+    UoM/outlier cleaning → 48 h window → 2 h buckets → dense grid +
+    mean impute → feature matrix + tensor frame, six parquet stage
+    writes (plans/pipeline.py:run_pipeline). Inputs are a
+    declaratively generated MIMIC-shaped dataset scaled by sf (30k
+    stays / ~3M chart events at sf0.1 — the r1 PERF.md probe shape),
+    deterministic via xxhash64. Run ONCE per bench (see ONCE below):
+    the entry is eager (it writes its stages), so warm-run timing
+    would triple the cost while measuring the same DAG.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mimic_iv_data_pipeline_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_stays = max(1_000, int(300_000 * sf))
+    n_subjects = max(500, n_stays // 2)
+    base = F.to_timestamp(F.lit("2150-01-01 00:00:00"))
+
+    def h(*cols):
+        return F.xxhash64(*cols)
+
+    stays = spark.range(n_stays).select(
+        F.col("id").alias("stay_id"),
+        F.pmod(h("id"), F.lit(n_subjects)).alias("subject_id"),
+        F.lit(None).cast("long").alias("_pad"),
+    )
+    admit = F.timestamp_seconds(
+        F.unix_timestamp(base)
+        + F.pmod(h("stay_id", F.lit(1)), F.lit(300 * 86400))
+    )
+    los_h = (F.pmod(h("stay_id", F.lit(2)), F.lit(264)) + 24).cast("int")  # 1-12 d
+    icustays = stays.select(
+        "subject_id",
+        F.col("stay_id").alias("hadm_id"),
+        "stay_id",
+        admit.alias("intime"),
+        F.timestamp_seconds(
+            F.unix_timestamp(admit) + los_h.cast("long") * 3600
+        ).alias("outtime"),
+        (los_h / F.lit(24.0)).alias("los"),
+    )
+    admissions = icustays.select(
+        "subject_id",
+        "hadm_id",
+        F.col("intime").alias("admittime"),
+        F.col("outtime").alias("dischtime"),
+        F.lit(None).cast("timestamp").alias("deathtime"),
+        (F.pmod(h("hadm_id", F.lit(3)), F.lit(20)) == 0).cast("int").alias(
+            "hospital_expire_flag"
+        ),
+        F.lit("Private").alias("insurance"),
+        F.lit("OTHER").alias("ethnicity"),
+    )
+    patients = (
+        icustays.select("subject_id").distinct().select(
+            "subject_id",
+            F.when(F.pmod(h("subject_id", F.lit(4)), F.lit(2)) == 0, "M")
+            .otherwise("F")
+            .alias("gender"),
+            (F.pmod(h("subject_id", F.lit(5)), F.lit(85)) + 5)
+            .cast("int")
+            .alias("anchor_age"),  # ~15% minors, filtered by min_age
+            F.lit(2150).cast("int").alias("anchor_year"),
+            F.lit("2008 - 2010").alias("anchor_year_group"),
+            F.lit(None).cast("timestamp").alias("dod"),
+        )
+    )
+    ev_per_stay = 100
+    events = (
+        spark.range(n_stays * ev_per_stay)
+        .select((F.col("id") / ev_per_stay).cast("long").alias("stay_id"),
+                F.col("id").alias("eid"))
+        .join(icustays.select("stay_id", "intime", "los"), "stay_id")
+        .select(
+            "stay_id",
+            F.timestamp_seconds(
+                F.unix_timestamp("intime")
+                + F.pmod(h("eid", F.lit(6)), (F.col("los") * 86400 + 14400).cast("long"))
+                - F.lit(7200)
+            ).alias("charttime"),
+            (F.pmod(h("eid", F.lit(7)), F.lit(3)) + 220045).alias("itemid"),
+            F.when(
+                F.pmod(h("eid", F.lit(8)), F.lit(50)) == 0, F.lit(9999.0)
+            ).otherwise(
+                70.0 + F.pmod(h("eid", F.lit(9)), F.lit(2000)) / 100.0
+            ).alias("valuenum"),
+            F.when(F.pmod(h("eid", F.lit(10)), F.lit(30)) == 0, "BPM")
+            .otherwise("bpm")
+            .alias("valueuom"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        staged = run_pipeline(
+            spark,
+            {
+                "visits": icustays,
+                "patients": patients,
+                "admissions": admissions,
+                "events": events,
+            },
+            out_dir,
+            PipelineConfig(include_hours=48, bucket_hours=2),
+        )
+        # force the terminal stage; everything upstream already wrote
+        n = staged["tensors"].count()
+        return spark.range(n)  # bench counts this (cheap, stable)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 EXTRA = {
     "q92_edit_distance_nocap": _q92_edit_distance_nocap,
     "q180_bootstrap_xxhash": _q180_bootstrap_xxhash,
+    "e2e_mimic_pipeline": _e2e_mimic_pipeline,
 }
+
+# Entries that are eager end-to-end plans (stage writes inside): timed
+# with a single run, no codegen warm-up — the warm-up would re-execute
+# the whole pipeline for the same measurement.
+ONCE = {"e2e_mimic_pipeline"}
 
 
 def main() -> None:
@@ -163,12 +293,17 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        fn(spark, sf_dir).count()  # codegen warm-up run
-        best = float("inf")
-        for _ in range(2):
+        if name in ONCE:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            best = time.perf_counter() - t0
+        else:
+            fn(spark, sf_dir).count()  # codegen warm-up run
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
         dt = round(best, 3)
         timings[name] = dt
         total += dt

@@ -1,0 +1,78 @@
+"""Engine defaults — the ONE place a cluster deployer reads.
+
+Every scale seam in this repo that behaves differently between the
+local[32] test harness and a 1000-executor cluster is either a Spark
+conf in :data:`mimic_iv_data_pipeline_spark.session.DEFAULT_CONFIG`
+or a knob documented here. Nothing in this module changes query
+results — only where intermediate state lives and how work is split.
+
+Deployment seams (set at submit time, no code changes):
+
+``spark.graft.materialize`` (default ``local``)
+    How iterative operators (connected components, PageRank, LPA,
+    BFS, Bellman-Ford, k-means, funnel recurrences, analytics plans)
+    cut lineage between rounds — every such operator routes through
+    :func:`materialize`.
+
+    * ``local`` — ``DataFrame.localCheckpoint``: blocks cached on
+      executors, no HDFS round-trip. Right for single-app jobs and
+      the test harness; state dies with an executor (Spark recomputes
+      from nothing — a lost block fails the job since lineage was
+      truncated).
+    * ``reliable`` — ``DataFrame.checkpoint`` to the directory set
+      with ``sparkContext.setCheckpointDir`` (REQUIRED in this mode):
+      survives executor loss, the correct setting for long iterative
+      jobs on preemptible/spot clusters.
+
+``spark.sql.shuffle.partitions`` (harness: 32)
+    Scale with total cores (a few × cores). Several operators derive
+    secondary fan-outs from it: the value-bucketed prefix sums
+    (``global_prefix_sums``) use it as the bucket count, and
+    ``ewma``/``holt_linear`` use 4× it as the series hash-bucket
+    count — both therefore scale automatically when the deployer
+    raises it.
+
+``spark.sql.autoBroadcastJoinThreshold`` (harness: 64 MB)
+    Every dimension/mapping/codebook relation in this repo is below
+    this at any SF (they are vocabulary- or class-bounded, not
+    fact-bounded); explicit ``F.broadcast`` hints mark the ones whose
+    size is structural. Raise only with executor memory to spare.
+
+``spark.sql.files.maxPartitionBytes`` (harness: 8 MB — LOCAL ONLY)
+    The harness splits small parquet so 32 cores all scan; a real
+    cluster MUST use 128–256 MB or a 100 TB input becomes ~12M scan
+    tasks. The scale-invariant rule: scan partitions ≈ a few × cores.
+
+``spark.sql.adaptive.*`` (on)
+    AQE runtime coalesce + skew-join splitting. Operators with a
+    structural skew wall additionally expose their own bound
+    (``max_bucket`` on the LSH/edit-distance candidate generators,
+    ``max_df`` on n-gram Jaccard) because AQE can only split a
+    skewed JOIN, not un-skew a quadratic candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MATERIALIZE_CONF = "spark.graft.materialize"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage and pin the current contents of ``df`` — the seam
+    between the harness's ``localCheckpoint`` and a fault-tolerant
+    cluster ``checkpoint`` (see module docstring; selected by the
+    ``spark.graft.materialize`` conf so a deployer flips ONE setting,
+    not 36 call sites).
+
+    Used as ``df.transform(materialize)`` by every iterative operator
+    and multi-consumer plan in the repo.
+    """
+    mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(
+            f"{MATERIALIZE_CONF} must be 'local' or 'reliable', got {mode!r}"
+        )
+    return df.localCheckpoint(eager=True)

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 
 def _cols(x: str | list[str]) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
@@ -440,7 +442,7 @@ def mutual_information(
     jc = (
         df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
         .agg(F.count(F.lit(1)).cast("double").alias("__c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     mx = jc.groupBy("__x").agg(F.sum("__c").alias("__cx"))
     my = jc.groupBy("__y").agg(F.sum("__c").alias("__cy"))
@@ -687,7 +689,7 @@ def logrank_test(
     agg = df.groupBy(g.alias("g"), F.col(duration_col).alias("t")).agg(
         F.sum(F.col(event_col).cast("double")).alias("d"),
         F.count(F.lit(1)).cast("double").alias("c"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # Bounded collect (repo convention): 3 rows decide the contract —
     # a high-cardinality column passed as the group never floods the
     # driver.
@@ -778,7 +780,7 @@ def chi_square_independence(
     jc = (
         df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
         .agg(F.count(F.lit(1)).cast("double").alias("__c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     mx = jc.groupBy("__x").agg(F.sum("__c").alias("__cx"))
     my = jc.groupBy("__y").agg(F.sum("__c").alias("__cy"))
@@ -946,7 +948,7 @@ def ks_statistic(
             F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
             F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cum = global_prefix_sum(grid, [F.col("v").asc()], F.col("ca"), "fa", bucket_col="v")
     cum = global_prefix_sum(cum, [F.col("v").asc()], F.col("cb"), "fb", bucket_col="v")
@@ -1319,7 +1321,7 @@ def mann_whitney_u(
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     groups = [r["__g"] for r in per.select("__g").distinct().limit(3).collect()]
     if len(groups) != 2:

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge list: ``(max, min)`` pairs, no
@@ -166,7 +168,7 @@ def connected_components(
                 )
             return labels
 
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     sig = signature(edges)
 
     converged = sig[0] == 0
@@ -174,7 +176,7 @@ def connected_components(
         if converged:
             break
         stepped = _star(_star(edges, large=True), large=False)
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.transform(materialize)
         new_sig = signature(stepped)
         if new_sig == sig and stepped.exceptAll(edges).isEmpty():
             converged = True
@@ -274,13 +276,13 @@ def pagerank(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -291,7 +293,7 @@ def pagerank(
     # weights (1/outdeg) for emitting nodes, and the dangling-node set.
     base = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
         "node", "outdeg"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     weights = base.filter(F.col("outdeg").isNotNull())
     dang_nodes = base.filter(F.col("outdeg").isNull()).select("node")
 
@@ -328,7 +330,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return ranks
 
@@ -484,7 +486,7 @@ def label_propagation(
     )
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().repartition("b").localCheckpoint(eager=True)
+    ).distinct().repartition("b").transform(materialize)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
@@ -509,7 +511,7 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("label"), F.col("node")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return labels
 
@@ -554,7 +556,7 @@ def bfs_levels(
     visited = (
         seeds.select(F.col("node"), F.lit(0).cast("long").alias("level"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
@@ -563,13 +565,13 @@ def bfs_levels(
             .select(F.col("__d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if reached.isEmpty():
             break
         visited = visited.unionByName(
             reached.select("node", F.lit(hop).cast("long").alias("level"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         frontier = reached
     return visited
 
@@ -614,12 +616,12 @@ def shortest_paths(
         )
         .groupBy("__s", "__d")
         .agg(F.min("__w").alias("__w"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dist = (
         seeds.select(F.col("node"), F.lit(0).cast("long").alias("dist"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(iterations):
         relaxed = (
@@ -632,6 +634,6 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return dist

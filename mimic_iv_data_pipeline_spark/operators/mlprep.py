@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
@@ -243,7 +245,7 @@ def target_encode_kfold(
     # at 15M rows, scale_probes_r5c).
     cf = base.groupBy(cat_col, fold_col).agg(
         F.sum("__y").alias("__s_cf"), F.count(F.lit(1)).alias("__c_cf")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ct = cf.groupBy(cat_col).agg(
         F.sum("__s_cf").alias("__s_c"), F.sum("__c_cf").alias("__c_c")
     )

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
@@ -280,7 +282,7 @@ def association_rules(
         raise ValueError("association_rules: min_support must be in (0, 1]")
     pairs_src = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(materialize)
     n_baskets = pairs_src.select("__b").distinct().count()
     if n_baskets == 0:
         raise ValueError("association_rules: empty input")
@@ -357,7 +359,7 @@ def item_cooccurrence_topk(
     bi = (
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = bi.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__c"))
     frequent = counts.filter(F.col("__c") >= min_count)

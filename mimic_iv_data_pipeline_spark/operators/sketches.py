@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 __all__ = [
     "token_stream",
     "heavy_hitters",
@@ -460,7 +462,7 @@ def bloom_prefilter_join(
         # broadcast plans non-identical, so without this the dim-side
         # distinct+explode pipeline would recompute per semi-join
         # (3 BroadcastExchange, 0 ReusedExchange)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     filtered = facts

@@ -936,12 +936,24 @@ def naive_bayes_scores(
     does is the one order-sensitive reduction here).
 
     Scale shape: ONE token explode; the (word, class) count matrix and
-    the class totals are vocab-bounded aggregates; scoring joins the
-    token relation to the |classes|-row relation (broadcast — classes
-    are few by definition) and LEFT-joins the count matrix on
-    (word, class) — a hash equi-join, |tokens|·|classes| rows, no
-    driver state. Prediction is one (doc, class) aggregate + one
-    per-doc argmax window over |docs|·|classes| rows.
+    the class totals are vocab-bounded aggregates. Scoring is
+    CLASS-PRUNED via the exact decomposition
+
+        score(d, c) = prior_c + n_d·lp0_c + Σ_{w∈d, (w,c) seen} (lp(w,c) − lp0_c)
+
+    (lp0_c = the per-class unseen constant ln(α/(N_c+α·V)); the
+    identity is exact in integer micro-nats because every occurrence
+    of a (word, class) pair shares one floor'd value): the token
+    stream inner-joins only the SPARSE seen (word, class) matrix, so
+    emitted rows grow with matrix sparsity — NOT |tokens|·|classes|
+    (the r5 plan materialized the dense product; 120M rows at the
+    500k-doc probe). A class with zero seen overlap can still win via
+    its background line prior_c + n·lp0_c; that side is an argmax over
+    the |C|-row relation per DISTINCT token count (≤ max-doc-length
+    rows × |C|, driver-free), unioned as one extra candidate per doc —
+    correct because a seen class's full score always dominates its own
+    background, so the over-all-classes max equals
+    max(seen candidates ∪ {background winner}).
 
     Returns ``(id, pred_label, score_micro)`` — score_micro is the
     winning class's integer micro-nat score including the prior
@@ -1015,36 +1027,71 @@ def naive_bayes_scores(
         "__t", "__c", _lp_micro(F.col("__cnt")).alias("__lp")
     )
     unseen = classes.select("__c", _lp_micro(F.lit(0)).alias("__lp0"))
-    scored = (
-        tok.select(id_col, "__t")
-        .crossJoin(F.broadcast(unseen))
-        .join(
-            F.broadcast(wc_lp) if broadcast_matrix else wc_lp,
-            ["__t", "__c"],
-            "left",
-        )
-        .select(
-            id_col,
-            "__c",
-            F.coalesce(F.col("__lp"), F.col("__lp0")).alias("__lp_micro"),
-        )
-    )
     prior_micro = F.floor(
         F.log(F.col("__dc").cast("double") / F.col("__nd").cast("double"))
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("long")
-    per_class = (
-        scored.groupBy(id_col, "__c")
-        .agg(F.sum("__lp_micro").alias("__ll"))
-        .join(F.broadcast(classes.select("__c", prior_micro.alias("__pm"))), "__c")
-        .select(id_col, "__c", (F.col("__ll") + F.col("__pm")).alias("__score"))
+    # (__c, prior micro-nats, unseen-constant micro-nats) — |C| rows
+    base = classes.select("__c", prior_micro.alias("__pm")).join(
+        F.broadcast(unseen), "__c"
     )
+    # Sparse delta matrix: only SEEN (word, class) pairs, value =
+    # lp − lp0 ≥ 0 (a count ≥ 1 never scores below the unseen
+    # constant — the dominance the candidate-union correctness rests
+    # on; floor quantization can make it 0, never negative).
+    delta = wc_lp.join(F.broadcast(unseen), "__c").select(
+        "__t", "__c", (F.col("__lp") - F.col("__lp0")).alias("__d")
+    )
+    # Seen-overlap sums: inner join on the token only — emitted rows
+    # = Σ over occurrences of |classes that saw this word|, bounded by
+    # matrix sparsity, not |tokens|·|C|.
+    seen_scores = (
+        tok.select(id_col, "__t")
+        .join(F.broadcast(delta) if broadcast_matrix else delta, "__t")
+        .groupBy(id_col, "__c")
+        .agg(F.sum("__d").alias("__s"))
+    )
+    nd = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # Background winner per DISTINCT doc length: argmax_c of the line
+    # prior_c + n·lp0_c (ties: ascending class, matching the final
+    # argmax tie-break).
+    wbg = Window.partitionBy("__n").orderBy(
+        F.col("__bg").desc(), F.col("__c").asc()
+    )
+    bg = (
+        nd.select("__n")
+        .distinct()
+        .crossJoin(F.broadcast(base))
+        .select(
+            "__n",
+            "__c",
+            (F.col("__pm") + F.col("__n") * F.col("__lp0")).alias("__bg"),
+        )
+        .withColumn("__rn", F.row_number().over(wbg))
+        .filter(F.col("__rn") == 1)
+        .select("__n", F.col("__c").alias("__bgc"), F.col("__bg").alias("__bgs"))
+    )
+    full = (
+        seen_scores.join(nd, id_col)
+        .join(F.broadcast(base), "__c")
+        .select(
+            id_col,
+            "__c",
+            (F.col("__pm") + F.col("__n") * F.col("__lp0") + F.col("__s")).alias(
+                "__score"
+            ),
+        )
+    )
+    bg_doc = nd.join(F.broadcast(bg), "__n").select(
+        id_col, F.col("__bgc").alias("__c"), F.col("__bgs").alias("__score")
+    )
+    cand = full.unionByName(bg_doc)
     w = Window.partitionBy(id_col).orderBy(
         F.col("__score").desc(), F.col("__c").asc()
     )
     return (
-        per_class.withColumn("__rn", F.row_number().over(w))
+        cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             id_col,

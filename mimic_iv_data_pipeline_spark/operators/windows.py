@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 
 def _cols(x: str | list[str]) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
@@ -229,7 +231,7 @@ def _funnel_frontiers(
         ev.filter(F.col("__t") == stages[0])
         .groupBy("__u")
         .agg(F.min("__ts").alias("__reach"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     frontiers = [frontier]
     for s in stages[1:]:
@@ -239,7 +241,7 @@ def _funnel_frontiers(
             .filter(F.col("__ts") >= F.col("__reach"))
             .groupBy("__u")
             .agg(F.min("__ts").alias("__reach"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         frontiers.append(frontier)
     return frontiers

@@ -36,6 +36,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.engine import materialize
+
 from mimic_iv_data_pipeline_spark.operators.aggregates import rfm_scores
 from mimic_iv_data_pipeline_spark.operators.windows import (
     attribute_revenue,
@@ -84,7 +86,7 @@ def daily_analytics(
             F.col(value_col).alias("cents"),
             F.col(id_col).alias("eid"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     sess = sessionize(ev, "u", "ts", session_gap_seconds, tie_break="eid")

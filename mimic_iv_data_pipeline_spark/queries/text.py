@@ -547,13 +547,26 @@ def q111_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q112: TF-IDF cosine near-topic pairs -----------------------------------
+# The TF-IDF terms are word BIGRAMS (w_i~w_{i+1}), not unigrams: the
+# synthetic sf0.1 text column holds only ~40 distinct words, so every
+# unigram is a stopword and the inverted index collapses toward
+# all-pairs (the documented r5 degenerate skip). Bigrams square the
+# type space (~1600 at sf0.1), restoring the realistic sparse regime
+# at EVERY scale factor — and pair mining over bigram terms is itself
+# a standard near-topic recipe. Both sides tokenize → drop empties →
+# bigram, so the hash compare stays exact.
 @register(
     "q112_tfidf_cosine_pairs",
     oracle=r"""
-    WITH occ AS (
-      SELECT doc_id AS doc, t AS token FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
-        FROM documents) WHERE t <> ''
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), occ AS (
+      SELECT doc_id AS doc, l[i] || '~' || l[i + 1] AS token
+      FROM toks, unnest(generate_series(1, array_length(l) - 1)) AS u(i)
+      WHERE array_length(l) >= 2
     ), tf AS (SELECT doc, token, count(*) AS tf FROM occ GROUP BY 1, 2),
     nd AS (SELECT count(DISTINCT doc) AS n FROM tf),
     dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
@@ -573,12 +586,37 @@ def q111_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q112_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-topic pair mining over the inverted index (pairs meet only
-    on shared tokens — cost Σ df², capped by max_df at scale)."""
+    on shared terms — cost Σ df², capped by max_df at scale). Terms
+    are word bigrams (see the oracle note): the text is rewritten to
+    space-joined ``w~w'`` bigrams before the operator, keeping the
+    operator itself unchanged. The interpreted ``transform`` lambda
+    touches |docs| rows once (not the token stream) — outside the
+    PERF.md lambda-trap regime."""
     from mimic_iv_data_pipeline_spark.operators.retrieval import (
         tfidf_cosine_pairs,
     )
 
-    return tfidf_cosine_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.9)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= 2,
+            F.array_join(
+                F.transform(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    lambda x, i: F.concat(
+                        x, F.lit("~"), F.element_at(toks, i + 2)
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    return tfidf_cosine_pairs(docs, "doc_id", threshold=0.9)
 
 
 # --- q113: BM25 search ------------------------------------------------------

@@ -102,13 +102,10 @@ def _canon(rows, cols):
     return sorted(out, key=repr)
 
 
-# Queries whose DOCUMENTED degenerate regime is a specific scale factor:
-# q112's synthetic sf0.1 vocabulary (~40 tokens) makes every term a
-# stopword, collapsing the inverted index toward all-pairs — the exact
-# regime its max_df wall exists for (see bench.py's exclusion note).
-# The multi-SF sweep skips it THERE ONLY; it stays verified at
-# sf0.001/sf0.01.
-_SF_DEGENERATE = {"q112_tfidf_cosine_pairs": ("/sf0.1",)}
+# Queries whose DOCUMENTED degenerate regime is a specific scale factor
+# (none currently: q112's sf0.1 stopword collapse was fixed in r6 by
+# moving its term space to word bigrams — see the q112 oracle note).
+_SF_DEGENERATE: dict[str, tuple] = {}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

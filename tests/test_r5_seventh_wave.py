@@ -80,6 +80,49 @@ def test_nb_partition_invariance(spark):
     assert a == b
 
 
+def test_nb_zero_overlap_class_can_win(spark):
+    """Regression pin for the r6 class-pruned scorer: a class with
+    ZERO token overlap with a doc must still win when its background
+    line (prior + n·lp0) dominates — the candidate-union path. Class
+    'a' is huge with a tiny vocabulary (so its per-token likelihood
+    for the doc's unique tokens is terrible), class 'z' is small (big
+    lp0); the test doc's tokens never co-occur with 'z'."""
+    docs = []
+    for i in range(400):
+        docs.append((i, "a", " ".join(f"c{(i * 7 + j) % 20}" for j in range(10))))
+    for i in range(40):
+        docs.append((1000 + i, "z", "zz"))
+    star = (5000, "a", " ".join(f"u{j}" for j in range(40)))
+    docs.append(star)
+    ref = _nb_reference(docs)
+    assert ref[5000][0] == "z"  # the fixture targets the zero-overlap path
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["pred_label"], r["score_micro"])
+           for r in naive_bayes_scores(df, "doc_id", "text", "lang").collect()}
+    assert got == ref
+
+
+def test_nb_many_classes_matches_reference(spark):
+    """Dense brute-force parity at 8 classes with skewed priors and
+    partially-disjoint vocabularies — every path of the pruned plan
+    (seen candidates, shared tokens, background union, ties)."""
+    import random as _r
+
+    _r.seed(5)
+    docs = []
+    did = 0
+    for c in range(8):
+        for _ in range(5 + 4 * c):
+            own = [f"v{c}_{_r.randrange(12)}" for _ in range(6)]
+            shared = [f"s{_r.randrange(9)}" for _ in range(2)]
+            docs.append((did, f"L{c}", " ".join(own + shared)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["pred_label"], r["score_micro"])
+           for r in naive_bayes_scores(df, "doc_id", "text", "lang").collect()}
+    assert got == _nb_reference(docs)
+
+
 # ------------------------------------------------------------------ RFM
 
 
