@@ -123,23 +123,22 @@ def radius_join(
     )
     # Explode the right side to its 3x3 neighborhood; longitude
     # neighbors wrap modulo n_lon (antimeridian pairs become ordinary
-    # adjacent-cell pairs), and array_distinct collapses the duplicate
-    # cells wrapping creates when n_lon < 3 — without it the equi-join
-    # would emit duplicate candidate pairs.
-    off = F.explode(
-        F.array_distinct(
-            F.array(
-                *[
-                    F.struct(
-                        (cx + F.lit(dx)).alias("nx"),
-                        F.pmod(cy + F.lit(dy), F.lit(n_lon)).alias("ny"),
-                    )
-                    for dx in (-1, 0, 1)
-                    for dy in (-1, 0, 1)
-                ]
+    # adjacent-cell pairs). For n_lon >= 3 the wrapped cells are
+    # distinct by construction (three consecutive residues mod n >= 3
+    # never collide); only the degenerate n_lon < 3 globe-spanning
+    # radius needs array_distinct to avoid duplicate candidate pairs —
+    # keep the per-row distinct off the common path.
+    neighbors = F.array(
+        *[
+            F.struct(
+                (cx + F.lit(dx)).alias("nx"),
+                F.pmod(cy + F.lit(dy), F.lit(n_lon)).alias("ny"),
             )
-        )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
     )
+    off = F.explode(F.array_distinct(neighbors) if n_lon < 3 else neighbors)
     right = guarded.select(
         F.col(id_col).alias("__idb"),
         F.col("__lat").alias("__latb"),
