@@ -1914,3 +1914,137 @@ def concentration_metrics(
             F.col("__top").cast("double") / totD,
         ).alias("top_decile_share"),
     )
+
+
+def welch_t_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic for EVERY pair of groups
+    (public: Welch 1947; the two-sample location test that does not
+    assume equal variances — the parametric sibling of the
+    Mann-Whitney U at q181, completing the A/B family next to CUPED
+    (q158) and SMD balance (q197)):
+
+        t   = (m1 − m2) / sqrt(v1/n1 + v2/n2)
+        dof = (v1/n1 + v2/n2)² /
+              ((v1/n1)²/(n1−1) + (v2/n2)²/(n2−1))   (Welch–Satterthwaite)
+
+    ``value_col`` must be integer-quantized (the repo-wide exact-sum
+    convention): per-group (n, Σy, Σy²) accumulate exactly in
+    decimals, the variance numerator n·Σy² − (Σy)² is an exact integer
+    subtraction (no cancellation at any magnitude — the q182 lesson),
+    and every emitted double is a fixed IEEE sequence over those exact
+    integers, so a SQL twin reproduces t and dof bitwise.
+
+    Scale shape: ONE hash aggregate over the facts to a |groups|-row
+    relation, then a broadcast self-join on g1 < g2 — |groups|²/2
+    rows, never fact-sized. Returns
+    ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t, dof)``;
+    t/dof NULL when either group has n < 2 or both variances are 0.
+    """
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            F.col(value_col).cast("decimal(18,0)")
+            * F.col(value_col).cast("decimal(18,0)")
+        ).alias("__ss"),
+    )
+    a = per.select(
+        F.col("__g").alias("group_a"),
+        F.col("__n").alias("__na"),
+        F.col("__s").alias("__sa"),
+        F.col("__ss").alias("__ssa"),
+    )
+    b = per.select(
+        F.col("__g").alias("group_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__s").alias("__sb"),
+        F.col("__ss").alias("__ssb"),
+    )
+    j = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+
+    def _mv(n, s, ss):
+        nD = n.cast("double")
+        mean = s.cast("double") / nD
+        num = (n.cast("decimal(38,0)") * ss - s * s).cast("double")
+        var = F.when(n > 1, num / (nD * (nD - F.lit(1.0))))
+        return nD, mean, var
+
+    na, ma, va = _mv(F.col("__na"), F.col("__sa"), F.col("__ssa"))
+    nb, mb, vb = _mv(F.col("__nb"), F.col("__sb"), F.col("__ssb"))
+    vea = va / na
+    veb = vb / nb
+    se2 = vea + veb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (vea * vea / (na - F.lit(1.0)) + veb * veb / (nb - F.lit(1.0))),
+    )
+    return j.select(
+        "group_a",
+        "group_b",
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t"),
+        dof.alias("dof"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float,
+    tie_break: str,
+) -> DataFrame:
+    """Per-group trimmed mean of an integer-quantized value: drop the
+    ``floor(n·trim_frac)`` lowest and highest rows BY RANK, average
+    the rest exactly (public: the classic robust location estimator —
+    e.g. Tukey; the outlier-resistant sibling of the q16 percentile
+    clamp, which winsorizes values instead of dropping rows).
+
+    Rank-based trimming with a ``tie_break`` column makes the kept
+    set a deterministic function of the data (a value-threshold trim
+    is ambiguous under ties); the kept count is then exactly
+    n − 2·floor(n·trim_frac) and the mean is a ratio of exact integer
+    sums — order-insensitive, engine-portable. n·trim_frac is one
+    IEEE multiply, identical in any engine.
+
+    Scale shape: ONE shuffle on the group, two frames over the same
+    sort (rank + per-group count), one aggregate. Returns
+    ``(group, n_total, n_kept, trimmed_mean)``; groups whose n is too
+    small to keep anything (n − 2·floor(n·p) ≤ 0 never happens for
+    p < 0.5; p ≥ 0.5 raises).
+    """
+    if not (0 <= trim_frac < 0.5):
+        raise ValueError("trimmed_mean: trim_frac must be in [0, 0.5)")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tie_break).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__y"),
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    cut = F.floor(F.col("__n").cast("double") * F.lit(float(trim_frac))).cast(
+        "long"
+    )
+    kept = ranked.filter(
+        (F.col("__r") > cut) & (F.col("__r") <= F.col("__n") - cut)
+    )
+    return kept.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("__n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        (
+            F.sum(F.col("__y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("trimmed_mean"),
+    )

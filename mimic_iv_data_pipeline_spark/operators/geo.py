@@ -165,3 +165,94 @@ def radius_join(
             "dist_m",
         )
     )
+
+
+def geo_knn(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    k: int,
+    max_radius_m: float,
+    max_abs_lat: float = 80.0,
+) -> DataFrame:
+    """k nearest neighbors per point among those within
+    ``max_radius_m`` meters — the bounded-radius kNN every geo join
+    degrades to at scale (an UNbounded kNN needs expanding ring
+    searches; bounding the search radius keeps the candidate set
+    grid-local, the same discipline as :func:`radius_join`, and is
+    what production systems actually run).
+
+    Plan: :func:`radius_join` candidates (each unordered pair once),
+    mirrored to both directions, then one keyed ``row_number`` window
+    ordered by (distance, neighbor id) — a total order, so ranks are
+    deterministic and engine-portable (haversine is a fixed IEEE
+    sequence; equal-distance ties, common on regular grids, break on
+    the id). Points with fewer than k in-radius neighbors emit fewer
+    rows (no padding).
+
+    Scale shape: the radius join's ≤9× explode + hash equi-join, one
+    extra shuffle on the point id for the window. Returns
+    ``(id, neighbor_id, dist_m, rank)`` with dist unrounded.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError("geo_knn: k must be positive")
+    pairs = radius_join(points, id_col, lat_col, lon_col, max_radius_m, max_abs_lat)
+    both = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "dist_m"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "dist_m"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("dist_m").asc(), F.col("neighbor_id").asc()
+    )
+    return both.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def geo_clusters(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_m: float,
+    max_abs_lat: float = 80.0,
+    driver_cap: int = 1_000_000,
+) -> DataFrame:
+    """Spatial density clusters: the transitive closure of the
+    within-``radius_m`` relation (single-linkage clustering on the
+    plane — DBSCAN with min_pts=2 and no noise class; public:
+    Ester et al. 1996's reachability closure). Isolated points form
+    singleton clusters.
+
+    Plan: :func:`radius_join` candidate pairs → the repo's iterative
+    ``connected_components`` (min-id label propagation with the
+    ``engine.materialize`` lineage discipline). Cluster id = min point
+    id in the cluster — deterministic, engine-portable.
+
+    Scale shape: the radius join's bounded candidate generation plus
+    CC's per-iteration |V|-row exchanges; ``driver_cap`` passes
+    through to CC's union-find fast path (edge lists slightly above
+    the 1M default collect to ~tens of MB — raising it beats the
+    ~60 s star path at the 1.4M-edge probe; see PERF r6d). Dense
+    urban blobs are the skew knob (one k-point cell yields k² pair
+    candidates) — shrink the radius or pre-aggregate co-located
+    points upstream, as with :func:`radius_join`. Returns
+    ``(id, cluster_id)``.
+    """
+    from mimic_iv_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = radius_join(points, id_col, lat_col, lon_col, radius_m, max_abs_lat)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        "id_a",
+        "id_b",
+        nodes=points.select(F.col(id_col).alias("id")),
+        driver_cap=driver_cap,
+    )
+    return comp.select(F.col("id"), F.col("component").alias("cluster_id"))

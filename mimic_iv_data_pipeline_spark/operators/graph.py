@@ -637,3 +637,75 @@ def shortest_paths(
             .transform(materialize)
         )
     return dist
+
+
+def markov_power_iteration(
+    transitions: DataFrame,
+    from_col: str = "from_state",
+    to_col: str = "to_state",
+    count_col: str = "n",
+    steps: int = 3,
+) -> DataFrame:
+    """Fixed-step power iteration toward the Markov chain's stationary
+    distribution, from the uniform start (public: the power method on
+    a row-stochastic matrix — PageRank's undamped core; the "where
+    does the event stream settle" readout over q169's transition
+    matrix).
+
+    EXACT INTEGER recurrence so every engine agrees bitwise: the row
+    probabilities and the mass vector live in micro-units (×1e6), one
+    step is
+
+        v'_j = (Σ_i v_i · p_ij + 500000) div 1000000
+
+    — an exact integer sum, then the repo's standard half-up
+    micro-requantization as pure integer division. Terminal states
+    (no outgoing transitions) absorb-and-drop their mass, so Σv may
+    shrink per step (sub-stochastic semantics; stated). ``steps`` is a
+    FIXED unroll — the fixed-parameter-oracle trick (q123 family)
+    applied to an iterative kernel, so a recursive/unrolled SQL twin
+    replays it exactly.
+
+    Scale shape: the state relation is |S| rows and the matrix |S|²
+    at worst — broadcast joins, never fact-sized; the fact-scale work
+    happened upstream in the transition-count aggregate. Returns
+    ``(state, v_micro)`` after ``steps`` steps.
+    """
+    if steps < 0:
+        raise ValueError("markov_power_iteration: steps must be >= 0")
+    spark = transitions.sparkSession
+    f, t, c = F.col(from_col), F.col(to_col), F.col(count_col)
+    # row-normalized probabilities in micro-units: floor(n/rowsum*1e6+0.5)
+    wrow = Window.partitionBy(from_col)
+    p = transitions.select(
+        f.alias("__f"),
+        t.alias("__t"),
+        F.floor(
+            c.cast("double") / F.sum(c).over(wrow).cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__p"),
+    )
+    states = (
+        transitions.select(f.alias("__s"))
+        .union(transitions.select(t.alias("__s")))
+        .distinct()
+    )
+    n_states = states.count()  # |S|-bounded driver scalar, not fact data
+    v = states.select(
+        "__s", F.lit(int(1_000_000 // max(1, n_states))).alias("__v")
+    )
+    for _ in range(steps):
+        v = (
+            v.join(F.broadcast(p), v["__s"] == p["__f"])
+            .groupBy(F.col("__t").alias("__s"))
+            .agg(
+                # integral `div`, NOT `/`: float division would round
+                # the >2^53 sums a big state space can reach
+                F.expr("(sum(__v * __p) + 500000) div 1000000")
+                .cast("long")
+                .alias("__v")
+            )
+        )
+    return v.select(F.col("__s").alias("state"), F.col("__v").alias("v_micro"))

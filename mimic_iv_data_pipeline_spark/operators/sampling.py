@@ -1046,3 +1046,67 @@ def poisson_bootstrap_ci(
             F.when((F.col("__rn") == hi_rank) & (F.col("__nb") >= 2), F.col("__mb"))
         ).alias("ci_hi"),
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based sampling weights per corpus domain and the
+    token allocation of a training budget (public: the multilingual /
+    multi-domain mixture rule of Lample & Conneau 2019 §3.1 and the
+    Pile/Llama data recipes — sample domain i with
+    p_i ∝ n_i^α, α < 1 upweighting low-resource domains):
+
+        n_i          = Σ tokens in domain i
+        w_i          = n_i^α           (micro-quantized to an integer)
+        share_i      = w_i / Σ w
+        alloc_i      = floor(budget · w_i / Σ w)   (exact integer)
+        epochs_i     = alloc_i / n_i   (how often the domain repeats —
+                                        the >1 values are the
+                                        upsampling the rule creates)
+
+    Determinism contract: for ``alpha=0.5`` the weight uses ``sqrt``
+    (IEEE correctly-rounded — bitwise identical in any engine); other
+    alphas use ``pow``, which is NOT correctly rounded, so the
+    micro-quantization may straddle a boundary on another engine —
+    hash-compared twins should stick to 0.5 (stated, not hidden).
+    The allocation is a fixed double sequence (w·budget/Σw, all three
+    IEEE basic ops correctly rounded → bitwise portable); it can
+    differ from the exact rational floor only in the measure-zero case
+    where the true ratio sits within an ulp of an integer, so
+    Σ alloc_i stays within |domains| tokens of ``budget`` — an exact
+    decimal(38) product would overflow Spark's decimal division at
+    petatoken corpora, the thing this operator is for.
+
+    Scale shape: ONE hash aggregate to a |domains|-row relation; the
+    Σw total is a broadcast crossJoin of one row. Never fact-sized.
+    """
+    if budget < 0:
+        raise ValueError("mixture_temperature_weights: budget must be >= 0")
+    n = F.sum(F.col(tokens_col).cast("long")).alias("n_tokens")
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(n)
+    nD = F.col("n_tokens").cast("double")
+    w_raw = F.sqrt(nD) if alpha == 0.5 else F.pow(nD, F.lit(float(alpha)))
+    weighted = per.withColumn(
+        "weight_micro", F.floor(w_raw * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    total = weighted.agg(F.sum("weight_micro").alias("__tw"))
+    out = weighted.crossJoin(F.broadcast(total))
+    share = F.col("weight_micro").cast("double") / F.col("__tw").cast("double")
+    alloc = F.floor(
+        F.col("weight_micro").cast("double")
+        * F.lit(float(budget))
+        / F.col("__tw").cast("double")
+    ).cast("long")
+    return out.select(
+        "domain",
+        "n_tokens",
+        "weight_micro",
+        share.alias("share"),
+        alloc.alias("alloc_tokens"),
+        (alloc.cast("double") / nD).alias("epochs"),
+    )

@@ -1602,3 +1602,69 @@ def q180_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("ci_lo", 6).alias("ci_lo"),
         dround("ci_hi", 6).alias("ci_hi"),
     )
+
+
+# --- q212: Markov stationary distribution (3 power steps) --------------------
+# The q169 transition matrix driven 3 fixed power steps from uniform —
+# exact integer micro-unit recurrence (v' = (Σ v·p + 5e5) // 1e6), so
+# the unrolled CTE twin replays it bitwise. The fixed-parameter-oracle
+# trick (q123 family) applied to an iterative kernel.
+@register(
+    "q212_markov_stationary",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events
+    ), c AS (
+      SELECT f, t, count(*) AS n FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+      SELECT f, t,
+             CAST(floor(n * 1.0 / sum(n) OVER (PARTITION BY f) * 1e6 + 0.5)
+                  AS BIGINT) AS p
+      FROM c
+    ), states AS (
+      SELECT f AS s FROM c UNION SELECT t FROM c
+    ), v0 AS (
+      SELECT s, CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT) AS v
+      FROM states
+    ), v1 AS (
+      SELECT p.t AS s, CAST((sum(v0.v * p.p) + 500000) // 1000000 AS BIGINT) AS v
+      FROM v0 JOIN p ON v0.s = p.f GROUP BY 1
+    ), v2 AS (
+      SELECT p.t AS s, CAST((sum(v1.v * p.p) + 500000) // 1000000 AS BIGINT) AS v
+      FROM v1 JOIN p ON v1.s = p.f GROUP BY 1
+    ), v3 AS (
+      SELECT p.t AS s, CAST((sum(v2.v * p.p) + 500000) // 1000000 AS BIGINT) AS v
+      FROM v2 JOIN p ON v2.s = p.f GROUP BY 1
+    )
+    SELECT s AS state, v AS v_micro,
+           round(floor(CAST(v AS DOUBLE)
+                       / CAST((SELECT sum(v) FROM v3) AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6, 6) AS share
+    FROM v3
+    """,
+)
+def q212_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 power steps toward the event-type stationary distribution
+    (operators/graph.py:markov_power_iteration — |S|-row broadcast
+    joins over q169's transition counts)."""
+    from mimic_iv_data_pipeline_spark.operators.graph import (
+        markov_power_iteration,
+    )
+    from mimic_iv_data_pipeline_spark.operators.windows import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    trans = transition_matrix(ev, tie_break="event_id").select(
+        "from_state", "to_state", "n"
+    )
+    v = markov_power_iteration(trans, steps=3)
+    total = v.agg(F.sum("v_micro").alias("__tv"))
+    return v.crossJoin(F.broadcast(total)).select(
+        "state",
+        "v_micro",
+        dround(
+            F.col("v_micro").cast("double") / F.col("__tv").cast("double"), 6
+        ).alias("share"),
+    )

@@ -1781,3 +1781,67 @@ def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("conf_b_to_a"), 6).alias("conf_b_to_a"),
         dround(F.col("lift"), 6).alias("lift"),
     )
+
+
+# --- q209: temperature-based mixture weights ----------------------------------
+# The multilingual/multi-domain sampling rule (p_i ∝ n_i^0.5) + token
+# allocation of a 100k budget. sqrt is IEEE correctly-rounded, so the
+# whole chain (sqrt → micro-quantize → double ratio → floor) is
+# bitwise engine-portable — see mixture_temperature_weights' contract.
+@register(
+    "q209_mixture_temperature",
+    oracle=r"""
+    WITH per AS (
+      SELECT source AS domain,
+             CAST(sum(len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT domain, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS weight_micro
+      FROM per
+    ), tot AS (SELECT sum(weight_micro) AS tw FROM w),
+    alloc AS (
+      SELECT domain, n_tokens, weight_micro,
+             CAST(weight_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS share_raw,
+             CAST(floor(CAST(weight_micro AS DOUBLE) * 100000.0
+                        / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc_tokens
+      FROM w CROSS JOIN tot
+    )
+    SELECT domain, n_tokens, weight_micro,
+           round(floor(share_raw * 1e6 + 0.5) / 1e6, 6) AS share,
+           alloc_tokens,
+           round(floor(CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6, 6) AS epochs
+    FROM alloc
+    """,
+)
+def q209_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature sampling weights (alpha=0.5) and the
+    allocation of a 100k-token training budget
+    (operators/sampling.py:mixture_temperature_weights — one hash
+    aggregate to a |domains|-row relation)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        mixture_temperature_weights,
+    )
+    from mimic_iv_data_pipeline_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        F.size(F.filter(tokens(F.col("text")), lambda x: x != "")).alias(
+            "n_toks"
+        ),
+    )
+    out = mixture_temperature_weights(
+        docs, "source", "n_toks", budget=100_000, alpha=0.5
+    )
+    return out.select(
+        "domain",
+        "n_tokens",
+        "weight_micro",
+        dround("share", 6).alias("share"),
+        "alloc_tokens",
+        dround("epochs", 6).alias("epochs"),
+    )

@@ -1737,3 +1737,252 @@ def q206_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scale_days"),
     )
+
+
+# --- q207: bounded-radius geo k-nearest neighbors -----------------------------
+# Same synthetic city grid as q203; k=3 within 250 m. The oracle is
+# brute-force banded ground truth in BOTH directions + row_number —
+# green proves the grid candidates are lossless AND the rank order
+# (dist, neighbor) is bitwise engine-portable (fixed-IEEE haversine).
+# Bands: 250 m ≤ 0.00225° lat / ≤ 0.00367° lon at |lat| ≤ 52.1°;
+# 0.0030/0.0048 leave wide margin.
+@register(
+    "q207_geo_knn",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             52.0 + CAST(c_custkey % 100 AS DOUBLE) / 1000.0 AS lat,
+             13.0 + CAST((c_custkey // 100) % 100 AS DOUBLE) / 1000.0 AS lon
+      FROM customer
+    ), cand AS (
+      SELECT a.id AS id, b.id AS neighbor_id,
+             2.0 * 6371000.0 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2)
+                 * sin(radians(b.lon - a.lon) / 2)
+             )) AS dist_m
+      FROM pts a JOIN pts b
+        ON a.id <> b.id
+       AND abs(a.lat - b.lat) <= 0.0030
+       AND abs(a.lon - b.lon) <= 0.0048
+    ), ranked AS (
+      SELECT id, neighbor_id, dist_m,
+             row_number() OVER (
+               PARTITION BY id ORDER BY dist_m ASC, neighbor_id ASC) AS rnk
+      FROM cand WHERE dist_m <= 250.0
+    )
+    SELECT id, neighbor_id,
+           round(floor(dist_m * 1e6 + 0.5) / 1e6, 6) AS dist_m,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q207_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest customers within 250 m on the synthetic city grid
+    (operators/geo.py:geo_knn — radius-join candidates mirrored to
+    both directions + one keyed rank window)."""
+    from mimic_iv_data_pipeline_spark.operators.geo import geo_knn
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (52.0 + (F.col("c_custkey") % 100).cast("double") / 1000.0).alias("lat"),
+        (
+            13.0
+            + (F.expr("c_custkey div 100") % 100).cast("double") / 1000.0
+        ).alias("lon"),
+    )
+    out = geo_knn(cust, "id", "lat", "lon", k=3, max_radius_m=250.0)
+    return out.select(
+        "id",
+        "neighbor_id",
+        dround("dist_m", 6).alias("dist_m"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --- q208: Welch's t for every event-type pair --------------------------------
+# The parametric two-sample test beside Mann-Whitney (q181): exact
+# integer (n, S, SS) per group, every emitted double a fixed IEEE
+# sequence over them — the oracle mirrors the op order exactly.
+@register(
+    "q208_welch_ttest",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type AS g,
+             CAST(count(*) AS BIGINT) AS n,
+             sum({_CENTS}) AS s,
+             sum({_CENTS} * {_CENTS}) AS ss
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+             CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+             CASE WHEN a.n > 1 THEN CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)) END AS va,
+             CASE WHEN b.n > 1 THEN CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+               / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0)) END AS vb
+      FROM per a JOIN per b ON a.g < b.g
+    ), t AS (
+      SELECT *,
+             va / CAST(n_a AS DOUBLE) AS vea,
+             vb / CAST(n_b AS DOUBLE) AS veb
+      FROM pairs
+    )
+    SELECT group_a, group_b, n_a, n_b,
+           round(floor(ma * 1e6 + 0.5) / 1e6, 6) AS mean_a,
+           round(floor(mb * 1e6 + 0.5) / 1e6, 6) AS mean_b,
+           round(floor(CASE WHEN vea + veb > 0
+             THEN (ma - mb) / sqrt(vea + veb) END * 1e6 + 0.5) / 1e6, 6) AS t,
+           round(floor(CASE WHEN vea + veb > 0
+             THEN ((vea + veb) * (vea + veb))
+               / (vea * vea / (CAST(n_a AS DOUBLE) - 1.0)
+                  + veb * veb / (CAST(n_b AS DOUBLE) - 1.0)) END
+             * 1e6 + 0.5) / 1e6, 6) AS dof
+    FROM t
+    """,
+)
+def q208_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t / Welch–Satterthwaite dof for every pair of event
+    types over integer-cent values
+    (operators/aggregates.py:welch_t_pairs — one hash aggregate to a
+    |groups|-row relation, broadcast pair join)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import welch_t_pairs
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = welch_t_pairs(ev, "event_type", "cents")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        dround("mean_a", 6).alias("mean_a"),
+        dround("mean_b", 6).alias("mean_b"),
+        dround("t", 6).alias("t"),
+        dround("dof", 6).alias("dof"),
+    )
+
+
+# --- q210: spatial density clusters -------------------------------------------
+# Single-linkage closure of the 100 m relation over ~300 dense blobs
+# (blob members 0.11 m apart, blobs >= 680 m apart → every blob is one
+# complete-graph cluster, isolated keys are singletons). Oracle =
+# banded brute-force pairs + the q88/q204 recursive-CTE closure —
+# ground truth, not a replay; the blob geometry keeps the closure's
+# diameter at 1 so the CTE converges in one round at every SF (a
+# 150-hop chain fixture cost DuckDB ~4 min at sf0.1). Summary per
+# cluster so the output is |clusters|-sized.
+@register(
+    "q210_geo_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             52.0 + CAST(c_custkey % 300 % 20 AS DOUBLE) * 0.01
+                  + CAST(c_custkey // 300 AS DOUBLE) * 0.000001 AS lat,
+             13.0 + CAST((c_custkey % 300) // 20 AS DOUBLE) * 0.01
+                  + CAST(c_custkey // 300 AS DOUBLE) * 0.000001 AS lon
+      FROM customer
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND abs(a.lat - b.lat) <= 0.0012
+       AND abs(a.lon - b.lon) <= 0.0020
+       AND 2.0 * 6371000.0 * asin(sqrt(
+             sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2)
+               * sin(radians(b.lon - a.lon) / 2)
+           )) <= 100.0
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, reach) AS (
+      SELECT id, id FROM pts
+      UNION
+      SELECT e.v, w.reach FROM walk w JOIN edges e ON w.id = e.u
+    ), comp AS (
+      SELECT id, min(reach) AS cluster_id FROM walk GROUP BY 1
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM comp GROUP BY 1
+    """,
+)
+def q210_geo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage 100 m density clusters of the synthetic city
+    grid (operators/geo.py:geo_clusters — radius_join candidates +
+    iterative connected components)."""
+    from mimic_iv_data_pipeline_spark.operators.geo import geo_clusters
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (
+            52.0
+            + (F.col("c_custkey") % 300 % 20).cast("double") * 0.01
+            + F.expr("c_custkey div 300").cast("double") * 0.000001
+        ).alias("lat"),
+        (
+            13.0
+            + F.expr("(c_custkey % 300) div 20").cast("double") * 0.01
+            + F.expr("c_custkey div 300").cast("double") * 0.000001
+        ).alias("lon"),
+    )
+    out = geo_clusters(cust, "id", "lat", "lon", radius_m=100.0)
+    return out.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+# --- q211: per-group trimmed mean ---------------------------------------------
+# 10%-trimmed mean of event value cents per event type — rank-based
+# trimming with the event_id tie-break so the kept multiset is exact.
+@register(
+    "q211_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type AS g, {_CENTS} AS y,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY {_CENTS} ASC, event_id ASC)
+               AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), kept AS (
+      SELECT * FROM ranked
+      WHERE r > CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT)
+        AND r <= n - CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT)
+    )
+    SELECT g AS event_type,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(floor(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6, 6) AS trimmed_mean
+    FROM kept GROUP BY 1
+    """,
+)
+def q211_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event cents per type
+    (operators/aggregates.py:trimmed_mean — one shuffle, rank +
+    count frames over one sort)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = trimmed_mean(ev, "event_type", "cents", trim_frac=0.1, tie_break="event_id")
+    return out.select(
+        F.col("event_type"),
+        "n_total",
+        "n_kept",
+        dround("trimmed_mean", 6).alias("trimmed_mean"),
+    )

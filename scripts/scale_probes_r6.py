@@ -56,6 +56,32 @@ def main():
         lambda: f"{pareto_front_2d(df, 'q', 'c').count()} skyline rows",
     )
 
+    from mimic_iv_data_pipeline_spark.operators.geo import geo_knn
+
+    probe(
+        "geo_knn k=3 r=100m over the 2M-point cloud",
+        lambda: f"{geo_knn(pts, 'id', 'lat', 'lon', 3, 100.0).count()} rows",
+    )
+
+    from mimic_iv_data_pipeline_spark.operators.geo import geo_clusters
+
+    probe(
+        "geo_clusters r=100m over the 2M-point cloud (1.4M edges -> star path)",
+        lambda: f"{geo_clusters(pts, 'id', 'lat', 'lon', 100.0).select('cluster_id').distinct().count()} clusters",
+    )
+
+    from mimic_iv_data_pipeline_spark.operators.aggregates import trimmed_mean
+
+    tm = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1_000)).alias("g"),
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1_000_000)).alias("y"),
+    )
+    probe(
+        "trimmed_mean 20M rows / 1k groups",
+        lambda: f"{trimmed_mean(tm, 'g', 'y', 0.1, 'rid').count()} groups",
+    )
+
     spark.stop()
 
 
