@@ -2048,3 +2048,177 @@ def trimmed_mean(
             / F.count(F.lit(1)).cast("double")
         ).alias("trimmed_mean"),
     )
+
+
+def cmh_pooled_or(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio across strata
+    (public: Mantel & Haenszel 1959 — the confounder-adjusted 2×2
+    readout; the stratified sibling of the crude q198 measures):
+
+        OR_MH = Σ_s (a_s·d_s / n_s)  /  Σ_s (b_s·c_s / n_s)
+
+    with (a, b, c, d) the exposed-case/exposed-control/
+    unexposed-case/unexposed-control counts and n the stratum size.
+
+    Portability: each stratum term a·d/n is quantized to integer
+    micro-units via EXACT integral arithmetic — ``(a·d·1e6) div n``
+    over decimals (products reach a·d·1e6 ≤ 1e24 — far past long,
+    inside decimal(38)) — so both Σ terms are exact integer sums and
+    OR_MH is one double division. No order-sensitive float sum
+    anywhere. Also returns the crude (unstratified) OR so the
+    confounding shift is visible in one row.
+
+    Scale shape: ONE conditional aggregate per stratum
+    (|strata|-row relation), one total. Returns a single row
+    ``(n_strata, or_mh, or_crude)``; NULL OR when a denominator sum
+    is 0.
+    """
+    e = F.col(exposure_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    per = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.sum(((e == 1) & (y == 1)).cast("long")).alias("__a"),
+        F.sum(((e == 1) & (y == 0)).cast("long")).alias("__b"),
+        F.sum(((e == 0) & (y == 1)).cast("long")).alias("__c"),
+        F.sum(((e == 0) & (y == 0)).cast("long")).alias("__d"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    num_term = F.expr(
+        "CAST(__a AS DECIMAL(38,0)) * __d * 1000000 div __n"
+    ).cast("long")
+    den_term = F.expr(
+        "CAST(__b AS DECIMAL(38,0)) * __c * 1000000 div __n"
+    ).cast("long")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(num_term).alias("__num"),
+        F.sum(den_term).alias("__den"),
+        F.sum("__a").alias("__ta"),
+        F.sum("__b").alias("__tb"),
+        F.sum("__c").alias("__tc"),
+        F.sum("__d").alias("__td"),
+    )
+    or_mh = F.when(
+        F.col("__den") > 0,
+        F.col("__num").cast("double") / F.col("__den").cast("double"),
+    )
+    crude = F.when(
+        (F.col("__tb") > 0) & (F.col("__tc") > 0),
+        (F.col("__ta").cast("decimal(38,0)") * F.col("__td")).cast("double")
+        / (F.col("__tb").cast("decimal(38,0)") * F.col("__tc")).cast("double"),
+    )
+    return agg.select("n_strata", or_mh.alias("or_mh"), crude.alias("or_crude"))
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group (public: Spearman 1904 —
+    Pearson over the rank transform; the monotonic-association
+    sibling of q177's exact-sum linear fit, robust to outliers and
+    nonlinearity).
+
+    Tie handling is the standard AVERAGE rank; to stay in exact
+    integers the ranks are DOUBLED (average of two integers × 2 is an
+    integer: 2·avg = min_rank + max_rank), which leaves rho invariant
+    (Pearson is shift/scale-free). All five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in decimals — Σxy ≤ n·4n²
+    passes long at ~1.3e6 rows/group — and rho is the classic exact
+    formula over them, one fixed IEEE sequence.
+
+    Scale shape: ONE shuffle on the group — every window below
+    partitions by the group alone (ascending/descending rank pairs
+    instead of per-(group, value) tie counts, which would each force
+    their own hash exchange; measured 22 s → 17 s at the 20M probe —
+    the remaining cost is the four in-partition sorts + exact decimal
+    sums, both inherent to exact tie-averaged ranks),
+    so the plan is one exchange + four in-partition sorts + one hash
+    aggregate to |groups| rows. Returns ``(group, n, rho)``; rho NULL
+    for constant columns (zero variance).
+    """
+    wg = Window.partitionBy(group_col)
+    wxa = Window.partitionBy(group_col).orderBy(F.col(x_col).asc())
+    wxd = Window.partitionBy(group_col).orderBy(F.col(x_col).desc())
+    wya = Window.partitionBy(group_col).orderBy(F.col(y_col).asc())
+    wyd = Window.partitionBy(group_col).orderBy(F.col(y_col).desc())
+    n_in_g = F.count(F.lit(1)).over(wg)
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        # doubled average rank via the asc/desc identity:
+        # 2·avg = rank_asc + (n + 1 − rank_desc)  (exact under ties)
+        (F.rank().over(wxa) + n_in_g + F.lit(1) - F.rank().over(wxd)).alias(
+            "__dx"
+        ),
+        (F.rank().over(wya) + n_in_g + F.lit(1) - F.rank().over(wyd)).alias(
+            "__dy"
+        ),
+    )
+    dx = F.col("__dx").cast("decimal(18,0)")
+    dy = F.col("__dy").cast("decimal(18,0)")
+    stats = ranked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum(dx * dy).alias("__sxy"),
+        F.sum(dx * dx).alias("__sxx"),
+        F.sum(dy * dy).alias("__syy"),
+    )
+    nB = F.col("n").cast("decimal(38,0)")
+    cov = (nB * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (nB * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (nB * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return stats.select(group_col, "n", rho.alias("rho"))
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    tie_break: str,
+) -> DataFrame:
+    """Exact (type-1 / inverse-CDF) percentiles per group: the value
+    at rank ``ceil(p·n)`` in (value, tie_break) order — order
+    statistics, not interpolation, so the result is an actual data
+    value and is bit-identical in any engine (``percentile_approx``
+    is a sketch; interpolated percentiles of huge doubles invite
+    last-ulp disagreement — the q161 lesson applied to quantiles).
+
+    Scale shape: ONE shuffle on the group, one sort carrying the rank
+    and count frames, one conditional aggregate to |groups| rows —
+    no per-group collect, no sketch. Emits one column per prob
+    (``p10``, ``p50``, ...; prob → name via round(p·100)). Groups
+    smaller than 1/min(p) still work (ceil clamps to ≥ 1).
+    """
+    if not probs or not all(0 < p <= 1 for p in probs):
+        raise ValueError("exact_percentiles: probs must be in (0, 1]")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tie_break).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__y"),
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in probs:
+        target = F.greatest(
+            F.ceil(F.col("__n").cast("double") * F.lit(float(p))).cast("long"),
+            F.lit(1),
+        )
+        aggs.append(
+            F.max(F.when(F.col("__r") == target, F.col("__y"))).alias(
+                f"p{round(p * 100)}"
+            )
+        )
+    return ranked.groupBy(F.col("__g").alias(group_col)).agg(*aggs)

@@ -120,3 +120,93 @@ def suppress_small_groups(
     if size_col is not None:
         return out.withColumn(size_col, F.col("__gn").cast("long")).drop("__gn")
     return out.drop("__gn")
+
+
+def anonymity_risk_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int,
+    l: int,
+) -> DataFrame:
+    """Per-quasi-identifier-group re-identification risk readout: the
+    audit BEFORE :func:`suppress_small_groups` acts (public: Sweeney
+    2002 k-anonymity + Machanavajjhala et al. 2007 distinct
+    l-diversity — a group can be k-anonymous yet leak its sensitive
+    value when everyone in it shares one diagnosis; l counts the
+    distinct sensitive values).
+
+    Returns one row per quasi group:
+    ``(quasi…, n, l_distinct, k_risky, l_risky)`` — the flags a
+    governance dashboard aggregates, kept per-group so the risky
+    combinations are directly actionable.
+
+    Scale shape: ONE hash aggregate on the quasi key (count +
+    count-distinct in the same pass); output is |quasi-combination|
+    rows — the cardinality a de-identification review works with, not
+    fact-sized.
+    """
+    if k < 1 or l < 1:
+        raise ValueError("anonymity_risk_report: k and l must be >= 1")
+    if not quasi_cols:
+        raise ValueError("anonymity_risk_report: quasi_cols must be non-empty")
+    agg = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_distinct"),
+    )
+    return agg.select(
+        *quasi_cols,
+        "n",
+        "l_distinct",
+        (F.col("n") < k).cast("int").alias("k_risky"),
+        (F.col("l_distinct") < l).cast("int").alias("l_risky"),
+    )
+
+
+def date_shift(
+    df: DataFrame,
+    subject_col: str,
+    ts_cols: list[str],
+    max_shift_days: int,
+    salt: str = "dateshift",
+    offset_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-subject date shifting: every timestamp of a
+    subject moves by the SAME hash-derived whole-day offset in
+    [−max_shift_days, +max_shift_days] (public: the MIMIC
+    de-identification scheme itself — Johnson et al. 2016 shift each
+    patient's dates by a random offset so within-patient intervals
+    are exactly preserved while absolute dates are uninformative).
+
+    The offset is content-addressed (md5 — the
+    ``sampling.hash_unit`` portability recipe, expressible verbatim
+    in any ANSI engine), NOT random: re-running the pipeline, on any
+    cluster layout, shifts a subject identically, and a DuckDB twin
+    reproduces every shifted timestamp bitwise. Whole-day shifts keep
+    time-of-day intact (circadian features survive — the clinical
+    reason MIMIC shifts by days, not seconds).
+
+    Scale shape: a narrow per-row projection (hash + interval add) —
+    no shuffle, no state. ``offset_col`` (optional) emits the applied
+    day offset for audit.
+    """
+    if max_shift_days < 0:
+        raise ValueError("date_shift: max_shift_days must be >= 0")
+    if not ts_cols:
+        raise ValueError("date_shift: ts_cols must be non-empty")
+    from mimic_iv_data_pipeline_spark.operators.sampling import hash_unit
+
+    span = 2 * max_shift_days + 1
+    off = (
+        F.floor(hash_unit(F.col(subject_col), salt) * F.lit(float(span)))
+        .cast("long")
+        - F.lit(max_shift_days)
+    )
+    out = df.withColumn("__ds_off", off)
+    for c in ts_cols:
+        out = out.withColumn(
+            c, F.expr(f"{c} + make_dt_interval(__ds_off, 0, 0, 0)")
+        )
+    if offset_col is not None:
+        return out.withColumnRenamed("__ds_off", offset_col)
+    return out.drop("__ds_off")

@@ -1845,3 +1845,83 @@ def q209_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alloc_tokens",
         dround("epochs", 6).alias("epochs"),
     )
+
+
+# --- q216: k/l anonymity risk report -------------------------------------------
+# The audit readout BEFORE q101's suppression acts: per quasi group
+# (nation, segment) the size, the distinct-sensitive count (balance
+# kilobuckets), and the k/l risk flags — l-diversity catches groups
+# that are k-anonymous yet all share one sensitive value.
+@register(
+    "q216_anonymity_report",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+             AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS INT) AS k_risky,
+           CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000.0)
+             AS BIGINT)) < 3 THEN 1 ELSE 0 END AS INT) AS l_risky
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q216_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 / l=3 risk report over the (nation, segment) quasi key
+    with balance kilobuckets as the sensitive attribute
+    (operators/privacy.py:anonymity_risk_report — one hash
+    aggregate to |quasi-combination| rows)."""
+    from mimic_iv_data_pipeline_spark.operators.privacy import (
+        anonymity_risk_report,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_kb"),
+    )
+    return anonymity_risk_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_kb", k=10, l=3
+    )
+
+
+# --- q217: deterministic per-subject date shifting ------------------------------
+# The MIMIC de-identification scheme itself: every user's events move
+# by one hash-derived whole-day offset in ±182 days — intervals exact,
+# absolute dates uninformative, re-runs identical on any layout. The
+# oracle replays the md5 recipe verbatim (the sampling.hash_unit
+# portability contract).
+@register(
+    "q217_date_shift",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(
+               cast(concat('0x', substr(md5(concat('dateshift:',
+                 cast(user_id AS varchar))), 1, 8)) AS BIGINT)
+               / 4294967296.0 * 365.0) AS BIGINT) - 182 AS offset_days
+      FROM events
+    )
+    SELECT event_id, user_id, offset_days,
+           strftime(ts + to_days(CAST(offset_days AS INT)),
+                    '%Y-%m-%d %H:%M:%S') AS shifted_ts
+    FROM base
+    """,
+)
+def q217_date_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±182-day deterministic date shift of the event stream
+    (operators/privacy.py:date_shift — narrow hash + interval-add
+    projection, no shuffle; within-user intervals preserved
+    exactly)."""
+    from mimic_iv_data_pipeline_spark.operators.privacy import date_shift
+    from mimic_iv_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = date_shift(
+        ev, "user_id", ["ts"], max_shift_days=182, offset_col="offset_days"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "offset_days",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("shifted_ts"),
+    )

@@ -1986,3 +1986,160 @@ def q211_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         dround("trimmed_mean", 6).alias("trimmed_mean"),
     )
+
+
+# --- q213: Cochran–Mantel–Haenszel pooled odds ratio ---------------------------
+# Stratified 2×2 (strata = user_id % 4) — each stratum term a·d/n is
+# quantized by EXACT integral arithmetic ((a·d·1e6) div n over
+# decimals), so both sums are exact integers and OR_MH is one double
+# division; the crude OR sits beside it.
+@register(
+    "q213_cmh_pooled_or",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 4 AS s,
+             CAST(event_id % 2 AS INT) AS e,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+      FROM events
+    ), per AS (
+      SELECT s,
+             sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS d,
+             count(*) AS n
+      FROM base GROUP BY 1
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             sum(CAST(a * d * 1000000 // n AS BIGINT)) AS num,
+             sum(CAST(b * c * 1000000 // n AS BIGINT)) AS den,
+             sum(a) AS ta, sum(b) AS tb, sum(c) AS tc, sum(d) AS td
+      FROM per
+    )
+    SELECT n_strata,
+           round(floor(CASE WHEN den > 0
+             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+             * 1e6 + 0.5) / 1e6, 6) AS or_mh,
+           round(floor(CASE WHEN tb > 0 AND tc > 0
+             THEN CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE) END
+             * 1e6 + 0.5) / 1e6, 6) AS or_crude
+    FROM agg
+    """,
+)
+def q213_cmh_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounder-adjusted pooled odds ratio across user strata
+    (operators/aggregates.py:cmh_pooled_or — one conditional
+    aggregate to |strata| rows, exact integral stratum terms)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import cmh_pooled_or
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("s"),
+        (F.col("event_id") % 2).cast("int").alias("e"),
+        (F.col("value") > 50.0).cast("int").alias("y"),
+    )
+    out = cmh_pooled_or(ev, "s", "e", "y")
+    return out.select(
+        "n_strata",
+        dround("or_mh", 6).alias("or_mh"),
+        dround("or_crude", 6).alias("or_crude"),
+    )
+
+
+# --- q214: Spearman rank correlation per group ---------------------------------
+# Price vs order-date association per priority class — average ranks
+# carried as exact DOUBLED integers (2·avg = min+max of the tie run),
+# rho from the classic formula over exact decimal sums.
+@register(
+    "q214_spearman",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS y
+      FROM orders
+    ), ranked AS (
+      SELECT g, x, y,
+             2 * rank() OVER (PARTITION BY g ORDER BY x)
+               + count(*) OVER (PARTITION BY g, x) - 1 AS dx,
+             2 * rank() OVER (PARTITION BY g ORDER BY y)
+               + count(*) OVER (PARTITION BY g, y) - 1 AS dy
+      FROM base
+    ), stats AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+             sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+             sum(CAST(dy AS HUGEINT) * dy) AS syy
+      FROM ranked GROUP BY 1
+    )
+    SELECT g AS o_orderpriority, n,
+           round(floor(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) END
+             * 1e6 + 0.5) / 1e6, 6) AS rho
+    FROM stats
+    """,
+)
+def q214_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho of price vs order date per priority
+    (operators/aggregates.py:spearman_by_group — one shuffle, two
+    rank windows, exact decimal sufficient statistics)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        spearman_by_group,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        (F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("long")
+        .alias("y"),
+    )
+    out = spearman_by_group(orders, "o_orderpriority", "x", "y")
+    return out.select("o_orderpriority", "n", dround("rho", 6).alias("rho"))
+
+
+# --- q215: exact percentile bands per group ------------------------------------
+# P10/P50/P90 of event cents per type as true order statistics
+# (value at rank ceil(p·n), tie-break on event_id) — actual data
+# values, bit-identical across engines; no interpolation, no sketch.
+@register(
+    "q215_exact_percentiles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type AS g, {_CENTS} AS y,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY {_CENTS} ASC, event_id ASC)
+               AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT g AS event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN r = greatest(CAST(ceil(CAST(n AS DOUBLE) * 0.1)
+             AS BIGINT), 1) THEN y END) AS p10,
+           max(CASE WHEN r = greatest(CAST(ceil(CAST(n AS DOUBLE) * 0.5)
+             AS BIGINT), 1) THEN y END) AS p50,
+           max(CASE WHEN r = greatest(CAST(ceil(CAST(n AS DOUBLE) * 0.9)
+             AS BIGINT), 1) THEN y END) AS p90
+    FROM ranked GROUP BY 1
+    """,
+)
+def q215_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P10/P50/P90 bands of event cents per type
+    (operators/aggregates.py:exact_percentiles — one sort carrying
+    rank + count frames, one conditional aggregate)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        exact_percentiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return exact_percentiles(
+        ev, "event_type", "cents", [0.1, 0.5, 0.9], tie_break="event_id"
+    )

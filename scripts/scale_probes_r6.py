@@ -82,6 +82,33 @@ def main():
         lambda: f"{trimmed_mean(tm, 'g', 'y', 0.1, 'rid').count()} groups",
     )
 
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        cmh_pooled_or,
+        exact_percentiles,
+        spearman_by_group,
+    )
+
+    epi = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("s"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2)).cast("int").alias("e"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(2)).cast("int").alias("y"),
+    )
+    # collect(), not count(): count() on an aggregate output lets
+    # Catalyst prune the agg expressions and the windows under them —
+    # the probe would time a hollow plan.
+    probe(
+        "cmh_pooled_or 20M rows / 50 strata",
+        lambda: f"{len(cmh_pooled_or(epi, 's', 'e', 'y').collect())} row",
+    )
+    probe(
+        "spearman_by_group 20M rows / 1k groups (two rank windows)",
+        lambda: f"{len(spearman_by_group(tm, 'g', 'rid', 'y').collect())} groups",
+    )
+    probe(
+        "exact_percentiles 20M rows / 1k groups x 3 probs",
+        lambda: f"{len(exact_percentiles(tm, 'g', 'y', [0.1, 0.5, 0.9], 'rid').collect())} groups",
+    )
+
     spark.stop()
 
 

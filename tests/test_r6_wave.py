@@ -250,3 +250,156 @@ def test_markov_power_iteration_mass_drops_at_terminal_states(spark):
     assert one == {"b": 500000}  # a's uniform half moved to b; b had no row out
     two = {r["state"]: r["v_micro"] for r in markov_power_iteration(trans, steps=2).collect()}
     assert two == {}  # all mass was in the terminal state
+
+
+# ---------------------------------------------------------------- CMH / epi
+def test_cmh_simpsons_paradox_fixture(spark):
+    """The textbook check: strata with opposite-size margins where the
+    crude OR is confounded — CMH must equal the (common) per-stratum
+    OR, not the crude one."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import cmh_pooled_or
+
+    rows = []
+    rid = 0
+    # stratum 0: OR = (40*20)/(10*30) = 8/3; heavy exposure
+    for e, y, n in ((1, 1, 40), (1, 0, 10), (0, 1, 30), (0, 0, 20)):
+        rows += [(0, e, y)] * n
+    # stratum 1: same OR = (8*30)/(6*20) = 2 -> strata differ; just
+    # verify the pooled value against the hand formula
+    for e, y, n in ((1, 1, 8), (1, 0, 6), (0, 1, 20), (0, 0, 30)):
+        rows += [(1, e, y)] * n
+    df = spark.createDataFrame(rows, "s int, e int, y int")
+    out = cmh_pooled_or(df, "s", "e", "y").collect()[0]
+    n0, n1 = 100, 64
+    num = (40 * 20 * 1_000_000) // n0 + (8 * 30 * 1_000_000) // n1
+    den = (10 * 30 * 1_000_000) // n0 + (6 * 20 * 1_000_000) // n1
+    assert out["n_strata"] == 2
+    assert out["or_mh"] == pytest.approx(num / den, rel=1e-12)
+    crude = ((48) * (50)) / ((16) * (50))
+    assert out["or_crude"] == pytest.approx(crude, rel=1e-12)
+
+
+# ------------------------------------------------------------------ spearman
+def test_spearman_perfect_and_ties(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import spearman_by_group
+
+    inc = [("inc", i, i * 3 + 1) for i in range(20)]
+    dec = [("dec", i, 100 - i) for i in range(20)]
+    df = spark.createDataFrame(inc + dec, "g string, x long, y long")
+    got = {r["g"]: r["rho"] for r in spearman_by_group(df, "g", "x", "y").collect()}
+    assert got["inc"] == pytest.approx(1.0, abs=1e-12)
+    assert got["dec"] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_spearman_matches_scipy_style_reference_with_ties(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import spearman_by_group
+
+    random.seed(17)
+    xs = [random.randrange(0, 8) for _ in range(60)]   # heavy ties
+    ys = [x * 2 + random.randrange(0, 5) for x in xs]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    want = cov / math.sqrt(vx * vy)
+    got = spearman_by_group(df, "g", "x", "y").collect()[0]["rho"]
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_spearman_constant_column_null(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import spearman_by_group
+
+    df = spark.createDataFrame([("g", 1, 5), ("g", 2, 5)], "g string, x long, y long")
+    assert spearman_by_group(df, "g", "x", "y").collect()[0]["rho"] is None
+
+
+# ----------------------------------------------------------- exact percentiles
+def test_exact_percentiles_are_order_statistics(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import exact_percentiles
+
+    random.seed(29)
+    vals = [random.randrange(-500, 5000) for _ in range(137)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, rid long, y long"
+    )
+    out = exact_percentiles(df, "g", "y", [0.1, 0.5, 0.9], "rid").collect()[0]
+    sv = sorted(vals)
+    for p, col in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+        assert out[col] == sv[max(1, math.ceil(len(vals) * p)) - 1]
+    assert out["n"] == 137
+    with pytest.raises(ValueError, match="probs"):
+        exact_percentiles(df, "g", "y", [0.0], "rid")
+
+
+def test_exact_percentiles_tiny_group(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import exact_percentiles
+
+    df = spark.createDataFrame([("g", 1, 42)], "g string, rid long, y long")
+    out = exact_percentiles(df, "g", "y", [0.1, 0.9], "rid").collect()[0]
+    assert (out["p10"], out["p90"]) == (42, 42)
+
+
+# ------------------------------------------------------------------- privacy
+def test_anonymity_report_flags(spark):
+    from mimic_iv_data_pipeline_spark.operators.privacy import anonymity_risk_report
+
+    rows = [("a", 1, 100)] * 12 + [("a", 2, 200)] * 3 + [("b", 1, v) for v in (1, 2, 3, 4)] * 3
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s long")
+    got = {(r["q1"], r["q2"]): r for r in
+           anonymity_risk_report(df, ["q1", "q2"], "s", k=10, l=3).collect()}
+    big = got[("a", 1)]   # 12 rows, one sensitive value
+    assert (big["n"], big["l_distinct"], big["k_risky"], big["l_risky"]) == (12, 1, 0, 1)
+    small = got[("a", 2)]  # 3 rows, one value: both risky
+    assert (small["k_risky"], small["l_risky"]) == (1, 1)
+    div = got[("b", 1)]    # 12 rows, 4 values: safe on both
+    assert (div["k_risky"], div["l_risky"]) == (0, 0)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        anonymity_risk_report(df, [], "s", 10, 3)
+
+
+def test_date_shift_preserves_intervals_and_is_deterministic(spark):
+    from datetime import datetime
+
+    from mimic_iv_data_pipeline_spark.operators.privacy import date_shift
+
+    rows = [
+        (1, 10, datetime(2150, 3, 1, 8, 30, 15)),
+        (2, 10, datetime(2150, 3, 5, 23, 0, 0)),
+        (3, 77, datetime(2150, 3, 1, 8, 30, 15)),
+    ]
+    df = spark.createDataFrame(rows, "eid long, subj long, ts timestamp")
+    out = {r["eid"]: r for r in
+           date_shift(df, "subj", ["ts"], 182, offset_col="off").collect()}
+    # same subject, same offset; interval between events exact
+    assert out[1]["off"] == out[2]["off"]
+    assert -182 <= out[1]["off"] <= 182
+    assert (out[2]["ts"] - out[1]["ts"]) == (rows[1][2] - rows[0][2])
+    # time of day survives whole-day shifts
+    assert out[1]["ts"].time() == rows[0][2].time()
+    # different subject, (almost surely) different offset — and
+    # deterministic across invocations
+    again = {r["eid"]: r["off"] for r in
+             date_shift(df, "subj", ["ts"], 182, offset_col="off").collect()}
+    assert again == {e: r["off"] for e, r in out.items()}
+    with pytest.raises(ValueError, match="ts_cols"):
+        date_shift(df, "subj", [], 182)
