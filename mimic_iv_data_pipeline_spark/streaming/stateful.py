@@ -454,3 +454,75 @@ def stream_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ewma double"
+EWMA_STATE_SCHEMA = "prev double"
+
+
+def stream_ewma(
+    events: DataFrame,
+    alpha: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.ewma``: the per-key
+    exponential smoothing recursion with its single-double state
+    carried across micro-batches — the state is exactly the
+    recursion's sufficient statistic (e_{t-1}), so streaming costs
+    O(1) memory per key where the batch operator re-reads the series.
+
+    Rows are processed in (ts, tie_break) order WITHIN each
+    micro-batch group and the Python float op sequence matches the
+    batch operator exactly (``a·x + (1−a)·e_prev`` on IEEE doubles),
+    so for a per-key event-time-ordered stream the emitted values are
+    BITWISE equal to a batch ewma over the union of the batches
+    (asserted by the batch-equivalence test, including chains crossing
+    batch boundaries). Out-of-order arrivals follow arrival order —
+    bound lateness upstream with a watermark + sort, the same contract
+    as ``stream_funnel``/``stream_sessionize``.
+
+    Output (append mode): one row per input event with its smoothed
+    value. State: one double per key (NoTimeout; add a TTL when the
+    key space is unbounded).
+    """
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+
+    def ewma_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (prev,) = state.get if state.exists else (math.nan,)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col, tie_break]
+            )
+            out = []
+            for x in pdf[value_col].astype("float64"):
+                xi = float(x)
+                prev = xi if math.isnan(prev) else a * xi + one_minus_a * prev
+                out.append(prev)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf[key_col].astype("int64"),
+                    "event_id": pdf[tie_break].astype("int64"),
+                    "ewma": out,
+                }
+            )
+        state.update((prev,))
+
+    src = events.selectExpr(key_col, tie_break, ts_col, value_col)
+    return src.groupBy(key_col).applyInPandasWithState(
+        ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -785,3 +785,54 @@ def test_stream_funnel_matches_batch_and_chains_across_batches(spark, tmp_path):
         i: sum(1 for s in got.values() if s >= i) for i in (1, 2, 3)
     }
     assert stream_counts == batch_counts
+
+
+def test_stream_ewma_matches_batch_across_batches(spark, tmp_path):
+    """Streaming EWMA == batch ewma on the union of the micro-batches,
+    BITWISE (same IEEE op sequence), including recursion chains that
+    cross the batch boundary via the single-double state."""
+    from datetime import datetime, timedelta
+
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+    from mimic_iv_data_pipeline_spark.streaming.events import read_event_stream
+    from mimic_iv_data_pipeline_spark.streaming.stateful import stream_ewma
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (eid, eid % 5, base + timedelta(minutes=eid), float((eid * 37) % 101 - 50))
+        for eid in range(200)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    full = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ewma_src")
+    sink = str(tmp_path / "ewma_sink")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    # batch 1 = first half of event time, batch 2 = the rest (per-user
+    # event-time-ordered arrival, the operator's stated contract)
+    full.filter(F.col("event_id") < 100).write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        q = (
+            stream_ewma(read_event_stream(spark, src), alpha=0.25)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass()
+    full.filter(F.col("event_id") >= 100).write.mode("append").parquet(src)
+    run_pass()
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["e"]
+        for r in ewma(full, "user_id", "ts", "value", 0.25,
+                      tie_break="event_id", out_col="e").collect()
+    }
+    assert got == want  # bitwise, including cross-batch chains
