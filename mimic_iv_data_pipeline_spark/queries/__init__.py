@@ -40,7 +40,7 @@ _MODULES = [
 
 # Driver-window rotation schedule (standing, from round 4). The correctness
 # driver records rows for only the FIRST 50 registry entries per round. With
-# 217 registered queries the window is allocated as:
+# 218 registered queries the window is allocated as:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
 #   (c) a STABLE 15-query regression core (one per operator family; also the
@@ -107,7 +107,7 @@ _MODULES = [
 #   decay-weighted recurrence).
 # r7 plan: (a) any r6 reds; (b) the 21 r6-cut queries (q164 q165 q166
 #   q169 q172 q174 q175 q178 q179 q183 q184 q185 q186 q187 q188 q191
-#   q192 q195 q197 q199 q202) plus the r6-new q207-q217 for their
+#   q192 q195 q197 q199 q202) plus the r6-new q207-q218 for their
 #   first driver rows; (c) the
 #   core; (d) oldest r3-aged rows (q48-q83 block) to 50. Rows-only
 #   entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115

@@ -1925,3 +1925,66 @@ def q217_date_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_days",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("shifted_ts"),
     )
+
+
+# --- q218: URL canonicalization + host-level collapse ---------------------------
+# Synthetic crawl frontier: each customer key produces one of several
+# MESSY variants (upper-case scheme/host, userinfo@, default :80 port,
+# trailing slash, utm_* tracking params, #fragment) of one logical
+# URL. The canonical form has a CLOSED FORM in the generator
+# parameters, so the oracle states ground truth directly — a green row
+# proves the whole regex chain (functions/url.py:canonical_url)
+# normalizes every variant to exactly the expected string, rather than
+# replaying the chain's own regexes.
+@register(
+    "q218_url_canonical",
+    oracle="""
+    WITH canon AS (
+      SELECT 'shop' || CAST(c_custkey % 50 AS VARCHAR) || '.com' AS domain,
+             'http://www.shop' || CAST(c_custkey % 50 AS VARCHAR)
+               || '.com/item/' || CAST(c_custkey // 7 AS VARCHAR)
+               || '?id=' || CAST(c_custkey // 7 AS VARCHAR) AS curl
+      FROM customer
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical
+    FROM canon GROUP BY 1
+    """,
+)
+def q218_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level URL dedup stats after canonicalization
+    (functions/url.py — codegen regex chain, no UDF; ~7 messy
+    variants per logical URL collapse to one canonical string)."""
+    from mimic_iv_data_pipeline_spark.functions.url import (
+        canonical_url,
+        url_registered_domain,
+    )
+
+    c = F.col("c_custkey")
+    item = F.expr("c_custkey div 7").cast("string")
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.when(c % 7 == 0, F.lit("crawler:secret@")).otherwise(F.lit("")),
+        F.lit("WWW.Shop"),
+        (c % 50).cast("string"),
+        F.lit(".COM"),
+        F.when(c % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/item/"),
+        item,
+        F.when(c % 3 == 0, F.lit("/?utm_source=news&utm_medium=email&id="))
+        .otherwise(F.lit("?id=")),
+        item,
+        F.when(c % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    urls = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        messy.alias("url")
+    )
+    out = urls.select(
+        url_registered_domain(canonical_url(F.col("url"))).alias("domain"),
+        canonical_url(F.col("url")).alias("curl"),
+    )
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("curl").cast("long").alias("n_canonical"),
+    )

@@ -403,3 +403,37 @@ def test_date_shift_preserves_intervals_and_is_deterministic(spark):
     assert again == {e: r["off"] for e, r in out.items()}
     with pytest.raises(ValueError, match="ts_cols"):
         date_shift(df, "subj", [], 182)
+
+
+# ---------------------------------------------------------------------- URL
+def test_canonical_url_edge_cases(spark):
+    from mimic_iv_data_pipeline_spark.functions.url import (
+        canonical_url,
+        url_host,
+        url_registered_domain,
+    )
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://User:pw@WWW.Ex.COM:80/A/b/?utm_source=x#f", "http://www.ex.com/A/b"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("http://ex.com/p?a=1&utm_medium=m&b=2", "http://ex.com/p?a=1&b=2"),
+        ("http://ex.com/p?utm_source=x", "http://ex.com/p"),  # empty query dropped
+        ("http://ex.com/search&utm_x=1", "http://ex.com/search&utm_x=1"),  # '&' in path untouched
+        ("http://ex.com/", "http://ex.com/"),  # root slash kept
+        ("http://ex.com/a/", "http://ex.com/a"),
+        ("not a url", "not a url"),  # passthrough
+        ("http://ex.com/p?gclid=z&id=9#frag", "http://ex.com/p?id=9"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
+    hd = spark.createDataFrame(
+        [("https://a.B.example.co.uk:9/x",), ("http://localhost/x",)], "url string"
+    ).select(
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    assert (hd[0]["h"], hd[0]["d"]) == ("a.b.example.co.uk", "co.uk")  # documented PSL heuristic
+    assert (hd[1]["h"], hd[1]["d"]) == ("localhost", "localhost")
