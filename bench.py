@@ -289,6 +289,25 @@ def main() -> None:
     # min() reported — min is robust to transient host contention, which
     # produced a phantom +45% "regression" on q15 in round 2 (same plan,
     # same code; re-measured at parity).
+    # Host-contention canary: a FIXED pure-CPU aggregate (no IO, no
+    # sf dependence, same plan every round). Its cross-round ratio
+    # estimates how loaded the driver's box was — r6 burned analysis
+    # time on a uniform ~1.2x "regression" across untouched queries
+    # that was exactly this. Read BENCH_r{N}.canary_sec /
+    # BENCH_r{M}.canary_sec and divide headline ratios by it before
+    # calling anything a real delta (see PERF.md "Bench canary").
+    def _canary() -> float:
+        q = spark.range(50_000_000).selectExpr("id % 9973 AS k")
+        q.groupBy("k").count().count()  # codegen warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.groupBy("k").count().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    canary = _canary()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -315,6 +334,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "canary_sec": canary,  # fixed-work contention reference
                 "sf": sf,
             }
         )

@@ -67,7 +67,10 @@ def canonical_url(url: Column) -> Column:
     4. drop the tracking params in :data:`TRACKING_PARAMS` from the
        query string only (and a then-empty ``?``),
     5. drop a single trailing ``/`` on a non-root path
-       (``/a/`` == ``/a``).
+       (``/a/`` == ``/a``),
+    6. normalize an EMPTY path to ``/`` (RFC 3986 §6.2.3:
+       ``http://ex.com`` == ``http://ex.com/`` — the most common
+       duplicate class a crawler sees).
 
     Every step is one ``regexp_replace``/``concat`` — a fixed codegen
     chain, no UDF. Semantics-changing normalizations (resolving
@@ -100,8 +103,9 @@ def canonical_url(url: Column) -> Column:
     )
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"^&|&$", "")
-    # non-root trailing slash off
+    # non-root trailing slash off; empty path → '/' (RFC 3986 §6.2.3)
     path = F.regexp_replace(path, r"(/[^/?#]+)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     tail = F.concat(
         path, F.when(had_query & (query != ""), F.concat(F.lit("?"), query)).otherwise(F.lit(""))
     )

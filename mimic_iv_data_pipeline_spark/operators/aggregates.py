@@ -2142,7 +2142,14 @@ def spearman_by_group(
     so the plan is one exchange + four in-partition sorts + one hash
     aggregate to |groups| rows. Returns ``(group, n, rho)``; rho NULL
     for constant columns (zero variance).
+
+    Null convention: rows where x or y is NULL are dropped BEFORE
+    ranking (standard pairwise-complete Spearman). This is also what
+    keeps the result engine-portable — Spark ranks NULLS FIRST,
+    DuckDB NULLS LAST, so un-filtered null rows would silently shift
+    every rank and disagree across engines.
     """
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     wg = Window.partitionBy(group_col)
     wxa = Window.partitionBy(group_col).orderBy(F.col(x_col).asc())
     wxd = Window.partitionBy(group_col).orderBy(F.col(x_col).desc())
@@ -2200,6 +2207,15 @@ def exact_percentiles(
     """
     if not probs or not all(0 < p <= 1 for p in probs):
         raise ValueError("exact_percentiles: probs must be in (0, 1]")
+    names = [f"p{round(p * 100)}" for p in probs]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            "exact_percentiles: probs "
+            f"{[p for p, n in zip(probs, names) if n in dupes]} collide to "
+            f"the same output column(s) {dupes} under round(p*100) naming; "
+            "use probs that differ at whole-percent granularity"
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(tie_break).asc()
     )
@@ -2211,14 +2227,12 @@ def exact_percentiles(
         F.count(F.lit(1)).over(wn).alias("__n"),
     )
     aggs = [F.max("__n").cast("long").alias("n")]
-    for p in probs:
+    for p, name in zip(probs, names):
         target = F.greatest(
             F.ceil(F.col("__n").cast("double") * F.lit(float(p))).cast("long"),
             F.lit(1),
         )
         aggs.append(
-            F.max(F.when(F.col("__r") == target, F.col("__y"))).alias(
-                f"p{round(p * 100)}"
-            )
+            F.max(F.when(F.col("__r") == target, F.col("__y"))).alias(name)
         )
     return ranked.groupBy(F.col("__g").alias(group_col)).agg(*aggs)

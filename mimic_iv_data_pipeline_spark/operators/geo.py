@@ -222,7 +222,7 @@ def geo_clusters(
     lon_col: str,
     radius_m: float,
     max_abs_lat: float = 80.0,
-    driver_cap: int = 1_000_000,
+    driver_cap: int = 4_000_000,
 ) -> DataFrame:
     """Spatial density clusters: the transitive closure of the
     within-``radius_m`` relation (single-linkage clustering on the
@@ -237,9 +237,10 @@ def geo_clusters(
 
     Scale shape: the radius join's bounded candidate generation plus
     CC's per-iteration |V|-row exchanges; ``driver_cap`` passes
-    through to CC's union-find fast path (edge lists slightly above
-    the 1M default collect to ~tens of MB — raising it beats the
-    ~60 s star path at the 1.4M-edge probe; see PERF r6d). Dense
+    through to CC's union-find fast path, whose bounded Arrow collect
+    auto-picks the path from the TRUE edge count — the 4M default
+    (64 MB transfer) covers the 1.4M-edge probe that cost the star
+    path ~60 s in r6 (PERF r6d/r7). Dense
     urban blobs are the skew knob (one k-point cell yields k² pair
     candidates) — shrink the radius or pre-aggregate co-located
     points upstream, as with :func:`radius_join`. Returns

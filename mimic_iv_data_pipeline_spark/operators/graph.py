@@ -77,9 +77,9 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _driver_union_find(rows) -> list[tuple]:
-    """Union-find with path halving over a collected edge list;
-    returns ``(id, min-id-of-component)`` rows."""
+def _driver_union_find(pairs) -> list[tuple]:
+    """Union-find with path halving over an iterable of ``(u, v)``
+    pairs; returns ``(id, min-id-of-component)`` rows."""
     parent: dict = {}
     seen: set = set()
 
@@ -89,10 +89,10 @@ def _driver_union_find(rows) -> list[tuple]:
             x = parent[x]
         return x
 
-    for r in rows:
-        seen.add(r.u)
-        seen.add(r.v)
-        ru, rv = find(r.u), find(r.v)
+    for u, v in pairs:
+        seen.add(u)
+        seen.add(v)
+        ru, rv = find(u), find(v)
         if ru != rv:
             # union by min keeps the root the component minimum
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
@@ -106,7 +106,7 @@ def connected_components(
     dst: str = "id_b",
     nodes: DataFrame | None = None,
     max_iter: int = 25,
-    driver_cap: int = 1_000_000,
+    driver_cap: int = 4_000_000,
 ) -> DataFrame:
     """Connected components of an undirected pair list.
 
@@ -123,10 +123,17 @@ def connected_components(
     same guard pattern as ``similarity.cosine_topk_pandas`` and the IVF
     driver-trained quantizer) the closure runs as an O(E α(E))
     union-find on the driver instead of ~8 shuffle stages per
-    star-algorithm round. 1M edges ≈ 16 MB collected — trivially
-    driver-safe; set ``driver_cap=0`` to force the distributed path.
-    Graphs above the cap take the star path automatically, so the
-    operator stays 100 TB-correct with no caller change.
+    star-algorithm round. The collect is Arrow-batched (``toPandas``),
+    so a long-id edge hits the driver at 16 bytes, not a ~150-byte
+    ``Row``: the default 4M-edge cap is a 64 MB transfer plus a
+    union-find dict peaking at a few hundred MB — seconds on any
+    driver, vs ~60 s of star rounds at the 1.4M-edge geo probe (PERF
+    r6d/r7). Size the cap DOWN on small drivers or for wide string
+    ids; set ``driver_cap=0`` to force the distributed path. Graphs
+    above the cap take the star path automatically, so the operator
+    stays 100 TB-correct with no caller change — the bounded collect
+    IS the auto-switch (it observes the true edge count, never an
+    estimate).
 
     On the distributed path, convergence is detected on the canonical edge set with ONE
     aggregate job per round — ``(count, xor-of-hashes)`` as a cheap
@@ -153,10 +160,12 @@ def connected_components(
     )
 
     if driver_cap:
-        head = edges.limit(driver_cap + 1).collect()
+        head = edges.limit(driver_cap + 1).toPandas()  # Arrow, ~16 B/long edge
         if len(head) <= driver_cap:  # bounded collect saw the WHOLE set
             spark = pairs.sparkSession
-            labeled = _driver_union_find(head)
+            labeled = _driver_union_find(
+                zip(head["u"].tolist(), head["v"].tolist())
+            )
             id_type = edges.schema["u"].dataType.simpleString()
             labels = spark.createDataFrame(
                 labeled, f"id {id_type}, component {id_type}"

@@ -473,6 +473,7 @@ def ewma(
 
     def fn(pdf):
         import numpy as np
+        import pandas as pd
 
         pdf = pdf.drop(columns="__ewma_b").sort_values(
             sort_cols, kind="mergesort"
@@ -497,7 +498,19 @@ def ewma(
             xi = float(x[i])
             prev = xi if new_key[i] else a * xi + one_minus_a * prev
             e[i] = prev
-        pdf[out_col] = e
+        # NULL parity with the SQL recursion: a NULL value arrives here
+        # as NaN (Arrow double transfer) and the loop propagates it to
+        # every later row of the key — exactly the shape SQL's
+        # NULL-absorbing arithmetic produces, but SQL emits NULL where
+        # the float loop holds NaN. Mask poisoned cells back to NULL so
+        # the bitwise engine-portability contract covers null inputs.
+        nan_mask = np.isnan(e)
+        if nan_mask.any():
+            out_vals = pd.array(e, dtype="Float64")
+            out_vals[nan_mask] = pd.NA
+            pdf[out_col] = out_vals
+        else:
+            pdf[out_col] = e
         return pdf
 
     bucketed = df.withColumn(
@@ -609,6 +622,7 @@ def holt_linear(
 
     def fn(pdf):
         import numpy as np
+        import pandas as pd
 
         pdf = pdf.drop(columns="__holt_b").sort_values(
             sort_cols, kind="mergesort"
@@ -635,9 +649,20 @@ def holt_linear(
                 trend = b * (nl - level) + one_minus_b * trend
                 level = nl
             lv[i], tr[i] = level, trend
-        pdf["level"] = lv
-        pdf["trend"] = tr
-        pdf["forecast"] = lv + tr
+        fc = lv + tr
+        # NULL parity with the SQL recursion (see ewma): NULL inputs
+        # arrive as NaN and poison the state exactly as SQL NULLs do —
+        # mask each output column's NaN cells back to NULL (trend stays
+        # 0.0, non-null, on a key whose FIRST value is NULL: b_0 is the
+        # literal 0 in the recursion, so SQL agrees).
+        for name, arr in (("level", lv), ("trend", tr), ("forecast", fc)):
+            m = np.isnan(arr)
+            if m.any():
+                vals = pd.array(arr, dtype="Float64")
+                vals[m] = pd.NA
+                pdf[name] = vals
+            else:
+                pdf[name] = arr
         return pdf
 
     bucketed = df.withColumn(

@@ -38,17 +38,23 @@ _MODULES = [
     "stats",
 ]
 
-# Driver-window rotation schedule (standing, from round 4). The correctness
-# driver records rows for only the FIRST 50 registry entries per round. With
-# 218 registered queries the window is allocated as:
+# Driver-window rotation schedule (standing; restructured in round 7 per
+# the r6 verdict — the old 15-query every-round core left only ~2 rotation
+# slots per round against a 219-query registry). The correctness driver
+# records rows for only the FIRST 50 registry entries per round, allocated:
 #   (a) REDS + never-driver-checked queries first (must-have rows),
 #   (b) new queries added this round,
-#   (c) a STABLE 15-query regression core (one per operator family; also the
-#       baseline-comparable bench subset) that stays in every round:
-#       q03 q04 q08 q14 q15 q17 q18 q19 q20 q26 q32 q34 q39 q42 q45,
-#   (d) a ROTATING block filling the window to 50, drawn round-robin from the
-#       remaining queries ordered by driver-row age (oldest first), so every
-#       query re-earns a driver row at least every ~3 rounds.
+#   (c) an EVERY-ROUND 8-query regression core (one per §2 family):
+#       q03 q04 q18 q19 q20 q32 q34 q42, plus an ALTERNATE-round core
+#       (q08 q14 q15 q17 q26 q39 q45) that runs in even rounds —
+#       together the old 15-query baseline-comparable bench subset,
+#   (d) a ROTATING block filling the window to 50, drawn from the
+#       remaining oracled queries ordered by driver-row age (oldest
+#       first, name order within a round) — ~42 rotation slots in odd
+#       rounds, ~35 in even rounds (less any new queries), so the
+#       ~195 rotating oracled queries re-earn rows on a ≤5-round
+#       cycle, and NO slot may skip past a staler eligible query
+#       (pinned by tests/test_manifest.py).
 #
 # r5 manifest: (a) q117-q123 (added after r4's window filled — 7 first
 #   driver rows); (b) q124-q138 (new this round: the fixed-parameter
@@ -105,67 +111,87 @@ _MODULES = [
 #   shape), q169 (q168 shares the pair-count normalization), q195
 #   (q194 shares the per-bin class-stat shape), q202 (q173 shares the
 #   decay-weighted recurrence).
-# r7 plan: (a) any r6 reds; (b) the 21 r6-cut queries (q164 q165 q166
-#   q169 q172 q174 q175 q178 q179 q183 q184 q185 q186 q187 q188 q191
-#   q192 q195 q197 q199 q202) plus the r6-new q207-q218 for their
-#   first driver rows; (c) the
-#   core; (d) oldest r3-aged rows (q48-q83 block) to 50. Rows-only
-#   entries (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115
-#   q122) stay out of the window — each has a green fixed-parameter
-#   oracle twin (q124-q138) carrying its family.
+# r7 manifest (EXECUTED below): (a) no r6 reds — CORRECTNESS_r06 was
+#   50/50 green; (b) ALL 33 never-driver-checked queries: the 21 r6
+#   window cuts (q164 q165 q166 q169 q172 q174 q175 q178 q179 q183
+#   q184 q185 q186 q187 q188 q191 q192 q195 q197 q199 q202) plus the
+#   r6-new q207-q218, plus r7's own q219 (notes-NLP oracle twin — the
+#   last SURVEY §2 surface without a driver row); (c) the every-round
+#   core, SHRUNK 15 → 8 per the r6 verdict (one per §2 family: q03
+#   joins/agg, q04 semi, q18 lookahead window, q19 as-of, q20
+#   ffill/bfill, q32 pivot, q34 dedup, q42 ANN) so rotation keeps
+#   pace with the 219-query registry; the 7 demoted core members (q08
+#   q14 q15 q17 q26 q39 q45) move to the ALTERNATE-round core,
+#   running in even rounds (r8, r10, ...); (d) the 8 OLDEST aged rows
+#   (all r2: q02 q05 q06 q07 q09 q10 q11 q12). Rows-only entries
+#   (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) stay
+#   out of the window — each has a green fixed-parameter oracle twin
+#   (q124-q138) carrying its family.
+# r8 plan: (a) any r7 reds; (b) first rows for r7-new queries; (c)
+#   the 8-core + the 7 alternate-core members; (d) oldest-first aged
+#   rows to 50 — next up the remaining r2 block (q13 q21 q22 q23 q25
+#   q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q43 q46 q47), then the
+#   r3 q48-q83 block. Rotation policy (pinned by
+#   tests/test_manifest.py::test_aged_slots_are_oldest_first): after
+#   never-checked + core, every remaining slot goes to the oldest
+#   eligible (oracled) queries, oldest round first, name order within
+#   a round — no slot may skip past a staler query.
 _PRIORITY = [
-    # (a) never driver-checked — landed after the r5 window filled
-    "q151_triangle_count",
-    "q152_ann_ndcg",
-    "q153_funnel",
-    "q154_target_encoding",
-    "q155_token_budget",
-    "q156_mad_outliers",
-    "q157_mutual_information",
-    "q158_cuped_ab",
-    "q159_label_propagation",
-    "q160_pareto_front",
-    "q161_temporal_split",
-    "q162_kaplan_meier",
-    "q163_logrank",
-    "q167_ks_statistic",
-    "q168_association_rules",
-    "q170_cdc_apply",
-    "q171_rolling_revenue",
-    "q173_ewma",
-    "q176_lift_gains",
-    "q177_grouped_linreg",
-    "q180_bootstrap_ci",
-    "q181_mann_whitney",
-    "q182_anova",
-    "q189_textrank_keywords",
-    "q190_naive_bayes",
-    "q193_attribution",
-    "q194_best_split",
-    "q196_isotonic",
-    "q198_epi_2x2",
-    "q200_shortest_paths",
-    "q201_benford",
-    "q203_radius_join",
-    "q204_golden_records",
-    "q205_concentration",
-    "q206_weibull_fit",
-    # (c) stable regression core — keep identical across rounds
+    # (b) never driver-checked — the 21 r6 cuts, oldest debt first
+    "q164_funnel_lag",
+    "q165_chi_square",
+    "q166_psi_drift",
+    "q169_transition_matrix",
+    "q172_merge_intervals",
+    "q174_cusum",
+    "q175_roc_pr_curve",
+    "q178_seasonal_anomalies",
+    "q179_daily_acf",
+    "q183_bh_fdr",
+    "q184_pmi_collocations",
+    "q185_item_neighbors",
+    "q186_bfs_levels",
+    "q187_holt_trend",
+    "q188_session_stats",
+    "q191_rfm",
+    "q192_seasonal_decompose",
+    "q195_woe_iv",
+    "q197_smd_balance",
+    "q199_forecast_backtest",
+    "q202_time_decay",
+    # (b) never driver-checked — r6-new
+    "q207_geo_knn",
+    "q208_welch_ttest",
+    "q209_mixture_temperature",
+    "q210_geo_clusters",
+    "q211_trimmed_mean",
+    "q212_markov_stationary",
+    "q213_cmh_pooled_or",
+    "q214_spearman",
+    "q215_exact_percentiles",
+    "q216_anonymity_report",
+    "q217_date_shift",
+    "q218_url_canonical",
+    # (b) r7-new — D6 notes NLP, first-ever oracle twin
+    "q219_notes_nlp",
+    # (c) every-round 8-core — one per SURVEY §2 family
     "q03_revenue_by_nation",
     "q04_semi_join",
-    "q08_outer_join_fill",
-    "q14_code_mapping",
-    "q15_mode_per_group",
-    "q17_topk_per_group",
     "q18_readmission_label",
     "q19_asof_join",
     "q20_ffill_bfill",
-    "q26_vocab_build",
     "q32_pivot_wide",
     "q34_dedup_exact",
-    "q39_ngram_jaccard",
     "q42_cosine_topk",
-    "q45_set_ops",
+    # (d) oldest aged rows (last driver row: r2), name order
+    "q02_filter_project",
+    "q05_anti_join",
+    "q06_dedup_first",
+    "q07_conditional_clamp",
+    "q09_union_branches",
+    "q10_distinct_counts",
+    "q11_string_fns",
+    "q12_date_fns",
 ]
 
 

@@ -1988,3 +1988,78 @@ def q218_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.countDistinct("curl").cast("long").alias("n_canonical"),
     )
+
+
+# --- q219: clinical notes NLP (D6) — entity extraction oracle twin --------------
+# The ONE SURVEY §2 surface that had never faced the oracle: the notes
+# pipeline (reference preprocessing/notes_preproc.py:124-224 — medspacy
+# section split + target match + ConText negation/family cues) runs
+# here as operators/nlp.py's deterministic rule engine over mapInPandas.
+# Fixture: each customer key picks one of FOUR fixed note templates
+# (mod-4 class) that jointly exercise section splitting, multi-word
+# targets, the 5-token ConText cue window, the 'but' termination rule,
+# and the family-history section override. The extraction of each
+# template has a CLOSED FORM (section/term/negated/family/offset are
+# constants per class), so the oracle states ground truth directly —
+# a green row proves the matcher, not a replay of its regexes.
+_Q219_NOTE_TEMPLATES = [
+    # m=0: two plain mentions + family-history section override
+    "history of present illness: patient reports fever and chest pain. "
+    "family history: mother with diabetes.",
+    # m=1: 'denies' negation cue + second section
+    "history of present illness: denies fever. "
+    "past medical history: hypertension.",
+    # m=2: 'no evidence of' cue + 'but' ConText termination
+    "history of present illness: no evidence of heart failure but "
+    "chest pain persists. medications: none.",
+    # m=3: 'without' cue scoping over a later mention
+    "assessment and plan: shortness of breath without fever.",
+]
+
+
+@register(
+    "q219_notes_nlp",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_custkey % 4 AS m FROM customer),
+    expected AS (
+      SELECT * FROM (VALUES
+        (0, 'history of present illness', 'fever',               FALSE, FALSE, 44),
+        (0, 'history of present illness', 'chest pain',          FALSE, FALSE, 54),
+        (0, 'family history',             'diabetes',            FALSE, TRUE,  94),
+        (1, 'history of present illness', 'fever',               TRUE,  FALSE, 35),
+        (1, 'past medical history',       'hypertension',        FALSE, FALSE, 64),
+        (2, 'history of present illness', 'heart failure',       TRUE,  FALSE, 43),
+        (2, 'history of present illness', 'chest pain',          FALSE, FALSE, 61),
+        (3, 'assessment and plan',        'shortness of breath', FALSE, FALSE, 21),
+        (3, 'assessment and plan',        'fever',               TRUE,  FALSE, 49)
+      ) AS t(m, section, term, negated, family_context, off)
+    )
+    SELECT CAST(c.c_custkey AS VARCHAR) AS note_id,
+           CAST(c.c_custkey AS BIGINT)  AS subject_id,
+           e.section, e.term, e.negated, e.family_context,
+           CAST(e.off AS INT) AS "offset"
+    FROM c JOIN expected e ON c.m = e.m
+    """,
+)
+def q219_notes_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clinical-notes entity extraction (SURVEY §2.10 D6): section
+    split + target match + ConText negation/family cues over
+    mapInPandas (operators/nlp.py:extract_entities; reference
+    semantics preprocessing/notes_preproc.py:124-224). One note →
+    N exploded entity rows; the oracle is generator ground truth."""
+    from mimic_iv_data_pipeline_spark.operators.nlp import extract_entities
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    m = F.pmod(F.col("c_custkey"), F.lit(4))
+    text = (
+        F.when(m == 0, F.lit(_Q219_NOTE_TEMPLATES[0]))
+        .when(m == 1, F.lit(_Q219_NOTE_TEMPLATES[1]))
+        .when(m == 2, F.lit(_Q219_NOTE_TEMPLATES[2]))
+        .otherwise(F.lit(_Q219_NOTE_TEMPLATES[3]))
+    )
+    notes = c.select(
+        F.col("c_custkey").cast("string").alias("note_id"),
+        F.col("c_custkey").cast("long").alias("subject_id"),
+        text.alias("text"),
+    )
+    return extract_entities(notes)

@@ -457,7 +457,10 @@ def stream_funnel(
 
 
 EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ewma double"
-EWMA_STATE_SCHEMA = "prev double"
+# 'seen' distinguishes "no prior state" from "state poisoned by a NULL
+# value": the batch recursion propagates NULL/NaN forever once seen,
+# so NaN cannot double as the uninitialized sentinel.
+EWMA_STATE_SCHEMA = "prev double, seen boolean"
 
 
 def stream_ewma(
@@ -485,8 +488,11 @@ def stream_ewma(
     as ``stream_funnel``/``stream_sessionize``.
 
     Output (append mode): one row per input event with its smoothed
-    value. State: one double per key (NoTimeout; add a TTL when the
-    key space is unbounded).
+    value. State: (prev double, seen boolean) per key — ``seen`` is
+    the explicit "recursion initialized" flag so a NULL/NaN value
+    poisons the state forever (emitted as NULL), exactly like the
+    batch operator, instead of silently restarting the recursion
+    (NoTimeout; add a TTL when the key space is unbounded).
     """
     a = float(alpha)
     one_minus_a = 1.0 - a
@@ -498,7 +504,12 @@ def stream_ewma(
     ) -> Iterator[pd.DataFrame]:
         import math
 
-        (prev,) = state.get if state.exists else (math.nan,)
+        if state.exists:
+            s_prev, s_seen = state.get
+            prev = float(s_prev) if s_prev is not None else math.nan
+            seen = bool(s_seen)
+        else:
+            prev, seen = math.nan, False
         chunks = [pdf for pdf in batches if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
@@ -507,16 +518,21 @@ def stream_ewma(
             out = []
             for x in pdf[value_col].astype("float64"):
                 xi = float(x)
-                prev = xi if math.isnan(prev) else a * xi + one_minus_a * prev
-                out.append(prev)
+                if not seen:
+                    prev, seen = xi, True
+                else:
+                    prev = a * xi + one_minus_a * prev
+                out.append(None if math.isnan(prev) else prev)
             yield pd.DataFrame(
                 {
                     "user_id": pdf[key_col].astype("int64"),
                     "event_id": pdf[tie_break].astype("int64"),
-                    "ewma": out,
+                    "ewma": pd.array(out, dtype="Float64"),
                 }
             )
-        state.update((prev,))
+        # a NaN prev (poisoned state) is stored as NULL and restored as
+        # NaN above — the poisoning survives micro-batch boundaries.
+        state.update((None if math.isnan(prev) else prev, seen))
 
     src = events.selectExpr(key_col, tie_break, ts_col, value_col)
     return src.groupBy(key_col).applyInPandasWithState(

@@ -45,13 +45,6 @@ def test_bpe_merges_deterministic(vocab):
     assert train_merges_py(vocab, 15) == train_merges_py(list(vocab), 15)
 
 
-class _Row:
-    __slots__ = ("u", "v")
-
-    def __init__(self, u, v):
-        self.u, self.v = u, v
-
-
 @settings(max_examples=200, deadline=None)
 @given(
     st.lists(
@@ -60,7 +53,7 @@ class _Row:
     )
 )
 def test_union_find_matches_bfs(edges):
-    got = dict(_driver_union_find([_Row(a, b) for a, b in edges]))
+    got = dict(_driver_union_find(edges))
     # reference: BFS components with min label
     adj: dict[int, set[int]] = {}
     for a, b in edges:

@@ -29,3 +29,95 @@ def test_every_oracle_belongs_to_a_registered_query():
     qs = all_queries()
     orphans = [n for n in all_oracles() if n not in qs]
     assert not orphans
+
+
+EVERY_ROUND_CORE = {
+    "q03_revenue_by_nation", "q04_semi_join", "q18_readmission_label",
+    "q19_asof_join", "q20_ffill_bfill", "q32_pivot_wide",
+    "q34_dedup_exact", "q42_cosine_topk",
+}
+ALTERNATE_ROUND_CORE = {
+    "q08_outer_join_fill", "q14_code_mapping", "q15_mode_per_group",
+    "q17_topk_per_group", "q26_vocab_build", "q39_ngram_jaccard",
+    "q45_set_ops",
+}
+
+
+def _driver_row_age():
+    """name -> last round with a driver row, AS OF MANIFEST AUTHORING.
+
+    The manifest is written before the round's driver run; once the
+    driver executes it, CORRECTNESS_r{N}.json gives every window entry
+    a fresh row, which would make the oldest-first assertion compare
+    the manifest against a state that did not exist when it was
+    authored. So if the NEWEST correctness file's key set is exactly
+    the current window (i.e. it is this manifest's own execution),
+    it is excluded — the test then passes identically before and
+    after the driver runs.
+    """
+    import glob
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    files = sorted(
+        glob.glob(str(repo / "CORRECTNESS_r*.json")),
+        key=lambda f: int(
+            "".join(ch for ch in Path(f).stem.split("_r")[1] if ch.isdigit())
+        ),
+    )
+
+    def keys(path):
+        d = json.load(open(path))
+        return set(d) if isinstance(d, dict) else {r["name"] for r in d}
+
+    if files and keys(files[-1]) == set(_PRIORITY):
+        files = files[:-1]
+    last: dict[str, int] = {}
+    for f in files:
+        rnd = int("".join(ch for ch in Path(f).stem.split("_r")[1] if ch.isdigit()))
+        for k in keys(f):
+            last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
+def test_every_round_core_present():
+    """The 8-query every-round core occupies a window slot in EVERY
+    round's manifest (the alternate 7 run in even rounds)."""
+    missing = EVERY_ROUND_CORE - set(_PRIORITY)
+    assert not missing, f"every-round core absent from window: {missing}"
+
+
+def test_never_checked_lead_the_window():
+    """Every oracled query without ANY driver row must be in the window
+    (first rows are the most valuable slot use; the r6 verdict's 33-query
+    backlog is exactly what this prevents from re-accumulating)."""
+    last = _driver_row_age()
+    never = [n for n in all_oracles() if n not in last]
+    out = [n for n in never if n not in _PRIORITY]
+    assert not out, f"never-driver-checked queries left outside the window: {out}"
+
+
+def test_aged_slots_are_oldest_first():
+    """Rotation policy pin (r6 verdict item 2): after never-checked
+    queries and the core, every remaining window slot must go to the
+    OLDEST eligible (oracled, non-core) queries — oldest driver round
+    first, name order within a round. No slot may skip past a staler
+    query, so no driver row can age unboundedly while fresher ones
+    re-earn rows."""
+    last = _driver_row_age()
+    oracles = set(all_oracles())
+    core = EVERY_ROUND_CORE | ALTERNATE_ROUND_CORE
+    window = set(_PRIORITY)
+    rotation_in = [
+        n for n in _PRIORITY if n in last and n not in core and n in oracles
+    ]
+    candidates = [n for n in oracles if n in last and n not in core]
+    oldest = sorted(candidates, key=lambda n: (last[n], n))[: len(rotation_in)]
+    assert sorted(rotation_in, key=lambda n: (last[n], n)) == oldest, (
+        "rotation slots are not the oldest eligible queries: "
+        f"window has {sorted(rotation_in)}, oldest cohort is {sorted(oldest)}"
+    )
+    # and rotation entries must not displace never-checked ones
+    never = [n for n in oracles if n not in last]
+    assert set(never) <= window

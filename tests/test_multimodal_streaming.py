@@ -836,3 +836,86 @@ def test_stream_ewma_matches_batch_across_batches(spark, tmp_path):
                       tie_break="event_id", out_col="e").collect()
     }
     assert got == want  # bitwise, including cross-batch chains
+
+
+def test_stream_ewma_restart_exactly_once_and_null_state(spark, tmp_path):
+    """Process-death coverage for stream_ewma (r6 verdict item 8), the
+    stateful-op analogue of the rollup _SUCCESS guard:
+
+    1. each pass is a FRESH query object restored from the checkpoint
+       (what a restarted process does) — the (prev, seen) state must
+       survive the restore, including a NULL-poisoned prev;
+    2. between passes a crash is simulated the way the file sink
+       experiences one: an orphan data file in the sink directory that
+       never made it into the _spark_metadata commit log (written by a
+       task that died before its batch committed). Exactly-once means
+       readers NEVER see it — no duplicate rows after the restart;
+    3. a key whose value goes NULL in batch 1 must stay NULL for all
+       its later events in batch 2 (the seen-flag fix: NaN no longer
+       doubles as the 'no prior state' sentinel, so the recursion must
+       NOT silently restart at the batch boundary).
+    """
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma
+    from mimic_iv_data_pipeline_spark.streaming.events import read_event_stream
+    from mimic_iv_data_pipeline_spark.streaming.stateful import stream_ewma
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for eid in range(120):
+        value = float((eid * 37) % 101 - 50)
+        if eid % 3 == 1 and eid == 40:  # user 1: one NULL mid-batch-1
+            value = None
+        rows.append((eid, eid % 3, base + timedelta(minutes=eid), value))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    full = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ewma_r_src")
+    sink = str(tmp_path / "ewma_r_sink")
+    ckpt = str(tmp_path / "ewma_r_ckpt")
+    full.filter(F.col("event_id") < 60).write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        q = (
+            stream_ewma(read_event_stream(spark, src), alpha=0.25)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass()
+
+    # crash simulation: a data file outside the sink's commit log
+    committed = sorted(glob.glob(os.path.join(sink, "part-*.parquet")))
+    assert committed, "pass 1 wrote no sink files"
+    orphan = os.path.join(sink, "part-99999-dead-task-orphan.parquet")
+    shutil.copyfile(committed[0], orphan)
+
+    full.filter(F.col("event_id") >= 60).write.mode("append").parquet(src)
+    run_pass()  # fresh query object == restore-from-checkpoint
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["e"]
+        for r in ewma(full, "user_id", "ts", "value", 0.25,
+                      tie_break="event_id", out_col="e").collect()
+    }
+    # exactly-once: the orphan contributed nothing (no dupes, counts
+    # equal), and every value matches batch bitwise
+    assert len(got) == len(want) == 120
+    assert got == want
+    # the NULL poisoning crossed the restart: every user-1 event from
+    # the NULL onward is NULL, in batch 1 AND batch 2
+    poisoned = [e for (u, e) in got if u == 1 and e >= 40]
+    assert poisoned and all(got[(1, e)] is None for e in poisoned)
+    # and pre-NULL user-1 values are real doubles
+    assert all(got[(1, e)] is not None for (u, e) in got if u == 1 and e < 40)

@@ -422,6 +422,8 @@ def test_canonical_url_edge_cases(spark):
         ("http://ex.com/p?utm_source=x", "http://ex.com/p"),  # empty query dropped
         ("http://ex.com/search&utm_x=1", "http://ex.com/search&utm_x=1"),  # '&' in path untouched
         ("http://ex.com/", "http://ex.com/"),  # root slash kept
+        ("http://ex.com", "http://ex.com/"),  # RFC 3986 §6.2.3 empty path → '/'
+        ("HTTPS://Ex.COM:443?q=1#f", "https://ex.com/?q=1"),  # bare host + query
         ("http://ex.com/a/", "http://ex.com/a"),
         ("not a url", "not a url"),  # passthrough
         ("http://ex.com/p?gclid=z&id=9#frag", "http://ex.com/p?id=9"),
