@@ -435,6 +435,12 @@ def ewma(
     across engines too). Supply ``tie_break`` whenever (key, ts) is
     not unique — ties beyond it are resolved arbitrarily.
 
+    NULL contract (matches SQL's NULL-absorbing arithmetic, r6 ADVICE
+    fix): a NULL value emits NULL and poisons every LATER row of the
+    same key — exactly what the recursive-CTE twin computes. NaN
+    inputs are indistinguishable from NULL after the Arrow transfer
+    and follow the same rule.
+
     Why Python here and not a JVM fold: the recursion's weight on
     every predecessor rules out window frames, and a Catalyst
     ``aggregate`` fold building the trace is BOTH interpreted (never
@@ -587,7 +593,10 @@ def holt_linear(
     matches any engine's ordered scan — pick α/β exactly representable
     in binary (0.5, 0.25) and a recursive-CTE SQL twin reproduces
     every double bitwise. Supply ``tie_break`` whenever (key, ts) is
-    not unique.
+    not unique. NULL contract as in :func:`ewma`: a NULL value sends
+    level/forecast (and, one step later, trend) NULL for the rest of
+    the key — SQL parity; ``trend`` stays 0.0 on the first row of a
+    NULL-leading key because ``b_0`` is the literal 0.
 
     Implementation/scale bound: identical to :func:`ewma` —
     hash-bucketed ``applyInPandas`` (one Arrow frame per bucket, a
