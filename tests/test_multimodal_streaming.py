@@ -755,10 +755,24 @@ def test_stream_funnel_matches_batch_and_chains_across_batches(spark, tmp_path):
         str(src / "b1")
     )
     run_available()
+
+    # process-death simulation between passes (r6 verdict item 8): a
+    # sink data file written by a task that died before its batch
+    # committed to _spark_metadata must be invisible to readers —
+    # exactly-once output across the restart, like stream_ewma's test.
+    import glob as _glob
+    import shutil as _shutil
+
+    committed = sorted(_glob.glob(out_dir + "/part-*.parquet"))
+    assert committed, "pass 1 wrote no sink files"
+    n_committed = spark.read.parquet(out_dir).count()
+    _shutil.copyfile(committed[0], out_dir + "/part-99999-dead-task.parquet")
+    assert spark.read.parquet(out_dir).count() == n_committed
+
     spark.createDataFrame(batch2, schema).coalesce(1).write.mode("overwrite").parquet(
         str(src / "b2")
     )
-    run_available()
+    run_available()  # fresh query object == restore-from-checkpoint
 
     final = (
         spark.read.parquet(out_dir)
