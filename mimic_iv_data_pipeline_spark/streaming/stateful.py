@@ -542,3 +542,97 @@ def stream_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, level double, trend double, forecast double"
+)
+# same seen-flag discipline as EWMA_STATE_SCHEMA: NULL poisoning must
+# survive micro-batch boundaries, so NaN cannot mark "uninitialized".
+HOLT_STATE_SCHEMA = "level double, trend double, seen boolean"
+
+
+def stream_holt(
+    events: DataFrame,
+    alpha: float,
+    beta: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/windows.holt_linear``: the per-key
+    double-exponential (level + trend) recursion with its two-double
+    state carried across micro-batches — O(1) memory per key, the
+    trend-aware sibling of :func:`stream_ewma`.
+
+    Same contracts as stream_ewma: rows processed in (ts, tie_break)
+    order within each micro-batch group, the EXACT batch IEEE op
+    sequence (l = α·x + (1−α)·(l+b); b = β·(l−l_prev) + (1−β)·b), so
+    per-key event-time-ordered streams emit values BITWISE equal to
+    the batch operator over the union of the batches; NULL values
+    poison the state forever and are emitted as NULL (the seen flag
+    keeps the recursion from silently restarting). State: (level,
+    trend, seen) per key, NoTimeout — add a TTL for unbounded keys.
+    """
+    a = float(alpha)
+    b = float(beta)
+    one_minus_a, one_minus_b = 1.0 - a, 1.0 - b
+
+    def holt_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            s_level, s_trend, s_seen = state.get
+            level = float(s_level) if s_level is not None else math.nan
+            trend = float(s_trend) if s_trend is not None else math.nan
+            seen = bool(s_seen)
+        else:
+            level, trend, seen = math.nan, math.nan, False
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col, tie_break]
+            )
+            levels, trends, fcs = [], [], []
+            for x in pdf[value_col].astype("float64"):
+                xi = float(x)
+                if not seen:
+                    level, trend, seen = xi, 0.0, True
+                else:
+                    nl = a * xi + one_minus_a * (level + trend)
+                    trend = b * (nl - level) + one_minus_b * trend
+                    level = nl
+                fc = level + trend
+                levels.append(None if math.isnan(level) else level)
+                trends.append(None if math.isnan(trend) else trend)
+                fcs.append(None if math.isnan(fc) else fc)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf[key_col].astype("int64"),
+                    "event_id": pdf[tie_break].astype("int64"),
+                    "level": pd.array(levels, dtype="Float64"),
+                    "trend": pd.array(trends, dtype="Float64"),
+                    "forecast": pd.array(fcs, dtype="Float64"),
+                }
+            )
+        state.update(
+            (
+                None if math.isnan(level) else level,
+                None if math.isnan(trend) else trend,
+                seen,
+            )
+        )
+
+    src = events.selectExpr(key_col, tie_break, ts_col, value_col)
+    return src.groupBy(key_col).applyInPandasWithState(
+        holt_fn,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

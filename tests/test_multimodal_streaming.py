@@ -933,3 +933,60 @@ def test_stream_ewma_restart_exactly_once_and_null_state(spark, tmp_path):
     assert poisoned and all(got[(1, e)] is None for e in poisoned)
     # and pre-NULL user-1 values are real doubles
     assert all(got[(1, e)] is not None for (u, e) in got if u == 1 and e < 40)
+
+
+def test_stream_holt_matches_batch_across_batches(spark, tmp_path):
+    """Streaming Holt == batch holt_linear on the union of the
+    micro-batches, BITWISE, including level/trend chains crossing the
+    batch boundary and a NULL value whose poisoning must survive the
+    checkpoint restore (seen-flag discipline, as stream_ewma)."""
+    from datetime import datetime, timedelta
+
+    from mimic_iv_data_pipeline_spark.operators.windows import holt_linear
+    from mimic_iv_data_pipeline_spark.streaming.events import read_event_stream
+    from mimic_iv_data_pipeline_spark.streaming.stateful import stream_holt
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for eid in range(160):
+        value = float((eid * 53) % 97 - 48)
+        if eid == 33:  # user 33%4==1: NULL mid-batch-1
+            value = None
+        rows.append((eid, eid % 4, base + timedelta(minutes=eid), value))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    full = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "holt_src")
+    sink = str(tmp_path / "holt_sink")
+    ckpt = str(tmp_path / "holt_ckpt")
+    full.filter(F.col("event_id") < 80).write.mode("overwrite").parquet(src)
+
+    def run_pass():
+        q = (
+            stream_holt(read_event_stream(spark, src), alpha=0.5, beta=0.25)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_pass()
+    full.filter(F.col("event_id") >= 80).write.mode("append").parquet(src)
+    run_pass()  # fresh query == restore-from-checkpoint
+
+    got = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["forecast"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(full, "user_id", "ts", "value", 0.5, 0.25,
+                             tie_break="event_id").collect()
+    }
+    assert len(got) == len(want) == 160
+    assert got == want  # bitwise, including NULL-poisoned cells
+    # the NULL at eid=33 poisons user 1 for the rest of the stream,
+    # across the batch boundary
+    later = [e for (u, e) in got if u == 1 and e > 33]
+    assert later and all(got[(1, e)][0] is None for e in later)

@@ -139,3 +139,70 @@ def test_q219_fixture_extraction_is_the_closed_form(spark):
             for e in _extract(text, DEFAULT_TARGETS)
         )
         assert got == sorted(expected[m]), f"template {m} drifted"
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a seeded mess of
+    composed URL variants — a canonical form that moves under its own
+    map would break dedup group stability (RFC 3986 §6: normalization
+    is a projection)."""
+    import random
+
+    from mimic_iv_data_pipeline_spark.functions.url import canonical_url
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["Ex.COM", "www.ex.com", "a.b.co.uk", "localhost", "ex.com:80",
+             "ex.com:443", "ex.com:8080", "user:pw@ex.com"]
+    paths = ["", "/", "/a", "/a/", "/a/b.html", "/a//b/", "/%7Euser"]
+    queries = ["", "?", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2",
+               "?gclid=z", "?utm_source=x&utm_campaign=y"]
+    frags = ["", "#f", "#a?b"]
+    urls = ["not a url", "http://", "//ex.com/x", ""]
+    for _ in range(400):
+        s = rng.choice(schemes)
+        u = (s + "://" if s else "") + rng.choice(hosts) + rng.choice(paths) \
+            + rng.choice(queries) + rng.choice(frags)
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad, f"canonical form not idempotent: {bad[:5]}"
+
+
+def test_ewma_holt_invariant_to_n_buckets(spark):
+    """The hash-bucket count is a pure parallelism knob: every
+    (key, t) output must be BITWISE identical for any n_buckets (all
+    rows of a key land in one bucket by construction, and the loop
+    resets at key boundaries)."""
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.windows import ewma, holt_linear
+
+    rng = random.Random(11)
+    rows = [
+        (f"k{rng.randrange(17)}", t, rng.choice([None, rng.uniform(-5, 5)]))
+        for t in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+
+    def emap(n):
+        return {
+            (r["k"], r["t"]): r["e"]
+            for r in ewma(df, "k", "t", "x", 0.25, out_col="e", n_buckets=n).collect()
+        }
+
+    base = emap(1)
+    assert emap(7) == base and emap(64) == base
+
+    def hmap(n):
+        return {
+            (r["k"], r["t"]): (r["level"], r["trend"], r["forecast"])
+            for r in holt_linear(df, "k", "t", "x", 0.5, 0.25, n_buckets=n).collect()
+        }
+
+    hbase = hmap(1)
+    assert hmap(7) == hbase and hmap(64) == hbase
