@@ -128,12 +128,14 @@ def connected_components(
     ``Row``: the default 4M-edge cap is a 64 MB transfer plus a
     union-find dict peaking at a few hundred MB — seconds on any
     driver, vs ~60 s of star rounds at the 1.4M-edge geo probe (PERF
-    r6d/r7). Size the cap DOWN on small drivers or for wide string
-    ids; set ``driver_cap=0`` to force the distributed path. Graphs
-    above the cap take the star path automatically, so the operator
-    stays 100 TB-correct with no caller change — the bounded collect
-    IS the auto-switch (it observes the true edge count, never an
-    estimate).
+    r6d/r7). The cap is DRIVER-RAM-bound, not crossover-bound: at 6M
+    edges / 3M nodes union-find still beats the star path 2x (PERF
+    r7b), so callers with roomy drivers can raise it well past the
+    default — size it DOWN on small drivers or for wide string ids;
+    set ``driver_cap=0`` to force the distributed path. Graphs above
+    the cap take the star path automatically, so the operator stays
+    100 TB-correct with no caller change — the bounded collect IS the
+    auto-switch (it observes the true edge count, never an estimate).
 
     On the distributed path, convergence is detected on the canonical edge set with ONE
     aggregate job per round — ``(count, xor-of-hashes)`` as a cheap
