@@ -164,17 +164,32 @@ def connected_components(
     if driver_cap:
         head = edges.limit(driver_cap + 1).toPandas()  # Arrow, ~16 B/long edge
         if len(head) <= driver_cap:  # bounded collect saw the WHOLE set
+            import pandas as pd
+
             spark = pairs.sparkSession
             labeled = _driver_union_find(
                 zip(head["u"].tolist(), head["v"].tolist())
             )
             id_type = edges.schema["u"].dataType.simpleString()
-            labels = spark.createDataFrame(
-                labeled, f"id {id_type}, component {id_type}"
-            ) if labeled else spark.createDataFrame([], f"id {id_type}, component {id_type}")
+            schema_str = f"id {id_type}, component {id_type}"
+            if labeled:
+                # Arrow path back up too — a list of up to 2x cap Python
+                # tuples through row pickling would dominate wall-clock
+                # and driver RSS at the 4M-edge cap
+                labels = spark.createDataFrame(
+                    pd.DataFrame(labeled, columns=["id", "component"]),
+                    schema_str,
+                )
+            else:
+                labels = spark.createDataFrame([], schema_str)
             if nodes is not None:
                 node_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
-                labels = node_ids.join(F.broadcast(labels), "id", "left").select(
+                # broadcast only while the label side is actually small:
+                # len(labeled) is exact on the driver, and at the raised
+                # 4M-edge cap labels can reach ~8M rows — a forced
+                # broadcast of that would OOM modest drivers/executors
+                small = F.broadcast(labels) if len(labeled) <= 1_000_000 else labels
+                labels = node_ids.join(small, "id", "left").select(
                     "id", F.coalesce("component", "id").alias("component")
                 )
             return labels

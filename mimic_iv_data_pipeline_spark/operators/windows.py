@@ -508,15 +508,13 @@ def ewma(
         # as NaN (Arrow double transfer) and the loop propagates it to
         # every later row of the key — exactly the shape SQL's
         # NULL-absorbing arithmetic produces, but SQL emits NULL where
-        # the float loop holds NaN. Mask poisoned cells back to NULL so
-        # the bitwise engine-portability contract covers null inputs.
-        nan_mask = np.isnan(e)
-        if nan_mask.any():
-            out_vals = pd.array(e, dtype="Float64")
-            out_vals[nan_mask] = pd.NA
-            pdf[out_col] = out_vals
-        else:
-            pdf[out_col] = e
+        # the float loop holds NaN. pd.array(..., dtype="Float64")
+        # converts NaN cells to NA, restoring NULL so the bitwise
+        # engine-portability contract covers null inputs; the plain
+        # float64 column is kept when there is nothing to mask.
+        pdf[out_col] = (
+            pd.array(e, dtype="Float64") if np.isnan(e).any() else e
+        )
         return pdf
 
     bucketed = df.withColumn(
@@ -661,17 +659,13 @@ def holt_linear(
         fc = lv + tr
         # NULL parity with the SQL recursion (see ewma): NULL inputs
         # arrive as NaN and poison the state exactly as SQL NULLs do —
-        # mask each output column's NaN cells back to NULL (trend stays
-        # 0.0, non-null, on a key whose FIRST value is NULL: b_0 is the
-        # literal 0 in the recursion, so SQL agrees).
+        # pd.array's NaN→NA conversion restores NULL per column (trend
+        # stays 0.0, non-null, on a key whose FIRST value is NULL: b_0
+        # is the literal 0 in the recursion, so SQL agrees).
         for name, arr in (("level", lv), ("trend", tr), ("forecast", fc)):
-            m = np.isnan(arr)
-            if m.any():
-                vals = pd.array(arr, dtype="Float64")
-                vals[m] = pd.NA
-                pdf[name] = vals
-            else:
-                pdf[name] = arr
+            pdf[name] = (
+                pd.array(arr, dtype="Float64") if np.isnan(arr).any() else arr
+            )
         return pdf
 
     bucketed = df.withColumn(

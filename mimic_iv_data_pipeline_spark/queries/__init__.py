@@ -136,6 +136,13 @@ _MODULES = [
 #   never-checked + core, every remaining slot goes to the oldest
 #   eligible (oracled) queries, oldest round first, name order within
 #   a round — no slot may skip past a staler query.
+# The round this manifest targets: tests/test_manifest.py evaluates
+# the oldest-first rotation against driver history STRICTLY BEFORE
+# this round, so the pin holds before and after the round's own
+# CORRECTNESS file lands (even a partial one from a crashed driver).
+# Bump together with the manifest each round.
+_MANIFEST_ROUND = 7
+
 _PRIORITY = [
     # (b) never driver-checked — the 21 r6 cuts, oldest debt first
     "q164_funnel_lag",

@@ -459,7 +459,11 @@ def stream_funnel(
 EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ewma double"
 # 'seen' distinguishes "no prior state" from "state poisoned by a NULL
 # value": the batch recursion propagates NULL/NaN forever once seen,
-# so NaN cannot double as the uninitialized sentinel.
+# so NaN cannot double as the uninitialized sentinel. NOTE: this is a
+# STATE SCHEMA CHANGE vs the r6 single-field 'prev double' — a query
+# restarting from a checkpoint written by the old schema fails Spark's
+# state compatibility check; discard the checkpoint (and re-feed the
+# stream) or run the old build to drain before upgrading.
 EWMA_STATE_SCHEMA = "prev double, seen boolean"
 
 

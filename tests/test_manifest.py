@@ -50,33 +50,26 @@ def _driver_row_age():
     driver executes it, CORRECTNESS_r{N}.json gives every window entry
     a fresh row, which would make the oldest-first assertion compare
     the manifest against a state that did not exist when it was
-    authored. So if the NEWEST correctness file's key set is exactly
-    the current window (i.e. it is this manifest's own execution),
-    it is excluded — the test then passes identically before and
-    after the driver runs.
+    authored. So files from ``_MANIFEST_ROUND`` onward are excluded —
+    an EXPLICIT cut (the manifest declares the round it targets), so
+    the pin holds before and after the driver runs, including a
+    partial file from a crashed driver run.
     """
     import glob
     import json
     from pathlib import Path
 
+    from mimic_iv_data_pipeline_spark.queries import _MANIFEST_ROUND
+
     repo = Path(__file__).resolve().parent.parent
-    files = sorted(
-        glob.glob(str(repo / "CORRECTNESS_r*.json")),
-        key=lambda f: int(
-            "".join(ch for ch in Path(f).stem.split("_r")[1] if ch.isdigit())
-        ),
-    )
-
-    def keys(path):
-        d = json.load(open(path))
-        return set(d) if isinstance(d, dict) else {r["name"] for r in d}
-
-    if files and keys(files[-1]) == set(_PRIORITY):
-        files = files[:-1]
     last: dict[str, int] = {}
-    for f in files:
+    for f in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
         rnd = int("".join(ch for ch in Path(f).stem.split("_r")[1] if ch.isdigit()))
-        for k in keys(f):
+        if rnd >= _MANIFEST_ROUND:
+            continue
+        d = json.load(open(f))
+        rows = d if isinstance(d, dict) else {r["name"]: r for r in d}
+        for k in rows:
             last[k] = max(last.get(k, 0), rnd)
     return last
 
