@@ -2057,6 +2057,9 @@ def q213_cmh_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
              CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS y
       FROM orders
+      -- pairwise-complete contract (operator drops null pairs before
+      -- ranking); no-op on TPC-H NOT NULL columns, stated for symmetry
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     ), ranked AS (
       SELECT g, x, y,
              2 * rank() OVER (PARTITION BY g ORDER BY x)
