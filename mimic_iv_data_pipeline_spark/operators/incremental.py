@@ -65,9 +65,28 @@ def band_buckets(
     )
 
 
-def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int | None = None) -> Column:
     """Mean per-function MinHash agreement — the classical unbiased
-    Jaccard estimator (Broder 1997)."""
+    Jaccard estimator (Broder 1997).
+
+    Pass ``num_hashes`` (the signature length, a plan-time constant
+    everywhere this is used) to evaluate as an UNROLLED codegen sum of
+    ``element_at`` equality terms — higher-order ``zip_with`` /
+    ``aggregate`` lambdas never enter whole-stage codegen (the PERF.md
+    interpreted-lambda trap, ~20-50x slower per row) and this runs on
+    the candidate-pair hot path. The lambda form remains as the
+    fallback for a truly unknown length. PRECONDITION: ``num_hashes``
+    must equal the actual signature length — a longer value reads
+    NULL elements and the NULL-absorbing sum poisons the estimate.
+    """
+    if num_hashes:
+        agree = None
+        for i in range(1, int(num_hashes) + 1):
+            term = (
+                F.element_at(sig_a, i) == F.element_at(sig_b, i)
+            ).cast("int")
+            agree = term if agree is None else agree + term
+        return agree / F.lit(float(num_hashes))
     agree = F.aggregate(
         F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -129,13 +148,16 @@ def dedup_against_index(
         shingle_hash=shingle_hash,
     )
     new_banded = band_buckets(new_sig, num_hashes, bands, bucket=bucket)
-    return dedup_banded_against_index(new_banded, index, threshold=threshold)
+    return dedup_banded_against_index(
+        new_banded, index, threshold=threshold, num_hashes=num_hashes
+    )
 
 
 def dedup_banded_against_index(
     new_banded: DataFrame,
     index: DataFrame,
     threshold: float = 0.5,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """``dedup_against_index`` from an already-banded probe relation —
     the plan-level entry point (``plans.llm_corpus.dedup_snapshot``
@@ -164,12 +186,17 @@ def dedup_banded_against_index(
         "new_id",
         "index_id",
         dround(
-            estimated_jaccard(F.col("__new_sig"), F.col("__idx_sig")), 6
+            estimated_jaccard(
+                F.col("__new_sig"), F.col("__idx_sig"), num_hashes=num_hashes
+            ),
+            6,
         ).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= threshold)
 
 
-def within_batch_pairs(banded: DataFrame, threshold: float = 0.5) -> DataFrame:
+def within_batch_pairs(
+    banded: DataFrame, threshold: float = 0.5, num_hashes: int = 64
+) -> DataFrame:
     """Flagged pairs WITHIN one banded batch: the ``minhash_lsh_pairs``
     candidate join run in signature-estimate space (same estimator as
     the index probe, so a snapshot pipeline scores same-batch and
@@ -192,7 +219,8 @@ def within_batch_pairs(banded: DataFrame, threshold: float = 0.5) -> DataFrame:
     return cand.select(
         "id_a",
         "id_b",
-        dround(estimated_jaccard(F.col("__sa"), F.col("__sb")), 6).alias(
-            "est_jaccard"
-        ),
+        dround(
+            estimated_jaccard(F.col("__sa"), F.col("__sb"), num_hashes=num_hashes),
+            6,
+        ).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= threshold)

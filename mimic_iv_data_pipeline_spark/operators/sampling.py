@@ -122,6 +122,7 @@ def pack_sequences(
     budget: int,
     out_col: str = "window_id",
     split_oversized: bool = False,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget context windows
     (GPT-style concat-and-chunk packing, document boundaries kept).
@@ -147,10 +148,20 @@ def pack_sequences(
     last. The explode is a narrow op after the same single shuffle
     (``F.sequence`` over first..last covered window; a doc emits
     ``ceil(tokens/budget) + 1`` rows at most).
+
+    Determinism: (shard, order_col) must be unique — or pass
+    ``tie_break`` — for the layout-stable packing contract; with ties
+    and no tie-break the running sum's tie order (and hence window
+    ids) depends on partition layout.
     """
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be a positive token count")
+    order = [F.col(order_col).asc()] + (
+        [F.col(tie_break).asc()] if tie_break else []
+    )
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
@@ -202,7 +213,10 @@ def dsir_log_weights(
     :func:`hash_unit`, so the whole computation has an exact DuckDB
     twin).
 
-    Returns ``(doc, n_feats, log_weight)``.
+    Returns ``(doc, n_feats, log_weight)`` — one row for EVERY input
+    document: docs with no extractable features (NULL/empty/whitespace
+    text) return ``(doc, 0, 0.0)`` instead of vanishing, so joining
+    the weights back onto the corpus never silently drops documents.
 
     Scale shape: feature extraction is a narrow explode (unigrams +
     ``arrays_zip``-shifted bigrams) scanned EXACTLY ONCE — the
@@ -260,13 +274,22 @@ def dsir_log_weights(
             - F.log((F.col("cr") + 1) / (F.col("__R") + F.lit(buckets)))
         ).alias("__lam"),
     )
-    return (
+    scored = (
         per_doc.join(F.broadcast(lam), "bucket")
         .groupBy("doc")
         .agg(
             F.sum("c").cast("long").alias("n_feats"),
             dround(F.sum(F.col("c") * F.col("__lam")), 6).alias("log_weight"),
         )
+    )
+    # featureless docs (NULL/empty text) produce no occurrence rows —
+    # restore them with the neutral weight so the relation covers
+    # every input document
+    docs = df.select(F.col(id_col).alias("doc")).distinct()
+    return docs.join(scored, "doc", "left").select(
+        "doc",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
 
 
@@ -339,10 +362,15 @@ def source_mixture_rates(
     source then keeps ``rate_s = p_s · C / t_s`` of its tokens.
 
     Returns ``(stratum, tokens, target_share, rate, expected_tokens)``
-    for the targeted strata. Two tiny aggregates: one groupBy(stratum)
-    bounded by source count, one scalar min over it, joined back via
-    broadcast — no driver collect, so the rate table composes straight
-    into :func:`stratified_sample`-style filters on the full corpus.
+    for the targeted strata — INCLUDING targeted strata absent from
+    the corpus, which surface as ``tokens = 0`` rows and bind the cap
+    to ``C = 0`` (every rate 0): an unachievable mixture reports
+    itself as unachievable instead of silently renormalizing over the
+    sources that happen to exist. Two tiny aggregates: one
+    groupBy(stratum) bounded by source count, one scalar min over it,
+    joined back via broadcast — no driver collect, so the rate table
+    composes straight into :func:`stratified_sample`-style filters on
+    the full corpus.
     """
     total = sum(targets.values())
     if abs(total - 1.0) > 1e-9:
@@ -356,16 +384,25 @@ def source_mixture_rates(
         df.select(F.col(strata_col).alias("stratum"), F.col(weight_col))
         .groupBy("stratum")
         .agg(F.sum(weight_col).cast("long").alias("tokens"))
-        .join(F.broadcast(shares), "stratum")  # drops untargeted strata
+        # RIGHT join: drops untargeted strata but KEEPS targeted strata
+        # missing from the corpus (tokens -> 0), so the binding t_s = 0
+        # constraint reaches the cap instead of vanishing
+        .join(F.broadcast(shares), "stratum", "right")
+        .select(
+            "stratum",
+            F.coalesce("tokens", F.lit(0)).cast("long").alias("tokens"),
+            "target_share",
+        )
     )
     cap = masses.agg(
         F.min(F.col("tokens") / F.col("target_share")).alias("__cap")
     )
-    from mimic_iv_data_pipeline_spark.functions.rounding import dround
-
-    raw_rate = F.least(
-        F.lit(1.0), F.col("target_share") * F.col("__cap") / F.col("tokens")
-    )
+    raw_rate = F.when(
+        F.col("tokens") > 0,
+        F.least(
+            F.lit(1.0), F.col("target_share") * F.col("__cap") / F.col("tokens")
+        ),
+    ).otherwise(F.lit(0.0))
     return masses.crossJoin(F.broadcast(cap)).select(
         "stratum",
         "tokens",
@@ -803,9 +840,11 @@ def pareto_front_2d(
     Domination: s dominates r iff s.q ≥ r.q ∧ s.c ≤ r.c with at least
     one strict. Identical (q, c) duplicates do not dominate each other
     — ALL rows equal to a non-dominated point are kept. Rows with a
-    NULL quality or cost never reach the front (NULL comparisons are
-    never true), and a NULL-quality row cannot shadow later rows (DESC
-    ordering places NULLs last); filter NULLs upstream if they should
+    NULL quality or cost are EXCLUDED before the sweep (they can
+    neither dominate nor be dominated under SQL comparison semantics,
+    and an unfiltered NULL cost would otherwise rank NULLS FIRST in
+    the per-quality window and shadow that quality's true min-cost
+    representative); map NULLs to sentinels upstream if they should
     participate.
 
     Scale shape (the 2-D case admits an exact one-sweep plan — no
@@ -829,7 +868,11 @@ def pareto_front_2d(
     c = F.col(cost_col)
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    pts = df.select(q.alias("__q"), c.alias("__c")).distinct()
+    pts = (
+        df.filter(q.isNotNull() & c.isNotNull())
+        .select(q.alias("__q"), c.alias("__c"))
+        .distinct()
+    )
     wq = Window.partitionBy("__q").orderBy(F.col("__c").asc())
     firsts = (
         pts.withColumn("__rn", F.row_number().over(wq))
@@ -908,11 +951,16 @@ def temporal_split(
     leak future rows into training; time-ordered prefixes cannot).
 
     Boundaries are RANK-based (global rank over the total order
-    ``(ts, id)``, then integer thresholds ``floor(f·n)``), not
-    timestamp-percentile-based — integer semantics are exact and
-    engine-portable where interpolated percentiles of huge epoch
-    values invite last-ulp disagreement. Ties at a boundary timestamp
-    are resolved by the id tie-break, deterministically.
+    ``(ts, id)``, then integer thresholds ``int(f·n)`` computed on
+    the IEEE DOUBLE product — note ``0.7·10 = 6.999…`` in binary, so
+    a boundary-exact fraction can land one row below the decimal
+    ``floor(f·n)``; this is deterministic and engine-portable because
+    every engine's correctly-rounded double multiply agrees, which is
+    the contract that matters — where interpolated percentiles of
+    huge epoch values invite last-ulp disagreement. Pass fractions
+    with exact binary representations (0.75, 0.125) when the decimal
+    boundary itself matters. Ties at a boundary timestamp are
+    resolved by the id tie-break, deterministically.
 
     Scale shape: one :func:`global_prefix_sum` of 1s (distributed
     rank — no single-partition window) + one count.
@@ -987,12 +1035,16 @@ def poisson_bootstrap_ci(
     like every sampler in this module, so the CI is reproducible at any
     partitioning and expressible verbatim in the SQL twin.
     ``value_col`` must be integer-quantized (long); replicate means are
-    exact-sum ratios. CI rule: order the B replicate means (ties broken
-    by replicate id), take ranks ``floor(alpha/2·B)+1`` and
-    ``B - floor(alpha/2·B)``. Replicates whose weights sum to 0 in a
-    group (probability e^{-n·B}-ish — only tiny groups) are dropped
-    from the order; groups with fewer than 2 surviving replicate means
-    return NULL bounds.
+    exact-sum ratios. CI rule: order the surviving replicate means
+    (ties broken by replicate id) and take ranks
+    ``floor(alpha/2·nb)+1`` and ``nb − floor(alpha/2·nb)`` where
+    ``nb`` is the PER-GROUP surviving count — with no drops nb = B
+    and the positions reduce to the classic B-based ranks.
+    Replicates whose weights sum to 0 in a group (probability
+    e^{-n·B}-ish — only tiny groups) are dropped from the order;
+    deriving ranks from nb keeps the upper bound at an existing rank
+    for such groups. Groups with fewer than 2 surviving replicate
+    means return NULL bounds.
 
     Scale shape: one narrow explode (B× inflation feeding a map-side
     combine), one groupBy(group, b) shuffle to |groups|·B partial rows,
@@ -1031,11 +1083,17 @@ def poisson_bootstrap_ci(
         "__mb", F.col("__swy").cast("double") / F.col("__sw").cast("double")
     )
     wo = Window.partitionBy(*groups).orderBy(F.col("__mb").asc(), F.col("__b").asc())
-    lo_rank = int(alpha / 2 * n_replicates) + 1
-    hi_rank = n_replicates - (lo_rank - 1)
     ranked = means.withColumn("__rn", F.row_number().over(wo)).withColumn(
         "__nb", F.count(F.lit(1)).over(Window.partitionBy(*groups))
     )
+    # rank positions derive from the SURVIVING replicate count per
+    # group, not from n_replicates: a group that dropped all-zero
+    # replicates (tiny groups) must still place its upper bound at an
+    # existing rank (nb = B reduces to the classic floor(α/2·B)+1 /
+    # B−floor(α/2·B) positions — identical plans on full groups)
+    tail = F.floor(F.lit(alpha / 2) * F.col("__nb")).cast("long")
+    lo_rank = tail + 1
+    hi_rank = F.col("__nb") - tail
     return ranked.groupBy(*groups).agg(
         F.max("__n").alias("n"),
         (F.max("__sy").cast("double") / F.max("__n").cast("double")).alias("mean"),

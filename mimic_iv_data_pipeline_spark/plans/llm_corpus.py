@@ -256,7 +256,9 @@ def dedup_snapshot(
         banded = banded.persist()
 
     if index is not None:
-        cross = dedup_banded_against_index(banded, index, threshold=threshold)
+        cross = dedup_banded_against_index(
+            banded, index, threshold=threshold, num_hashes=num_hashes
+        )
         dropped = cross.select(F.col("new_id").alias(id_col)).distinct()
         remaining = new_docs.join(dropped, id_col, "left_anti")
         banded_remaining = banded.join(
@@ -266,7 +268,9 @@ def dedup_snapshot(
         remaining = new_docs
         banded_remaining = banded
 
-    pairs = within_batch_pairs(banded_remaining, threshold=threshold)
+    pairs = within_batch_pairs(
+        banded_remaining, threshold=threshold, num_hashes=num_hashes
+    )
     survivors = dedup_keep_canonical(remaining, pairs, id_col=id_col)
     surv_banded = banded_remaining.join(
         survivors.select(F.col(id_col).alias("doc")), "doc", "left_semi"

@@ -1574,9 +1574,13 @@ def _poisson_case_sql(u_expr: str) -> str:
     SELECT event_type, max(n) AS n,
            round(floor((CAST(max(sy) AS DOUBLE) / CAST(max(n) AS DOUBLE))
                  * 1e6 + 0.5) / 1e6, 6) AS mean,
-           round(floor(max(CASE WHEN rn = 2 AND nb >= 2 THEN mb END)
+           -- survivor-count-based ranks (operator contract): with no
+           -- dropped replicates nb = 40 and these are rn = 2 / rn = 39
+           round(floor(max(CASE WHEN rn = CAST(floor(0.025 * nb) AS BIGINT) + 1
+                                AND nb >= 2 THEN mb END)
                  * 1e6 + 0.5) / 1e6, 6) AS ci_lo,
-           round(floor(max(CASE WHEN rn = 39 AND nb >= 2 THEN mb END)
+           round(floor(max(CASE WHEN rn = nb - CAST(floor(0.025 * nb) AS BIGINT)
+                                AND nb >= 2 THEN mb END)
                  * 1e6 + 0.5) / 1e6, 6) AS ci_hi
     FROM ranked GROUP BY event_type
     """,

@@ -81,6 +81,10 @@ def stream_incremental_rollup(
 
     Returns the started ``StreamingQuery`` (caller awaits/stops).
     """
+    if keep_snapshots < 1:
+        # lst[:-0] is lst[:0] — keep_snapshots=0 would silently disable
+        # pruning and grow state_dir forever; negatives slice wrong
+        raise ValueError("stream_incremental_rollup: keep_snapshots must be >= 1")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import shutil

@@ -206,3 +206,110 @@ def test_ewma_holt_invariant_to_n_buckets(spark):
 
     hbase = hmap(1)
     assert hmap(7) == hbase and hmap(64) == hbase
+
+
+# ------------------------------------------------------------------ r7 review
+def test_pareto_front_null_cost_cannot_shadow(spark):
+    """A NULL-cost row must neither shadow its quality's true min-cost
+    representative nor reach the front (r7 self-review): with (q=10,
+    c=NULL), (q=10, c=1), (q=5, c=2) the front is {(10,1)} — (5,2) is
+    dominated and the NULL row is excluded."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import pareto_front_2d
+
+    df = spark.createDataFrame(
+        [(10.0, None), (10.0, 1.0), (5.0, 2.0)], "q double, c double"
+    )
+    got = sorted((r["q"], r["c"]) for r in pareto_front_2d(df, "q", "c").collect())
+    assert got == [(10.0, 1.0)]
+
+
+def test_source_mixture_missing_stratum_binds_cap_to_zero(spark):
+    """A targeted source absent from the corpus makes the mixture
+    unachievable: it must surface as a tokens=0 row forcing every
+    rate to 0 — not silently vanish from the join (r7 self-review)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import source_mixture_rates
+
+    df = spark.createDataFrame([("a", 1000)], "src string, toks long")
+    out = {
+        r["stratum"]: (r["tokens"], r["rate"], r["expected_tokens"])
+        for r in source_mixture_rates(
+            df, "src", "toks", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert out["b"] == (0, 0.0, 0)
+    assert out["a"] == (1000, 0.0, 0)  # cap bound by the missing source
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([("s", 1, 10)], "shard string, ord long, toks long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "shard", "ord", "toks", budget=0)
+
+
+def test_dsir_keeps_featureless_docs(spark):
+    """Docs with empty/NULL text must appear with (0, 0.0) instead of
+    silently vanishing from the weight relation (r7 self-review)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "", False), (3, None, False),
+         (4, "alpha beta", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    out = {r["doc"]: (r["n_feats"], r["log_weight"]) for r in
+           dsir_log_weights(df, "doc_id", "text", "is_target", reuse=False).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == (0, 0.0) and out[3] == (0, 0.0)
+    assert out[1][0] > 0 and out[4][0] > 0
+
+
+def test_bootstrap_ci_ranks_follow_surviving_count(spark):
+    """With dropped all-zero replicates the upper bound must sit at an
+    EXISTING rank (nb-based), not at n_replicates-based rank 39 of a
+    38-row order (r7 self-review). Forced here with a tiny group and
+    few replicates; contract: nb >= 2 -> BOTH bounds non-NULL."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", i, 10 + i) for i in range(2)], "grp string, id long, y long"
+    )
+    rows = poisson_bootstrap_ci(
+        df, "grp", "y", "id", n_replicates=25, alpha=0.1, salt="r7"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # with 2 rows per replicate, some of the 25 replicates draw w=0 for
+    # both rows and are dropped; the bounds must still both be set
+    assert r["ci_lo"] is not None and r["ci_hi"] is not None
+    assert r["ci_lo"] <= r["ci_hi"]
+
+
+def test_rollup_rejects_keep_snapshots_zero(spark):
+    from mimic_iv_data_pipeline_spark.streaming.rollup import (
+        stream_incremental_rollup,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_snapshots"):
+        stream_incremental_rollup(None, ["k"], ["v"], "/tmp/x", "/tmp/y",
+                                  keep_snapshots=0)
+
+
+def test_estimated_jaccard_unrolled_matches_lambda(spark):
+    from mimic_iv_data_pipeline_spark.operators.incremental import estimated_jaccard
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 9, 3, 7]), ([5, 5, 5, 5], [5, 5, 5, 5])],
+        "a array<bigint>, b array<bigint>",
+    )
+    got = df.select(
+        estimated_jaccard(F.col("a"), F.col("b"), num_hashes=4).alias("u"),
+        estimated_jaccard(F.col("a"), F.col("b")).alias("l"),
+    ).collect()
+    for r in got:
+        assert r["u"] == r["l"]
+    assert {round(r["u"], 3) for r in got} == {0.5, 1.0}
