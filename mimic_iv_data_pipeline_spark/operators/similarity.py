@@ -31,7 +31,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector scores NULL in BOTH ANSI and
+    # legacy modes (plain '/' THROWS DIVIDE_BY_ZERO under ANSI — the
+    # Spark 4 default — and returns NULL otherwise; the operator's
+    # contract is the NULL, which ranks last under desc windows)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def as_double_vec(col: Column) -> Column:
@@ -144,7 +148,11 @@ def cosine_topk_pandas(
     numpy matmul per Arrow batch (``mapInPandas``), then keeps the
     per-partition top-k before the final global top-k window — the
     classic map-side-combine for top-k. Identical results (same
-    rounding, same tie-break), asserted in tests/test_similarity.py.
+    ``dround`` floor-rounding inlined as ``np.floor(x·1e6+0.5)/1e6`` —
+    NOT ``np.round``, whose ties-to-even differs at half boundaries;
+    same tie-break; zero-norm vectors score NULL and rank last exactly
+    as the expression path's 0/0 → NULL does), asserted in
+    tests/test_similarity.py.
 
     The query side is collected to the driver and broadcast — correct
     for the intended serving shape (a bounded query batch against a huge
@@ -167,9 +175,14 @@ def cosine_topk_pandas(
             f"got > {max_query_rows} query rows. For large query sides use the "
             f"bucketed paths (ann_lsh_topk / ivf_topk) or raise max_query_rows."
         )
+    from mimic_iv_data_pipeline_spark.operators.pq import _require_integral_id
+
+    _require_integral_id(queries, id_col, "cosine_topk_pandas (query side)")
+    _require_integral_id(corpus, id_col, "cosine_topk_pandas")
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_norm))
 
@@ -182,14 +195,27 @@ def cosine_topk_pandas(
                 continue
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            # zero-norm vectors: 0/0 -> NaN here; the expression path's
+            # 0/0 division yields NULL, so NaN cells are masked to NULL
+            # below (NaN would otherwise rank FIRST in Spark's desc
+            # window — NaN > any double — returning a zero vector as
+            # everyone's top-1 neighbor)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = c_norm @ qn.T  # |corpus_batch| × |queries|
             n_q = len(ids)
+            # dround twin: floor(x*1e6 + 0.5)/1e6 — np.round's
+            # ties-to-even disagrees at half boundaries
+            sims_r = np.floor(sims.T.ravel() * 1e6 + 0.5) / 1e6
             frame = pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, len(c_ids)),
                     "neighbor_id": np.tile(c_ids, n_q),
-                    "cos_sim": np.round(sims.T.ravel(), 6),
+                    "cos_sim": (
+                        pd.array(sims_r, dtype="Float64")
+                        if np.isnan(sims_r).any()
+                        else sims_r
+                    ),
                 }
             )
             frame = frame[frame.query_id != frame.neighbor_id]
@@ -395,7 +421,10 @@ def ivf_topk(
             "neighbor_id",
             dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
-        .distinct()  # a pair can meet in several probed cells
+        # NO distinct: each corpus vector lives in exactly ONE cell
+        # (assign_cells(corpus, 1)), so a (query, neighbor) pair can
+        # meet in at most one probed cell — a distinct here would
+        # hash-shuffle the whole scored relation for zero dedup effect
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -545,9 +574,12 @@ def recall_at_k(
     a = approx.select(
         F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("neighbor_id")
     )
+    # dedup the truth side: duplicate (query, neighbor) rows (e.g. an
+    # upstream union) would each survive the semi-join and let recall
+    # exceed 1.0; the relation is k·|Q| rows, so the shuffle is noise
     e = exact.select(
         F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("neighbor_id")
-    )
+    ).distinct()
     hits = (
         e.join(a, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -691,11 +723,14 @@ def ndcg_at_k(
         F.col(neighbor_col).alias("neighbor_id"),
         F.col(score_col).alias("__score"),
     )
+    # dedup judgments: an exact-duplicate (query, neighbor, rel) row
+    # would fan out the DCG join and double-add that result's gain,
+    # silently pushing nDCG past 1.0; k·|Q| rows — negligible shuffle
     t = truth.select(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_col).alias("neighbor_id"),
         F.col(rel_col).cast("double").alias("__rel"),
-    )
+    ).distinct()
     wr = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc()
     )

@@ -33,8 +33,15 @@ def tokens(text: Column) -> Column:
 
     ``\\s+`` split of the trimmed string — identical semantics in any
     ANSI engine, used by every operator below so token counts agree.
+    Empty/whitespace-only text yields ``[]``: a bare split returns
+    ``['']`` there (one phantom token), which inflated token_count to
+    1 on empty docs and admitted ``''`` into vocabularies; the
+    ``array_remove`` stays in codegen and only ever fires on that
+    degenerate input (``\\s+`` on trimmed text cannot produce an
+    interior empty token). SQL twin: wrap the split in
+    ``list_filter(..., x -> x <> '')``.
     """
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.array_remove(F.split(F.trim(F.lower(text)), r"\s+"), "")
 
 
 def token_count(text: Column) -> Column:
@@ -67,7 +74,15 @@ def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_tokens", n_tokens)
         .withColumn(
             "mean_token_len",
-            dround((n_chars - (n_tokens - 1)) / F.nullif(n_tokens, F.lit(0)), 6),
+            # total token chars = length minus ALL whitespace (robust
+            # to runs/leading/trailing ws — the old (n_chars−(n_tokens
+            # −1))/n assumed exactly one separator char per boundary
+            # and inflated on the messy docs this filter exists for)
+            dround(
+                F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+                / F.nullif(n_tokens, F.lit(0)),
+                6,
+            ),
         )
         .withColumn("alpha_ratio", dround(alpha_chars / F.nullif(n_chars, F.lit(0)), 6))
         .withColumn("stopword_ratio", dround(stop_hits / F.nullif(n_tokens, F.lit(0)), 6))
@@ -228,17 +243,19 @@ def normalize_url(url: Column) -> Column:
     return u
 
 
-def url_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+def url_frequency(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Normalized-URL frequency table ``(url, n_docs, n_occurrences)``
     — the standard crawl-dedup signal (the same page fetched under
     scheme/www/query variants collapses to one key). One explode + one
     vocabulary-bounded hash aggregate."""
     occ = df.select(
-        F.col("doc_id"),
+        F.col(id_col).alias("__doc"),
         F.explode(extract_urls(F.col(text_col))).alias("__raw"),
-    ).select("doc_id", normalize_url(F.col("__raw")).alias("url"))
+    ).select("__doc", normalize_url(F.col("__raw")).alias("url"))
     return occ.groupBy("url").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("__doc").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_occurrences"),
     )
 
@@ -371,11 +388,17 @@ def bpe_pair_counts(
                 F.lit(" "),
                 F.col("word").substr(F.col("__i") + 1, F.lit(1)),
             ).alias("pair"),
+            "word",
             "__wc",
         )
     )
     agg = pairs.groupBy("pair").agg(
-        F.count("*").cast("long").alias("n_words"),
+        # DISTINCT word: a word containing the pair at several
+        # positions ('banana' → 'a n' twice) is ONE word containing
+        # the pair, not two — count(*) over (word, position) rows
+        # inflated this column on exactly the repetitive words BPE
+        # statistics care about
+        F.countDistinct("word").cast("long").alias("n_words"),
         F.sum("__wc").cast("long").alias("n_occurrences"),
     )
     return agg.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc()).limit(top_k)
@@ -505,8 +528,10 @@ def gopher_quality(
         toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
     mean_len = dround(tok_len_sum / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6)
+    # column API (not an F.expr f-string): works for any column name
+    # (spaces/dots) and keeps the regex out of SQL-string splicing
     n_symbol = F.size(
-        F.expr(f"regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.', 0)")
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
     ).cast("long")
     symbol_ratio = dround(
         n_symbol / F.nullif(n_tok.cast("double"), F.lit(0.0)), 6

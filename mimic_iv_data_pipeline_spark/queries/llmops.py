@@ -653,10 +653,12 @@ def q80_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT unnest(list_transform(
                range(1, len(word)),
-               i -> concat(word[i], ' ', word[i+1]))) AS pair, wc
+               i -> concat(word[i], ' ', word[i+1]))) AS pair, word, wc
       FROM words WHERE len(word) >= 2
     )
-    SELECT pair, cast(count(*) AS bigint) AS n_words,
+    -- DISTINCT word mirrors the operator: a word containing the pair
+    -- at several positions is ONE word containing the pair
+    SELECT pair, cast(count(DISTINCT word) AS bigint) AS n_words,
            cast(sum(wc) AS bigint) AS n_occurrences
     FROM pairs GROUP BY 1
     ORDER BY n_occurrences DESC, pair ASC LIMIT 20

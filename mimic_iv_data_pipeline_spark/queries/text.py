@@ -50,7 +50,8 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q35_token_stats",
     oracle=r"""
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_m
     FROM documents
     """,
@@ -71,14 +72,16 @@ def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, text,
              CAST(length(text) AS BIGINT) AS n_chars_m,
-             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS tok_chars,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
              CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                   x -> list_contains(['the', 'a', 'is'], x))) AS BIGINT) AS stop_hits
       FROM documents
     )
     SELECT doc_id, n_chars_m, n_tokens,
-           round((n_chars_m - (n_tokens - 1)) * 1.0 / nullif(n_tokens, 0), 6) AS mean_token_len,
+           round(tok_chars * 1.0 / nullif(n_tokens, 0), 6) AS mean_token_len,
            round(alpha * 1.0 / nullif(n_chars_m, 0), 6) AS alpha_ratio,
            round(stop_hits * 1.0 / nullif(n_tokens, 0), 6) AS stopword_ratio
     FROM t

@@ -313,3 +313,119 @@ def test_estimated_jaccard_unrolled_matches_lambda(spark):
     for r in got:
         assert r["u"] == r["l"]
     assert {round(r["u"], 3) for r in got} == {0.5, 1.0}
+
+
+def test_cosine_topk_pandas_zero_norm_and_rounding_match_expression(spark):
+    """r7 self-review: (a) a zero-norm vector must NOT become everyone's
+    top-1 neighbor (NaN sims are masked to NULL, ranking LAST like the
+    expression path's 0/0 -> NULL); (b) rounding is the dround floor
+    twin, not np.round ties-to-even — asserted by exact path identity
+    on vectors engineered to include a zero vector."""
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),  # zero vector
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_p = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk_pandas(df, df, k=2).collect()
+    }
+    got_e = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(df, df, k=2).collect()
+    }
+    assert got_p == got_e  # identical incl. NULL-sim placement
+    # the zero vector is nobody's top-1
+    top1_e = {r["query_id"]: r["neighbor_id"]
+              for r in cosine_topk(df, df, k=1).collect()}
+    top1_p = {r["query_id"]: r["neighbor_id"]
+              for r in cosine_topk_pandas(df, df, k=1).collect()}
+    assert top1_p == top1_e
+    assert all(n != 0 for q, n in top1_p.items() if q != 0)
+
+
+def test_cosine_topk_pandas_rejects_string_ids(spark):
+    from mimic_iv_data_pipeline_spark.operators.similarity import cosine_topk_pandas
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        cosine_topk_pandas(df, df, k=1)
+
+
+def test_token_count_empty_text_is_zero(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import token_count
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("a  b",), ("  hi  ",)], "text string"
+    )
+    got = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 2, 1]
+
+
+def test_mean_token_len_robust_to_whitespace_runs(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import with_quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "  hi  "), (3, "one two")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["mean_token_len"]
+           for r in with_quality_metrics(df).collect()}
+    assert got[1] == 1.0   # was 1.5 under the separator-count formula
+    assert got[2] == 2.0   # was 6.0
+    assert got[3] == 3.0
+
+
+def test_bpe_pair_counts_n_words_is_distinct_words(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "banana banana band")], "doc_id long, text string")
+    got = {r["pair"]: (r["n_words"], r["n_occurrences"])
+           for r in bpe_pair_counts(df, "text", top_k=50).collect()}
+    # 'a n' appears twice in 'banana' (wc=2) and once in 'band' (wc=1):
+    # 2 distinct words contain it; 2*2 + 1 = 5 occurrences
+    assert got["a n"] == (2, 5)
+
+
+def test_recall_and_ndcg_dedup_duplicate_truth(spark):
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        ndcg_at_k,
+        recall_at_k,
+    )
+
+    approx = spark.createDataFrame([(1, 7), (1, 8)], "query_id long, neighbor_id long")
+    exact_dup = spark.createDataFrame(
+        [(1, 7), (1, 7)], "query_id long, neighbor_id long"
+    )
+    rec = recall_at_k(approx, exact_dup, k=2).collect()
+    assert rec[0]["recall"] <= 1.0 and rec[0]["recall"] == 0.5
+    truth_dup = spark.createDataFrame(
+        [(1, 7, 3.0), (1, 7, 3.0)], "query_id long, neighbor_id long, rel double"
+    )
+    results = spark.createDataFrame(
+        [(1, 7, 0.9)], "query_id long, neighbor_id long, cos_sim double"
+    )
+    nd = ndcg_at_k(results, truth_dup, k=2).collect()
+    assert nd[0]["ndcg"] <= 1.0
+
+
+def test_url_frequency_custom_id_col(spark):
+    from mimic_iv_data_pipeline_spark.operators.text import url_frequency
+
+    df = spark.createDataFrame(
+        [(1, "see https://ex.com/a and http://www.ex.com/a?x=1")],
+        "my_id long, text string",
+    )
+    got = {r["url"]: (r["n_docs"], r["n_occurrences"])
+           for r in url_frequency(df, id_col="my_id").collect()}
+    assert got == {"ex.com/a": (1, 2)}
