@@ -187,7 +187,12 @@ def ngram_jaccard_pairs(
     near-dup pairs share many rare shingles, so a cap in the hundreds
     loses essentially nothing while bounding index fan-out to
     Σ min(df, max_df)². Property-tested: capped and uncapped agree on
-    the fixture corpus above threshold.
+    the fixture corpus above threshold. ``max_df`` TAKES PRECEDENCE
+    over ``prefix_filter``: when set, the capped inverted-index path
+    runs and the prefix index is not built (the two knobs target the
+    same Σdf² wall from different ends — raise ValueError-worthy
+    confusion is avoided by documenting the priority here; pass
+    ``max_df=None`` to use the PPJoin prefix path).
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
@@ -337,6 +342,20 @@ def band_buckets_expr(num_hashes: int, bands: int, bucket: str = "hash") -> Colu
     written with these keys must be probed with the SAME keys, so the
     expression must never fork between the batch and incremental
     paths."""
+    if bands <= 0 or bands > num_hashes:
+        raise ValueError(
+            f"band_buckets_expr: bands must be in [1, num_hashes] "
+            f"(got bands={bands}, num_hashes={num_hashes}); bands > "
+            f"num_hashes makes rows_per_band 0 — EVERY doc lands in one "
+            f"bucket and the candidate join degenerates to all-pairs"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"band_buckets_expr: num_hashes ({num_hashes}) must divide "
+            f"evenly into bands ({bands}) — a remainder silently drops "
+            f"the trailing signature entries from every bucket key, "
+            f"changing recall from what was configured"
+        )
     rows_per_band = num_hashes // bands
     if bucket == "hash":
         bucket_expr = (
@@ -610,8 +629,11 @@ def embedding_near_dup_pairs(
                     }
                 )
 
+        # id type follows the input (the LSH path preserves it; a
+        # hardcoded long would die in an opaque Arrow cast on string ids)
+        id_t = df.schema[id_col].dataType.simpleString()
         return df.select(id_col, vec_col).mapInPandas(
-            score, schema="id_a long, id_b long, cos_sim double"
+            score, schema=f"id_a {id_t}, id_b {id_t}, cos_sim double"
         )
 
     if method != "lsh":
@@ -705,7 +727,7 @@ def passage_block_dedup(
     lexicographic order so the result is deterministic under any
     partitioning.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = tokens(F.col(text_col))  # the ONE tokenizer — no inline copy
     base = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
     n_blocks = F.greatest(
         F.ceil(F.size("__toks") / F.lit(float(block_tokens))).cast("long"), F.lit(1)
@@ -861,6 +883,10 @@ def semantic_dedup(
     assigned = _assign_cells_pandas(emb, id_col, vec_col, centers, 1).select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("__v"), "cell"
     )
+    # three consumers (both self-join sides + the final output join on a
+    # DIFFERENT key) — persist so the Python/Arrow assignment pass, the
+    # most expensive stage here, runs once (the module's reuse pattern)
+    assigned = assigned.persist()
     a = assigned.alias("a")
     b = assigned.alias("b")
     pruned_ids = (

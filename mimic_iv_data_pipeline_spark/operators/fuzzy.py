@@ -64,6 +64,7 @@ def edit_distance_join(
     str_col: str,
     max_dist: int = 1,
     max_bucket: int | None = 100_000,
+    reuse: bool = True,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``levenshtein ≤ max_dist``,
     ``id_a < id_b``, exact (complete candidate cover + exact verify).
@@ -99,6 +100,10 @@ def edit_distance_join(
       caller knowing the flag exists. Pass ``None`` to opt OUT into
       the exact complete join (adversarial-input-complete, but
       unbounded skew).
+
+    ``reuse=True`` persists the exploded variant relation — it feeds
+    the bucket-count aggregate and both self-join sides; pass False in
+    long-lived sessions that manage caching themselves.
     """
     sides = df.select(
         F.col(id_col).alias("__id"),
@@ -112,6 +117,13 @@ def edit_distance_join(
         "__id",
         "__s",
     )
+    if reuse:
+        # the exploded variant relation feeds up to three consumers
+        # (the max_bucket count, then BOTH self-join sides — differing
+        # projections above the exchange, so ReuseExchange cannot fire);
+        # without the persist the O(L²/2)-variants explode + xxhash64
+        # recomputes per consumer (the dedup.py reuse=True pattern)
+        sides = sides.persist()
     if max_bucket is not None:
         ok = (
             sides.groupBy("__v")

@@ -71,7 +71,10 @@ def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFra
 
 
 def _bucket(token: Column, row: int, width: int) -> Column:
-    """Row-``row``'s CM bucket for a token.
+    """Row-``row``'s CM bucket for a token (standalone form — prefer
+    :func:`_digest_bucket` with a pre-materialized digest anywhere the
+    expression sits under a generate, where codegen CANNOT share the
+    md5 across rows).
 
     Rows 0-3 slice disjoint 32-bit windows out of ONE md5 digest (32
     hex chars = 4 independent 8-hex slices) — measured 2.7× faster at
@@ -160,24 +163,58 @@ def cm_estimate(
     overestimate with classical ε·N / e^-depth guarantees).
 
     The sketch is tiny → broadcast join; probes stream through without
-    a shuffle on their side.
+    a shuffle on their side. The probe token's md5 is materialized
+    ONCE and sliced per depth row — the same non-CSE-inside-generate
+    fix cm_sketch measured at 2.7× (codegen does not eliminate a
+    repeated md5 inside a generate).
     """
-    keyed = probes.select(
-        F.col(token_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).cast("long").alias("depth"),
-                    _bucket(F.col(token_col), d, width).alias("bucket"),
-                )
-                for d in range(depth)
-            ])
-        ).alias("r"),
-    ).select(token_col, "r.depth", "r.bucket")
+    keyed = (
+        probes.select(F.col(token_col))
+        .withColumn("__dig", F.md5(F.col(token_col)))
+        .select(
+            token_col,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).cast("long").alias("depth"),
+                        _digest_bucket(
+                            F.col("__dig"), F.col(token_col), d, width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ])
+            ).alias("r"),
+        )
+        .select(token_col, "r.depth", "r.bucket")
+    )
     joined = keyed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
     return joined.groupBy(token_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cm_est")
     )
+
+
+def _bloom_bits(
+    key: Column, num_bits: int, num_hashes: int, salt: str
+) -> Column:
+    """The ONE bit-position recipe shared by build and probe: per hash
+    j, ``pmod(md5-8-hex-prefix('{salt}{j}:' || key), num_bits)``. Build
+    and probe must stay bit-identical or every probe goes false — same
+    one-source-of-truth rule as ``dedup._shingle_hash64``."""
+    return F.array(*[
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{j}:"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(num_bits),
+        )
+        for j in range(num_hashes)
+    ])
 
 
 def bloom_build(
@@ -197,24 +234,16 @@ def bloom_build(
     oracle twin possible. Use when a 100 TB membership pre-filter must
     ship to every executor: ``num_bits`` rows of one long broadcast in
     KBs where the key set itself would be TBs.
+
+    NULL keys are NOT representable (md5(NULL) is NULL — no bit to
+    set); they are dropped here, and :func:`bloom_probe` returns NULL
+    ``maybe_member`` for them, so the no-false-negatives guarantee is
+    scoped to non-null keys instead of being silently violated.
     """
-    bits = F.array(*[
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col(key_col).cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(num_bits),
-        )
-        for j in range(num_hashes)
-    ])
+    bits = _bloom_bits(F.col(key_col), num_bits, num_hashes, salt)
     return (
-        keys.select(F.explode(bits).alias("bit"))
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.explode(bits).alias("bit"))
         .distinct()
     )
 
@@ -228,38 +257,26 @@ def bloom_probe(
     salt: str = "bloom",
 ) -> DataFrame:
     """Probe: ``maybe_member`` is true iff ALL ``num_hashes`` bit
-    positions of the key are set (no false negatives; false-positive
-    rate ≈ (1 − e^{−kn/m})^k). The filter is ≤ ``num_bits`` rows →
-    broadcast inner-count join; the probe side never shuffles."""
+    positions of the key are set (no false negatives for NON-NULL
+    keys; false-positive rate ≈ (1 − e^{−kn/m})^k). A NULL probe key
+    returns NULL (unknown) — its bit positions are NULL, so a false
+    ``maybe_member`` would be a silent false negative when NULL was in
+    the build set. The filter is ≤ ``num_bits`` rows → broadcast
+    inner-count join; the probe side never shuffles."""
     keyed = probes.select(
         F.col(key_col),
-        F.explode(
-            F.array(*[
-                F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{salt}{j}:"), F.col(key_col).cast("string")
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                    F.lit(num_bits),
-                )
-                for j in range(num_hashes)
-            ])
-        ).alias("bit"),
+        F.explode(_bloom_bits(F.col(key_col), num_bits, num_hashes, salt)).alias(
+            "bit"
+        ),
     )
     hits = keyed.join(F.broadcast(bloom), "bit", "inner")
     agg = hits.groupBy(key_col).agg(F.count("*").cast("long").alias("__hits"))
     return probes.select(key_col).distinct().join(agg, key_col, "left").select(
         key_col,
-        (F.coalesce("__hits", F.lit(0)) == num_hashes).alias("maybe_member"),
+        F.when(
+            F.col(key_col).isNotNull(),
+            F.coalesce("__hits", F.lit(0)) == num_hashes,
+        ).alias("maybe_member"),
     )
 
 
@@ -289,6 +306,11 @@ def theta_sketch(df: DataFrame, key_col: str, k: int = 512) -> DataFrame:
         df.select(F.col(key_col).alias("key"))
         .distinct()
         .select(_theta_u(F.col("key")).alias("u"))
+        # distinct HASH VALUES, not just distinct keys: two keys
+        # colliding on the 48-bit prefix must enter the KMV sample
+        # once — duplicate u rows would row-multiply the intersection
+        # join and bias the (k-1)/u_k estimator low on u_k
+        .distinct()
         .orderBy(F.col("u").asc())
         .limit(k)
     )

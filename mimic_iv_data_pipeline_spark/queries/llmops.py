@@ -1011,12 +1011,13 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_keys AS (SELECT DISTINCT sh FROM grams WHERE doc_id < 250),
     b_keys AS (SELECT DISTINCT sh FROM grams WHERE doc_id >= 250),
     ua AS (
-      SELECT cast(concat('0x', substr(md5(concat('theta:', sh)), 1, 12)) AS BIGINT)
+      -- DISTINCT u mirrors theta_sketch: colliding keys enter once
+      SELECT DISTINCT cast(concat('0x', substr(md5(concat('theta:', sh)), 1, 12)) AS BIGINT)
                / 281474976710656.0 AS u
       FROM a_keys ORDER BY 1 LIMIT 512
     ),
     ub AS (
-      SELECT cast(concat('0x', substr(md5(concat('theta:', sh)), 1, 12)) AS BIGINT)
+      SELECT DISTINCT cast(concat('0x', substr(md5(concat('theta:', sh)), 1, 12)) AS BIGINT)
                / 281474976710656.0 AS u
       FROM b_keys ORDER BY 1 LIMIT 512
     ),

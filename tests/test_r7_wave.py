@@ -429,3 +429,61 @@ def test_url_frequency_custom_id_col(spark):
     got = {r["url"]: (r["n_docs"], r["n_occurrences"])
            for r in url_frequency(df, id_col="my_id").collect()}
     assert got == {"ex.com/a": (1, 2)}
+
+
+def test_band_buckets_rejects_degenerate_banding(spark):
+    """bands > num_hashes made rows_per_band 0 — every doc in ONE
+    bucket, detonating the quadratic candidate join (r7 self-review)."""
+    from mimic_iv_data_pipeline_spark.operators.dedup import band_buckets_expr
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        band_buckets_expr(8, 16)
+    with _pytest.raises(ValueError, match="evenly"):
+        band_buckets_expr(64, 10)  # silently dropped 4 trailing hashes
+
+
+def test_embedding_exact_dedup_preserves_string_ids(spark):
+    from mimic_iv_data_pipeline_spark.operators.dedup import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 0.0]), ("doc-c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs(df, method="exact", threshold=0.99).collect()}
+    assert got == {("doc-a", "doc-b")}
+
+
+def test_theta_sketch_dedups_hash_values(spark):
+    """KMV contract: the sample holds the k smallest DISTINCT hash
+    values — duplicate u rows (48-bit collisions) bias the estimator
+    and row-multiply the intersection join (r7 self-review)."""
+    from mimic_iv_data_pipeline_spark.operators.sketches import theta_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    us = [r["u"] for r in theta_sketch(df, "k", k=100).collect()]
+    assert len(us) == len(set(us)) == 100
+    assert us == sorted(us)
+
+
+def test_bloom_probe_null_key_is_unknown(spark):
+    """NULL keys are not representable in the filter: build drops
+    them, probe returns NULL (a false 'maybe_member' would be a
+    silent false negative) — r7 self-review."""
+    from mimic_iv_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([("a",), (None,)], "k string")
+    bloom = bloom_build(keys, "k")
+    assert all(r["bit"] is not None for r in bloom.collect())
+    probes = spark.createDataFrame([("a",), ("zzz",), (None,)], "k string")
+    got = {r["k"]: r["maybe_member"] for r in
+           bloom_probe(bloom, probes, "k").collect()}
+    assert got["a"] is True
+    assert got[None] is None
+    # 'zzz' is almost surely a miss with 3 hashes over 4096 bits and
+    # one inserted key; at minimum it must be a bool, never None
+    assert got["zzz"] in (True, False)
