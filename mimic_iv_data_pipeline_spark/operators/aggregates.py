@@ -60,14 +60,24 @@ def filter_majority_unit(
     """A7 applied: keep rows whose unit is the group's majority unit, for
     groups whose majority share exceeds ``cutoff``; groups below the
     cutoff are kept untouched (exact ``drop_wrong_uom`` semantics,
-    ``utils/uom_conversion.py:14-25``)."""
-    modes = mode_per_group(df, group_col, unit_col).withColumnRenamed(
-        unit_col, "__mode_unit"
-    )
+    ``utils/uom_conversion.py:14-25``).
+
+    NULL units: the mode is elected over NON-NULL units only (pandas
+    ``value_counts`` drops NaN, so the reference can never elect NULL
+    — and electing NULL here would NULL the ``==`` for every row and
+    silently delete the whole group). When a real majority filters a
+    group, its NULL-unit rows drop with the other minority units; a
+    group with no non-null units at all passes through untouched.
+    """
+    modes = mode_per_group(
+        df.filter(F.col(unit_col).isNotNull()), group_col, unit_col
+    ).withColumnRenamed(unit_col, "__mode_unit")
     return (
         df.join(F.broadcast(modes), on=group_col, how="left")
         .filter(
-            (F.col("share") <= cutoff) | (F.col(unit_col) == F.col("__mode_unit"))
+            F.col("share").isNull()  # all-NULL-unit group: no election
+            | (F.col("share") <= cutoff)
+            | (F.col(unit_col) == F.col("__mode_unit"))
         )
         .drop("__mode_unit", "share")
     )
@@ -250,7 +260,14 @@ def fit_temperature(
         F.col(label_col).cast("double").alias("__y"),
         F.explode(F.array(*[F.lit(float(t)) for t in ts])).alias("T"),
     )
-    p = 1.0 / (1.0 + F.exp(-F.col("__z") / F.col("T")))
+    # clamp p away from {0, 1}: a saturated sigmoid (|z/T| > ~37 in
+    # doubles) makes log(0) NULL, and avg() would then SKIP the row for
+    # exactly the temperatures where the penalty is largest — silently
+    # biasing the argmin toward wrong-way-confident temperatures. The
+    # clamp bounds the per-row NLL at ~34.5 instead of dropping it.
+    eps = 1e-15
+    raw_p = 1.0 / (1.0 + F.exp(-F.col("__z") / F.col("T")))
+    p = F.least(F.greatest(raw_p, F.lit(eps)), F.lit(1.0 - eps))
     nll = -(F.col("__y") * F.log(p) + (1.0 - F.col("__y")) * F.log(1.0 - p))
     per_t = exploded.groupBy("T").agg(dround(F.avg(nll), 6).alias("nll"))
     w = Window.orderBy(F.col("nll").asc(), F.col("T").asc())
@@ -835,7 +852,11 @@ def population_stability(
     shares are Laplace-smoothed with ``alpha`` so empty current-side
     buckets stay finite. Interior boundary buckets: value v lands in
     bucket i iff edge_{i-1} < v ≤ edge_i, with the outer edges open
-    (±∞) so every value is binned.
+    (±∞) so every NON-NULL value is binned. NULLs are dropped on both
+    sides before bucketing — ``NULL > edge`` is NULL in SQL, so an
+    unfiltered NULL row would land in bucket 0 (every WHEN falls
+    through to otherwise(0)) and a nully upstream join would read as
+    spurious low-bucket drift.
 
     Scale shape: one exact-percentile aggregate over the reference
     (one row of ``bins−1`` interior edges, broadcast as a literal-free
@@ -847,6 +868,8 @@ def population_stability(
     """
     if bins < 2:
         raise ValueError("population_stability: bins must be >= 2")
+    ref = ref.filter(F.col(value_col).isNotNull())
+    cur = cur.filter(F.col(value_col).isNotNull())
     qs = [i / bins for i in range(1, bins)]
     edges_row = ref.agg(
         F.expr(f"percentile({value_col}, array({','.join(map(str, qs))}))").alias(
@@ -999,7 +1022,8 @@ def roc_pr_curve(
     by_score = df.groupBy(F.col(score_col).alias("score")).agg(
         F.sum(lab).alias("pos"),
         F.sum(F.lit(1) - lab).alias("neg"),
-    )
+    ).persist()  # |distinct scores| rows; 3 consumers (quantile bounds,
+    # prefix sums, totals) — without the pin each re-runs the fact scan
     cum = global_prefix_sums(
         by_score,
         [F.col("score").desc()],
@@ -1007,9 +1031,12 @@ def roc_pr_curve(
         bucket_col="score",
         bucket_desc=True,
     )
-    totals = df.agg(
-        F.sum(lab).cast("long").alias("__P"),
-        F.sum(F.lit(1) - lab).cast("long").alias("__N"),
+    # totals from the tiny by_score relation — P = Σpos, N = Σneg by
+    # construction; aggregating df again would re-scan the full fact
+    # table (the operator's only corpus-sized input) a second time
+    totals = by_score.agg(
+        F.sum("pos").cast("long").alias("__P"),
+        F.sum("neg").cast("long").alias("__N"),
     )
     curve = cum.crossJoin(F.broadcast(totals)).withColumn(
         "prec_micro",
@@ -1149,16 +1176,25 @@ def grouped_linreg(
     """
     groups = _cols(group_by)
     x, y = F.col(x_col), F.col(y_col)
+    # square/cross in decimal(18,0) so |x|,|y| up to ~1e18 never wrap
+    # the long multiply (the anova/smd/welch convention — a raw long
+    # x*x wraps silently at |x| > ~3e9 BEFORE _exact_sums' cast)
+    x18, y18 = x.cast("decimal(18,0)"), y.cast("decimal(18,0)")
     s = _exact_sums(
         df,
         groups,
-        {"sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y},
+        {"sx": x, "sy": y, "sxx": x18 * x18, "syy": y18 * y18, "sxy": x18 * y18},
     )
     nD = F.col("n").cast("double")
     sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
-    vx = nD * F.col("sxx").cast("double") - sxD * sxD
-    vy = nD * F.col("syy").cast("double") - syD * syD
-    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    # differences in DECIMAL, cast once (the spearman pattern): the
+    # double form n·Σx² − (Σx)² catastrophically cancels at large |x|
+    # (two ~1e20 doubles whose difference is ~1e2 rounds to 0 → NULL
+    # slope on perfectly-fit data)
+    nB = F.col("n").cast("decimal(38,0)")
+    vx = (nB * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nB * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nB * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     slope = F.when(vx != 0, cov / vx)
     return s.select(
         *groups,
@@ -1191,10 +1227,15 @@ def seasonal_zscore(
     """
     groups = _cols(group_by)
     y = F.col(value_col)
-    stats = _exact_sums(df, groups, {"sy": y, "syy": y * y})
+    y18 = y.cast("decimal(18,0)")  # square pre-cast: no long wrap
+    stats = _exact_sums(df, groups, {"sy": y, "syy": y18 * y18})
     nD = F.col("n").cast("double")
-    syD, syyD = F.col("sy").cast("double"), F.col("syy").cast("double")
-    vy = nD * syyD - syD * syD
+    syD = F.col("sy").cast("double")
+    # decimal difference, cast once (spearman pattern — no cancellation)
+    vy = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy") * F.col("sy")
+    ).cast("double")
     stats = stats.select(
         *groups,
         (syD / nD).alias("__mean"),
@@ -1262,16 +1303,19 @@ def acf(
     ).select(*keys, "__y", F.col("__p.lag").alias("lag"), F.col("__p.__x").alias("__x"))
     pairs = lagged.filter(F.col("__x").isNotNull())
     x, y = F.col("__x"), F.col("__y")
+    # decimal pre-cast squares/cross (no silent long wrap — the
+    # anova/smd/welch convention)
+    x18, y18 = x.cast("decimal(18,0)"), y.cast("decimal(18,0)")
     s = _exact_sums(
         pairs,
         keys + ["lag"],
-        {"sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y},
+        {"sx": x, "sy": y, "sxx": x18 * x18, "syy": y18 * y18, "sxy": x18 * y18},
     )
-    nD = F.col("n").cast("double")
-    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
-    vx = nD * F.col("sxx").cast("double") - sxD * sxD
-    vy = nD * F.col("syy").cast("double") - syD * syD
-    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    # decimal differences, cast once (spearman pattern — no cancellation)
+    nB = F.col("n").cast("decimal(38,0)")
+    vx = (nB * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nB * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nB * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     return s.select(
         *keys,
         "lag",
@@ -2024,6 +2068,11 @@ def trimmed_mean(
     """
     if not (0 <= trim_frac < 0.5):
         raise ValueError("trimmed_mean: trim_frac must be in [0, 0.5)")
+    # NULL values out BEFORE ranking: Spark ranks them NULLS FIRST
+    # (DuckDB NULLS LAST), so they would displace the real minima from
+    # the low trim, stay in the kept set, and deflate the mean (counted
+    # in the denominator, skipped by the sum) — the spearman rule
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(tie_break).asc()
     )
@@ -2203,10 +2252,14 @@ def exact_percentiles(
     and count frames, one conditional aggregate to |groups| rows —
     no per-group collect, no sketch. Emits one column per prob
     (``p10``, ``p50``, ...; prob → name via round(p·100)). Groups
-    smaller than 1/min(p) still work (ceil clamps to ≥ 1).
+    smaller than 1/min(p) still work (ceil clamps to ≥ 1). NULL values
+    are dropped before ranking (``n`` counts non-null rows): Spark
+    ranks NULLS FIRST where DuckDB ranks NULLS LAST, so unfiltered
+    nulls would shift every percentile target — the spearman rule.
     """
     if not probs or not all(0 < p <= 1 for p in probs):
         raise ValueError("exact_percentiles: probs must be in (0, 1]")
+    df = df.filter(F.col(value_col).isNotNull())
     names = [f"p{round(p * 100)}" for p in probs]
     if len(set(names)) != len(names):
         dupes = sorted({n for n in names if names.count(n) > 1})

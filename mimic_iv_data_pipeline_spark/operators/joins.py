@@ -75,7 +75,26 @@ def asof_join(
     strategy's ``ORDER BY ts DESC, tie DESC → rn=1``. Tolerance is
     applied post-match (valid: for backward as-of the latest match is
     the only candidate — anything older is farther).
+
+    ``tolerance_seconds`` is honored under BOTH strategies (under
+    'join' it joins the range predicate; under 'union' it filters the
+    carried match) — equivalent for backward as-of. Invalid
+    combinations raise instead of silently ignoring a parameter:
+    unknown ``direction`` values, and ``right_end`` with
+    ``direction='backward'``.
     """
+    if direction not in ("backward", "nearest_after_start"):
+        raise ValueError(
+            f"asof_join: unknown direction {direction!r} "
+            "(expected 'backward' or 'nearest_after_start')"
+        )
+    if direction == "backward" and right_end is not None:
+        raise ValueError(
+            "asof_join: right_end is an interval-containment bound — "
+            "meaningless under direction='backward' (latest-at-or-before); "
+            "silently ignoring it would match events after the interval "
+            "closed. Use direction='nearest_after_start' for intervals."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     # Disambiguate overlapping column names before the non-equi condition.
     # Keys are renamed too (dropped after the join) so that self-joins —
@@ -117,6 +136,17 @@ def asof_join(
         order = (F.col(left_time).cast("long") - rcol(right_start).cast("long")).asc()
     if tolerance_expr is not None:
         cond.append(tolerance_expr)
+    if tolerance_seconds is not None:
+        # honored under BOTH strategies (this used to be a silent no-op
+        # for strategy='join', returning arbitrarily stale matches):
+        # candidates farther back than the tolerance never qualify
+        cond.append(
+            (
+                F.unix_timestamp(F.col(left_time))
+                - F.unix_timestamp(rcol(right_start))
+            )
+            <= F.lit(int(tolerance_seconds))
+        )
 
     cond_expr = cond[0]
     for c in cond[1:]:

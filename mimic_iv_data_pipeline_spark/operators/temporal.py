@@ -105,10 +105,21 @@ def densify_time_grid(
     (``data_generation_icu.py:396-399,480-483``). Distributed form:
     ``explode(sequence(0, length-1))`` — one narrow generate, no shuffle;
     rows stay co-partitioned with their id for the subsequent left join.
+
+    Zero/negative lengths emit NO rows (``range(0)`` semantics): an
+    unguarded ``sequence(0, -1)`` DESCENDS in Spark (default step -1),
+    which would fabricate phantom grid rows t=0 and t=-1 for a
+    sub-hour stay — the same start>stop trap guarded in fuzzy.py /
+    text.py / sampling.py.
     """
+    length = F.col(length_col).cast("long")
     return anchors.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.col(length_col).cast("long") - 1)).alias(time_col),
+        F.explode(
+            F.when(length >= 1, F.sequence(F.lit(0), length - 1)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias(time_col),
     )
 
 
@@ -223,8 +234,11 @@ def seasonal_decompose(
     Stuart):  y = trend + seasonal + residual, with
 
       trend_t    = centered ``trend_window``-day moving average
-                   (NULL unless the window is complete, per the
-                   classical definition),
+                   (NULL unless the window is complete AND the frame
+                   spans exactly trend_window−1 calendar days — a
+                   gappy series must not silently average
+                   non-adjacent days; densify upstream, as with
+                   :func:`acf`),
       seasonal_j = mean of the detrended values at period position
                    j = (days since 1970-01-01) mod ``period``
                    (weekday for period=7; NOT re-centered — the means
@@ -265,9 +279,18 @@ def seasonal_decompose(
     with_trend = df.withColumn(
         "__wn", F.count(F.lit(1)).over(w)
     ).withColumn(
+        # CONTIGUITY guard alongside the count: a gappy daily series
+        # (missing weekends) still has trend_window ROWS in the frame
+        # while spanning more calendar days — averaging non-adjacent
+        # days is silently NOT the classical centered MA. The frame is
+        # complete iff it spans exactly trend_window-1 days.
+        "__wspan",
+        F.datediff(F.max(day_col).over(w), F.min(day_col).over(w)),
+    ).withColumn(
         "trend",
         F.when(
-            F.col("__wn") == trend_window,
+            (F.col("__wn") == trend_window)
+            & (F.col("__wspan") == trend_window - 1),
             F.sum(y.cast("decimal(38,0)")).over(w).cast("double")
             / F.lit(float(trend_window)),
         ),

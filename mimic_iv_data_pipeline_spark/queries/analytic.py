@@ -1352,13 +1352,16 @@ def _linreg_tail_sql(var_terms: str, group: str) -> str:
              sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
       FROM f GROUP BY {group}
     ), e AS (
+      -- differences in exact integer arithmetic (HUGEINT), cast once:
+      -- mirrors grouped_linreg's decimal-difference form (the double
+      -- form cancels catastrophically at large |x|)
       SELECT {group}, n,
-             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
-             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(n * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS vx,
+             CAST(n * CAST(syy AS HUGEINT)
+               - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS vy,
+             CAST(n * CAST(sxy AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS cov,
              CAST(n AS DOUBLE) AS nD, CAST(sx AS DOUBLE) AS sxD,
              CAST(sy AS DOUBLE) AS syD
       FROM s
@@ -1418,12 +1421,14 @@ def q177_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(y * y AS DECIMAL(38,0))) AS syy
       FROM f GROUP BY 1, 2
     ), st AS (
+      -- exact HUGEINT variance difference, cast once (mirrors
+      -- seasonal_zscore's decimal form — no double cancellation)
       SELECT event_type, hr,
              CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-             CASE WHEN n > 1 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-                  THEN sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             CASE WHEN n > 1 AND CAST(n * CAST(syy AS HUGEINT)
+                       - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) > 0
+                  THEN sqrt(CAST(n * CAST(syy AS HUGEINT)
+                             - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
                             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
              END AS std
       FROM s
@@ -1493,13 +1498,15 @@ _ACF_STACK = "\n      UNION ALL ".join(
              sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
       FROM pairs GROUP BY 1, 2
     ), e AS (
+      -- exact HUGEINT differences, cast once (mirrors acf's decimal
+      -- form — no double cancellation)
       SELECT event_type, lag, n_pairs,
-             CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-             CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
-             CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+             CAST(n_pairs * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS vx,
+             CAST(n_pairs * CAST(syy AS HUGEINT)
+               - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS vy,
+             CAST(n_pairs * CAST(sxy AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS cov
       FROM s
     )
     SELECT event_type, lag, n_pairs,

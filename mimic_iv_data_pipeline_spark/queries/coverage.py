@@ -270,11 +270,16 @@ def q51_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              (e.value - 250.0) / 50.0 AS z,
              CASE WHEN e.event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
       FROM events e CROSS JOIN grid g
+    ), clamped AS (
+      -- mirror the operator's saturation clamp (p in [eps, 1-eps])
+      SELECT T, y,
+             least(greatest(1.0 / (1.0 + exp(-z / T)), 1e-15),
+                   1.0 - 1e-15) AS p
+      FROM scored
     ), per_t AS (
       SELECT T,
-             round(avg(-(y * ln(1.0 / (1.0 + exp(-z / T)))
-                       + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-z / T))))), 6) AS nll
-      FROM scored GROUP BY T
+             round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS nll
+      FROM clamped GROUP BY T
     )
     SELECT round(T, 6) AS T, nll
     FROM per_t

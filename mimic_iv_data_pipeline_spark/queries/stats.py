@@ -731,7 +731,10 @@ def q191_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wn AS (
       SELECT event_type, day, y,
              count(*) OVER w7 AS n_in_window,
+             -- contiguity mirror: 7 rows AND a 6-day span (gappy
+             -- series must not average non-adjacent days)
              CASE WHEN count(*) OVER w7 = 7
+                   AND datediff('day', min(day) OVER w7, max(day) OVER w7) = 6
                   THEN CAST(sum(CAST(y AS DECIMAL(38,0))) OVER w7 AS DOUBLE) / 7.0
              END AS trend,
              CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT)

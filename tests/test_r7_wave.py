@@ -487,3 +487,105 @@ def test_bloom_probe_null_key_is_unknown(spark):
     # 'zzz' is almost surely a miss with 3 hashes over 4096 bits and
     # one inserted key; at minimum it must be a bool, never None
     assert got["zzz"] in (True, False)
+
+
+def test_filter_majority_unit_null_mode_cannot_delete_group(spark):
+    """96% NULL units used to elect NULL as mode and delete the WHOLE
+    group via NULL equality (r7 self-review); the mode is now elected
+    over non-null units only (pandas value_counts semantics)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        filter_majority_unit,
+    )
+
+    rows = [(1, None)] * 96 + [(1, "bpm")] * 4 + [(2, None)] * 10
+    df = spark.createDataFrame(rows, "itemid long, uom string")
+    out = filter_majority_unit(df, "itemid", "uom", cutoff=0.95)
+    got = out.groupBy("itemid").count().collect()
+    counts = {r["itemid"]: r["count"] for r in got}
+    # group 1: 'bpm' is 100% of non-null units -> filter fires, keeps
+    # the 4 real-unit rows (NULL-unit rows drop with other minorities)
+    assert counts.get(1) == 4
+    # group 2: no non-null units at all -> untouched
+    assert counts.get(2) == 10
+
+
+def test_densify_time_grid_zero_length_emits_nothing(spark):
+    from mimic_iv_data_pipeline_spark.operators.temporal import densify_time_grid
+
+    df = spark.createDataFrame([(1, 3), (2, 0), (3, -2)], "id long, los long")
+    got = sorted(
+        (r["id"], r["t"]) for r in densify_time_grid(df, "id", "los").collect()
+    )
+    assert got == [(1, 0), (1, 1), (1, 2)]  # no phantom t=0/-1 for 2, 3
+
+
+def test_asof_join_validates_and_honors_tolerance(spark):
+    from datetime import datetime
+
+    from mimic_iv_data_pipeline_spark.operators.joins import asof_join
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 99.0)], "k long, rt timestamp, v double"
+    )
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "t", "rt", direction="fwd")
+    with _pytest.raises(ValueError, match="right_end"):
+        asof_join(left, right, "k", "t", "rt", right_end="rt",
+                  direction="backward")
+    # tolerance under the DEFAULT join strategy: the 9-day-old row is
+    # outside a 1h tolerance -> null match (used to silently match)
+    out = asof_join(left, right, "k", "t", "rt", direction="backward",
+                    tolerance_seconds=3600).collect()
+    assert out[0]["v"] is None
+    # and within tolerance it matches
+    out2 = asof_join(left, right, "k", "t", "rt", direction="backward",
+                     tolerance_seconds=30 * 86400).collect()
+    assert out2[0]["v"] == 99.0
+
+
+def test_trimmed_mean_and_percentiles_drop_nulls(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        exact_percentiles,
+        trimmed_mean,
+    )
+
+    rows = [("g", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [("g", None, 100), ("g", None, 101), ("g", None, 102)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    tm = trimmed_mean(df, "g", "v", 0.1, tie_break="i").collect()[0]
+    # n=8 non-null, cut=0 -> plain mean 4.5 (NULLs neither ranked nor
+    # counted in the denominator)
+    assert tm["n_total"] == 8 and tm["trimmed_mean"] == 4.5
+    pc = exact_percentiles(df, "g", "v", [0.5], tie_break="i").collect()[0]
+    assert pc["n"] == 8 and pc["p50"] == 4.0  # rank ceil(0.5*8)=4
+
+
+def test_population_stability_ignores_nulls(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        population_stability,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    cur_rows = [(float(i),) for i in range(100)] + [(None,)] * 50
+    cur = spark.createDataFrame(cur_rows, "v double")
+    out = {r["bucket"]: r["psi_term"] for r in
+           population_stability(ref, cur, "v", bins=5).collect()}
+    # identical non-null distributions -> PSI ~ 0 (NULLs must not
+    # inflate bucket 0)
+    assert abs(out[-1]) < 1e-6
+
+
+def test_grouped_linreg_no_long_overflow(spark):
+    """x ~ 4e9: x*x wraps a long (~1.8e19 > 9.2e18) — the decimal
+    pre-cast keeps the sums exact (r7 self-review)."""
+    from mimic_iv_data_pipeline_spark.operators.aggregates import grouped_linreg
+
+    rows = [("g", 4_000_000_000 + i, 8_000_000_000 + 2 * i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = grouped_linreg(df, "g", "x", "y").collect()[0]
+    assert out["slope"] == pytest.approx(2.0)
+    assert out["r2"] == pytest.approx(1.0)
