@@ -130,6 +130,10 @@ def kmeans_fit(
         for r in stats:
             sums[r["cell"], r["dim"]] = r["s"]
             counts[r["cell"]] = r["n"]
+        # the collect() above consumed every read of this iteration's
+        # broadcast — release it, or a long fit accumulates max_iter
+        # live (k·d) broadcasts on the executors until the context dies
+        bc.unpersist()
         nonempty = counts > 0
         new_centers[nonempty] = sums[nonempty] / counts[nonempty, None]
         shift = float(np.sqrt(((new_centers - centers) ** 2).sum(axis=1)).max())

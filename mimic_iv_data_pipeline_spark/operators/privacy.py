@@ -197,8 +197,14 @@ def date_shift(
     from mimic_iv_data_pipeline_spark.operators.sampling import hash_unit
 
     span = 2 * max_shift_days + 1
+    # NULL-safe subject key: an unguarded hash of a NULL subject makes
+    # the offset NULL and ts + NULL-interval silently WIPES every
+    # timestamp of those rows — data destruction, not de-id. NULL
+    # subjects form one deterministic shift group (groupBy semantics);
+    # the NUL byte cannot collide with a real cast id.
+    key = F.coalesce(F.col(subject_col).cast("string"), F.lit("\x00null"))
     off = (
-        F.floor(hash_unit(F.col(subject_col), salt) * F.lit(float(span)))
+        F.floor(hash_unit(key, salt) * F.lit(float(span)))
         .cast("long")
         - F.lit(max_shift_days)
     )

@@ -40,7 +40,13 @@ def tfidf_cosine_pairs(
     max_df: int | None = None,
     reuse: bool = True,
 ) -> DataFrame:
-    """All document pairs with TF-IDF cosine similarity ≥ ``threshold``.
+    """All document pairs whose TF-IDF cosine similarity, quantized to
+    6dp (``dround`` — floor(x·1e6+0.5)/1e6), is ≥ ``threshold``. The
+    threshold deliberately applies to the QUANTIZED value: it is the
+    engine-portable quantity both the plan and its DuckDB twin compare
+    (an unrounded filter would flip boundary pairs between engines on
+    last-ulp disagreements); a pair whose true cosine is within 5e-7
+    below the threshold may therefore be included.
 
     Weights are sklearn ``smooth_idf`` TF-IDF (``tf·(ln((1+N)/(1+df))+1)``,
     matching ``tfidf_topk``); the pair dot products come from an
@@ -118,8 +124,10 @@ def bm25_search(
 
     Lucene's non-negative IDF variant:
     ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``, term score
-    ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``, summed over the
-    query terms present in the doc. Output the ``top_k``
+    ``qtf · idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``, summed
+    over the query terms present in the doc — true BAG semantics:
+    a term repeated in ``query_terms`` multiplies its score by its
+    query frequency (the standard BM25 qtf factor). Output the ``top_k``
     ``(doc, score, n_hits)`` rows (score desc, doc asc — exact bounded
     TakeOrdered, no global sort).
 
@@ -162,8 +170,21 @@ def bm25_search(
         F.size(toks).alias("__dl"),
         toks.alias("__toks"),
     ).select("doc", "__dl", F.explode("__toks").alias("token"))
+    # BAG semantics: a term repeated in the query weights its score by
+    # its query frequency (standard BM25 qtf factor) — isin alone
+    # silently collapsed duplicates to set semantics
+    from collections import Counter
+
+    qtf = Counter(t.lower() for t in query_terms)
+    qtf_expr = None
+    for term, c in sorted(qtf.items()):
+        branch = F.when(F.col("token") == term, F.lit(float(c)))
+        qtf_expr = branch if qtf_expr is None else qtf_expr.when(
+            F.col("token") == term, F.lit(float(c))
+        )
+    qtf_col = qtf_expr.otherwise(F.lit(0.0))
     hits = (
-        occ.filter(F.col("token").isin([t.lower() for t in query_terms]))
+        occ.filter(F.col("token").isin(list(qtf)))
         .groupBy("doc", "token")
         .agg(F.count("*").alias("tf"), F.first("__dl").alias("__dl"))
         .withColumn("__df", F.count("*").over(Window.partitionBy("token")))
@@ -177,7 +198,7 @@ def bm25_search(
     )
     scored = (
         hits.crossJoin(F.broadcast(stats))
-        .withColumn("__s", idf * F.col("tf") * (k1 + 1) / denom)
+        .withColumn("__s", qtf_col * idf * F.col("tf") * (k1 + 1) / denom)
         .groupBy("doc")
         .agg(
             dround(F.sum("__s"), 6).alias("score"),
@@ -212,7 +233,12 @@ def embed_hashed_projection(
     """
     toked = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).filter(F.col("tok") != "")
+    )
+    # collapse to (doc, token, tf) BEFORE the dims explode: the sign of
+    # a (token, d) cell is occurrence-independent, so Σ_occurrences sign
+    # == Σ_distinct_tokens tf·sign — identical integers with the
+    # shuffled relation shrunk by the per-doc token multiplicity factor
+    tf_rel = toked.groupBy("doc", "tok").agg(F.count("*").alias("__tf"))
     d_idx = F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("d")
     sign = (
         F.pmod(
@@ -231,12 +257,12 @@ def embed_hashed_projection(
         - 1
     )
     per_dim = (
-        toked.select("doc", "tok", d_idx)
-        .withColumn("s", sign)
+        tf_rel.select("doc", "tok", "__tf", d_idx)
+        .withColumn("s", sign * F.col("__tf"))
         .groupBy("doc", "d")
         .agg(F.sum("s").alias("v"))
     )
-    n_tok = toked.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    n_tok = tf_rel.groupBy("doc").agg(F.sum("__tf").alias("n"))
     return (
         per_dim.join(n_tok, "doc")
         .groupBy("doc", "n")
@@ -286,10 +312,17 @@ def association_rules(
     n_baskets = pairs_src.select("__b").distinct().count()
     if n_baskets == 0:
         raise ValueError("association_rules: empty input")
-    min_count = min_support * n_baskets
+    # compare the support RATIO, never a float min_count: the product
+    # min_support·n rounds UP for many decimal fractions (0.07·100 =
+    # 7.0000000000000001), wrongly excluding items whose support
+    # EQUALS the threshold; count/n vs the same double literal is
+    # boundary-exact and engine-portable (both engines round the one
+    # division identically)
+    nb = F.lit(float(n_baskets))
+    ms = F.lit(float(min_support))
     supp = pairs_src.groupBy("__i").agg(F.count(F.lit(1)).alias("__s"))
     frequent = pairs_src.join(
-        F.broadcast(supp.filter(F.col("__s") >= min_count)), "__i"
+        F.broadcast(supp.filter(F.col("__s") / nb >= ms)), "__i"
     )
     a = frequent.select("__b", F.col("__i").alias("item_a"), F.col("__s").alias("__sa"))
     b = frequent.select("__b", F.col("__i").alias("item_b"), F.col("__s").alias("__sb"))
@@ -302,7 +335,7 @@ def association_rules(
             F.first("__sa").alias("__sa"),
             F.first("__sb").alias("__sb"),
         )
-        .filter(F.col("n_ab") >= min_count)
+        .filter(F.col("n_ab") / nb >= ms)
     )
     n = F.lit(float(n_baskets))
     return pair_counts.select(

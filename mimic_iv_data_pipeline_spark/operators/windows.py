@@ -61,20 +61,22 @@ def impute_cascade(
 
     All four stages share the same partitioning, so the whole cascade is
     one shuffle + one sort.
+
+    Faithful-parity note: after UNBOUNDED ffill+bfill over the same
+    group, the value is null only when the WHOLE group is null — and
+    there the group's mean/median is null too, so stage 3 can never
+    fill anything. This mirrors the reference exactly: its per-visit
+    ``val.fillna(val.mean())`` runs on a column that is either already
+    filled or all-NaN (mean NaN), equally inert, before ``fillna(0)``.
+    The stage is therefore VALIDATED but not executed — same output,
+    one window aggregate cheaper; the semantic knob that matters is
+    ``default``.
     """
     parts = _cols(partition_by)
     out = ffill(df, value_col, parts, order_by)
     out = bfill(out, value_col, parts, order_by)
-    if strategy:
-        gw = Window.partitionBy(*parts)
-        fallback: Column
-        if strategy.lower() == "mean":
-            fallback = F.avg(value_col).over(gw)
-        elif strategy.lower() == "median":
-            fallback = F.expr(f"percentile_approx({value_col}, 0.5)").over(gw)
-        else:
-            raise ValueError(f"unknown impute strategy: {strategy}")
-        out = out.withColumn(value_col, F.coalesce(F.col(value_col), fallback))
+    if strategy and strategy.lower() not in ("mean", "median"):
+        raise ValueError(f"unknown impute strategy: {strategy}")
     return out.na.fill({value_col: default})
 
 
@@ -482,7 +484,10 @@ def ewma(
         import pandas as pd
 
         pdf = pdf.drop(columns="__ewma_b").sort_values(
-            sort_cols, kind="mergesort"
+            # NULLS FIRST (na_position) matches the SQL twins' ASC
+            # default — pandas' default 'last' would process a NULL-ts
+            # row at the other end of the key and desync every e-value
+            sort_cols, kind="mergesort", na_position="first"
         ).reset_index(drop=True)
         x = pdf[value].to_numpy(dtype="float64", na_value=float("nan"))
         n = len(x)
@@ -632,7 +637,7 @@ def holt_linear(
         import pandas as pd
 
         pdf = pdf.drop(columns="__holt_b").sort_values(
-            sort_cols, kind="mergesort"
+            sort_cols, kind="mergesort", na_position="first"  # see ewma
         ).reset_index(drop=True)
         x = pdf[value].to_numpy(dtype="float64", na_value=float("nan"))
         n = len(x)
@@ -768,10 +773,16 @@ def attribute_revenue(
     linear_micro = F.when(
         F.col("__nt") > 0,
         # exact integral division: each touch gets floor(micro/n); the
-        # first touch absorbs the remainder so revenue is conserved
-        F.expr("(__cents * 1000000) div __nt")
+        # first touch absorbs the remainder so revenue is conserved.
+        # The ×1e6 runs in decimal like the first/last path — a raw
+        # integer multiply overflows IntegerType cents (ANSI crash /
+        # silent wrap breaking the conservation invariant)
+        F.expr(
+            "(cast(__cents AS decimal(38,0)) * 1000000) div __nt"
+        )
         + F.when(
-            F.col("__rf") == 1, F.expr("(__cents * 1000000) % __nt")
+            F.col("__rf") == 1,
+            F.expr("(cast(__cents AS decimal(38,0)) * 1000000) % __nt"),
         ).otherwise(F.lit(0)),
     ).otherwise(cents_micro)
     return (
@@ -851,13 +862,20 @@ def forecast_backtest(
     err_n = F.floor(F.abs(F.col("__nv") - F.col("__a")) * F.lit(1e6) + F.lit(0.5)).cast(
         "long"
     )
-    smape_term = F.floor(
-        F.lit(2.0)
-        * F.abs(F.col("__f") - F.col("__a"))
-        / (F.abs(F.col("__f")) + F.abs(F.col("__a")))
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
+    # forecast == actual == 0: the term is defined as 0 (the standard
+    # sMAPE convention) — an unguarded /0 crashes under ANSI mode and
+    # only "worked" non-ANSI via an accidental NaN→long-as-0 coercion
+    denom = F.abs(F.col("__f")) + F.abs(F.col("__a"))
+    smape_term = F.when(
+        denom > 0,
+        F.floor(
+            F.lit(2.0)
+            * F.abs(F.col("__f") - F.col("__a"))
+            / denom
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     agg = stepped.groupBy(*parts).agg(
         F.count(F.lit(1)).cast("long").alias("n_evals"),
         F.sum(err_m).cast("long").alias("model_abs_err_micro"),

@@ -1747,7 +1747,7 @@ def q161_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT i, count(*) AS c FROM src GROUP BY 1),
     freq AS (
       SELECT src.b, src.i, s.c FROM src JOIN s USING (i)
-      WHERE s.c >= (SELECT nb FROM n) * 0.005
+      WHERE s.c * 1.0 / (SELECT nb FROM n) >= 0.005  -- ratio form (boundary-exact)
     ), pc AS (
       SELECT a.i AS item_a, b2.i AS item_b,
              count(*) AS n_ab, max(a.c) AS sa, max(b2.c) AS sb
@@ -1760,7 +1760,7 @@ def q161_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(n_ab * 1.0 / sb * 1e6 + 0.5) / 1e6 AS conf_b_to_a,
            floor(n_ab * (SELECT nb FROM n) / (sa * 1.0 * sb) * 1e6 + 0.5) / 1e6
              AS lift
-    FROM pc WHERE n_ab >= (SELECT nb FROM n) * 0.005
+    FROM pc WHERE n_ab * 1.0 / (SELECT nb FROM n) >= 0.005
     """,
 )
 def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1900,7 +1900,8 @@ def q216_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts,
              CAST(floor(
                cast(concat('0x', substr(md5(concat('dateshift:',
-                 cast(user_id AS varchar))), 1, 8)) AS BIGINT)
+                 coalesce(cast(user_id AS varchar), chr(0) || 'null'))), 1, 8))
+                 AS BIGINT)
                / 4294967296.0 * 365.0) AS BIGINT) - 182 AS offset_days
       FROM events
     )

@@ -1245,7 +1245,10 @@ def q198_epi_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(abs(f - a) * 1e6 + 0.5) AS BIGINT) AS em,
              CAST(floor(abs(nv - a) * 1e6 + 0.5) AS BIGINT) AS en,
-             CAST(floor(2.0 * abs(f - a) / (abs(f) + abs(a)) * 1e6 + 0.5)
+             -- 0/0 term is 0 by the sMAPE convention (operator mirror)
+             CAST(floor(CASE WHEN abs(f) + abs(a) > 0
+                    THEN 2.0 * abs(f - a) / (abs(f) + abs(a))
+                    ELSE 0.0 END * 1e6 + 0.5)
                   AS BIGINT) AS st
       FROM stepped WHERE f IS NOT NULL AND nv IS NOT NULL
     ), agg AS (

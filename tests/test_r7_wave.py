@@ -589,3 +589,96 @@ def test_grouped_linreg_no_long_overflow(spark):
     out = grouped_linreg(df, "g", "x", "y").collect()[0]
     assert out["slope"] == pytest.approx(2.0)
     assert out["r2"] == pytest.approx(1.0)
+
+
+def test_attribute_revenue_int_cents_no_overflow(spark):
+    """IntegerType cents used to overflow the raw (cents * 1e6) under
+    ANSI / wrap silently otherwise (r7 self-review); revenue must be
+    conserved in micro-cents."""
+    from datetime import datetime, timedelta
+
+    from mimic_iv_data_pipeline_spark.operators.windows import attribute_revenue
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "ad", None, 1),
+        (1, t0 + timedelta(hours=1), "email", None, 2),
+        (1, t0 + timedelta(hours=2), "buy", 100_000, 3),  # $1000 as INT cents
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, cents int, eid long"
+    )
+    out = attribute_revenue(
+        df, "user_id", "ts", "event_type", "cents", "buy",
+        ["ad", "email"], lookback_seconds=86400, tie_break="eid",
+    ).collect()
+    assert sum(r["linear_micro"] for r in out) == 100_000 * 1_000_000
+
+
+def test_forecast_backtest_all_zero_series(spark):
+    """forecast == actual == 0 rows: sMAPE term is 0 by convention —
+    used to crash with DIVIDE_BY_ZERO under ANSI (r7 self-review)."""
+    from mimic_iv_data_pipeline_spark.operators.windows import forecast_backtest
+
+    rows = [("k", t, 0.0) for t in range(30)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = forecast_backtest(df, "k", "t", "x", alpha=0.5, beta=0.25,
+                            season=7).collect()
+    assert out and out[0]["smape"] == 0.0
+
+
+def test_date_shift_null_subject_not_wiped(spark):
+    """NULL-subject rows used to get NULL offsets, silently WIPING
+    their timestamps (r7 self-review); they now shift as one group."""
+    from datetime import datetime
+
+    from mimic_iv_data_pipeline_spark.operators.privacy import date_shift
+
+    df = spark.createDataFrame(
+        [(1, "s1", datetime(2024, 1, 1, 12)), (2, None, datetime(2024, 1, 2, 12)),
+         (3, None, datetime(2024, 1, 3, 12))],
+        "eid long, subj string, ts timestamp",
+    )
+    out = {r["eid"]: (r["ts"], r["off"]) for r in
+           date_shift(df, "subj", ["ts"], 30, offset_col="off").collect()}
+    assert all(ts is not None and off is not None for ts, off in out.values())
+    # both NULL-subject rows share ONE offset (they are one shift group)
+    assert out[2][1] == out[3][1]
+    # within-group interval preserved exactly
+    assert (out[3][0] - out[2][0]).days == 1
+
+
+def test_association_rules_boundary_support(spark):
+    """Items whose support EQUALS min_support must survive — the float
+    min_count product (0.07*100 = 7.000...001) used to prune them
+    (r7 self-review, verified failing on the old code)."""
+    from mimic_iv_data_pipeline_spark.operators.retrieval import association_rules
+
+    rows = []
+    for b in range(100):
+        rows.append((b, "x"))
+        if b < 7:
+            rows.append((b, "y"))
+            rows.append((b, "z"))
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {(r["item_a"], r["item_b"]) for r in
+           association_rules(df, "b", "i", min_support=0.07).collect()}
+    assert ("y", "z") in got
+
+
+def test_bm25_bag_semantics(spark):
+    from mimic_iv_data_pipeline_spark.operators.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "apple pie"), (2, "banana split"), (3, "apple apple tart")],
+        "doc_id long, text string",
+    )
+    single = {r["doc"]: r["score"] for r in
+              bm25_search(df, ["apple", "banana"]).collect()}
+    double = {r["doc"]: r["score"] for r in
+              bm25_search(df, ["apple", "apple", "banana"]).collect()}
+    # doubling 'apple' doubles its term contribution for apple docs
+    # (abs tolerance: each score is independently 6dp-rounded)
+    assert double[1] == pytest.approx(2 * single[1], abs=2e-6)
+    # banana-only doc unchanged
+    assert double[2] == single[2]
