@@ -161,18 +161,10 @@ def filter_by_diagnosis(
     code (O(codes×map)); here: broadcast-map conversion (J9) + prefix
     filter + semi join — diagnoses are scanned once.
     """
-    from mimic_iv_data_pipeline_spark.operators.joins import map_codes, semi_filter
-    from mimic_iv_data_pipeline_spark.functions.scalars import icd_root
+    from mimic_iv_data_pipeline_spark.operators.joins import semi_filter
+    from mimic_iv_data_pipeline_spark.plans.features import convert_icd9_to_10
 
-    converted = map_codes(
-        diagnoses.withColumn("root_icd10", F.col("icd_code")),
-        icd_map,
-        code_col="root_icd10",
-        map_key="icd9cm_root",
-        map_value="icd10cm",
-        out_col="root_icd10",
-        key_expr=F.when(F.col("icd_version") == 9, icd_root(F.col("icd_code"))),
-    )
+    converted = convert_icd9_to_10(diagnoses, icd_map)
     matching_ids = converted.filter(
         F.col("root_icd10").startswith(icd10_prefix)
     ).select(id_col)

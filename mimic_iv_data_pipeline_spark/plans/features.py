@@ -28,6 +28,26 @@ from mimic_iv_data_pipeline_spark.operators.joins import asof_join, map_codes, s
 from mimic_iv_data_pipeline_spark.operators.temporal import normalize_event_time
 
 
+def convert_icd9_to_10(diagnoses: DataFrame, icd_map: DataFrame) -> DataFrame:
+    """The ONE ICD-9→ICD-10 conversion (J9): version-9 codes map via
+    their 3-char root through the broadcast icd9cm_root→icd10cm table;
+    version-10 codes pass through as ``root_icd10``. Shared by
+    ``preproc_diagnoses`` and ``cohort.filter_by_diagnosis`` so the
+    conversion rule can never fork between the feature and cohort
+    paths (reference: ``hosp_preprocess_util.py:402-426``)."""
+    from mimic_iv_data_pipeline_spark.operators.joins import map_codes
+
+    return map_codes(
+        diagnoses.withColumn("root_icd10", F.col("icd_code")),
+        icd_map,
+        code_col="root_icd10",
+        map_key="icd9cm_root",
+        map_value="icd10cm",
+        out_col="root_icd10",
+        key_expr=F.when(F.col("icd_version") == 9, icd_root(F.col("icd_code"))),
+    )
+
+
 def preproc_diagnoses(
     diagnoses: DataFrame,
     cohort_ids: DataFrame,
@@ -50,15 +70,7 @@ def preproc_diagnoses(
     out = semi_filter(diagnoses, cohort_ids.select(id_col), on=id_col)
     if grouping == "keep":
         return out
-    converted = map_codes(
-        out.withColumn("root_icd10", F.col("icd_code")),
-        icd_map,
-        code_col="root_icd10",
-        map_key="icd9cm_root",
-        map_value="icd10cm",
-        out_col="root_icd10",
-        key_expr=F.when(F.col("icd_version") == 9, icd_root(F.col("icd_code"))),
-    )
+    converted = convert_icd9_to_10(out, icd_map)
     if grouping == "convert":
         return converted
     if grouping == "group":

@@ -50,6 +50,11 @@ class PipelineConfig:
 def _collect_feature_vocab(dense: DataFrame, cap: int = 50_000) -> list:
     """Distinct feature codes for the pivot, with a hard cap.
 
+    Reads the densified stage (whose code set is EXACTLY what the
+    matrix must cover — events is a superset when truncation removed
+    codes); the scan is parquet-column-pruned to the single itemid
+    column, so the extra pass costs one small column, not the stage.
+
     Spark's pivot needs an explicit value list, so a driver collect is
     unavoidable here — but it must be bounded: a pathological events
     table (free-text itemids, corrupted codes) could otherwise return
@@ -100,7 +105,22 @@ def run_pipeline(
     cohort.write.mode("overwrite").parquet(os.path.join(out_dir, "cohort"))
     cohort = spark.read.parquet(os.path.join(out_dir, "cohort"))
 
-    events = preproc_events(tables["events"], cohort, id_col, "charttime", anchor)
+    raw_events = tables["events"]
+    if (
+        not cfg.use_icu
+        and "hadm_id" in raw_events.columns
+        and "subject_id" in raw_events.columns
+        and "admissions" in tables
+    ):
+        # hosp mode: labevents carry ~30% null hadm_id in real MIMIC —
+        # preproc_events' inner join on the id would silently drop them.
+        # The reference imputes hadm_id FIRST (labs_preprocess_util);
+        # mirror that here (rows that stay null after imputation are
+        # dropped by the join, exactly as the reference drops them).
+        from mimic_iv_data_pipeline_spark.plans.features import impute_hadm_ids
+
+        raw_events = impute_hadm_ids(raw_events, tables["admissions"])
+    events = preproc_events(raw_events, cohort, id_col, "charttime", anchor)
     events = clean_events(
         events, uom_cutoff=cfg.uom_cutoff, outlier_pcts=cfg.outlier_pcts
     )

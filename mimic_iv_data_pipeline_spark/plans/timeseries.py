@@ -48,11 +48,16 @@ def generate_timeseries(
     Everything shuffles on (id) or (id, code) — co-partitioned chains,
     no driver loop, no pivot until presentation.
     """
-    visits = cohort.select(id_col, los_hours_col)
+    # cohort's LOS under a private name: events from preproc_events
+    # already carry los_hours, and an unrenamed join made the
+    # anchor='last' (readmission) path fail with AMBIGUOUS_REFERENCE
+    visits = cohort.select(
+        F.col(id_col), F.col(los_hours_col).alias("__ts_los")
+    )
     evs = events.join(visits, on=id_col, how="inner")
     evs = truncate_observation_window(
-        evs, time_col, los_hours_col, include_hours, anchor=anchor
-    )
+        evs, time_col, "__ts_los", include_hours, anchor=anchor
+    ).drop("__ts_los")
     binned = bucketize_events(
         evs,
         time_col=time_col,
@@ -64,6 +69,14 @@ def generate_timeseries(
         ],
     )
     n_buckets = -(-include_hours // bucket_hours)  # ceil
+    # Clip to the grid BEFORE building the code universe: truncation
+    # keeps t <= include_hours, so an event in the final floored hour
+    # buckets to n_buckets — off the 0..n_buckets-1 grid. Unfiltered it
+    # would (a) vanish in the left join and (b) still seed the (id,
+    # code) universe, FABRICATING an all-zero series for a code never
+    # observed in-window (the reference's reindex(range(los)) likewise
+    # drops out-of-range rows without adding columns for them).
+    binned = binned.filter(F.col("bucket") < n_buckets)
     # Grid per (id, code-observed-for-id): mirrors the reference, which
     # reindexes only columns that appeared for the visit
     # (data_generation_icu.py:475-483). explode(sequence) is a narrow
@@ -85,7 +98,10 @@ def generate_timeseries(
             "value",
             partition_by=[id_col, code_col],
             order_by=["bucket"],
-            strategy=impute if impute in ("mean", "median") else None,
+            # pass through verbatim: impute_cascade lowercases and
+            # VALIDATES ('Mean'/'Median' accepted, junk raises) — the
+            # old in-expression coercion silently rewrote typos to None
+            strategy=impute,
             default=0.0,
         )
     return dense

@@ -682,3 +682,51 @@ def test_bm25_bag_semantics(spark):
     assert double[1] == pytest.approx(2 * single[1], abs=2e-6)
     # banana-only doc unchanged
     assert double[2] == single[2]
+
+
+def test_generate_timeseries_readmission_anchor_and_boundary(spark):
+    """(a) anchor='last' used to crash with AMBIGUOUS_REFERENCE when
+    events already carry los_hours (the run_pipeline readmission path);
+    (b) an event in the final floored hour (t == include_hours) must
+    neither survive off-grid nor fabricate an all-zero series for a
+    code never observed in-window (r7 self-review, both confirmed)."""
+    from mimic_iv_data_pipeline_spark.plans.timeseries import generate_timeseries
+
+    cohort = spark.createDataFrame([(1, 48)], "stay_id long, los_hours long")
+    events = spark.createDataFrame(
+        [
+            (1, 100, 1, 5.0, 48),   # in-window code 100
+            (1, 200, 24, 7.0, 48),  # code 200 ONLY at t == include_hours
+        ],
+        "stay_id long, itemid long, event_time_from_admit long, "
+        "valuenum double, los_hours long",
+    )
+    # (a) the join must disambiguate los_hours for BOTH anchors;
+    # (b) for 'first', code 200's only event buckets to 24 (off the
+    # 0..23 grid): no fabricated all-zero series. For 'last' (the
+    # readmission window: last 24h of the 48h stay) the roles flip —
+    # the t=24 event shifts to t'=0 (in-window) and code 100 drops out.
+    expected = {"first": {100}, "last": {200}}
+    for anchor, want in expected.items():
+        dense = generate_timeseries(
+            events, cohort, include_hours=24, bucket_hours=1,
+            anchor=anchor, impute=None,
+        )
+        codes = {r["itemid"] for r in dense.select("itemid").distinct().collect()}
+        assert codes == want, f"anchor={anchor}: got {codes}, want {want}"
+        assert dense.count() == 24  # one full grid for the one code
+
+
+def test_generate_timeseries_validates_impute_string(spark):
+    from mimic_iv_data_pipeline_spark.plans.timeseries import generate_timeseries
+    import pytest as _pytest
+
+    cohort = spark.createDataFrame([(1, 48)], "stay_id long, los_hours long")
+    events = spark.createDataFrame(
+        [(1, 100, 1, 5.0)],
+        "stay_id long, itemid long, event_time_from_admit long, valuenum double",
+    )
+    # reference capitalization accepted
+    generate_timeseries(events, cohort, include_hours=4, impute="Mean").count()
+    with _pytest.raises(ValueError, match="strategy"):
+        generate_timeseries(events, cohort, include_hours=4, impute="meen").count()
