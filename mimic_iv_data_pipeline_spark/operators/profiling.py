@@ -133,6 +133,36 @@ class Expectation:
         return f"{self.kind}({','.join(self.cols)})"
 
 
+def expectation_row_violation(r: Expectation):
+    """Row-level violation predicate for ROW-LOCAL rule kinds (the
+    quarantine path needs per-row decisions, not just counts); returns
+    None for set-level kinds (unique, foreign_key), which cannot be
+    decided row-locally. The expressions are the single source of
+    truth shared with validate_expectations' conditional sums. Every
+    returned predicate is non-null for any input (safe under & / ~).
+    """
+    if r.kind == "not_null":
+        (c,) = r.cols
+        return F.col(c).isNull()
+    if r.kind == "accepted_values":
+        (c,) = r.cols
+        return (~F.col(c).isin(list(r.values))) & F.col(c).isNotNull()
+    if r.kind == "in_range":
+        (c,) = r.cols
+        bad = F.lit(False)
+        if r.lo is not None:
+            bad = bad | (F.col(c) < F.lit(r.lo))
+        if r.hi is not None:
+            bad = bad | (F.col(c) > F.lit(r.hi))
+        return bad & F.col(c).isNotNull()
+    if r.kind == "matches_regex":
+        (c,) = r.cols
+        if not r.pattern:
+            raise ValueError(f"rule {r.name}: matches_regex needs a pattern")
+        return F.col(c).isNotNull() & ~F.col(c).rlike(r.pattern)
+    return None
+
+
 def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     """Evaluate declarative expectations; return one row per rule:
     ``(rule, n_checked, n_violations, passed)``.
@@ -161,31 +191,12 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     n_rows = F.count(F.lit(1))
 
     for r in rules:
-        if r.kind == "not_null":
-            (c,) = r.cols
+        row_bad = expectation_row_violation(r)
+        if row_bad is not None:
+            # row-local kinds share the ONE predicate definition with
+            # the quarantine path (expectation_row_violation)
             scalar_rules.append(r)
-            scalar_aggs.append(F.sum(F.col(c).isNull().cast("long")))
-        elif r.kind == "accepted_values":
-            (c,) = r.cols
-            scalar_rules.append(r)
-            bad = (~F.col(c).isin(list(r.values))) & F.col(c).isNotNull()
-            scalar_aggs.append(F.sum(bad.cast("long")))
-        elif r.kind == "in_range":
-            (c,) = r.cols
-            scalar_rules.append(r)
-            bad = F.lit(False)
-            if r.lo is not None:
-                bad = bad | (F.col(c) < F.lit(r.lo))
-            if r.hi is not None:
-                bad = bad | (F.col(c) > F.lit(r.hi))
-            scalar_aggs.append(F.sum((bad & F.col(c).isNotNull()).cast("long")))
-        elif r.kind == "matches_regex":
-            (c,) = r.cols
-            if not r.pattern:
-                raise ValueError(f"rule {r.name}: matches_regex needs a pattern")
-            scalar_rules.append(r)
-            bad = F.col(c).isNotNull() & ~F.col(c).rlike(r.pattern)
-            scalar_aggs.append(F.sum(bad.cast("long")))
+            scalar_aggs.append(F.sum(row_bad.cast("long")))
         elif r.kind == "unique":
             key = [F.col(c) for c in r.cols]
             # NULL-keyed rows are exempt (dbt/GE unique semantics, and

@@ -48,7 +48,15 @@ from mimic_iv_data_pipeline_spark.operators.windows import (
 
 @dataclass
 class DailyAnalytics:
-    """Outputs of one daily analytics build (all lazy-consumable)."""
+    """Outputs of one daily analytics build. All members are
+    lazy-consumable EXCEPT ``funnel``, which is computed eagerly at
+    build time: funnel_conversion is an iterative frontier recurrence
+    whose per-stage relations are materialized (localCheckpoint — the
+    same discipline as pagerank/connected_components), so its cost is
+    paid in daily_analytics() whether or not the member is read. Call
+    sites that never consume the funnel should run funnel_conversion
+    separately instead of paying for it here.
+    """
 
     events: DataFrame  # the shared materialized snapshot
     session_stats: DataFrame

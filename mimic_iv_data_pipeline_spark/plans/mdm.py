@@ -27,9 +27,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from mimic_iv_data_pipeline_spark.operators.fuzzy import edit_distance_join
+from mimic_iv_data_pipeline_spark.engine import materialize
 from mimic_iv_data_pipeline_spark.operators.graph import connected_components
 
 
@@ -54,7 +54,11 @@ def golden_records(
         F.col(name_col).alias("__name"),
         F.col(block_col).alias("__blk"),
         F.col(value_col).alias("__val"),
-    )
+    ).transform(materialize)
+    # materialize: base feeds the fuzzy join, the blocking relation,
+    # AND the final labeled aggregate, while connected_components runs
+    # its own eager jobs in between — without the pin the upstream
+    # input re-scans 3-4x per call (the analytics plan's q185 lesson)
     pairs = edit_distance_join(base, "__id", "__name", max_dist=max_dist)
     # blocking: a fuzzy name match only counts WITHIN a block
     blk = base.select(F.col("__id"), F.col("__blk"))
@@ -71,16 +75,15 @@ def golden_records(
         comp.select(F.col("id").alias("__id"), F.col("component").alias("cluster_id")),
         "__id",
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.col("__id").asc())
-    return (
-        labeled.withColumn("__rn", F.row_number().over(w))
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.max(F.when(F.col("__rn") == 1, F.col("__name"))).alias(
-                "survivor_name"
-            ),
-            F.max("__val").alias("max_value"),
-            F.count_distinct("__name").cast("long").alias("n_distinct_names"),
-        )
+    # survivor = min-id member's name via ONE min-struct aggregate
+    # (ids unique -> struct ordering decides on __id first); replaces a
+    # row_number window + max(when(rn==1)) — one per-partition sort
+    # and a column cheaper, same deterministic answer
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.struct("__id", "__name")).getField("__name").alias(
+            "survivor_name"
+        ),
+        F.max("__val").alias("max_value"),
+        F.count_distinct("__name").cast("long").alias("n_distinct_names"),
     )

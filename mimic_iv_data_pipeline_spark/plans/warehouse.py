@@ -89,10 +89,16 @@ def nightly_refresh(
     repair); callers add domain rules via ``extra_rules``.
 
     ``refuse=True``: any violation raises. ``refuse=False``: rows with
-    NULL keys/versions are quarantined (returned, not woven into
-    history); duplicate (key, version) rows are left to scd2_history's
+    NULL keys/versions AND rows violating any ROW-LOCAL extra rule
+    (not_null / accepted_values / in_range / matches_regex) are
+    quarantined (returned, not woven into history) — reporting a
+    domain violation while still weaving the row in would poison the
+    as-of intervals the gate exists to protect. Set-level extras:
+    duplicate (key, version) rows are left to scd2_history's
     deterministic collapse since dropping "the duplicate" requires a
-    tiebreak anyway. The gate report is returned either way — at 100 TB
+    tiebreak anyway, and foreign_key rules are report-only in
+    quarantine mode (anti-join the quarantine yourself if FK rows must
+    be held back). The gate report is returned either way — at 100 TB
     the report is a handful of rows while the checks ride the same scan
     the history build needs.
     """
@@ -110,10 +116,31 @@ def nightly_refresh(
             )
         accepted, quarantined = changes, None
     else:
+        from mimic_iv_data_pipeline_spark.operators.profiling import (
+            expectation_row_violation,
+        )
+
         ok = _null_key_filter([*key_cols, version_col])
+        for r in extra_rules or []:
+            bad = expectation_row_violation(r)
+            if bad is not None:
+                ok = ok & ~bad
         accepted = changes.filter(ok)
         quarantined = changes.filter(~ok)
 
+    # a dimension attribute that collides with a fact column is emitted
+    # by pit_join as '<attr>_dim'; a rollup key naming that attribute
+    # would silently rebind to the FACT side's (stale) column — force
+    # the caller to say which side they mean
+    renamed = [c for c in attr_cols if c in facts.columns]
+    bad_keys = [k for k in rollup_keys if k in renamed]
+    if bad_keys:
+        raise ValueError(
+            f"nightly_refresh: rollup key(s) {bad_keys} name dimension "
+            f"attributes that collide with fact columns; pit_join emits "
+            f"the dimension value as '<attr>_dim' — key the rollup on "
+            f"that, or rename the fact column"
+        )
     history = scd2_history(
         accepted, key_cols, version_col, drop_unchanged=attr_cols
     )

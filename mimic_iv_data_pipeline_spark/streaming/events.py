@@ -75,7 +75,18 @@ def stream_sessionize(
 ) -> DataFrame:
     """Gap-based session windows (the streaming twin of
     operators.windows.sessionize): ``session_window`` merges events
-    closer than ``gap`` into one growing window per user."""
+    closer than ``gap`` into one growing window per user.
+
+    Boundary semantics differ from the batch operator BY Spark's
+    design and are documented rather than hidden: ``session_window``
+    merges only when the inter-event diff is STRICTLY below ``gap``
+    (two events exactly ``gap`` apart start separate sessions), while
+    the batch ``sessionize`` breaks only when the diff EXCEEDS the gap
+    (and compares second-truncated timestamps). Streams whose
+    inter-event gaps never land exactly on the boundary sessionize
+    identically; the equivalence test asserts the containment
+    direction (streamed sessions are never coarser than batch).
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -111,15 +122,12 @@ def stream_exact_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-DOC_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+# the ONE documents schema — streaming readers cannot infer, so a
+# drifted copy here would silently read new/renamed batch columns as
+# NULL; import the batch definition instead of duplicating it
+from mimic_iv_data_pipeline_spark.sources.readers import DOCUMENTS_SCHEMA
+
+DOC_STREAM_SCHEMA = DOCUMENTS_SCHEMA
 
 
 def read_doc_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -188,7 +196,13 @@ def stream_corpus_filter(
 
     out = with_quality_metrics(docs, "text")
     out = predict_language(out, "text")
-    out = with_pii_scrub(out, "text")
+    # REPLACE text with the scrubbed form, exactly like the batch plan
+    # (plans/llm_corpus.py step 3) — emitting `redacted` as a side
+    # column while `text` keeps the raw PII would persist unscrubbed
+    # PII through the writeStream sink
+    out = with_pii_scrub(out, "text").withColumn("text", F.col("redacted")).drop(
+        "redacted"
+    )
     out = hash_split(
         out, "doc_id", split_fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
     )
@@ -219,6 +233,7 @@ def stream_enrich_dimension(
     dimension: DataFrame,
     on: list[str],
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static dimension enrichment: join a streaming fact feed
     against a (small) batch dimension — the serving-time counterpart of
@@ -240,11 +255,15 @@ def stream_enrich_dimension(
     Scale shape: wrap the dimension in the broadcast it almost always
     deserves (dimension tables are the small side by construction);
     every micro-batch is then a map-side hash join with zero shuffle of
-    the stream.
+    the stream. ``broadcast=False`` opts out for dimensions too large
+    to ship whole (a FORCED broadcast overrides
+    autoBroadcastJoinThreshold and would OOM every micro-batch) — the
+    join then plans as a shuffled hash/SMJ per batch.
     """
     if how not in ("inner", "left"):
         raise ValueError("stream-static join supports how='inner' or 'left'")
-    return events.join(F.broadcast(dimension), on, how)
+    dim = F.broadcast(dimension) if broadcast else dimension
+    return events.join(dim, on, how)
 
 
 def stream_stream_interval_join(
