@@ -342,6 +342,7 @@ def rollup_state(
 
 def merge_rollup_state(
     prev: DataFrame,
+    *,
     delta: DataFrame,
     key_cols: list[str],
     measure_cols: list[str],
@@ -836,6 +837,7 @@ def chi_square_independence(
 
 def population_stability(
     ref: DataFrame,
+    *,
     cur: DataFrame,
     value_col: str,
     bins: int = 10,
@@ -995,6 +997,7 @@ def roc_pr_curve(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    reuse: bool = True,
 ) -> DataFrame:
     """Full ROC + precision/recall curve at every distinct score
     threshold, with step-interpolated average precision and the
@@ -1015,6 +1018,13 @@ def roc_pr_curve(
     upstream if they're near-unique doubles), one 1-row totals
     aggregate cross-joined back (literal broadcast), one integer term
     aggregate. No single-partition window over the facts.
+
+    ``reuse=True`` persists the |distinct scores|-row per-score
+    relation (3 consumers — prefix sums, totals, curve — each would
+    re-run the fact scan without the pin). Long-lived sessions calling
+    this on many DISTINCT inputs accumulate cached relations; pass
+    ``reuse=False`` there to stay fully lazy (the fuzzy/retrieval
+    ``reuse`` pattern).
     """
     from mimic_iv_data_pipeline_spark.operators.sampling import global_prefix_sums
 
@@ -1022,8 +1032,9 @@ def roc_pr_curve(
     by_score = df.groupBy(F.col(score_col).alias("score")).agg(
         F.sum(lab).alias("pos"),
         F.sum(F.lit(1) - lab).alias("neg"),
-    ).persist()  # |distinct scores| rows; 3 consumers (quantile bounds,
-    # prefix sums, totals) — without the pin each re-runs the fact scan
+    )
+    if reuse:
+        by_score = by_score.persist()
     cum = global_prefix_sums(
         by_score,
         [F.col("score").desc()],

@@ -12,7 +12,12 @@ join rounds over the edge list, and the edge set contracts toward star
 graphs centered on each component's minimum id in O(log²) rounds
 regardless of graph diameter — unlike naive min-label propagation,
 whose round count is the graph *diameter* (a 10k-doc chain of
-near-dups would need 10k shuffles; this needs ~a dozen). Each
+near-dups would need 10k shuffles; this needs ~a dozen). A
+zero-shuffle partition-local union-find contraction (``mapInPandas``)
+runs before the first round, collapsing dense regions to stars and
+shortening intra-partition paths to length 1 — the classic two-phase
+local-contract/global-resolve shape, which cuts both the star round
+count and the edge volume the rounds shuffle. Each
 iteration is ``localCheckpoint``-ed to truncate lineage, which is what
 keeps the plan from growing exponentially in an iterative Spark job;
 on a long-running cluster with executor loss you'd swap in reliable
@@ -75,6 +80,41 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
             .union(mins.select(F.col("u"), F.col("m").alias("v")))
         )
     return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """ZERO-SHUFFLE partition-local contraction: replace each
+    partition's edge set with the star forest of its own union-find
+    (``(member, partition-local root)`` pairs, root strictly smaller).
+
+    Replacing any SUBSET of edges with a spanning structure of that
+    subset preserves global connectivity, so this is a correct
+    pre-pass for the star rounds — and it does two things the star
+    algorithm pays log² rounds for: (a) dense regions (the near-dup
+    blob regime) collapse to depth-1 stars immediately, and (b) every
+    surviving path through a partition is shortened to length 1. The
+    pass is a narrow ``mapInPandas`` (Arrow in, Arrow out, no
+    exchange); memory is bounded by distinct node ids per partition —
+    at 100 TB that's capped by ``spark.sql.files.maxPartitionBytes``
+    /16 bytes, the same bound the driver fast path's cap enforces
+    globally. The whole per-partition batch iterator feeds ONE
+    union-find, so contraction power is the full partition, not the
+    10k-row default Arrow batch.
+    """
+    import itertools
+
+    def contract(batches):
+        import pandas as pd
+
+        pairs = itertools.chain.from_iterable(
+            zip(pdf["u"].tolist(), pdf["v"].tolist()) for pdf in batches
+        )
+        labeled = _driver_union_find(pairs)
+        yield pd.DataFrame(
+            [(x, r) for (x, r) in labeled if x != r], columns=["u", "v"]
+        )
+
+    return edges.mapInPandas(contract, edges.schema)
 
 
 def _driver_union_find(pairs) -> list[tuple]:
@@ -194,6 +234,12 @@ def connected_components(
                 )
             return labels
 
+    # distributed path: contract partition-locally first (narrow, zero
+    # exchange) — dense blobs collapse to stars before the first round
+    # and every surviving intra-partition path shortens to length 1,
+    # which is what cuts star ROUNDS (each round is ~6 shuffles). The
+    # distinct re-canonicalizes the forest union across partitions.
+    edges = _local_contract(edges).distinct()
     edges = edges.transform(materialize)
     sig = signature(edges)
 

@@ -86,7 +86,24 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int | None = Non
                 F.element_at(sig_a, i) == F.element_at(sig_b, i)
             ).cast("int")
             agree = term if agree is None else agree + term
-        return agree / F.lit(float(num_hashes))
+        # runtime guard: a signature built with a DIFFERENT num_hashes
+        # would be scored on only the first `num_hashes` elements
+        # (longer) or hit out-of-bounds element_at (shorter) — either
+        # silently wrong. The size compare is one codegen branch per
+        # row; the raise only evaluates on mismatch.
+        ok = (F.size(sig_a) == F.lit(int(num_hashes))) & (
+            F.size(sig_b) == F.lit(int(num_hashes))
+        )
+        return F.when(ok, agree / F.lit(float(num_hashes))).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "estimated_jaccard: signature lengths (%s, %s) != "
+                    "num_hashes " + str(int(num_hashes)),
+                    F.size(sig_a).cast("string"),
+                    F.size(sig_b).cast("string"),
+                )
+            )
+        )
     agree = F.aggregate(
         F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -149,12 +166,13 @@ def dedup_against_index(
     )
     new_banded = band_buckets(new_sig, num_hashes, bands, bucket=bucket)
     return dedup_banded_against_index(
-        new_banded, index, threshold=threshold, num_hashes=num_hashes
+        new_banded, index=index, threshold=threshold, num_hashes=num_hashes
     )
 
 
 def dedup_banded_against_index(
     new_banded: DataFrame,
+    *,
     index: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 64,

@@ -260,6 +260,7 @@ def map_codes(
 
 def upsert_latest(
     base: DataFrame,
+    *,
     updates: DataFrame,
     key_cols: list[str],
     version_col: str,

@@ -162,6 +162,7 @@ def pq_encode(
 
 def pq_topk(
     queries: DataFrame,
+    *,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -335,6 +336,7 @@ def _exact_rerank(
 
 def ivfpq_topk(
     queries: DataFrame,
+    *,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

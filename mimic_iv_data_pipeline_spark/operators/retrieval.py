@@ -176,6 +176,11 @@ def bm25_search(
     from collections import Counter
 
     qtf = Counter(t.lower() for t in query_terms)
+    if not qtf:
+        # with no terms the when-chain below is never built and
+        # qtf_expr.otherwise would raise AttributeError at plan-build
+        # time — make the caller bug loud instead
+        raise ValueError("bm25_search: query_terms is empty")
     qtf_expr = None
     for term, c in sorted(qtf.items()):
         branch = F.when(F.col("token") == term, F.lit(float(c)))

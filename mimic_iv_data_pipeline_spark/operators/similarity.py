@@ -46,6 +46,7 @@ def as_double_vec(col: Column) -> Column:
 
 def cosine_topk(
     queries: DataFrame,
+    *,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -133,6 +134,7 @@ def hyperplane_signature(
 
 def cosine_topk_pandas(
     queries: DataFrame,
+    *,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -356,6 +358,7 @@ def _assign_cells_pandas(
 
 def ivf_topk(
     queries: DataFrame,
+    *,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -438,6 +441,7 @@ def ivf_topk(
 
 def ann_lsh_topk(
     queries: DataFrame,
+    *,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -549,6 +553,7 @@ def quantize_embeddings_int8(
 
 def recall_at_k(
     approx: DataFrame,
+    *,
     exact: DataFrame,
     k: int,
     query_col: str = "query_id",

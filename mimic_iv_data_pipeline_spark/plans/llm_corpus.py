@@ -257,7 +257,7 @@ def dedup_snapshot(
 
     if index is not None:
         cross = dedup_banded_against_index(
-            banded, index, threshold=threshold, num_hashes=num_hashes
+            banded, index=index, threshold=threshold, num_hashes=num_hashes
         )
         dropped = cross.select(F.col("new_id").alias(id_col)).distinct()
         remaining = new_docs.join(dropped, id_col, "left_anti")

@@ -119,5 +119,5 @@ def retrieve(
     ).select(F.col("qid").alias("vec_id"), "embedding")
     c_emb = index.select(F.col("chunk_uid").alias("vec_id"), "embedding")
     return ivf_topk(
-        q_emb, c_emb, n_cells=n_cells, n_probe=n_probe, k=k
+        q_emb, corpus=c_emb, n_cells=n_cells, n_probe=n_probe, k=k
     )

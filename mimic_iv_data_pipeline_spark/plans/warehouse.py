@@ -68,8 +68,8 @@ def _null_key_filter(key_cols: list[str]):
 
 def nightly_refresh(
     changes: DataFrame,
-    facts: DataFrame,
     *,
+    facts: DataFrame,
     key_cols: list[str],
     version_col: str,
     fact_time: str,
@@ -152,7 +152,7 @@ def nightly_refresh(
     )
     delta = rollup_state(enriched, rollup_keys, measure_cols)
     rollup = (
-        merge_rollup_state(prev_rollup, delta, rollup_keys, measure_cols)
+        merge_rollup_state(prev_rollup, delta=delta, key_cols=rollup_keys, measure_cols=measure_cols)
         if prev_rollup is not None
         else delta
     )

@@ -127,11 +127,18 @@ _MODULES = [
 #   (q40 q41 q44 q53 q60 q87 q91 q93 q102-q107 q114 q115 q122) stay
 #   out of the window — each has a green fixed-parameter oracle twin
 #   (q124-q138) carrying its family.
-# r8 plan: (a) any r7 reds; (b) first rows for r7-new queries; (c)
-#   the 8-core + the 7 alternate-core members; (d) oldest-first aged
-#   rows to 50 — next up the remaining r2 block (q13 q21 q22 q23 q25
-#   q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q43 q46 q47), then the
-#   r3 q48-q83 block. Rotation policy (pinned by
+# r8 manifest (EXECUTED below): (a) no r7 reds — CORRECTNESS_r07 was
+#   50/50 green; (b) no never-checked queries remain (219/219 have
+#   rows after r7) and r8 adds no new oracled queries; (c) the 8-core
+#   + the 7 alternate-core members (r8 is even); (d) the 35 oldest
+#   aged rows: the full 18-query r2 remainder (q13 q21 q22 q23 q25
+#   q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q43 q46 q47) plus the 17
+#   oldest r3 rows (q24, then q48-q65 in name order, skipping the
+#   rows-only q53/q60). This clears the r2 block entirely.
+# r9 plan: (a) any r8 reds; (b) first rows for any r9-new queries;
+#   (c) the 8-core (alternate-7 sit out — odd round); (d) oldest-
+#   first aged rows to 50 — the remaining r3 block (q66-q83 wave,
+#   then q84+). Rotation policy (pinned by
 #   tests/test_manifest.py::test_aged_slots_are_oldest_first): after
 #   never-checked + core, every remaining slot goes to the oldest
 #   eligible (oracled) queries, oldest round first, name order within
@@ -141,46 +148,9 @@ _MODULES = [
 # this round, so the pin holds before and after the round's own
 # CORRECTNESS file lands (even a partial one from a crashed driver).
 # Bump together with the manifest each round.
-_MANIFEST_ROUND = 7
+_MANIFEST_ROUND = 8
 
 _PRIORITY = [
-    # (b) never driver-checked — the 21 r6 cuts, oldest debt first
-    "q164_funnel_lag",
-    "q165_chi_square",
-    "q166_psi_drift",
-    "q169_transition_matrix",
-    "q172_merge_intervals",
-    "q174_cusum",
-    "q175_roc_pr_curve",
-    "q178_seasonal_anomalies",
-    "q179_daily_acf",
-    "q183_bh_fdr",
-    "q184_pmi_collocations",
-    "q185_item_neighbors",
-    "q186_bfs_levels",
-    "q187_holt_trend",
-    "q188_session_stats",
-    "q191_rfm",
-    "q192_seasonal_decompose",
-    "q195_woe_iv",
-    "q197_smd_balance",
-    "q199_forecast_backtest",
-    "q202_time_decay",
-    # (b) never driver-checked — r6-new
-    "q207_geo_knn",
-    "q208_welch_ttest",
-    "q209_mixture_temperature",
-    "q210_geo_clusters",
-    "q211_trimmed_mean",
-    "q212_markov_stationary",
-    "q213_cmh_pooled_or",
-    "q214_spearman",
-    "q215_exact_percentiles",
-    "q216_anonymity_report",
-    "q217_date_shift",
-    "q218_url_canonical",
-    # (b) r7-new — D6 notes NLP, first-ever oracle twin
-    "q219_notes_nlp",
     # (c) every-round 8-core — one per SURVEY §2 family
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -190,15 +160,52 @@ _PRIORITY = [
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q42_cosine_topk",
-    # (d) oldest aged rows (last driver row: r2), name order
-    "q02_filter_project",
-    "q05_anti_join",
-    "q06_dedup_first",
-    "q07_conditional_clamp",
-    "q09_union_branches",
-    "q10_distinct_counts",
-    "q11_string_fns",
-    "q12_date_fns",
+    # (c) alternate-round 7-core (even rounds: r8, r10, ...)
+    "q08_outer_join_fill",
+    "q14_code_mapping",
+    "q15_mode_per_group",
+    "q17_topk_per_group",
+    "q26_vocab_build",
+    "q39_ngram_jaccard",
+    "q45_set_ops",
+    # (d) oldest aged rows — the full r2 remainder (last row: r2)
+    "q13_json_extract",
+    "q21_sessionize",
+    "q22_quantile_bins",
+    "q23_calibration_bins",
+    "q25_rank_auc",
+    "q27_global_topk",
+    "q28_rollup",
+    "q29_bucketize_hourly",
+    "q30_bucketize_6h",
+    "q31_dense_grid",
+    "q33_event_time_normalize",
+    "q35_token_stats",
+    "q36_quality_score",
+    "q37_lang_id",
+    "q38_fingerprint",
+    "q43_embedding_stats",
+    "q46_one_hot",
+    "q47_label_encode",
+    # (d) oldest aged rows — 17 oldest r3 rows (name order; q53/q60
+    # are rows-only and carried by their fixed twins)
+    "q24_fairness_confusion",
+    "q48_group_max",
+    "q49_interval_signal",
+    "q50_winnowing",
+    "q51_eval_metrics",
+    "q52_temperature_scaling",
+    "q54_cube",
+    "q55_trend_slope",
+    "q56_approx_distinct",
+    "q57_ece_mce",
+    "q58_survival_export",
+    "q59_embedding_neardup",
+    "q61_behrt_sequences",
+    "q62_horizontal_concat",
+    "q63_pii_redaction",
+    "q64_hash_split",
+    "q65_contamination",
 ]
 
 

@@ -1071,7 +1071,7 @@ def q166_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     ref = orders.filter(F.col("o_orderdate") < "1998-01-01")
     cur = orders.filter(F.col("o_orderdate") >= "1998-01-01")
-    out = population_stability(ref, cur, "o_totalprice", bins=10, alpha=1e-6)
+    out = population_stability(ref, cur=cur, value_col="o_totalprice", bins=10, alpha=1e-6)
     return out.select(
         "bucket",
         dround(F.col("ref_share"), 6).alias("ref_share"),

@@ -433,7 +433,7 @@ def q119_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("o_orderstatus"),
         F.lit(2).cast("long").alias("version"),
     )
-    return upsert_latest(base, updates, ["o_orderkey"], "version")
+    return upsert_latest(base, updates=updates, key_cols=["o_orderkey"], version_col="version")
 
 
 # --- q139: SCD-2 history build (validity intervals from a change log) -------
@@ -641,9 +641,9 @@ def q146_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.filter(F.col("o_orderkey") % 3 == 0)
     merged = merge_rollup_state(
         rollup_state(a, ["o_orderstatus"], ["o_totalprice"]),
-        rollup_state(b, ["o_orderstatus"], ["o_totalprice"]),
-        ["o_orderstatus"],
-        ["o_totalprice"],
+        delta=rollup_state(b, ["o_orderstatus"], ["o_totalprice"]),
+        key_cols=["o_orderstatus"],
+        measure_cols=["o_totalprice"],
     )
     return merged.select(
         "o_orderstatus",

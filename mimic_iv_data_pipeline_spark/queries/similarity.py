@@ -51,7 +51,7 @@ def q42_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests/test_similarity.py::test_pandas_cosine_matches_expression)
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_pandas(queries, emb, k=5)
+    return cosine_topk_pandas(queries, corpus=emb, k=5)
 
 
 # --- q43: embedding statistics per label ------------------------------------
@@ -78,7 +78,7 @@ def q43_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_lsh_topk(queries, emb, dims=64, bits=8, k=5)
+    return ann_lsh_topk(queries, corpus=emb, dims=64, bits=8, k=5)
 
 
 # --- q53: IVF approximate NN (rows-only: the k-means fit has no SQL
@@ -88,7 +88,7 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(queries, emb, n_cells=16, n_probe=4, k=5)
+    return ivf_topk(queries, corpus=emb, n_cells=16, n_probe=4, k=5)
 
 
 # --- q59: embedding-cosine near-dup pairs (exact; dedup family) -------------
@@ -210,7 +210,7 @@ def q103_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(queries, emb, m=8, n_centroids=16, k=5)
+    return pq_topk(queries, corpus=emb, m=8, n_centroids=16, k=5)
 
 
 # --- q104: PQ shortlist + exact re-rank (rows-only: trained codebooks;
@@ -222,7 +222,7 @@ def q104_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(queries, emb, m=8, n_centroids=16, k=5, rerank=100)
+    return pq_topk(queries, corpus=emb, m=8, n_centroids=16, k=5, rerank=100)
 
 
 # --- q114: IVF-PQ search (rows-only: trained quantizers; the full
@@ -237,7 +237,7 @@ def q114_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(
-        queries, emb, n_cells=16, n_probe=4, m=8, n_centroids=16, k=5, rerank=50
+        queries, corpus=emb, n_cells=16, n_probe=4, m=8, n_centroids=16, k=5, rerank=50
     )
 
 
@@ -447,7 +447,7 @@ def q124_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(queries, emb, codebooks=_fixed_codebooks(), k=5)
+    return pq_topk(queries, corpus=emb, codebooks=_fixed_codebooks(), k=5)
 
 
 # --- q125: ADC shortlist + exact re-rank against FIXED codebooks ------------
@@ -488,7 +488,7 @@ def q125_pq_rerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(queries, emb, codebooks=_fixed_codebooks(), k=5, rerank=100)
+    return pq_topk(queries, corpus=emb, codebooks=_fixed_codebooks(), k=5, rerank=100)
 
 
 # --- q129: RAG retrieval capstone, exhaustive probe (full hash oracle) ------
@@ -619,7 +619,7 @@ def q132_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 production planes (q44) stay rows-only by necessity."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_lsh_topk(queries, emb, dims=64, bits=8, k=5, plane_hash="md5")
+    return ann_lsh_topk(queries, corpus=emb, dims=64, bits=8, k=5, plane_hash="md5")
 
 
 def _fixed_centroids(n_cells: int = 16, dims: int = 64, prefix: str = "ivf"):
@@ -693,7 +693,7 @@ def q133_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(
-        queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
+        queries, corpus=emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
     )
 
 
@@ -796,7 +796,7 @@ def q136_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(
-        queries, emb, n_cells=16, n_probe=4, k=5,
+        queries, corpus=emb, n_cells=16, n_probe=4, k=5,
         centroids=_fixed_centroids(16, 64, prefix="ivfpq_c"),
         codebooks=books,
     )
@@ -1010,10 +1010,10 @@ def q143_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     approx = ivf_topk(
-        queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
+        queries, corpus=emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
     )
-    exact = cosine_topk(queries, emb, k=5)
-    return recall_at_k(approx, exact, k=5)
+    exact = cosine_topk(queries, corpus=emb, k=5)
+    return recall_at_k(approx, exact=exact, k=5)
 
 
 # --- q150: MMR diversity re-rank (full hash oracle, unrolled greedy) --------
@@ -1096,7 +1096,7 @@ def q150_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    cand = cosine_topk(queries, emb, k=8).withColumnRenamed("cos_sim", "rel")
+    cand = cosine_topk(queries, corpus=emb, k=8).withColumnRenamed("cos_sim", "rel")
     return mmr_rerank(cand, emb, k=3, lam=0.5)
 
 
@@ -1193,9 +1193,9 @@ def q152_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     approx = ivf_topk(
-        queries, emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
+        queries, corpus=emb, n_cells=16, n_probe=4, k=5, centroids=_fixed_centroids()
     )
-    exact = cosine_topk(queries, emb, k=5)
+    exact = cosine_topk(queries, corpus=emb, k=5)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

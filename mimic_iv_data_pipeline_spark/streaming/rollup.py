@@ -102,7 +102,7 @@ def stream_incremental_rollup(
         delta = rollup_state(batch_df, key_cols, measure_cols)
         prev = latest_rollup_snapshot(spark, state_dir)
         merged = (
-            merge_rollup_state(prev, delta, key_cols, measure_cols)
+            merge_rollup_state(prev, delta=delta, key_cols=key_cols, measure_cols=measure_cols)
             if prev is not None
             else delta
         )

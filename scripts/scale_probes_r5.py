@@ -71,9 +71,9 @@ def probe_pq(spark):
     queries = corpus.filter(F.col("vec_id") < 10)
     print(f"[pq] corpus {n} vectors, 10 queries")
     _timed("pq_topk 1M vectors (train+encode+ADC+rank)",
-           lambda: pq_topk(queries, corpus, m=8, n_centroids=16, k=5).count())
+           lambda: pq_topk(queries, corpus=corpus, m=8, n_centroids=16, k=5).count())
     _timed("pq_topk 1M vectors rerank=100",
-           lambda: pq_topk(queries, corpus, m=8, n_centroids=16, k=5,
+           lambda: pq_topk(queries, corpus=corpus, m=8, n_centroids=16, k=5,
                            rerank=100).count())
     corpus.unpersist()
 

@@ -204,7 +204,7 @@ def probe_warehouse(spark):
 
     def run():
         out = nightly_refresh(
-            changes, facts,
+            changes, facts=facts,
             key_cols=["o_orderkey"], version_col="v", fact_time="t",
             attr_cols=["o_orderstatus"], measure_cols=["o_totalprice"],
             rollup_keys=["o_orderstatus"],

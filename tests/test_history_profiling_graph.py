@@ -218,14 +218,14 @@ def test_recall_counts_and_missing_queries_score_zero(spark):
     approx = spark.createDataFrame(
         [(1, 10), (1, 11), (2, 20), (2, 99)], ["query_id", "neighbor_id"]
     )  # query 3 entirely missing from approx
-    got = {r.query_id: r.recall for r in recall_at_k(approx, exact, k=2).collect()}
+    got = {r.query_id: r.recall for r in recall_at_k(approx, exact=exact, k=2).collect()}
     assert got == {1: 1.0, 2: 0.5, 3: 0.0}
 
 
 def test_recall_validates(spark):
     df = spark.createDataFrame([(1, 1)], ["query_id", "neighbor_id"])
     with pytest.raises(ValueError):
-        recall_at_k(df, df, k=0)
+        recall_at_k(df, exact=df, k=0)
 
 
 # --- pit_join ---------------------------------------------------------------

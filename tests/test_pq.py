@@ -66,7 +66,7 @@ def test_adc_recall_vs_exact_l2(spark, emb):
     n_corpus = emb.count()
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in pq_topk(queries, emb, m=8, n_centroids=16, k=5).collect()
+        for r in pq_topk(queries, corpus=emb, m=8, n_centroids=16, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
     # chance recall for k=5 of n_corpus ≈ 5/n — require ≥10× chance
@@ -75,7 +75,7 @@ def test_adc_recall_vs_exact_l2(spark, emb):
     reranked = {
         (r["query_id"], r["neighbor_id"])
         for r in pq_topk(
-            queries, emb, m=8, n_centroids=16, k=5, rerank=100
+            queries, corpus=emb, m=8, n_centroids=16, k=5, rerank=100
         ).collect()
     }
     rr = len(exact & reranked) / len(exact)
@@ -90,7 +90,7 @@ def test_rerank_distances_are_exact(spark, emb):
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
         for r in emb.collect()
     }
-    for r in pq_topk(queries, emb, k=3, rerank=50).collect():
+    for r in pq_topk(queries, corpus=emb, k=3, rerank=50).collect():
         want = ((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum()
         assert r["l2_dist"] == pytest.approx(round(want, 6), abs=1e-6)
 
@@ -102,7 +102,7 @@ def test_adc_distance_is_lut_sum(spark, emb):
     books = pq_train(emb, m=8, k=16)
     m, k, dsub = books.shape
     queries = emb.filter(F.col("vec_id") < 3)
-    out = pq_topk(queries, emb, codebooks=books, k=3).collect()
+    out = pq_topk(queries, corpus=emb, codebooks=books, k=3).collect()
     codes = {r["vec_id"]: r["code"] for r in pq_encode(emb, books).collect()}
     q_vecs = {
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
@@ -120,7 +120,7 @@ def test_adc_distance_is_lut_sum(spark, emb):
 
 def test_pq_query_guard(spark, emb):
     with pytest.raises(ValueError, match="query rows"):
-        pq_topk(emb, emb, k=5, max_query_rows=10).collect()
+        pq_topk(emb, corpus=emb, k=5, max_query_rows=10).collect()
 
 
 def test_pq_train_rejects_indivisible_dims(spark, emb):
@@ -140,14 +140,14 @@ def test_ivfpq_recall_and_pruning(spark, emb):
     full = {
         (r["query_id"], r["neighbor_id"])
         for r in ivfpq_topk(
-            queries, emb, n_cells=8, n_probe=8, k=5, rerank=100
+            queries, corpus=emb, n_cells=8, n_probe=8, k=5, rerank=100
         ).collect()
     }
     rr = len(exact & full) / len(exact)
     assert rr >= 0.6, f"IVF-PQ full-probe rerank recall too low: {rr}"
     # partial probe prunes: the scored candidate universe (k=huge) is
     # smaller than all pairs
-    pruned = ivfpq_topk(queries, emb, n_cells=8, n_probe=2, k=10**9)
+    pruned = ivfpq_topk(queries, corpus=emb, n_cells=8, n_probe=2, k=10**9)
     assert pruned.count() < 20 * (n_corpus - 1)
 
 
@@ -172,9 +172,9 @@ def test_ivfpq_residual_beats_raw_pq_reconstruction(spark, emb):
             errs.append(abs(r["adc_dist"] - true))
         return sum(errs) / len(errs)
 
-    raw = mean_abs_err(pq_topk(queries, emb, m=8, n_centroids=16, k=20).collect())
+    raw = mean_abs_err(pq_topk(queries, corpus=emb, m=8, n_centroids=16, k=20).collect())
     res = mean_abs_err(
-        ivfpq_topk(queries, emb, n_cells=8, n_probe=8, m=8, n_centroids=16, k=20).collect()
+        ivfpq_topk(queries, corpus=emb, n_cells=8, n_probe=8, m=8, n_centroids=16, k=20).collect()
     )
     assert res < raw, f"residual ADC error {res} not below raw {raw}"
 
@@ -197,6 +197,6 @@ def test_pq_encode_derives_id_type_and_search_validates(spark, emb):
     assert row["vec_id"].startswith("doc-") and len(row["code"]) == 8
 
     with pytest.raises(ValueError, match="integral"):
-        pq_topk(s_emb.limit(2), s_emb, m=8, n_centroids=4)
+        pq_topk(s_emb.limit(2), corpus=s_emb, m=8, n_centroids=4)
     with pytest.raises(ValueError, match="integral"):
-        ivfpq_topk(s_emb.limit(2), s_emb, n_cells=4, m=8, n_centroids=4)
+        ivfpq_topk(s_emb.limit(2), corpus=s_emb, n_cells=4, m=8, n_centroids=4)

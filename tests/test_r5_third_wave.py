@@ -711,7 +711,7 @@ def test_psi_reference_and_identity(spark):
 
     ref = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
     # identical distribution -> PSI ~ 0
-    same = population_stability(ref, ref, "x").collect()
+    same = population_stability(ref, cur=ref, value_col="x").collect()
     total = [r for r in same if r["bucket"] == -1][0]
     assert total["psi_term"] == pytest.approx(0.0, abs=1e-9)
     shares = [r["ref_share"] for r in same if r["bucket"] >= 0]
@@ -719,11 +719,11 @@ def test_psi_reference_and_identity(spark):
     # shifted distribution -> large PSI, monotone in shift
     cur1 = spark.createDataFrame([(float(i) + 200,) for i in range(1000)], "x double")
     cur2 = spark.createDataFrame([(float(i) + 600,) for i in range(1000)], "x double")
-    p1 = [r["psi_term"] for r in population_stability(ref, cur1, "x").collect() if r["bucket"] == -1][0]
-    p2 = [r["psi_term"] for r in population_stability(ref, cur2, "x").collect() if r["bucket"] == -1][0]
+    p1 = [r["psi_term"] for r in population_stability(ref, cur=cur1, value_col="x").collect() if r["bucket"] == -1][0]
+    p2 = [r["psi_term"] for r in population_stability(ref, cur=cur2, value_col="x").collect() if r["bucket"] == -1][0]
     assert 0.1 < p1 < p2
     with pytest.raises(ValueError):
-        population_stability(ref, cur1, "x", bins=1)
+        population_stability(ref, cur=cur1, value_col="x", bins=1)
 
 
 def test_ks_matches_bruteforce(spark):

@@ -336,18 +336,18 @@ def test_cosine_topk_pandas_zero_norm_and_rounding_match_expression(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got_p = {
         (r["query_id"], r["neighbor_id"]): r["cos_sim"]
-        for r in cosine_topk_pandas(df, df, k=2).collect()
+        for r in cosine_topk_pandas(df, corpus=df, k=2).collect()
     }
     got_e = {
         (r["query_id"], r["neighbor_id"]): r["cos_sim"]
-        for r in cosine_topk(df, df, k=2).collect()
+        for r in cosine_topk(df, corpus=df, k=2).collect()
     }
     assert got_p == got_e  # identical incl. NULL-sim placement
     # the zero vector is nobody's top-1
     top1_e = {r["query_id"]: r["neighbor_id"]
-              for r in cosine_topk(df, df, k=1).collect()}
+              for r in cosine_topk(df, corpus=df, k=1).collect()}
     top1_p = {r["query_id"]: r["neighbor_id"]
-              for r in cosine_topk_pandas(df, df, k=1).collect()}
+              for r in cosine_topk_pandas(df, corpus=df, k=1).collect()}
     assert top1_p == top1_e
     assert all(n != 0 for q, n in top1_p.items() if q != 0)
 
@@ -360,7 +360,7 @@ def test_cosine_topk_pandas_rejects_string_ids(spark):
         [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
     )
     with _pytest.raises(ValueError, match="integral"):
-        cosine_topk_pandas(df, df, k=1)
+        cosine_topk_pandas(df, corpus=df, k=1)
 
 
 def test_token_count_empty_text_is_zero(spark):
@@ -407,7 +407,7 @@ def test_recall_and_ndcg_dedup_duplicate_truth(spark):
     exact_dup = spark.createDataFrame(
         [(1, 7), (1, 7)], "query_id long, neighbor_id long"
     )
-    rec = recall_at_k(approx, exact_dup, k=2).collect()
+    rec = recall_at_k(approx, exact=exact_dup, k=2).collect()
     assert rec[0]["recall"] <= 1.0 and rec[0]["recall"] == 0.5
     truth_dup = spark.createDataFrame(
         [(1, 7, 3.0), (1, 7, 3.0)], "query_id long, neighbor_id long, rel double"
@@ -573,7 +573,7 @@ def test_population_stability_ignores_nulls(spark):
     cur_rows = [(float(i),) for i in range(100)] + [(None,)] * 50
     cur = spark.createDataFrame(cur_rows, "v double")
     out = {r["bucket"]: r["psi_term"] for r in
-           population_stability(ref, cur, "v", bins=5).collect()}
+           population_stability(ref, cur=cur, value_col="v", bins=5).collect()}
     # identical non-null distributions -> PSI ~ 0 (NULLs must not
     # inflate bucket 0)
     assert abs(out[-1]) < 1e-6
@@ -782,7 +782,7 @@ def test_warehouse_quarantines_domain_rule_violations(spark):
         [(1, datetime(2024, 1, 2), 1.0)], "k long, ft timestamp, m double"
     )
     out = nightly_refresh(
-        facts, changes,
+        changes, facts=facts,
         key_cols=["k"], version_col="v", attr_cols=["amount"],
         fact_time="ft", rollup_keys=["k"], measure_cols=["m"],
         extra_rules=[Expectation("in_range", ("amount",), lo=0.0)],
@@ -809,7 +809,7 @@ def test_warehouse_rejects_colliding_rollup_key(spark):
     )
     with _pytest.raises(ValueError, match="tier"):
         nightly_refresh(
-            facts, changes,
+            changes, facts=facts,
             key_cols=["k"], version_col="v", attr_cols=["tier"],
             fact_time="ft", rollup_keys=["tier"], measure_cols=["m"],
             refuse=False,

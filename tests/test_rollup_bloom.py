@@ -27,9 +27,9 @@ def test_merge_equals_from_scratch_for_any_split(spark):
             r.g: r
             for r in merge_rollup_state(
                 rollup_state(a, ["g"], ["x"]),
-                rollup_state(b, ["g"], ["x"]),
-                ["g"],
-                ["x"],
+                delta=rollup_state(b, ["g"], ["x"]),
+                key_cols=["g"],
+                measure_cols=["x"],
             ).collect()
         }
         assert set(merged) == set(full)
@@ -47,13 +47,13 @@ def test_merge_is_associative_over_three_batches(spark):
     parts = [df.filter(F.col("x").cast("int") % 3 == k) for k in range(3)]
     states = [rollup_state(p, ["g"], ["x"]) for p in parts]
     left = merge_rollup_state(
-        merge_rollup_state(states[0], states[1], ["g"], ["x"]),
-        states[2], ["g"], ["x"],
+        merge_rollup_state(states[0], delta=states[1], key_cols=["g"], measure_cols=["x"]),
+        delta=states[2], key_cols=["g"], measure_cols=["x"],
     )
     right = merge_rollup_state(
         states[0],
-        merge_rollup_state(states[1], states[2], ["g"], ["x"]),
-        ["g"], ["x"],
+        delta=merge_rollup_state(states[1], delta=states[2], key_cols=["g"], measure_cols=["x"]),
+        key_cols=["g"], measure_cols=["x"],
     )
     assert sorted(map(tuple, left.collect())) == sorted(map(tuple, right.collect()))
 
@@ -64,7 +64,7 @@ def test_rollup_state_validates(spark):
         rollup_state(df, [], ["x"])
     with pytest.raises(ValueError):
         merge_rollup_state(
-            df, rollup_state(df, ["g"], ["x"]), ["g"], ["x"]
+            df, delta=rollup_state(df, ["g"], ["x"]), key_cols=["g"], measure_cols=["x"]
         )  # prev lacks state columns
 
 

@@ -20,15 +20,15 @@ def emb(spark, sf_dir):
 
 def test_pandas_cosine_matches_expression(spark, emb):
     queries = emb.filter(F.col("vec_id") < 10)
-    a = sorted(map(tuple, cosine_topk(queries, emb, k=5).collect()))
-    b = sorted(map(tuple, cosine_topk_pandas(queries, emb, k=5).collect()))
+    a = sorted(map(tuple, cosine_topk(queries, corpus=emb, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk_pandas(queries, corpus=emb, k=5).collect()))
     assert a == b
 
 
 def test_ivf_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20)
-    exact = cosine_topk(queries, emb, k=5).collect()
-    approx = ivf_topk(queries, emb, n_cells=8, n_probe=4, k=5).collect()
+    exact = cosine_topk(queries, corpus=emb, k=5).collect()
+    approx = ivf_topk(queries, corpus=emb, n_cells=8, n_probe=4, k=5).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -48,7 +48,7 @@ def test_ivf_prunes_work(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20)
     n_corpus = emb.count()
     # count scored pairs by disabling the top-k cut
-    scored = ivf_topk(queries, emb, n_cells=8, n_probe=2, k=10**9)
+    scored = ivf_topk(queries, corpus=emb, n_cells=8, n_probe=2, k=10**9)
     assert scored.count() < 20 * (n_corpus - 1)
 
 
@@ -59,7 +59,7 @@ def test_ivf_many_cells_plan_stays_small(spark, emb):
     broadcast+Arrow-batch assignment the plan is O(1) in n_cells and the
     query still returns sane exact-scored neighbors."""
     queries = emb.filter(F.col("vec_id") < 5)
-    out = ivf_topk(queries, emb, n_cells=256, n_probe=32, k=3)
+    out = ivf_topk(queries, corpus=emb, n_cells=256, n_probe=32, k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(plan) < 200_000, "plan size grew with n_cells"
     rows = out.collect()
@@ -67,7 +67,7 @@ def test_ivf_many_cells_plan_stays_small(spark, emb):
     # scores are exact for whatever candidates IVF surfaces
     exact = {
         (r["query_id"], r["neighbor_id"]): r["cos_sim"]
-        for r in cosine_topk(queries, emb, k=10**6).collect()
+        for r in cosine_topk(queries, corpus=emb, k=10**6).collect()
     }
     for r in rows:
         assert r["cos_sim"] == exact[(r["query_id"], r["neighbor_id"])]
@@ -76,7 +76,7 @@ def test_ivf_many_cells_plan_stays_small(spark, emb):
 def test_cosine_pandas_query_guard(spark, emb):
     """A corpus-sized query side must raise, not OOM the driver."""
     with pytest.raises(ValueError, match="query rows"):
-        cosine_topk_pandas(emb, emb, k=5, max_query_rows=10).collect()
+        cosine_topk_pandas(emb, corpus=emb, k=5, max_query_rows=10).collect()
 
 
 def test_quantizer_samples_partition_order_invariant(spark):
@@ -104,7 +104,7 @@ def test_quantizer_samples_partition_order_invariant(spark):
 
     q = emb.filter(F.col("vec_id") < 5)
     ivf_a = sorted(map(tuple, ivf_topk(
-        q, emb, n_cells=4, n_probe=2, k=3, train_sample=128).collect()))
+        q, corpus=emb, n_cells=4, n_probe=2, k=3, train_sample=128).collect()))
     ivf_b = sorted(map(tuple, ivf_topk(
-        q, shuffled, n_cells=4, n_probe=2, k=3, train_sample=128).collect()))
+        q, corpus=shuffled, n_cells=4, n_probe=2, k=3, train_sample=128).collect()))
     assert ivf_a == ivf_b

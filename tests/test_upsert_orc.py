@@ -18,7 +18,7 @@ def test_upsert_semantics(spark):
         [(2, "B", 2), (3, "C", 5), (4, "d", 1)],  # 3: tie on version
         "k long, v string, version long",
     )
-    got = {r["k"]: (r["v"], r["version"]) for r in upsert_latest(base, updates, ["k"], "version").collect()}
+    got = {r["k"]: (r["v"], r["version"]) for r in upsert_latest(base, updates=updates, key_cols=["k"], version_col="version").collect()}
     assert got[1] == ("a", 1)  # untouched base row survives
     assert got[2] == ("B", 2)  # higher version wins
     assert got[3] == ("C", 5)  # tie goes to the update
@@ -29,7 +29,7 @@ def test_upsert_semantics(spark):
 def test_upsert_stale_update_loses(spark):
     base = spark.createDataFrame([(1, "new", 9)], "k long, v string, version long")
     updates = spark.createDataFrame([(1, "old", 3)], "k long, v string, version long")
-    row = upsert_latest(base, updates, ["k"], "version").first()
+    row = upsert_latest(base, updates=updates, key_cols=["k"], version_col="version").first()
     assert (row["v"], row["version"]) == ("new", 9)
 
 

@@ -37,7 +37,7 @@ def _run(spark, changes, **kw):
         rollup_keys=["tier"],
     )
     defaults.update(kw)
-    return nightly_refresh(changes, _facts(spark), **defaults)
+    return nightly_refresh(changes, facts=_facts(spark), **defaults)
 
 
 def test_clean_batch_end_to_end(spark):
