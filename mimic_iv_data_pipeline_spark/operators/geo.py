@@ -255,5 +255,9 @@ def geo_clusters(
         "id_b",
         nodes=points.select(F.col(id_col).alias("id")),
         driver_cap=driver_cap,
+        # radius_join emits pairs partitioned by grid cell, so each
+        # partition holds whole spatial blobs — exactly the layout the
+        # partition-local contraction collapses (see graph.py; PERF r8)
+        local_contract=True,
     )
     return comp.select(F.col("id"), F.col("component").alias("cluster_id"))

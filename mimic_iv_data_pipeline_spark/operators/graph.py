@@ -12,12 +12,15 @@ join rounds over the edge list, and the edge set contracts toward star
 graphs centered on each component's minimum id in O(log²) rounds
 regardless of graph diameter — unlike naive min-label propagation,
 whose round count is the graph *diameter* (a 10k-doc chain of
-near-dups would need 10k shuffles; this needs ~a dozen). A
-zero-shuffle partition-local union-find contraction (``mapInPandas``)
-runs before the first round, collapsing dense regions to stars and
-shortening intra-partition paths to length 1 — the classic two-phase
-local-contract/global-resolve shape, which cuts both the star round
-count and the edge volume the rounds shuffle. Each
+near-dups would need 10k shuffles; this needs ~a dozen). An opt-in
+zero-shuffle partition-local union-find contraction (``mapInPandas``,
+``local_contract=True``) runs before the first round — the classic
+two-phase local-contract/global-resolve shape. It pays off exactly
+when the edge relation arrives PARTITION-CLUSTERED (geo candidates
+grouped by cell, LSH pairs grouped by bucket): whole clusters collapse
+to stars locally — 7 rounds -> 1 and 3.5x wall-clock on the 6M-edge
+blob probe (PERF r8). On uncorrelated layouts it is a measured ~1%
+pure loss, but buys nothing, so the default stays off. Each
 iteration is ``localCheckpoint``-ed to truncate lineage, which is what
 keeps the plan from growing exponentially in an iterative Spark job;
 on a long-running cluster with executor loss you'd swap in reliable
@@ -102,6 +105,16 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     10k-row default Arrow batch.
     """
     import itertools
+    import sys
+
+    from pyspark import cloudpickle
+
+    # the closure references module-level _driver_union_find: serialize
+    # this module by VALUE so executors never need the package on their
+    # import path (the operators.multimodal/nlp registration pattern —
+    # the foreign-CWD driver simulation is exactly the consumer that
+    # breaks otherwise)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     def contract(batches):
         import pandas as pd
@@ -147,6 +160,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 25,
     driver_cap: int = 4_000_000,
+    local_contract: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected pair list.
 
@@ -177,6 +191,18 @@ def connected_components(
     100 TB-correct with no caller change — the bounded collect IS the
     auto-switch (it observes the true edge count, never an estimate).
 
+    ``local_contract=True`` runs a zero-exchange partition-local
+    union-find over the RAW pair relation before canonicalization,
+    replacing each partition's edges with its star forest. Enable it
+    when the producer emits pairs partition-clustered by component
+    locality — geo candidates grouped by grid cell
+    (:func:`~.geo.geo_clusters` passes it), LSH pairs grouped by band
+    bucket — where whole clusters collapse locally (7 star rounds -> 1
+    and 3.5x wall-clock on the 6M-edge blob probe, PERF r8), shrinking
+    both the driver fast path's Arrow collect and the star loop's
+    rounds. On uncorrelated layouts it is a measured ~1% loss that
+    buys nothing, so it defaults off.
+
     On the distributed path, convergence is detected on the canonical edge set with ONE
     aggregate job per round — ``(count, xor-of-hashes)`` as a cheap
     set signature — and a single ``exceptAll`` confirmation when the
@@ -197,9 +223,20 @@ def connected_components(
         ).collect()[0]
         return row.n, row.h
 
-    edges = _canon(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    )
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if local_contract:
+        # contract BEFORE _canon: the canonicalizing distinct re-shuffles
+        # by (u, v) hash, which would destroy exactly the producer
+        # partition-clustering (geo cells, LSH buckets) the contraction
+        # exploits. The union-find is indifferent to duplicates, order,
+        # and self-loops; NULL-id pairs are dropped here as _canon would
+        # have dropped them. Both downstream paths benefit: the star
+        # loop starts from the contracted forest, and the driver fast
+        # path Arrow-collects the (smaller) forest instead of the raw set.
+        raw = _local_contract(
+            raw.where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        )
+    edges = _canon(raw)
 
     if driver_cap:
         head = edges.limit(driver_cap + 1).toPandas()  # Arrow, ~16 B/long edge
@@ -234,12 +271,6 @@ def connected_components(
                 )
             return labels
 
-    # distributed path: contract partition-locally first (narrow, zero
-    # exchange) — dense blobs collapse to stars before the first round
-    # and every surviving intra-partition path shortens to length 1,
-    # which is what cuts star ROUNDS (each round is ~6 shuffles). The
-    # distinct re-canonicalizes the forest union across partitions.
-    edges = _local_contract(edges).distinct()
     edges = edges.transform(materialize)
     sig = signature(edges)
 

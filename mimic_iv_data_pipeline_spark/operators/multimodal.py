@@ -305,6 +305,9 @@ def decode_audio(
     ``decode_fn`` for an ffmpeg-backed callable for compressed codecs.
     """
 
+    _pickle_module_by_value()  # default decode_fn is module-level (as
+    # in decode_media): workers must not need the package importable
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [decode_fn(p) for p in pdf["payload"]]

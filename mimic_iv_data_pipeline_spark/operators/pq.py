@@ -139,6 +139,15 @@ def pq_encode(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if v.shape[1] != m * dsub:
+                # d > m*dsub would SILENTLY ignore the trailing dims
+                # (numpy slices never overrun); d < m*dsub errors as an
+                # opaque matmul shape mismatch — fail with the contract
+                raise ValueError(
+                    f"pq_encode: vector dims {v.shape[1]} != codebook "
+                    f"m*dsub {m * dsub}; encode with the codebooks the "
+                    f"corpus dimensionality was trained for"
+                )
             n = len(v)
             codes = np.empty((n, m), dtype=np.int64)
             err = np.zeros(n, dtype=np.float64)
@@ -221,6 +230,11 @@ def pq_topk(
         )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    if len(q_rows) and q_mat.shape[1] != m_eff * dsub:
+        raise ValueError(
+            f"pq_topk: query dims {q_mat.shape[1]} != codebook m*dsub "
+            f"{m_eff * dsub} — extra dims would be silently ignored"
+        )
     # LUT[q, j, c] = ||q_sub_j − books[j, c]||² — exact partial distances
     n_q = len(q_ids)
     lut = np.empty((n_q, m_eff, k_eff), dtype=np.float64)

@@ -173,6 +173,16 @@ def stream_lsh_dedup(
     """
     from mimic_iv_data_pipeline_spark.operators.dedup import _minhash_perms
 
+    # same validation as the batch path (operators/dedup.py r7 fix):
+    # bands > num_hashes makes rows_per_band 0 → every band hashes the
+    # EMPTY slice → one global bucket per band → unbounded state and
+    # O(n²) comparisons; non-divisible bands silently drop the tail
+    # hashes from every bucket key
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"stream_lsh_dedup: bands must divide num_hashes with "
+            f"rows_per_band >= 1 (got num_hashes={num_hashes}, bands={bands})"
+        )
     rows_per_band = num_hashes // bands
     sig_fn = _py_sig_factory(n, _minhash_perms(num_hashes))
     n_bands = bands

@@ -58,36 +58,57 @@ def main():
     spark = get_spark("probes_r8", **{"spark.driver.memory": "24g"})
     spark.conf.set("spark.sql.shuffle.partitions", "64")
 
-    # --- 1. CC star path with the contraction pre-pass ---------------
-    # random sparse graph: the PERF r7b fixture, bit-for-bit
+    # --- 1. CC star path and the opt-in local contraction -------------
+    # random sparse graph: the PERF r7b fixture, bit-for-bit — the
+    # UNCORRELATED layout where the contraction is documented as a loss
     edges = spark.range(6_000_000).select(
         F.pmod(F.xxhash64("id"), F.lit(3_000_000)).alias("id_a"),
         F.pmod(F.xxhash64("id", F.lit(1)), F.lit(3_000_000)).alias("id_b"),
     )
     probe(
-        "CC 6M random edges, star path + local contraction (cap=0)",
+        "CC 6M random edges, star path, NO contraction (cap=0) [r7b: 50.6s]",
         lambda: "labels={}, star_rounds={}".format(
             *cc_with_round_count(edges, driver_cap=0)
         ),
     )
     probe(
+        "CC 6M random edges, star path, local_contract=True (documented loss)",
+        lambda: "labels={}, star_rounds={}".format(
+            *cc_with_round_count(edges, driver_cap=0, local_contract=True)
+        ),
+    )
+    probe(
         "CC 6M random edges, union-find (driver_cap=8M) [r7b: 25.8s]",
-        lambda: f"{__import__('mimic_iv_data_pipeline_spark.operators.graph', fromlist=['connected_components']).connected_components(edges, driver_cap=8_000_000).count()} labels",
+        lambda: "labels={}".format(
+            cc_with_round_count(edges, driver_cap=8_000_000)[0]
+        ),
     )
 
-    # dense-blob graph: 60k blobs x 100 docs, ~6M edges — each blob a
-    # random tree plus chords (the near-dup cluster regime)
+    # dense-blob graph in the PRODUCER LAYOUT: 60k blobs x 100 docs,
+    # ~6M edges, repartitioned by blob — the partition-clustered shape
+    # radius_join/LSH-bucket joins actually emit (each partition holds
+    # whole blobs). This is the case local_contract targets.
     blob = spark.range(6_000_000).select(
         (F.col("id") % 60_000).alias("b"), F.col("id").alias("i")
     )
     blob_edges = blob.select(
+        F.col("b"),
         (F.col("b") * 1000 + F.pmod(F.xxhash64("i"), F.lit(100))).alias("id_a"),
         (F.col("b") * 1000 + F.pmod(F.xxhash64("i", F.lit(1)), F.lit(100))).alias("id_b"),
-    )
+    ).repartition(64, "b").select("id_a", "id_b")
+    for flag in (False, True):
+        probe(
+            f"CC 6M blob edges (clustered layout), star path, local_contract={flag}",
+            lambda flag=flag: "labels={}, star_rounds={}".format(
+                *cc_with_round_count(blob_edges, driver_cap=0, local_contract=flag)
+            ),
+        )
     probe(
-        "CC 6M blob edges (60k x 100-doc clusters), star path (cap=0)",
-        lambda: "labels={}, star_rounds={}".format(
-            *cc_with_round_count(blob_edges, driver_cap=0)
+        "CC 6M blob edges, union-find cap, local_contract=True (small collect)",
+        lambda: "labels={}".format(
+            cc_with_round_count(
+                blob_edges, driver_cap=8_000_000, local_contract=True
+            )[0]
         ),
     )
 
@@ -98,10 +119,10 @@ def main():
     changes = spark.range(20_000_000).select(
         (F.col("id") % n_keys).alias("k"),
         F.timestamp_seconds(
-            F.lit(1_700_000_000) + (F.col("id") // n_keys) * 86_400
+            F.lit(1_700_000_000) + F.expr(f"id div {n_keys}") * 86_400
         ).alias("v"),
         # ~10 versions per key, attribute changes every other version
-        F.concat(F.lit("tier_"), ((F.col("id") // n_keys) / 2).cast("long").cast("string")).alias("tier"),
+        F.concat(F.lit("tier_"), F.expr(f"id div {n_keys} div 2").cast("string")).alias("tier"),
         (F.col("id") % 100).cast("double").alias("amount"),
     )
     facts = spark.range(100_000_000).select(
