@@ -109,6 +109,10 @@ HEADLINE = [
     # xxhash64 twin of q180 (EXTRA) — isolates the md5 digest cost
     # that dominates the oracle-mirrorable bootstrap.
     "q180_bootstrap_xxhash",
+    # round-8: the geo radius-join -> connected-components composite
+    # (exercises the partition-local contraction fast path added in r8;
+    # tracked so the clustered-layout CC plan is measured every round).
+    "q210_geo_clusters",
     # round-6: the reference's actual workload shape end-to-end
     # (cohort -> cleaning -> windows -> dense grid -> features/tensors,
     # six stage writes) — regression-guards the composed pipeline, not
