@@ -63,6 +63,13 @@ def salted_join(
     hot keys. With AQE on, prefer letting the skew-join rule split
     partitions first; this is the explicit fallback for shuffle-hash
     paths and for engines/stages where AQE cannot rewrite.
+
+    Measurement note (PERF r8b): the benefit is a STRAGGLER effect —
+    one executor pinned on the hot partition while the rest idle — so
+    a single-JVM local harness structurally cannot demonstrate it
+    (all cores drain one queue; the probe shows only the replication
+    overhead). Apply on real clusters when stage timelines show a
+    pinned reducer, not prophylactically.
     """
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
