@@ -843,6 +843,7 @@ def semantic_dedup(
     seed: int = 42,
     train_sample: int = 262_144,
     centroids=None,
+    reuse: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     space, then deduplicate ONLY within clusters — pairwise cosine is
@@ -885,8 +886,11 @@ def semantic_dedup(
     )
     # three consumers (both self-join sides + the final output join on a
     # DIFFERENT key) — persist so the Python/Arrow assignment pass, the
-    # most expensive stage here, runs once (the module's reuse pattern)
-    assigned = assigned.persist()
+    # most expensive stage here, runs once. ``reuse=False`` stays fully
+    # lazy for long-lived sessions calling this on many distinct inputs
+    # (the fuzzy/retrieval/roc_pr_curve reuse pattern)
+    if reuse:
+        assigned = assigned.persist()
     a = assigned.alias("a")
     b = assigned.alias("b")
     pruned_ids = (

@@ -317,13 +317,21 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    local_contract: bool = False,
 ) -> DataFrame:
     """Corpus-level near-dup removal: keep the minimum-id document of
     every connected component of ``pairs`` (the C4/Dolma "keep one per
     cluster" step). Non-clustered documents pass through untouched —
     the labels join is an equi-join on the id, broadcast when the
-    cluster set is small."""
-    labels = connected_components(pairs, src, dst)
+    cluster set is small.
+
+    ``local_contract`` passes through to :func:`connected_components`:
+    set it when ``pairs`` still carries its producer's band/bucket
+    partitioning (e.g. a banded LSH join consumed BEFORE any
+    (id_a, id_b) distinct — the usual ``minhash_lsh_pairs`` output has
+    already been re-shuffled by its trailing distinct, where it buys
+    nothing)."""
+    labels = connected_components(pairs, src, dst, local_contract=local_contract)
     keep = labels.where(F.col("id") == F.col("component")).select("id")
     clustered = labels.select("id")
     return (
