@@ -267,6 +267,16 @@ def test_connected_components_random_graphs(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}"
+        # r8: the opt-in local contraction must be label-invariant on
+        # the same random graphs, under a partitioning it didn't choose
+        got_lc = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                pairs.repartition(5), nodes=nodes_df, driver_cap=cap,
+                local_contract=True,
+            ).collect()
+        }
+        assert got_lc == expected, f"trial {trial} (local_contract)"
 
 
 def test_dedup_keep_canonical(spark):
