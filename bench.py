@@ -331,6 +331,14 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    # second canary AFTER the battery: a single start-of-run sample
+    # misses mid-run contention bursts (r8 observed a neighbor whose
+    # bursts flagged disjoint query sets across four same-code runs);
+    # comparing tools should normalize by max(canary_sec,
+    # canary_end_sec), and a large gap between the two marks the whole
+    # run as burst-contaminated.
+    canary_end = _canary()
+
     print(
         json.dumps(
             {
@@ -339,6 +347,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "canary_sec": canary,  # fixed-work contention reference
+                "canary_end_sec": canary_end,
                 "sf": sf,
             }
         )

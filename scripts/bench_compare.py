@@ -43,9 +43,16 @@ def load_bench(path: str) -> dict:
     return data
 
 
+def _canary_of(b: dict):
+    """Worst of the start/end canaries (end added in r8: a start-only
+    sample misses mid-run contention bursts)."""
+    vals = [v for v in (b.get("canary_sec"), b.get("canary_end_sec")) if v]
+    return max(vals) if vals else None
+
+
 def compare(old: dict, new: dict, gate_ratio: float, gate_abs: float) -> dict:
-    canary_old = old.get("canary_sec")
-    canary_new = new.get("canary_sec")
+    canary_old = _canary_of(old)
+    canary_new = _canary_of(new)
     if canary_old and canary_new:
         canary_ratio = canary_new / canary_old
     else:
