@@ -135,12 +135,19 @@ _MODULES = [
 #   q27 q28 q29 q30 q31 q33 q35 q36 q37 q38 q43 q46 q47) plus the 17
 #   oldest r3 rows (q24, then q48-q65 in name order, skipping the
 #   rows-only q53/q60). This clears the r2 block entirely.
-# r9 plan: (a) any r8 reds; (b) first rows for any r9-new queries;
-#   (c) the 8-core (alternate-7 sit out — odd round); (d) oldest-
-#   first aged rows to 50 — the remaining r3 block (q66-q83 wave,
-#   then q84+). Rotation policy (pinned by
-#   tests/test_manifest.py::test_aged_slots_are_oldest_first): after
-#   never-checked + core, every remaining slot goes to the oldest
+# r9 manifest (EXECUTED below): (a) no r8 reds — CORRECTNESS_r08 was
+#   50/50 green; (b) no never-checked queries (219/219 have rows);
+#   (c) the 8-core only (alternate-7 sit out — odd round); (d) the 42
+#   oldest aged rows: the full remaining r3 block (q66-q77, q79-q83 —
+#   17 rows; q78 took a fresh row in r4), then the 24 oldest r4 rows
+#   (q01 q100 q101 q108-q113 q116 q78 q84-q86 q88-q90 q92 q94-q99 in
+#   (round, name) order), then q117 (r5). After r9 no driver row is
+#   older than r4.
+# r10 plan: (a) any r9 reds; (b) first rows for any r10-new queries;
+#   (c) the 8-core + alternate-7 (even round); (d) oldest-first aged
+#   rows to 50 — the r4 remainder, then the r5 block. Rotation policy
+#   (pinned by tests/test_manifest.py::test_aged_slots_are_oldest_first):
+#   after never-checked + core, every remaining slot goes to the oldest
 #   eligible (oracled) queries, oldest round first, name order within
 #   a round — no slot may skip past a staler query.
 # The round this manifest targets: tests/test_manifest.py evaluates
@@ -148,7 +155,7 @@ _MODULES = [
 # this round, so the pin holds before and after the round's own
 # CORRECTNESS file lands (even a partial one from a crashed driver).
 # Bump together with the manifest each round.
-_MANIFEST_ROUND = 8
+_MANIFEST_ROUND = 9
 
 _PRIORITY = [
     # (c) every-round 8-core — one per SURVEY §2 family
@@ -160,52 +167,51 @@ _PRIORITY = [
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q42_cosine_topk",
-    # (c) alternate-round 7-core (even rounds: r8, r10, ...)
-    "q08_outer_join_fill",
-    "q14_code_mapping",
-    "q15_mode_per_group",
-    "q17_topk_per_group",
-    "q26_vocab_build",
-    "q39_ngram_jaccard",
-    "q45_set_ops",
-    # (d) oldest aged rows — the full r2 remainder (last row: r2)
-    "q13_json_extract",
-    "q21_sessionize",
-    "q22_quantile_bins",
-    "q23_calibration_bins",
-    "q25_rank_auc",
-    "q27_global_topk",
-    "q28_rollup",
-    "q29_bucketize_hourly",
-    "q30_bucketize_6h",
-    "q31_dense_grid",
-    "q33_event_time_normalize",
-    "q35_token_stats",
-    "q36_quality_score",
-    "q37_lang_id",
-    "q38_fingerprint",
-    "q43_embedding_stats",
-    "q46_one_hot",
-    "q47_label_encode",
-    # (d) oldest aged rows — 17 oldest r3 rows (name order; q53/q60
-    # are rows-only and carried by their fixed twins)
-    "q24_fairness_confusion",
-    "q48_group_max",
-    "q49_interval_signal",
-    "q50_winnowing",
-    "q51_eval_metrics",
-    "q52_temperature_scaling",
-    "q54_cube",
-    "q55_trend_slope",
-    "q56_approx_distinct",
-    "q57_ece_mce",
-    "q58_survival_export",
-    "q59_embedding_neardup",
-    "q61_behrt_sequences",
-    "q62_horizontal_concat",
-    "q63_pii_redaction",
-    "q64_hash_split",
-    "q65_contamination",
+    # (d) oldest aged rows — the full remaining r3 block (17 rows)
+    "q66_heavy_hitters",
+    "q67_cms_freq",
+    "q68_stratified_sample",
+    "q69_sequence_packing",
+    "q70_repetition",
+    "q71_pack_chunked",
+    "q72_passage_dedup",
+    "q73_bloom_membership",
+    "q74_url_dedup",
+    "q75_source_mixture",
+    "q76_dedup_clusters",
+    "q77_bigram_lm",
+    "q79_tfidf_keywords",
+    "q80_dsir_weights",
+    "q81_bpe_pairs",
+    "q82_length_batches",
+    "q83_ngram_novelty",
+    # (d) oldest aged rows — 24 oldest r4 rows (name order)
+    "q01_pricing_summary",
+    "q100_stratified_kfold",
+    "q101_k_anonymity",
+    "q108_kneser_ney",
+    "q109_sentence_stats",
+    "q110_zipf_slope",
+    "q111_token_entropy",
+    "q112_tfidf_cosine_pairs",
+    "q113_bm25",
+    "q116_theta_sets",
+    "q78_quantize_int8",
+    "q84_nfc_normalize",
+    "q85_duplicate_spans",
+    "q86_gopher_rules",
+    "q88_dedup_clean",
+    "q89_quota_sample",
+    "q90_covariance_matrix",
+    "q92_edit_distance_join",
+    "q94_source_quantiles",
+    "q95_chunk_overlap",
+    "q96_weighted_sample",
+    "q97_kfold",
+    "q98_oversample",
+    "q99_edit_distance_sparse",
+    # (d) +1 oldest r5 row to fill the window to 50
+    "q117_hashed_linear_score",
 ]
 
 
