@@ -85,6 +85,29 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+_BY_VALUE_REGISTERED = False
+
+
+def _register_by_value_once() -> None:
+    """Serialize this module by VALUE so executor closures referencing
+    ``_driver_union_find`` never need the package on their import path
+    (the operators.multimodal/nlp registration pattern — the
+    foreign-CWD driver simulation is exactly the consumer that breaks
+    otherwise). Registration is a process-global cloudpickle side
+    effect, so do it exactly once (r8 ADVICE: re-registering on every
+    call silently re-touches serialization of every closure that
+    references this module)."""
+    global _BY_VALUE_REGISTERED
+    if _BY_VALUE_REGISTERED:
+        return
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _BY_VALUE_REGISTERED = True
+
+
 def _local_contract(edges: DataFrame) -> DataFrame:
     """ZERO-SHUFFLE partition-local contraction: replace each
     partition's edge set with the star forest of its own union-find
@@ -104,28 +127,38 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     union-find, so contraction power is the full partition, not the
     10k-row default Arrow batch.
     """
-    import itertools
-    import sys
-
-    from pyspark import cloudpickle
-
-    # the closure references module-level _driver_union_find: serialize
-    # this module by VALUE so executors never need the package on their
-    # import path (the operators.multimodal/nlp registration pattern —
-    # the foreign-CWD driver simulation is exactly the consumer that
-    # breaks otherwise)
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _register_by_value_once()
 
     def contract(batches):
         import pandas as pd
 
-        pairs = itertools.chain.from_iterable(
-            zip(pdf["u"].tolist(), pdf["v"].tolist()) for pdf in batches
-        )
-        labeled = _driver_union_find(pairs)
-        yield pd.DataFrame(
-            [(x, r) for (x, r) in labeled if x != r], columns=["u", "v"]
-        )
+        dtypes: list = []
+
+        def pair_stream():
+            for pdf in batches:
+                if not dtypes:
+                    dtypes.append(pdf["u"].dtype)
+                    dtypes.append(pdf["v"].dtype)
+                yield from zip(pdf["u"].tolist(), pdf["v"].tolist())
+
+        rows = [(x, r) for (x, r) in _driver_union_find(pair_stream()) if x != r]
+        if not rows:
+            # empty result: emit one empty frame with EXPLICIT dtypes
+            # taken from the input batches, never an inferred
+            # object-dtype frame relying on Arrow's empty-array cast
+            # (fragile for exotic id types). A partition with no input
+            # batches at all has no dtype to copy — there object-dtype
+            # is safe because the cast sees zero values.
+            du, dv = (dtypes[0], dtypes[1]) if dtypes else ("object", "object")
+            yield pd.DataFrame(
+                {"u": pd.Series(dtype=du), "v": pd.Series(dtype=dv)}
+            )
+            return
+        # slice the star forest into bounded Arrow batches instead of
+        # one partition-sized frame (peak memory ∝ chunk, not forest)
+        chunk = 65_536
+        for i in range(0, len(rows), chunk):
+            yield pd.DataFrame(rows[i : i + chunk], columns=["u", "v"])
 
     return edges.mapInPandas(contract, edges.schema)
 

@@ -94,13 +94,23 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int | None = Non
         ok = (F.size(sig_a) == F.lit(int(num_hashes))) & (
             F.size(sig_b) == F.lit(int(num_hashes))
         )
-        return F.when(ok, agree / F.lit(float(num_hashes))).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "estimated_jaccard: signature lengths (%s, %s) != "
-                    "num_hashes " + str(int(num_hashes)),
-                    F.size(sig_a).cast("string"),
-                    F.size(sig_b).cast("string"),
+        # NULL signatures score NULL (matching the lambda fallback,
+        # where agree/size(NULL) is NULL) — they must NOT reach the
+        # raise branch: size(NULL) is NULL, so `ok` would be NULL and
+        # otherwise() would fail the whole job with a misleading
+        # "length mismatch" for a row the threshold filter would have
+        # silently dropped.
+        return (
+            F.when(sig_a.isNull() | sig_b.isNull(), F.lit(None).cast("double"))
+            .when(ok, agree / F.lit(float(num_hashes)))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "estimated_jaccard: signature lengths (%s, %s) != "
+                        "num_hashes " + str(int(num_hashes)),
+                        F.size(sig_a).cast("string"),
+                        F.size(sig_b).cast("string"),
+                    )
                 )
             )
         )

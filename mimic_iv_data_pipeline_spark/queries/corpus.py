@@ -175,6 +175,9 @@ def q86_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q87_semantic_dedup")
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # default reuse=True pins the assignment relation (3 consumers) —
+    # right for a one-shot driver query; long-lived sessions should
+    # pass reuse=False (the pin is never unpersisted)
     return semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.9
     )

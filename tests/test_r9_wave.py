@@ -1,0 +1,91 @@
+"""Round-9 regression pins: the r8 ADVICE fixes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_estimated_jaccard_null_signature_scores_null(spark):
+    """A NULL signature must score NULL (matching the lambda
+    fallback), NOT hit the raise branch with a misleading 'length
+    mismatch' (r8 ADVICE: size(NULL) made `ok` NULL, so otherwise()
+    fired and failed the whole job)."""
+    from mimic_iv_data_pipeline_spark.operators.incremental import (
+        estimated_jaccard,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], None), (None, [1, 2, 3, 4]), (None, None),
+         ([1, 2, 3, 4], [1, 2, 9, 4])],
+        "a array<bigint>, b array<bigint>",
+    )
+    rows = df.select(
+        estimated_jaccard(F.col("a"), F.col("b"), num_hashes=4).alias("j")
+    ).collect()
+    assert [r["j"] for r in rows[:3]] == [None, None, None]
+    assert rows[3]["j"] == pytest.approx(0.75)
+    # and a genuine length mismatch still raises
+    from pyspark.errors import PySparkException
+
+    bad = spark.createDataFrame(
+        [([1, 2], [1, 2, 3, 4])], "a array<bigint>, b array<bigint>"
+    )
+    with pytest.raises(PySparkException, match="signature lengths"):
+        bad.select(
+            estimated_jaccard(F.col("a"), F.col("b"), num_hashes=4).alias("j")
+        ).collect()
+
+
+def test_local_contract_empty_partitions_and_string_ids(spark):
+    """_local_contract must survive partitions that receive no rows
+    (the empty-frame path now carries explicit dtypes; r8 ADVICE) and
+    non-numeric id types."""
+    from mimic_iv_data_pipeline_spark.operators.graph import _local_contract
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], "u string, v string"
+    ).repartition(16)  # 3 rows over 16 partitions → ≥13 empty
+    out = {tuple(r) for r in _local_contract(edges).collect()}
+    # every emitted row is (member, partition-local root), root < member
+    assert all(v < u for u, v in out)
+    # connectivity preserved: {a,b,c} and {d,e} stay internally linked
+    comp = {}
+    for u, v in out:
+        comp.setdefault(v, set()).update({u, v})
+    merged = list(comp.values())
+    assert any({"a", "b", "c"} <= (s | {"a"}) or s <= {"a", "b", "c"} for s in merged)
+
+
+def test_local_contract_register_by_value_is_once():
+    """register_pickle_by_value is a process-global side effect — the
+    module-level guard must make it a one-shot (r8 ADVICE)."""
+    from mimic_iv_data_pipeline_spark.operators import graph
+
+    graph._register_by_value_once()
+    assert graph._BY_VALUE_REGISTERED is True
+    # idempotent: calling again is a no-op (no exception, flag stays)
+    graph._register_by_value_once()
+    assert graph._BY_VALUE_REGISTERED is True
+
+
+def test_local_contract_chunked_output_parity(spark):
+    """The chunked (65k-row slice) yield must emit the same star
+    forest as a single frame would — pin with a >1-chunk partition."""
+    from mimic_iv_data_pipeline_spark.operators.graph import (
+        _driver_union_find,
+        _local_contract,
+    )
+
+    n = 70_000  # one chain → one 69_999-row forest → 2 Arrow slices
+    edges = spark.range(1, n).select(
+        F.col("id").alias("u"), (F.col("id") - 1).alias("v")
+    ).coalesce(1)
+    got = _local_contract(edges)
+    assert got.count() == n - 1
+    # all collapse to root 0 (partition-local union-find sees the chain)
+    assert got.select(F.max("v")).first()[0] == 0
+    expect = {(x, r) for x, r in _driver_union_find(
+        (i, i - 1) for i in range(1, n)
+    ) if x != r}
+    assert {tuple(r) for r in got.collect()} == expect
