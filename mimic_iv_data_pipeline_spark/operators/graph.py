@@ -193,7 +193,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 25,
     driver_cap: int = 4_000_000,
-    local_contract: bool = False,
+    local_contract: bool | str = "auto",
 ) -> DataFrame:
     """Connected components of an undirected pair list.
 
@@ -224,17 +224,34 @@ def connected_components(
     100 TB-correct with no caller change — the bounded collect IS the
     auto-switch (it observes the true edge count, never an estimate).
 
-    ``local_contract=True`` runs a zero-exchange partition-local
+    ``local_contract`` controls a zero-exchange partition-local
     union-find over the RAW pair relation before canonicalization,
-    replacing each partition's edges with its star forest. Enable it
-    when the producer emits pairs partition-clustered by component
-    locality — geo candidates grouped by grid cell
-    (:func:`~.geo.geo_clusters` passes it), LSH pairs grouped by band
-    bucket — where whole clusters collapse locally (7 star rounds -> 1
-    and 3.5x wall-clock on the 6M-edge blob probe, PERF r8), shrinking
-    both the driver fast path's Arrow collect and the star loop's
-    rounds. On uncorrelated layouts it is a measured ~1% loss that
-    buys nothing, so it defaults off.
+    replacing each partition's edges with its star forest. ``True``
+    always pre-contracts — right when the producer emits pairs
+    partition-clustered by component locality: geo candidates grouped
+    by grid cell (:func:`~.geo.geo_clusters` passes it), pairs still
+    carrying their LSH band-bucket layout — where whole clusters
+    collapse locally (7 star rounds -> 1 and 3.5x wall-clock on the
+    6M-edge blob probe, PERF r8). The r9 layout probes showed the win
+    is NOT layout-only: even after the producer layout is destroyed by
+    a (id_a, id_b) hash shuffle (the trailing ``distinct`` every
+    dedup pair producer ends with), contraction still buys 1.3x on the
+    star path for duplicate-blob graphs via per-partition path
+    shortening; the only measured loss is sparse UNCORRELATED graphs
+    (~1%, PERF r8). ``"auto"`` (the default) therefore defers the
+    decision to the one signal the operator can observe for free:
+    the bounded driver collect. Small graphs take the driver fast
+    path off the raw edge set — zero contraction overhead; only when
+    the raw set overflows ``driver_cap`` does auto contract once and
+    retry (the forest is never larger and may now fit — a new escape
+    hatch mid-size graphs didn't have), falling through to the star
+    loop ON THE CONTRACTED FOREST when even that overflows. With
+    ``driver_cap=0`` auto pre-contracts unconditionally (expected
+    value: big win on blob structure, ~1% worst case). ``False``
+    never contracts. The auto retry re-executes the producer lineage
+    once (the contraction is a different plan than the collected
+    canonical set); at >cap edge counts that recompute is noise next
+    to the star rounds it replaces.
 
     On the distributed path, convergence is detected on the canonical edge set with ONE
     aggregate job per round — ``(count, xor-of-hashes)`` as a cheap
@@ -256,23 +273,35 @@ def connected_components(
         ).collect()[0]
         return row.n, row.h
 
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    if local_contract:
-        # contract BEFORE _canon: the canonicalizing distinct re-shuffles
-        # by (u, v) hash, which would destroy exactly the producer
-        # partition-clustering (geo cells, LSH buckets) the contraction
-        # exploits. The union-find is indifferent to duplicates, order,
-        # and self-loops; NULL-id pairs are dropped here as _canon would
-        # have dropped them. Both downstream paths benefit: the star
-        # loop starts from the contracted forest, and the driver fast
-        # path Arrow-collects the (smaller) forest instead of the raw set.
-        raw = _local_contract(
-            raw.where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    if local_contract not in (True, False, "auto"):
+        raise ValueError(
+            f"local_contract must be True, False or 'auto', got {local_contract!r}"
         )
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nonnull = raw.where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    if local_contract is True or (local_contract == "auto" and not driver_cap):
+        # contract BEFORE _canon: the canonicalizing distinct re-shuffles
+        # by (u, v) hash, which would destroy any producer
+        # partition-clustering (geo cells, LSH buckets) the contraction
+        # exploits best. The union-find is indifferent to duplicates,
+        # order, and self-loops; NULL-id pairs are dropped here as
+        # _canon would have dropped them. Both downstream paths benefit:
+        # the star loop starts from the contracted forest, and the
+        # driver fast path Arrow-collects the (smaller) forest.
+        raw = _local_contract(nonnull)
     edges = _canon(raw)
 
     if driver_cap:
         head = edges.limit(driver_cap + 1).toPandas()  # Arrow, ~16 B/long edge
+        if len(head) > driver_cap and local_contract == "auto":
+            # auto: the raw canonical set overflows the cap — contract
+            # once and retry. The star forest is never larger than the
+            # edge set and collapses duplicate-rich structure, so it
+            # may fit where the raw set did not; if it still doesn't,
+            # the star loop below starts from the contracted forest
+            # (1.3-3.5x fewer/cheaper rounds on blob graphs, PERF r9).
+            edges = _canon(_local_contract(nonnull))
+            head = edges.limit(driver_cap + 1).toPandas()
         if len(head) <= driver_cap:  # bounded collect saw the WHOLE set
             import pandas as pd
 
@@ -350,7 +379,7 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
-    local_contract: bool = False,
+    local_contract: bool | str = "auto",
 ) -> DataFrame:
     """Corpus-level near-dup removal: keep the minimum-id document of
     every connected component of ``pairs`` (the C4/Dolma "keep one per
@@ -359,11 +388,14 @@ def dedup_keep_canonical(
     cluster set is small.
 
     ``local_contract`` passes through to :func:`connected_components`:
-    set it when ``pairs`` still carries its producer's band/bucket
-    partitioning (e.g. a banded LSH join consumed BEFORE any
-    (id_a, id_b) distinct — the usual ``minhash_lsh_pairs`` output has
-    already been re-shuffled by its trailing distinct, where it buys
-    nothing)."""
+    the ``"auto"`` default contracts only when the pair set overflows
+    the driver cap — free for the common small-pair-set case, and a
+    measured 1.3x star-path win on duplicate-blob pair sets even AFTER
+    the producer's band/bucket layout has been destroyed by the
+    trailing (id_a, id_b) distinct (PERF r9 layout probes). Pass
+    ``True`` when ``pairs`` still carries producer partitioning (a
+    banded LSH join consumed before any distinct), ``False`` for
+    sparse uncorrelated graphs (~1% contraction loss)."""
     labels = connected_components(pairs, src, dst, local_contract=local_contract)
     keep = labels.where(F.col("id") == F.col("component")).select("id")
     clustered = labels.select("id")

@@ -89,3 +89,39 @@ def test_local_contract_chunked_output_parity(spark):
         (i, i - 1) for i in range(1, n)
     ) if x != r}
     assert {tuple(r) for r in got.collect()} == expect
+
+
+def test_connected_components_auto_contract_retry(spark):
+    """local_contract='auto' (the new default): small graphs take the
+    driver fast path with NO contraction pass; a graph whose raw
+    canonical set overflows driver_cap gets contracted once and
+    retried — K6 (15 canonical edges, cap=8) contracts to a ≤5-row
+    star forest per partition, which fits. Labels must equal the
+    explicit True/False paths in all modes."""
+    from mimic_iv_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    k6 = [(i, j) for i in range(6) for j in range(6) if i < j]  # 15 edges
+    pairs = spark.createDataFrame(
+        k6 + [(10, 11)], "id_a bigint, id_b bigint"
+    ).coalesce(1)
+    expect = sorted([(i, 0) for i in range(6)] + [(10, 10), (11, 10)])
+    for mode in ("auto", True, False):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(
+                pairs, driver_cap=8, local_contract=mode
+            ).collect()
+        )
+        assert got == expect, f"mode={mode}"
+    # auto with cap=0 (forced distributed) pre-contracts; labels equal
+    got = sorted(
+        tuple(r)
+        for r in connected_components(
+            pairs, driver_cap=0, local_contract="auto"
+        ).collect()
+    )
+    assert got == expect
+    with pytest.raises(ValueError, match="local_contract"):
+        connected_components(pairs, local_contract="yes")
