@@ -246,8 +246,10 @@ def connected_components(
     retry (the forest is never larger and may now fit — a new escape
     hatch mid-size graphs didn't have), falling through to the star
     loop ON THE CONTRACTED FOREST when even that overflows. With
-    ``driver_cap=0`` auto pre-contracts unconditionally (expected
-    value: big win on blob structure, ~1% worst case). ``False``
+    ``driver_cap=0`` (forced distributed) auto buys its signal with
+    one count job and contracts only above ~1M edges — the r9 sf1
+    probe measured a 3.2x LOSS forcing contraction over a 2.6k-pair
+    sparse set, vs the 1.3-4.6x win at 6M blob edges. ``False``
     never contracts. The auto retry re-executes the producer lineage
     once (the contraction is a different plan than the collected
     canonical set); at >cap edge counts that recompute is noise next
@@ -279,7 +281,19 @@ def connected_components(
         )
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     nonnull = raw.where(F.col("u").isNotNull() & F.col("v").isNotNull())
-    if local_contract is True or (local_contract == "auto" and not driver_cap):
+    if local_contract == "auto" and not driver_cap:
+        # forced-distributed + auto: no bounded collect will run, so
+        # buy the decision signal with one count job (noise next to the
+        # per-round signature jobs the star loop runs anyway). Small
+        # sparse pair sets must NOT contract: the r9 sf1 probe measured
+        # a 3.2x LOSS forcing contraction over 2.6k pairs (the Python
+        # boundary with nothing to collapse), vs the 1.3-4.6x win at 6M
+        # blob edges. 1M edges ~ the scale where star rounds start to
+        # dominate and per-partition structure exists.
+        local_contract = (
+            True if nonnull.count() > 1_000_000 else False
+        )
+    if local_contract is True:
         # contract BEFORE _canon: the canonicalizing distinct re-shuffles
         # by (u, v) hash, which would destroy any producer
         # partition-clustering (geo cells, LSH buckets) the contraction
