@@ -90,21 +90,55 @@ def build_sequences(
 def build_vocab(sequences: DataFrame, special: list[str] | None = None) -> DataFrame:
     """A15: token vocabulary with stable ids — special tokens first,
     then alphabetical corpus tokens (``model_utils.py:20-36`` pickles
-    python dicts; here a DataFrame, broadcastable into encode joins)."""
+    python dicts; here a DataFrame, broadcastable into encode joins).
+
+    The alphabetical rank is computed WITHOUT a global single-partition
+    window (the r9 review's scale fix — a web-scale corpus has 10⁸+
+    distinct tokens, and ``row_number().over(Window.orderBy(...))``
+    funnels all of them through one task): tokens bucket by their
+    2-char prefix — a VALUE-deterministic key that is a prefix of the
+    sort key, so buckets are contiguous in the total order — rank
+    within each bucket in a distributed window, and add per-bucket
+    offsets from a prefix sum over the tiny bucket-count relation
+    (broadcast back). The ``global_prefix_sums`` recipe, specialized
+    to a string order key. Skew bound: one bucket holds one 2-char
+    prefix's tokens (natural-language prefixes are uneven but
+    thousands of buckets deep, never one giant task).
+    """
     from pyspark.sql.window import Window
 
     specials = special or ["[PAD]", "[CLS]", "[SEP]", "[MASK]", "[UNK]"]
     sp = sequences.sparkSession.createDataFrame(
         [(i, tok) for i, tok in enumerate(specials)], "id long, token string"
     )
-    corpus = (
-        sequences.select(F.explode("tokens").alias("token"))
-        .distinct()
+    toks = sequences.select(F.explode("tokens").alias("token")).distinct()
+    bucketed = toks.withColumn("__b", F.substring("token", 1, 2))
+    ranked = bucketed.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("__b").orderBy("token")),
+    )
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn(
-            "id",
-            F.row_number().over(Window.orderBy("token")) - 1 + len(specials),
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
-        .select("id", "token")
+        .select("__b", "__off")
+    )
+    corpus = (
+        ranked.join(F.broadcast(offsets), "__b")
+        .select(
+            (F.col("__off") + F.col("__r") - 1 + len(specials)).alias("id"),
+            "token",
+        )
     )
     return sp.unionByName(corpus)
 
@@ -113,14 +147,36 @@ def encode_sequences(sequences: DataFrame, vocab: DataFrame) -> DataFrame:
     """F13: token → id encoding as an explode + broadcast join +
     re-collect (replaces the reference's dict ``replace`` loop,
     ``dl_train.py:347-351``); unknown tokens map to [UNK]."""
-    unk = vocab.filter(F.col("token") == "[UNK]").select("id")
+    # aggregate to EXACTLY one row (NULL id when the vocab has no
+    # [UNK]): a bare filter+crossJoin would go EMPTY on such a vocab
+    # and silently drop every patient (r9 review). A missing [UNK]
+    # now only matters if an out-of-vocab token actually appears —
+    # then it raises with a message instead of vanishing rows.
+    unk = vocab.filter(F.col("token") == "[UNK]").agg(
+        F.min("id").alias("__unk")
+    )
     exploded = sequences.select(
         "subject_id", F.posexplode("tokens").alias("pos", "token")
     )
     encoded = (
         exploded.join(F.broadcast(vocab), on="token", how="left")
-        .join(F.broadcast(unk.withColumnRenamed("id", "__unk")), how="cross", on=None)
-        .withColumn("id", F.coalesce(F.col("id"), F.col("__unk")))
+        .crossJoin(F.broadcast(unk))
+        .withColumn(
+            "id",
+            F.coalesce(
+                F.col("id"),
+                F.col("__unk"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "encode_sequences: token not in vocab and no "
+                            "[UNK] row to fall back to: "
+                        ),
+                        F.col("token"),
+                    )
+                ).cast("long"),
+            ),
+        )
     )
     return encoded.groupBy("subject_id").agg(
         F.sort_array(F.collect_list(F.struct("pos", "id"))).alias("__s")

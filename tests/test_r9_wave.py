@@ -125,3 +125,44 @@ def test_connected_components_auto_contract_retry(spark):
     assert got == expect
     with pytest.raises(ValueError, match="local_contract"):
         connected_components(pairs, local_contract="yes")
+
+
+def test_build_vocab_distributed_rank_matches_alphabetical(spark):
+    """The r9 prefix-bucketed rank must equal the old global-window
+    alphabetical ids exactly, including across bucket boundaries."""
+    from mimic_iv_data_pipeline_spark.plans.tokenization import build_vocab
+
+    toks = ["aa1", "aa2", "ab1", "b", "ba9", "c", "", "a"]
+    seqs = spark.createDataFrame(
+        [(1, toks[:4]), (2, toks[4:])], "subject_id long, tokens array<string>"
+    )
+    vocab = {r["token"]: r["id"] for r in build_vocab(seqs).collect()}
+    n_special = 5
+    expected = {t: i + n_special for i, t in enumerate(sorted(toks))}
+    for t, i in expected.items():
+        assert vocab[t] == i, (t, vocab[t], i)
+    assert vocab["[PAD]"] == 0 and vocab["[UNK]"] == 4
+
+
+def test_encode_sequences_without_unk_raises_not_empty(spark):
+    """A vocab lacking [UNK] used to EMPTY the output via a bare
+    crossJoin with a zero-row relation (r9 review); now: in-vocab
+    sequences encode fine, an OOV token raises with a message."""
+    from pyspark.errors import PySparkException
+    from mimic_iv_data_pipeline_spark.plans.tokenization import (
+        encode_sequences,
+    )
+
+    vocab = spark.createDataFrame(
+        [(0, "x"), (1, "y")], "id long, token string"
+    )
+    seqs = spark.createDataFrame(
+        [(1, ["x", "y", "x"])], "subject_id long, tokens array<string>"
+    )
+    rows = encode_sequences(seqs, vocab).collect()
+    assert rows and rows[0]["token_ids"] == [0, 1, 0]
+    oov = spark.createDataFrame(
+        [(1, ["x", "zz"])], "subject_id long, tokens array<string>"
+    )
+    with pytest.raises(PySparkException, match="no .UNK. row"):
+        encode_sequences(oov, vocab).collect()
