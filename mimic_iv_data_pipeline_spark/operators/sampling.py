@@ -36,6 +36,7 @@ __all__ = [
     "source_mixture_rates",
     "dsir_log_weights",
     "length_bucketed_batches",
+    "negative_sample",
 ]
 
 _HASH_SPAN = 4294967296.0  # 2^32: span of the 8-hex-digit prefix
@@ -1167,4 +1168,86 @@ def mixture_temperature_weights(
         share.alias("share"),
         alloc.alias("alloc_tokens"),
         (alloc.cast("double") / nD).alias("epochs"),
+    )
+
+
+def negative_sample(
+    positives: DataFrame,
+    corpus: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+    oversample: int | None = None,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    retrieval training triples (public recipe: the in-batch /
+    random-negative mining step of DPR, Karpukhin et al. 2020 §3.2 —
+    every (query, positive) pair needs K random non-positive corpus
+    docs).
+
+    Returns ``(query_col, doc_col, neg_rank)`` with up to ``k``
+    negatives per distinct query in ``positives``, drawn uniformly
+    from the distinct ``corpus`` docs, EXCLUDING the query's known
+    positives. Deterministic (md5-keyed draws — the module's
+    oracle-mirrorable hash seam) and layout-stable: the same triples
+    on 1 executor or 1000.
+
+    Scale shape — NO cross join and no collected id list:
+
+    1. the distinct corpus gets a dense 0..N-1 index via
+       :func:`global_prefix_sum` over the doc order (value-bucketed
+       range recipe, no single-partition window); N comes from one
+       count job;
+    2. each query emits ``oversample`` (default ``2k+2``) draw rows
+       (narrow explode), each hashed to a target index — ONE equi-join
+       against the indexed corpus resolves all draws;
+    3. known positives drop via a left-anti join, duplicate targets
+       collapse keeping the earliest draw, and a per-query window over
+       the ≤oversample surviving rows ranks the first ``k``.
+
+    A query whose positives + duplicate draws eat through the
+    oversample emits FEWER than ``k`` negatives (documented deficit —
+    raise ``oversample``; with the default, a deficit needs ≥k+3 of
+    2k+2 draws lost, vanishingly rare when ``|positives per query| ≪
+    N``). Numeric ``doc_col`` required (the dense-index bucketing is
+    numeric; hash string ids to a surrogate first).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("negative_sample: k must be >= 1")
+    m = oversample if oversample is not None else 2 * k + 2
+    if m < k:
+        raise ValueError(f"negative_sample: oversample {m} < k {k}")
+    docs = corpus.select(F.col(doc_col).alias("__doc")).distinct()
+    n = docs.count()
+    if n == 0:
+        raise ValueError("negative_sample: empty corpus")
+    indexed = global_prefix_sum(
+        docs, [F.col("__doc")], F.lit(1), "__cum", bucket_col="__doc"
+    ).select((F.col("__cum") - 1).alias("__i"), "__doc")
+    queries = positives.select(F.col(query_col).alias("__q")).distinct()
+    draws = queries.select(
+        "__q", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j")
+    )
+    key = F.concat(
+        F.col("__q").cast("string"), F.lit(":"), F.col("__j").cast("string")
+    )
+    tgt = draws.withColumn("__i", F.pmod(_hash_long(key, salt), F.lit(n)))
+    cand = tgt.join(indexed, "__i").select("__q", "__doc", "__j")
+    pos = positives.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__doc")
+    ).distinct()
+    cand = cand.join(pos, ["__q", "__doc"], "left_anti")
+    first = cand.groupBy("__q", "__doc").agg(F.min("__j").alias("__j"))
+    w = Window.partitionBy("__q").orderBy("__j", "__doc")
+    return (
+        first.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__doc").alias(doc_col),
+            (F.col("__rk") - 1).cast("int").alias("neg_rank"),
+        )
     )

@@ -543,3 +543,63 @@ def q159_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 40).alias("src"), (F.col("l_partkey") % 40).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     return label_propagation(edges, iterations=3)
+
+
+# --- q220: deterministic negative sampling (r9) ------------------------------
+# The DPR-style random-negative mining step (Karpukhin et al. 2020
+# §3.2): K uniform non-positive corpus docs per query, md5-keyed so
+# the DuckDB twin replays every draw, the positive exclusion, the
+# duplicate-target collapse, and the final per-query rank exactly.
+@register(
+    "q220_negative_sample",
+    oracle="""
+    WITH corpus AS (SELECT DISTINCT doc_id FROM documents),
+    idx AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM corpus
+    ), nn AS (SELECT count(*) AS n FROM corpus),
+    pos AS (
+      SELECT DISTINCT user_id AS q, event_id % 997 AS d
+      FROM events WHERE user_id % 13 = 0
+    ), qs AS (SELECT DISTINCT q FROM pos),
+    draws AS (
+      SELECT q, j FROM qs CROSS JOIN (SELECT unnest(range(0, 10)) AS j) r
+    ), tgt AS (
+      SELECT q, j,
+             CAST(concat('0x', substr(md5(concat('neg:', CAST(q AS VARCHAR),
+                  ':', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % nn.n AS i
+      FROM draws, nn
+    ), cand AS (
+      SELECT t.q, x.doc_id AS d, t.j FROM tgt t JOIN idx x ON x.i = t.i
+    ), ex AS (
+      SELECT c.q, c.d, c.j FROM cand c
+      LEFT JOIN pos p ON p.q = c.q AND p.d = c.d
+      WHERE p.q IS NULL
+    ), firstd AS (
+      SELECT q, d, min(j) AS j FROM ex GROUP BY 1, 2
+    ), rk AS (
+      SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY j, d) AS r
+      FROM firstd
+    )
+    SELECT CAST(q AS BIGINT) AS query_id, CAST(d AS BIGINT) AS doc_id,
+           CAST(r - 1 AS INTEGER) AS neg_rank
+    FROM rk WHERE r <= 4
+    """,
+)
+def q220_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 uniform negatives per query over the documents corpus,
+    positives derived deterministically from events
+    (operators/sampling.py:negative_sample — dense corpus index via
+    global_prefix_sum, one draw-resolution equi-join, no cross join)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import negative_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .select(
+            F.col("user_id").alias("query_id"),
+            (F.col("event_id") % 997).alias("doc_id"),
+        )
+        .distinct()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return negative_sample(pos, docs, k=4, oversample=10)

@@ -166,3 +166,49 @@ def test_encode_sequences_without_unk_raises_not_empty(spark):
     )
     with pytest.raises(PySparkException, match="no .UNK. row"):
         encode_sequences(oov, vocab).collect()
+
+
+# --- negative_sample (r9 operator) -----------------------------------------
+
+def test_negative_sample_contract(spark):
+    """Uniform draws, positive exclusion, deterministic under
+    repartitioning, deficit semantics, empty-corpus raise."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        negative_sample,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], "query_id long, doc_id long"
+    )
+    corpus = spark.createDataFrame(
+        [(d,) for d in range(10, 30)], "doc_id long"
+    )
+    out = negative_sample(pos, corpus, k=3, salt="t").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["neg_rank"], r["doc_id"]))
+    assert set(by_q) == {1, 2}
+    for q, negs in by_q.items():
+        assert len(negs) == 3
+        assert [rk for rk, _ in sorted(negs)] == [0, 1, 2]
+        docs = {d for _, d in negs}
+        assert len(docs) == 3  # no duplicate negatives
+        assert all(10 <= d < 30 for d in docs)  # drawn from the corpus
+    assert all(d not in (10, 11) for _, d in by_q[1])  # positives excluded
+    assert all(d != 12 for _, d in by_q[2])
+
+    # layout-stable: 1 partition vs 16 give identical triples
+    again = negative_sample(
+        pos.repartition(16), corpus.repartition(16), k=3, salt="t"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # deficit: corpus of 2 docs, one is the query's positive, k=3 —
+    # only 1 legal negative exists and that's what comes back
+    tiny = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    p1 = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    short = negative_sample(p1, tiny, k=3, oversample=12).collect()
+    assert [(r["doc_id"], r["neg_rank"]) for r in short] == [(11, 0)]
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        negative_sample(p1, tiny.filter(F.lit(False)))
