@@ -37,6 +37,7 @@ __all__ = [
     "dsir_log_weights",
     "length_bucketed_batches",
     "negative_sample",
+    "hard_negative_sample",
 ]
 
 _HASH_SPAN = 4294967296.0  # 2^32: span of the 8-hex-digit prefix
@@ -1248,6 +1249,69 @@ def negative_sample(
         .select(
             F.col("__q").alias(query_col),
             F.col("__doc").alias(doc_col),
+            (F.col("__rk") - 1).cast("int").alias("neg_rank"),
+        )
+    )
+
+
+def hard_negative_sample(
+    positives: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    depth: int = 64,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """ANN-mined hard negatives: per query, the ``k`` most-similar
+    corpus docs that are NOT known positives (the retrieve-then-
+    exclude recipe of DPR's hard-negative mining, Karpukhin et al.
+    2020 §5.2 — random negatives via :func:`negative_sample`, hard
+    ones from the retriever itself).
+
+    ``queries``/``corpus``: ``(vec_id, embedding)`` relations (the
+    repo's ANN shape). Retrieval is exact cosine top-``depth`` via
+    :func:`~.similarity.cosine_topk_pandas` (swap in ``ivf_topk`` at
+    corpus scale — same output contract), positives drop via a
+    left-anti join on (query, doc), and a per-query window over the
+    ≤depth survivors ranks the first ``k``.
+
+    DEPTH SEMANTICS (exact, oracle-replayable): negatives come from
+    the top-``depth`` retrieved list only. A query whose positives
+    crowd out the depth emits fewer than ``k`` rows — the standard
+    retrieval-mining behavior, not an error; raise ``depth`` (cost is
+    the retriever's k, linear). Self-matches are already excluded by
+    the retriever.
+
+    Returns ``(query_col, doc_col, cos_sim, neg_rank)`` with
+    ``neg_rank`` 0-based by descending similarity, ties broken by doc
+    id ascending — deterministic on any layout.
+    """
+    from pyspark.sql.window import Window
+
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        cosine_topk_pandas,
+    )
+
+    if k < 1:
+        raise ValueError("hard_negative_sample: k must be >= 1")
+    if depth < k:
+        raise ValueError(f"hard_negative_sample: depth {depth} < k {k}")
+    nn = cosine_topk_pandas(queries, corpus=corpus, k=depth)
+    pos = positives.select(
+        F.col(query_col).alias("query_id"), F.col(doc_col).alias("neighbor_id")
+    ).distinct()
+    neg = nn.join(pos, ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        neg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("query_id").alias(query_col),
+            F.col("neighbor_id").alias(doc_col),
+            "cos_sim",
             (F.col("__rk") - 1).cast("int").alias("neg_rank"),
         )
     )

@@ -136,13 +136,14 @@ _MODULES = [
 #   oldest r3 rows (q24, then q48-q65 in name order, skipping the
 #   rows-only q53/q60). This clears the r2 block entirely.
 # r9 manifest (EXECUTED below): (a) no r8 reds — CORRECTNESS_r08 was
-#   50/50 green; (b) ONE never-checked query leads the window: q220
-#   negative_sample (new this round); (c) the 8-core only
-#   (alternate-7 sit out — odd round); (d) the 41 oldest aged rows:
-#   the full remaining r3 block (q66-q77, q79-q83 — 17 rows; q78 took
-#   a fresh row in r4), then the 24 oldest r4 rows (q01 q100 q101
-#   q108-q113 q116 q78 q84-q86 q88-q90 q92 q94-q99 in (round, name)
-#   order). After r9 no driver row is older than r4.
+#   50/50 green; (b) TWO never-checked queries lead the window: q220
+#   negative_sample and q221 hard_negatives (new this round); (c) the
+#   8-core only (alternate-7 sit out — odd round); (d) the 40 oldest
+#   aged rows: the full remaining r3 block (q66-q77, q79-q83 — 17
+#   rows; q78 took a fresh row in r4), then the 23 oldest r4 rows
+#   (q01 q100 q101 q108-q113 q116 q78 q84-q86 q88-q90 q92 q94-q98 in
+#   (round, name) order; q99 and q117 return to rotation in r10).
+#   After r9 no driver row is older than r4.
 # r10 plan: (a) any r9 reds; (b) first rows for any r10-new queries;
 #   (c) the 8-core + alternate-7 (even round); (d) oldest-first aged
 #   rows to 50 — the r4 remainder, then the r5 block. Rotation policy
@@ -160,6 +161,7 @@ _MANIFEST_ROUND = 9
 _PRIORITY = [
     # (b) never-checked first: new this round
     "q220_negative_sample",
+    "q221_hard_negatives",
     # (c) every-round 8-core — one per SURVEY §2 family
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -211,7 +213,6 @@ _PRIORITY = [
     "q96_weighted_sample",
     "q97_kfold",
     "q98_oversample",
-    "q99_edit_distance_sparse",
 ]
 
 

@@ -1208,3 +1208,65 @@ def q152_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_at_k(approx, truth, k=5)
+
+
+# --- q221: ANN-mined hard negatives (r9) -------------------------------------
+# DPR-style retrieve-then-exclude (top-20 retrieved, same-LABEL docs
+# are the "positives", first 3 different-label survivors per query).
+# The oracle replays the exact depth semantics: brute-force cosine
+# rank <= 20, then label filter, then rank <= 3.
+@register(
+    "q221_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlab, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS clab, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id, q.qlab, c.clab,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+      FROM q, c
+      WHERE q.query_id != c.neighbor_id
+    ), topd AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+      ) <= 20
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+           ) - 1 AS INTEGER) AS neg_rank
+    FROM topd
+    WHERE qlab <> clab
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+    ) <= 3
+    """,
+)
+def q221_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 different-label docs among each query's top-20 cosine
+    neighbors (operators/sampling.py:hard_negative_sample — exact
+    retrieve-then-exclude; positives = same-label pairs)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        hard_negative_sample,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    pos = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("cl")),
+            F.col("ql") == F.col("cl"),
+        )
+        .select("query_id", "doc_id")
+    )
+    out = hard_negative_sample(pos, queries, emb, k=3, depth=20)
+    return out.select(
+        "query_id", "doc_id", dround("cos_sim", 6).alias("cos_sim"), "neg_rank"
+    )

@@ -212,3 +212,38 @@ def test_negative_sample_contract(spark):
 
     with pytest.raises(ValueError, match="empty corpus"):
         negative_sample(p1, tiny.filter(F.lit(False)))
+
+
+def test_hard_negative_sample_contract(spark):
+    """Retrieve-then-exclude semantics: positives never appear, ranks
+    are dense by descending similarity, depth bounds the pool."""
+    import numpy as np
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        hard_negative_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    # doc 3 is query 0's positive; doc 4 is query 1's
+    pos = spark.createDataFrame(
+        [(0, 3), (1, 4)], "query_id long, doc_id long"
+    )
+    out = hard_negative_sample(pos, queries, emb, k=3, depth=11).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in (0, 1):
+        rows = sorted(by_q[q], key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in rows] == [0, 1, 2]
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["doc_id"] != q for r in rows)  # self excluded
+    assert all(r["doc_id"] != 3 for r in by_q[0])
+    assert all(r["doc_id"] != 4 for r in by_q[1])
+    with pytest.raises(ValueError, match="depth"):
+        hard_negative_sample(pos, queries, emb, k=5, depth=3)
