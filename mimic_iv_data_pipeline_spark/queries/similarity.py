@@ -1237,7 +1237,7 @@ def q152_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
       ) <= 20
     )
-    SELECT query_id, neighbor_id, cos_sim,
+    SELECT query_id, neighbor_id AS doc_id, cos_sim,
            CAST(row_number() OVER (
              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
            ) - 1 AS INTEGER) AS neg_rank
