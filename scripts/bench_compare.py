@@ -50,6 +50,42 @@ def _canary_of(b: dict):
     return max(vals) if vals else None
 
 
+def _best_canary_of(b: dict):
+    """BEST of the canaries — the run's closest observation of the
+    unloaded host, used by min-of-runs mode where each query time is
+    also its best observation."""
+    vals = [v for v in (b.get("canary_sec"), b.get("canary_end_sec")) if v]
+    return min(vals) if vals else None
+
+
+def min_of_runs(benches: list[dict]) -> dict:
+    """Collapse N same-code runs to their per-query minimum, with the
+    minimum canary observed across all runs.
+
+    Single-run canary normalization assumes contention is STATIONARY
+    within a run — one scalar can't represent a host whose speed
+    drifts mid-battery (r9 measured a 1.4x single-thread slowdown
+    across four same-morning runs with zero local load: external
+    co-tenancy). The robust protocol — the one the r8 verdict used to
+    settle q92 and q142 — is the per-query min over several runs:
+    each query's best time is its least-contended observation, paired
+    with the best canary as the matching host estimate.
+    """
+    if not benches:
+        raise ValueError("min_of_runs: no runs")
+    queries: dict[str, float] = {}
+    for b in benches:
+        for q, t in b["queries"].items():
+            queries[q] = min(queries.get(q, float("inf")), t)
+    canaries = [c for c in (_best_canary_of(b) for b in benches) if c]
+    return {
+        "queries": queries,
+        "value": round(sum(queries.values()), 3),
+        "canary_sec": min(canaries) if canaries else None,
+        "n_runs": len(benches),
+    }
+
+
 def compare(old: dict, new: dict, gate_ratio: float, gate_abs: float) -> dict:
     canary_old = _canary_of(old)
     canary_new = _canary_of(new)
@@ -88,13 +124,27 @@ def compare(old: dict, new: dict, gate_ratio: float, gate_abs: float) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
-    ap.add_argument("new")
+    ap.add_argument("new", nargs="+",
+                    help="one bench JSON, or several same-code runs "
+                         "(collapsed per-query-min; see min_of_runs)")
     ap.add_argument("--gate-ratio", type=float, default=1.3)
     ap.add_argument("--gate-abs", type=float, default=0.2)
     args = ap.parse_args()
 
-    res = compare(load_bench(args.old), load_bench(args.new),
-                  args.gate_ratio, args.gate_abs)
+    old = load_bench(args.old)
+    if len(args.new) == 1:
+        new = load_bench(args.new[0])
+    else:
+        new = min_of_runs([load_bench(p) for p in args.new])
+        # min-vs-min: the old side's best canary is the comparable host
+        # estimate for its (single) run of per-query times
+        old = dict(old)
+        old["canary_sec"] = _best_canary_of(old) or old.get("canary_sec")
+        old.pop("canary_end_sec", None)
+        print(f"min-of-{new['n_runs']} runs mode: per-query minima, "
+              f"best canaries both sides")
+
+    res = compare(old, new, args.gate_ratio, args.gate_abs)
 
     if res["canary_old"] and res["canary_new"]:
         print(f"canary: {res['canary_old']:.3f}s -> {res['canary_new']:.3f}s "

@@ -90,27 +90,49 @@ def main() -> None:
     )
 
     if not args.skip_bench:
-        t0 = time.time()
-        print("[round_close] bench: python bench.py", flush=True)
-        with open(args.bench_out, "w") as f:
-            proc = subprocess.run(
-                [sys.executable, "bench.py"], cwd=REPO, stdout=f,
-                stderr=subprocess.DEVNULL,
-            )
-        if proc.returncode != 0:
-            print(f"[round_close] bench FAILED (rc={proc.returncode})")
-            sys.exit(1)
-        print(f"[round_close] bench ok ({time.time() - t0:.0f}s)", flush=True)
+        def run_bench(out_path: str) -> None:
+            t0 = time.time()
+            print("[round_close] bench: python bench.py", flush=True)
+            with open(out_path, "w") as f:
+                proc = subprocess.run(
+                    [sys.executable, "bench.py"], cwd=REPO, stdout=f,
+                    stderr=subprocess.DEVNULL,
+                )
+            if proc.returncode != 0:
+                print(f"[round_close] bench FAILED (rc={proc.returncode})")
+                sys.exit(1)
+            print(f"[round_close] bench ok ({time.time() - t0:.0f}s)", flush=True)
+
+        run_bench(args.bench_out)
         if not args.bench_old:
             print("[round_close] no previous BENCH file; skipping compare")
         else:
-            stage(
-                "bench-compare",
-                [
-                    sys.executable, "scripts/bench_compare.py",
-                    args.bench_old, args.bench_out,
-                ],
-            )
+            # Escalation protocol (r9): a single-run flag is as often
+            # nonstationary host contention as a real regression (the
+            # canary is one scalar; co-tenant drift mid-battery defeats
+            # it). On flag, take two more runs and re-compare the
+            # per-query MIN-of-3 (bench_compare multi-run mode) — the
+            # protocol the r8 verdict used to settle q92/q142. Only a
+            # min-of-3 flag fails the gate.
+            cmp_cmd = [
+                sys.executable, "scripts/bench_compare.py",
+                args.bench_old, args.bench_out,
+            ]
+            proc = subprocess.run(cmp_cmd, cwd=REPO)
+            if proc.returncode != 0:
+                print("[round_close] single-run compare flagged; "
+                      "escalating to min-of-3", flush=True)
+                extra = []
+                for i in (2, 3):
+                    p = f"{args.bench_out}.run{i}"
+                    run_bench(p)
+                    extra.append(p)
+                stage(
+                    "bench-compare(min-of-3)",
+                    cmp_cmd + extra,
+                )
+            else:
+                print("[round_close] bench-compare ok", flush=True)
 
     print("[round_close] ALL STAGES GREEN")
 

@@ -247,3 +247,42 @@ def test_hard_negative_sample_contract(spark):
     assert all(r["doc_id"] != 4 for r in by_q[1])
     with pytest.raises(ValueError, match="depth"):
         hard_negative_sample(pos, queries, emb, k=5, depth=3)
+
+
+# --- bench_compare min-of-runs mode (r9) ------------------------------------
+
+def _load_bench_compare_r9():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "bench_compare.py",
+    )
+    spec = importlib.util.spec_from_file_location("bench_compare_r9", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_min_of_runs_collapses_to_per_query_min_and_best_canary():
+    bc = _load_bench_compare_r9()
+    runs = [
+        # a mid-battery contention burst the canaries did NOT see
+        # (both read calm) — the r9 failure mode worst-of can't fix
+        {"queries": {"q1": 2.0, "q2": 1.0}, "canary_sec": 0.5,
+         "canary_end_sec": 0.5},
+        {"queries": {"q1": 1.5, "q2": 3.0, "q3": 0.4}, "canary_sec": 0.6},
+    ]
+    m = bc.min_of_runs(runs)
+    assert m["queries"] == {"q1": 1.5, "q2": 1.0, "q3": 0.4}
+    assert m["canary_sec"] == 0.5  # best observation across all runs
+    assert m["n_runs"] == 2
+    # the burst-inflated single run flags q1; min-of-runs, where every
+    # query keeps its least-contended observation, does not
+    old = {"queries": {"q1": 1.4, "q2": 1.0}, "canary_sec": 0.5}
+    single = bc.compare(old, runs[0], 1.3, 0.2)
+    assert "q1" in single["flagged"]
+    merged = bc.compare(old, m, 1.3, 0.2)
+    assert merged["flagged"] == []
