@@ -109,6 +109,11 @@ HEADLINE = [
     # xxhash64 twin of q180 (EXTRA) — isolates the md5 digest cost
     # that dominates the oracle-mirrorable bootstrap.
     "q180_bootstrap_xxhash",
+    # round-9: the two negative-mining entries (uniform draws via the
+    # dense-index equi-join; ANN retrieve-then-exclude) — tracked so
+    # the training-triple path is measured every round.
+    "q220_negative_sample",
+    "q221_hard_negatives",
     # round-8: the geo radius-join -> connected-components composite
     # (exercises the partition-local contraction fast path added in r8;
     # tracked so the clustered-layout CC plan is measured every round).
