@@ -1225,9 +1225,22 @@ def negative_sample(
     n = docs.count()
     if n == 0:
         raise ValueError("negative_sample: empty corpus")
-    indexed = global_prefix_sum(
-        docs, [F.col("__doc")], F.lit(1), "__cum", bucket_col="__doc"
-    ).select((F.col("__cum") - 1).alias("__i"), "__doc")
+    if n <= 1_000_000:
+        # dimension-sized corpus (the observed count is the signal —
+        # the connected_components bounded-collect pattern): a plain
+        # window rank is one narrow exchange, vs the prefix-sum
+        # engine's approxQuantile job + bucket window + broadcast
+        # join (measured 2.2 s of q220's 3.4 s on a 5k-doc corpus)
+        indexed = docs.select(
+            (
+                F.row_number().over(Window.orderBy("__doc")) - 1
+            ).alias("__i"),
+            "__doc",
+        )
+    else:
+        indexed = global_prefix_sum(
+            docs, [F.col("__doc")], F.lit(1), "__cum", bucket_col="__doc"
+        ).select((F.col("__cum") - 1).alias("__i"), "__doc")
     queries = positives.select(F.col(query_col).alias("__q")).distinct()
     draws = queries.select(
         "__q", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j")
