@@ -37,6 +37,7 @@ __all__ = [
     "dsir_log_weights",
     "length_bucketed_batches",
     "negative_sample",
+    "build_corpus_index",
     "hard_negative_sample",
 ]
 
@@ -1172,14 +1173,49 @@ def mixture_temperature_weights(
     )
 
 
+def build_corpus_index(corpus: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Dense 0..N-1 index over the distinct corpus docs for
+    :func:`negative_sample`: ``(__i, __doc, __n)`` where ``__n`` is
+    the corpus size as a constant column (so the relation is
+    self-describing after a persist or parquet round-trip).
+
+    Strategy picks itself from the observed count (the
+    connected_components bounded-collect pattern): ≤1M docs take a
+    plain window rank — one narrow exchange, vs the prefix-sum
+    engine's approxQuantile job + bucket window + broadcast join
+    (measured 2.2 s of q220's 3.4 s on a 5k-doc corpus); larger
+    corpora use the distributed :func:`global_prefix_sum` recipe (no
+    single-partition window). Build once per corpus snapshot,
+    persist/write it, and every sampling run amortizes the build
+    (PERF r9c: the 50M-doc probe spends its time here).
+    """
+    from pyspark.sql.window import Window
+
+    docs = corpus.select(F.col(doc_col).alias("__doc")).distinct()
+    n = docs.count()
+    if n == 0:
+        raise ValueError("build_corpus_index: empty corpus")
+    if n <= 1_000_000:
+        indexed = docs.select(
+            (F.row_number().over(Window.orderBy("__doc")) - 1).alias("__i"),
+            "__doc",
+        )
+    else:
+        indexed = global_prefix_sum(
+            docs, [F.col("__doc")], F.lit(1), "__cum", bucket_col="__doc"
+        ).select((F.col("__cum") - 1).alias("__i"), "__doc")
+    return indexed.withColumn("__n", F.lit(n))
+
+
 def negative_sample(
     positives: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     k: int = 4,
     salt: str = "neg",
     oversample: int | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive /
     retrieval training triples (public recipe: the in-batch /
@@ -1196,10 +1232,10 @@ def negative_sample(
 
     Scale shape — NO cross join and no collected id list:
 
-    1. the distinct corpus gets a dense 0..N-1 index via
-       :func:`global_prefix_sum` over the doc order (value-bucketed
-       range recipe, no single-partition window); N comes from one
-       count job;
+    1. the distinct corpus gets a dense 0..N-1 index
+       (:func:`build_corpus_index` — window rank for dimension-sized
+       corpora, the distributed :func:`global_prefix_sum` recipe past
+       1M docs); the index carries its size as a constant column;
     2. each query emits ``oversample`` (default ``2k+2``) draw rows
        (narrow explode), each hashed to a target index — ONE equi-join
        against the indexed corpus resolves all draws;
@@ -1213,6 +1249,13 @@ def negative_sample(
     2k+2 draws lost, vanishingly rare when ``|positives per query| ≪
     N``). Numeric ``doc_col`` required (the dense-index bucketing is
     numeric; hash string ids to a surrogate first).
+
+    ``corpus_index`` amortizes the index across sampling runs: pass
+    the relation returned by :func:`build_corpus_index` (typically
+    persisted or written once per corpus snapshot — the 50M-doc probe
+    spends its time in the index build, PERF r9c) and the per-run
+    cost collapses to the draw-resolution equi-join; ``corpus`` is
+    then ignored.
     """
     from pyspark.sql.window import Window
 
@@ -1221,26 +1264,13 @@ def negative_sample(
     m = oversample if oversample is not None else 2 * k + 2
     if m < k:
         raise ValueError(f"negative_sample: oversample {m} < k {k}")
-    docs = corpus.select(F.col(doc_col).alias("__doc")).distinct()
-    n = docs.count()
-    if n == 0:
-        raise ValueError("negative_sample: empty corpus")
-    if n <= 1_000_000:
-        # dimension-sized corpus (the observed count is the signal —
-        # the connected_components bounded-collect pattern): a plain
-        # window rank is one narrow exchange, vs the prefix-sum
-        # engine's approxQuantile job + bucket window + broadcast
-        # join (measured 2.2 s of q220's 3.4 s on a 5k-doc corpus)
-        indexed = docs.select(
-            (
-                F.row_number().over(Window.orderBy("__doc")) - 1
-            ).alias("__i"),
-            "__doc",
-        )
-    else:
-        indexed = global_prefix_sum(
-            docs, [F.col("__doc")], F.lit(1), "__cum", bucket_col="__doc"
-        ).select((F.col("__cum") - 1).alias("__i"), "__doc")
+    if corpus is None and corpus_index is None:
+        raise ValueError("negative_sample: pass corpus or corpus_index")
+    indexed = (
+        corpus_index.select("__i", "__doc", "__n")
+        if corpus_index is not None
+        else build_corpus_index(corpus, doc_col)
+    )
     queries = positives.select(F.col(query_col).alias("__q")).distinct()
     draws = queries.select(
         "__q", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j")
@@ -1248,8 +1278,17 @@ def negative_sample(
     key = F.concat(
         F.col("__q").cast("string"), F.lit(":"), F.col("__j").cast("string")
     )
-    tgt = draws.withColumn("__i", F.pmod(_hash_long(key, salt), F.lit(n)))
-    cand = tgt.join(indexed, "__i").select("__q", "__doc", "__j")
+    # the index carries its own size (__n, a constant column) — the
+    # modulo reads it via a broadcast 1-row cross join, so sampling
+    # itself runs ZERO count jobs (the build counted once; a persisted
+    # index amortizes even that)
+    nn = indexed.select("__n").limit(1)
+    tgt = draws.crossJoin(F.broadcast(nn)).withColumn(
+        "__i", F.pmod(_hash_long(key, salt), F.col("__n"))
+    )
+    cand = tgt.join(indexed.select("__i", "__doc"), "__i").select(
+        "__q", "__doc", "__j"
+    )
     pos = positives.select(
         F.col(query_col).alias("__q"), F.col(doc_col).alias("__doc")
     ).distinct()

@@ -286,3 +286,36 @@ def test_min_of_runs_collapses_to_per_query_min_and_best_canary():
     assert "q1" in single["flagged"]
     merged = bc.compare(old, m, 1.3, 0.2)
     assert merged["flagged"] == []
+
+
+def test_build_corpus_index_amortized_path(spark):
+    """A prebuilt (persisted/written) corpus index must produce
+    byte-identical triples to the inline path, survive a parquet
+    round-trip (the __n constant column makes it self-describing),
+    and raise on an empty corpus."""
+    import tempfile
+    import shutil
+
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        build_corpus_index,
+        negative_sample,
+    )
+
+    corpus = spark.createDataFrame([(d,) for d in range(30, 60)], "doc_id long")
+    pos = spark.createDataFrame([(1, 31), (2, 45)], "query_id long, doc_id long")
+    inline = sorted(map(tuple, negative_sample(pos, corpus, k=3, salt="x").collect()))
+    idx = build_corpus_index(corpus)
+    tmp = tempfile.mkdtemp(prefix="negidx_")
+    try:
+        idx.write.mode("overwrite").parquet(tmp)
+        loaded = spark.read.parquet(tmp)
+        amort = sorted(
+            map(tuple, negative_sample(pos, corpus_index=loaded, k=3, salt="x").collect())
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert inline == amort
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_corpus_index(corpus.filter(F.lit(False)))
+    with pytest.raises(ValueError, match="corpus or corpus_index"):
+        negative_sample(pos, k=3)
