@@ -1314,6 +1314,8 @@ def hard_negative_sample(
     depth: int = 64,
     query_col: str = "query_id",
     doc_col: str = "doc_id",
+    ann: str = "exact",
+    **ann_kwargs,
 ) -> DataFrame:
     """ANN-mined hard negatives: per query, the ``k`` most-similar
     corpus docs that are NOT known positives (the retrieve-then-
@@ -1322,11 +1324,15 @@ def hard_negative_sample(
     ones from the retriever itself).
 
     ``queries``/``corpus``: ``(vec_id, embedding)`` relations (the
-    repo's ANN shape). Retrieval is exact cosine top-``depth`` via
-    :func:`~.similarity.cosine_topk_pandas` (swap in ``ivf_topk`` at
-    corpus scale — same output contract), positives drop via a
-    left-anti join on (query, doc), and a per-query window over the
-    ≤depth survivors ranks the first ``k``.
+    repo's ANN shape). Retrieval is top-``depth`` by ``ann``:
+    ``"exact"`` (default) is brute-force cosine via
+    :func:`~.similarity.cosine_topk_pandas`; ``"ivf"`` switches to the
+    cell-pruned :func:`~.similarity.ivf_topk` for corpus scale
+    (``ann_kwargs``: n_cells, n_probe, centroids, ...) — both share
+    the output contract, so the exclusion and ranking below are
+    retriever-agnostic. Positives drop via a left-anti join on
+    (query, doc), and a per-query window over the ≤depth survivors
+    ranks the first ``k``.
 
     DEPTH SEMANTICS (exact, oracle-replayable): negatives come from
     the top-``depth`` retrieved list only. A query whose positives
@@ -1343,13 +1349,24 @@ def hard_negative_sample(
 
     from mimic_iv_data_pipeline_spark.operators.similarity import (
         cosine_topk_pandas,
+        ivf_topk,
     )
 
     if k < 1:
         raise ValueError("hard_negative_sample: k must be >= 1")
     if depth < k:
         raise ValueError(f"hard_negative_sample: depth {depth} < k {k}")
-    nn = cosine_topk_pandas(queries, corpus=corpus, k=depth)
+    # ann picks the retriever; both share the (query_id, neighbor_id,
+    # cos_sim) output contract, so everything downstream is identical.
+    # "exact" = brute-force cosine (the oracle-replayable default);
+    # "ivf" = cell-pruned approximate search for corpus scale —
+    # ann_kwargs pass through (n_cells, n_probe, centroids, ...).
+    if ann == "exact":
+        nn = cosine_topk_pandas(queries, corpus=corpus, k=depth, **ann_kwargs)
+    elif ann == "ivf":
+        nn = ivf_topk(queries, corpus=corpus, k=depth, **ann_kwargs)
+    else:
+        raise ValueError(f"hard_negative_sample: unknown ann={ann!r}")
     pos = positives.select(
         F.col(query_col).alias("query_id"), F.col(doc_col).alias("neighbor_id")
     ).distinct()
