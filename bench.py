@@ -8,6 +8,18 @@ ONE JSON line:
 ``value`` is total wall-clock over the headline set. Each query is
 forced with a count() (no driver-side materialization of results — we
 measure the plan, not Arrow transfer).
+
+Min-of-N (r9 verdict item 5): the battery repeats ``--runs N`` times
+(default $SPARK_GRAFT_BENCH_RUNS or 2) and the committed per-query
+number is the MINIMUM across runs — each query's least-contended
+observation. A single-run artifact on a noisy host reads as a phantom
+regression (BENCH_r09 alone read 1.04x while min-of-4 over its raw
+runs was 0.94x); emitting minima natively makes the headline artifact
+self-defending. ``canaries`` records every run's (start, end) pair so
+the contention story stays auditable; ``canary_sec``/``canary_end_sec``
+keep their old meaning on the best run (minima), so older tooling and
+``bench_compare.py`` read the file unchanged. Pass ``--runs 1`` for
+the quick iteration loop.
 """
 
 from __future__ import annotations
@@ -286,6 +298,13 @@ ONCE = {"e2e_mimic_pipeline"}
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    for i, a in enumerate(sys.argv):
+        if a == "--runs" and i + 1 < len(sys.argv):
+            n_runs = int(sys.argv[i + 1])
+        elif a.startswith("--runs="):
+            n_runs = int(a.split("=", 1)[1])
+    n_runs = max(1, n_runs)
     spark = get_spark("bench")
     queries = {**all_queries(), **EXTRA}
 
@@ -307,7 +326,14 @@ def main() -> None:
     # calling anything a real delta (see PERF.md "Bench canary").
     def _canary() -> float:
         q = spark.range(50_000_000).selectExpr("id % 9973 AS k")
-        q.groupBy("k").count().count()  # codegen warm-up
+        # TWO warm-up passes (r9 verdict item 8): with one, 3 of 4 r9
+        # runs showed the START canary 1.2-1.9x the end canary —
+        # residual background JIT from the session warm-up was still
+        # compiling during the first timed pass, so worst-of-two
+        # normalization systematically over-adjusted. The second pass
+        # lets the JIT settle before timing starts.
+        q.groupBy("k").count().count()
+        q.groupBy("k").count().count()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -315,44 +341,59 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    canary = _canary()
-
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries[name]
-        if name in ONCE:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = time.perf_counter() - t0
-        else:
-            fn(spark, sf_dir).count()  # codegen warm-up run
-            best = float("inf")
-            for _ in range(2):
+    # Per-battery-run loop: run r's timings are min-of-2 timed
+    # executions per query (after a codegen warm-up execution in run 1
+    # only — the JVM's codegen cache persists across runs); the
+    # committed number is the min ACROSS runs. ONCE entries (eager
+    # end-to-end plans with stage writes) execute once total, in run 1.
+    canaries: list[list[float]] = []
+    run_totals: list[float] = []
+    best_t: dict[str, float] = {}
+    for run in range(n_runs):
+        c_start = _canary()
+        run_total = 0.0
+        for name in HEADLINE:
+            fn = queries[name]
+            if name in ONCE:
+                if run > 0:
+                    continue
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
-        timings[name] = dt
-        total += dt
+                best = time.perf_counter() - t0
+            else:
+                if run == 0:
+                    fn(spark, sf_dir).count()  # codegen warm-up run
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+            dt = round(best, 3)
+            run_total += dt
+            best_t[name] = min(best_t.get(name, float("inf")), dt)
+        # second canary AFTER the battery: a single start-of-run sample
+        # misses mid-run contention bursts (r8 observed a neighbor whose
+        # bursts flagged disjoint query sets across four same-code
+        # runs); a large start/end gap marks the run burst-contaminated.
+        c_end = _canary()
+        canaries.append([c_start, c_end])
+        run_totals.append(round(run_total, 3))
 
-    # second canary AFTER the battery: a single start-of-run sample
-    # misses mid-run contention bursts (r8 observed a neighbor whose
-    # bursts flagged disjoint query sets across four same-code runs);
-    # comparing tools should normalize by max(canary_sec,
-    # canary_end_sec), and a large gap between the two marks the whole
-    # run as burst-contaminated.
-    canary_end = _canary()
-
+    total = sum(best_t.values())
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "canary_sec": canary,  # fixed-work contention reference
-                "canary_end_sec": canary_end,
+                "queries": {n: best_t[n] for n in HEADLINE if n in best_t},
+                # best (minimum) canaries across runs — the host
+                # estimate matching the per-query minima above
+                "canary_sec": min(c[0] for c in canaries),
+                "canary_end_sec": min(c[1] for c in canaries),
+                "runs": n_runs,
+                "run_totals": run_totals,  # ONCE entries count in run 1 only
+                "canaries": canaries,  # per-run (start, end) pairs
                 "sf": sf,
             }
         )

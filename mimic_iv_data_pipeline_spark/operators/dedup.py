@@ -885,12 +885,17 @@ def semantic_dedup(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("__v"), "cell"
     )
     # three consumers (both self-join sides + the final output join on a
-    # DIFFERENT key) — persist so the Python/Arrow assignment pass, the
-    # most expensive stage here, runs once. ``reuse=False`` stays fully
-    # lazy for long-lived sessions calling this on many distinct inputs
-    # (the fuzzy/retrieval/roc_pr_curve reuse pattern)
+    # DIFFERENT key) — materialize (localCheckpoint) so the Python/Arrow
+    # assignment pass, the most expensive stage here, runs once. Unlike
+    # persist(), the checkpointed storage is ContextCleaner-freed when
+    # the result goes out of scope and never enters the CacheManager, so
+    # long-lived sessions calling this on many distinct inputs
+    # accumulate nothing (r9 verdict leak fix). ``reuse=False`` stays
+    # fully lazy (no eager job at call time).
     if reuse:
-        assigned = assigned.persist()
+        from mimic_iv_data_pipeline_spark.engine import materialize
+
+        assigned = materialize(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pruned_ids = (

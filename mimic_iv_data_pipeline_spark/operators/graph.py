@@ -141,8 +141,25 @@ def _local_contract(edges: DataFrame) -> DataFrame:
                     dtypes.append(pdf["v"].dtype)
                 yield from zip(pdf["u"].tolist(), pdf["v"].tolist())
 
-        rows = [(x, r) for (x, r) in _driver_union_find(pair_stream()) if x != r]
-        if not rows:
+        # stream star-forest rows straight from the union-find generator
+        # into bounded Arrow batches — no intermediate partition-sized
+        # list of tuples. The union-find's parent/seen dicts still hold
+        # the full partition node set (inherent to the algorithm), but
+        # the OUTPUT side now peaks at one chunk plus its Arrow copy.
+        import itertools
+
+        roots = (
+            (x, r) for (x, r) in _driver_union_find(pair_stream()) if x != r
+        )
+        chunk = 65_536
+        emitted = False
+        while True:
+            rows = list(itertools.islice(roots, chunk))
+            if not rows:
+                break
+            emitted = True
+            yield pd.DataFrame(rows, columns=["u", "v"])
+        if not emitted:
             # empty result: emit one empty frame with EXPLICIT dtypes
             # taken from the input batches, never an inferred
             # object-dtype frame relying on Arrow's empty-array cast
@@ -153,19 +170,15 @@ def _local_contract(edges: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {"u": pd.Series(dtype=du), "v": pd.Series(dtype=dv)}
             )
-            return
-        # slice the star forest into bounded Arrow batches instead of
-        # one partition-sized frame (peak memory ∝ chunk, not forest)
-        chunk = 65_536
-        for i in range(0, len(rows), chunk):
-            yield pd.DataFrame(rows[i : i + chunk], columns=["u", "v"])
 
     return edges.mapInPandas(contract, edges.schema)
 
 
-def _driver_union_find(pairs) -> list[tuple]:
+def _driver_union_find(pairs):
     """Union-find with path halving over an iterable of ``(u, v)``
-    pairs; returns ``(id, min-id-of-component)`` rows."""
+    pairs; yields ``(id, min-id-of-component)`` rows lazily (generator,
+    so consumers can chunk the output without a full materialized
+    list; the parent/seen dicts are the algorithm's inherent peak)."""
     parent: dict = {}
     seen: set = set()
 
@@ -183,7 +196,8 @@ def _driver_union_find(pairs) -> list[tuple]:
             # union by min keeps the root the component minimum
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
-    return [(x, find(x)) for x in seen]
+    for x in seen:
+        yield (x, find(x))
 
 
 def connected_components(
@@ -275,7 +289,14 @@ def connected_components(
         ).collect()[0]
         return row.n, row.h
 
-    if local_contract not in (True, False, "auto"):
+    # identity/type validation, not membership: `1 in (True, False, "auto")`
+    # is True (1 == True in Python) but `1 is True` is False, so an int 1
+    # would pass a membership check yet silently behave as False below
+    if not (
+        local_contract is True
+        or local_contract is False
+        or local_contract == "auto"
+    ):
         raise ValueError(
             f"local_contract must be True, False or 'auto', got {local_contract!r}"
         )
@@ -320,8 +341,8 @@ def connected_components(
             import pandas as pd
 
             spark = pairs.sparkSession
-            labeled = _driver_union_find(
-                zip(head["u"].tolist(), head["v"].tolist())
+            labeled = list(
+                _driver_union_find(zip(head["u"].tolist(), head["v"].tolist()))
             )
             id_type = edges.schema["u"].dataType.simpleString()
             schema_str = f"id {id_type}, component {id_type}"

@@ -1173,32 +1173,77 @@ def mixture_temperature_weights(
     )
 
 
-def build_corpus_index(corpus: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+def build_corpus_index(
+    corpus: DataFrame,
+    doc_col: str = "doc_id",
+    window_threshold: int = 1_000_000,
+) -> DataFrame:
     """Dense 0..N-1 index over the distinct corpus docs for
     :func:`negative_sample`: ``(__i, __doc, __n)`` where ``__n`` is
     the corpus size as a constant column (so the relation is
     self-describing after a persist or parquet round-trip).
 
     Strategy picks itself from the observed count (the
-    connected_components bounded-collect pattern): ≤1M docs take a
-    plain window rank — one narrow exchange, vs the prefix-sum
-    engine's approxQuantile job + bucket window + broadcast join
-    (measured 2.2 s of q220's 3.4 s on a 5k-doc corpus); larger
-    corpora use the distributed :func:`global_prefix_sum` recipe (no
-    single-partition window). Build once per corpus snapshot,
+    connected_components bounded-collect pattern): ≤``window_threshold``
+    docs take a plain window rank — one narrow exchange, vs the
+    prefix-sum engine's approxQuantile job + bucket window + broadcast
+    join (measured 2.2 s of q220's 3.4 s on a 5k-doc corpus); larger
+    corpora use a distributed rank with no single-partition window —
+    :func:`global_prefix_sum` for numeric/timestamp ids, the
+    build_vocab 2-char-prefix-bucket rank for STRING ids (a prefix is
+    contiguous in the binary-collation total order, so per-bucket ranks
+    + prefix-summed bucket offsets compose to the exact global rank;
+    real corpora key on string doc ids/URLs, r9 verdict item 3).
+    ``window_threshold`` exists so tests can force the distributed
+    paths at toy size (parity pins in tests/test_r10_wave.py); leave it
+    at the default in production. Build once per corpus snapshot,
     persist/write it, and every sampling run amortizes the build
     (PERF r9c: the 50M-doc probe spends its time here).
     """
+    from pyspark.sql.types import StringType
     from pyspark.sql.window import Window
 
     docs = corpus.select(F.col(doc_col).alias("__doc")).distinct()
     n = docs.count()
     if n == 0:
         raise ValueError("build_corpus_index: empty corpus")
-    if n <= 1_000_000:
+    if n <= window_threshold:
         indexed = docs.select(
             (F.row_number().over(Window.orderBy("__doc")) - 1).alias("__i"),
             "__doc",
+        )
+    elif isinstance(docs.schema["__doc"].dataType, StringType):
+        # prefix-bucketed distributed rank (plans/tokenization.build_vocab
+        # recipe): bucket by the 2-char prefix — a VALUE-deterministic
+        # key that is a prefix of the sort key, so buckets are contiguous
+        # in the total order — rank within each bucket, then add
+        # per-bucket offsets from a prefix window over the tiny
+        # bucket-count relation (≤|alphabet|² rows, single-partition OK
+        # there). NULL docs bucket to NULL, which sorts first in both
+        # the bucket window and orderBy("__doc") — consistent.
+        bucketed = docs.withColumn("__b", F.substring("__doc", 1, 2))
+        ranked = bucketed.withColumn(
+            "__r",
+            F.row_number().over(Window.partitionBy("__b").orderBy("__doc")),
+        )
+        offsets = (
+            bucketed.groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .withColumn(
+                "__off",
+                F.coalesce(
+                    F.sum("__bn").over(
+                        Window.orderBy("__b").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("__b", "__off")
+        )
+        indexed = ranked.join(F.broadcast(offsets), "__b").select(
+            (F.col("__off") + F.col("__r") - 1).alias("__i"), "__doc"
         )
     else:
         indexed = global_prefix_sum(
@@ -1247,8 +1292,11 @@ def negative_sample(
     oversample emits FEWER than ``k`` negatives (documented deficit —
     raise ``oversample``; with the default, a deficit needs ≥k+3 of
     2k+2 draws lost, vanishingly rare when ``|positives per query| ≪
-    N``). Numeric ``doc_col`` required (the dense-index bucketing is
-    numeric; hash string ids to a surrogate first).
+    N``). ``doc_col`` may be any orderable type including STRING (real
+    corpora key on doc ids/URLs): the dense index ranks strings with
+    the prefix-bucketed distributed recipe past the window threshold
+    (see :func:`build_corpus_index`), and sampling itself draws on the
+    numeric ``__i``, returning the original id.
 
     ``corpus_index`` amortizes the index across sampling runs: pass
     the relation returned by :func:`build_corpus_index` (typically

@@ -144,9 +144,18 @@ _MODULES = [
 #   (q01 q100 q101 q108-q113 q116 q78 q84-q86 q88-q90 q92 q94-q98 in
 #   (round, name) order; q99 and q117 return to rotation in r10).
 #   After r9 no driver row is older than r4.
-# r10 plan: (a) any r9 reds; (b) first rows for any r10-new queries;
-#   (c) the 8-core + alternate-7 (even round); (d) oldest-first aged
-#   rows to 50 — the r4 remainder, then the r5 block. Rotation policy
+# r10 manifest (EXECUTED below): (a) no r9 reds — CORRECTNESS_r09 was
+#   50/50 green; (b) ONE never-checked query leads the window: q222
+#   negative_sample over STRING doc ids (new this round — the r9
+#   verdict item 3 oracle twin); (c) the 8-core + alternate-7 (even
+#   round); (d) the 34 oldest aged rows: the 2-query r4 remainder
+#   (q99 q117, back in rotation as planned) then the 32 oldest r5
+#   rows (q118-q121, q123-q150 in name order — the fixed-twin block
+#   q123-q138 plus the warehouse/analytic r5 block). After r10 the
+#   oldest driver row is r5 (the q151+ tail).
+# r11 plan: (a) any r10 reds; (b) first rows for r11-new queries;
+#   (c) the 8-core only (odd round); (d) oldest-first aged rows to
+#   50 — the r5 remainder (q151+), then the r6 block. Rotation policy
 #   (pinned by tests/test_manifest.py::test_aged_slots_are_oldest_first):
 #   after never-checked + core, every remaining slot goes to the oldest
 #   eligible (oracled) queries, oldest round first, name order within
@@ -156,12 +165,11 @@ _MODULES = [
 # this round, so the pin holds before and after the round's own
 # CORRECTNESS file lands (even a partial one from a crashed driver).
 # Bump together with the manifest each round.
-_MANIFEST_ROUND = 9
+_MANIFEST_ROUND = 10
 
 _PRIORITY = [
     # (b) never-checked first: new this round
-    "q220_negative_sample",
-    "q221_hard_negatives",
+    "q222_negative_sample_str",
     # (c) every-round 8-core — one per SURVEY §2 family
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -171,48 +179,50 @@ _PRIORITY = [
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q42_cosine_topk",
-    # (d) oldest aged rows — the full remaining r3 block (17 rows)
-    "q66_heavy_hitters",
-    "q67_cms_freq",
-    "q68_stratified_sample",
-    "q69_sequence_packing",
-    "q70_repetition",
-    "q71_pack_chunked",
-    "q72_passage_dedup",
-    "q73_bloom_membership",
-    "q74_url_dedup",
-    "q75_source_mixture",
-    "q76_dedup_clusters",
-    "q77_bigram_lm",
-    "q79_tfidf_keywords",
-    "q80_dsir_weights",
-    "q81_bpe_pairs",
-    "q82_length_batches",
-    "q83_ngram_novelty",
-    # (d) oldest aged rows — 24 oldest r4 rows (name order)
-    "q01_pricing_summary",
-    "q100_stratified_kfold",
-    "q101_k_anonymity",
-    "q108_kneser_ney",
-    "q109_sentence_stats",
-    "q110_zipf_slope",
-    "q111_token_entropy",
-    "q112_tfidf_cosine_pairs",
-    "q113_bm25",
-    "q116_theta_sets",
-    "q78_quantize_int8",
-    "q84_nfc_normalize",
-    "q85_duplicate_spans",
-    "q86_gopher_rules",
-    "q88_dedup_clean",
-    "q89_quota_sample",
-    "q90_covariance_matrix",
-    "q92_edit_distance_join",
-    "q94_source_quantiles",
-    "q95_chunk_overlap",
-    "q96_weighted_sample",
-    "q97_kfold",
-    "q98_oversample",
+    # (c) alternate-round core (even round)
+    "q08_outer_join_fill",
+    "q14_code_mapping",
+    "q15_mode_per_group",
+    "q17_topk_per_group",
+    "q26_vocab_build",
+    "q39_ngram_jaccard",
+    "q45_set_ops",
+    # (d) oldest aged rows — the r4 remainder (2 rows)
+    "q99_edit_distance_sparse",
+    "q117_hashed_linear_score",
+    # (d) oldest aged rows — the 32 oldest r5 rows (name order)
+    "q118_mask_layout",
+    "q119_scd_upsert",
+    "q120_clean_web_text",
+    "q121_doc_embeddings",
+    "q123_pq_encode_fixed",
+    "q124_pq_adc_fixed",
+    "q125_pq_rerank_fixed",
+    "q126_wordpiece_encode_fixed",
+    "q127_unigram_encode_fixed",
+    "q128_minhash_lsh_fixed",
+    "q129_rag_retrieve_exact",
+    "q130_incremental_dedup_fixed",
+    "q131_simhash_fixed",
+    "q132_ann_lsh_fixed",
+    "q133_ivf_fixed",
+    "q134_semantic_dedup_fixed",
+    "q135_bpe_encode_fixed",
+    "q136_ivfpq_fixed",
+    "q137_kmeans_step_fixed",
+    "q138_pca_project_fixed",
+    "q139_scd2_history",
+    "q140_profile_table",
+    "q141_expectations",
+    "q142_pagerank",
+    "q143_ann_recall",
+    "q144_pit_join",
+    "q145_bloom_join",
+    "q146_incremental_rollup",
+    "q147_unpivot",
+    "q148_retention_cohorts",
+    "q149_grouping_sets",
+    "q150_mmr_rerank",
 ]
 
 

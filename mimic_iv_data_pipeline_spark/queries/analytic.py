@@ -1260,10 +1260,9 @@ def q175_roc_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    # default reuse=True pins the per-score relation for the curve's 3
-    # consumers — right for a one-shot driver query; a long-lived
-    # session calling this repeatedly should pass reuse=False (the pin
-    # is never unpersisted — documented operator tradeoff)
+    # default reuse=True materializes the per-score relation once for
+    # the curve's 3 consumers (localCheckpoint — freed with the result,
+    # no CacheManager pin; the r9 leak is fixed in the operator)
     out = roc_pr_curve(ev, "score", "y")
     return out.select(
         dround("score", 6).alias("score"),

@@ -175,9 +175,9 @@ def q86_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q87_semantic_dedup")
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # default reuse=True pins the assignment relation (3 consumers) —
-    # right for a one-shot driver query; long-lived sessions should
-    # pass reuse=False (the pin is never unpersisted)
+    # default reuse=True materializes the assignment relation once for
+    # its 3 consumers (localCheckpoint — freed with the result, no
+    # CacheManager pin; the r9 leak is fixed in the operator)
     return semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.9
     )
@@ -603,3 +603,72 @@ def q220_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return negative_sample(pos, docs, k=4, oversample=10)
+
+
+# --- q222: negative sampling over STRING doc ids (r10) ------------------------
+# Same DPR-style draw replay as q220, but the corpus keys on string
+# doc ids ('doc-00000042', the URL-like real-corpus shape — r9 verdict
+# item 3). The zero-padded fixed width makes lexicographic order
+# unambiguous and identical between Spark's binary-collation string
+# sort and DuckDB's varchar sort, so the dense-index row_number
+# replays exactly.
+@register(
+    "q222_negative_sample_str",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT concat('doc-', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS dk
+      FROM documents
+    ), idx AS (
+      SELECT dk, row_number() OVER (ORDER BY dk) - 1 AS i FROM corpus
+    ), nn AS (SELECT count(*) AS n FROM corpus),
+    pos AS (
+      SELECT DISTINCT user_id AS q,
+             concat('doc-', lpad(CAST(event_id % 997 AS VARCHAR), 8, '0')) AS dk
+      FROM events WHERE user_id % 13 = 0
+    ), qs AS (SELECT DISTINCT q FROM pos),
+    draws AS (
+      SELECT q, j FROM qs CROSS JOIN (SELECT unnest(range(0, 10)) AS j) r
+    ), tgt AS (
+      SELECT q, j,
+             CAST(concat('0x', substr(md5(concat('neg:', CAST(q AS VARCHAR),
+                  ':', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % nn.n AS i
+      FROM draws, nn
+    ), cand AS (
+      SELECT t.q, x.dk, t.j FROM tgt t JOIN idx x ON x.i = t.i
+    ), ex AS (
+      SELECT c.q, c.dk, c.j FROM cand c
+      LEFT JOIN pos p ON p.q = c.q AND p.dk = c.dk
+      WHERE p.q IS NULL
+    ), firstd AS (
+      SELECT q, dk, min(j) AS j FROM ex GROUP BY 1, 2
+    ), rk AS (
+      SELECT q, dk, row_number() OVER (PARTITION BY q ORDER BY j, dk) AS r
+      FROM firstd
+    )
+    SELECT CAST(q AS BIGINT) AS query_id, dk AS doc_key,
+           CAST(r - 1 AS INTEGER) AS neg_rank
+    FROM rk WHERE r <= 4
+    """,
+)
+def q222_negative_sample_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 uniform negatives per query over a STRING-keyed documents
+    corpus (operators/sampling.py:negative_sample — the dense index
+    ranks strings directly; no caller-side surrogate hashing)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import negative_sample
+
+    dk = lambda c: F.concat(  # noqa: E731
+        F.lit("doc-"), F.lpad(c.cast("string"), 8, "0")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .select(
+            F.col("user_id").alias("query_id"),
+            dk(F.col("event_id") % 997).alias("doc_key"),
+        )
+        .distinct()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        dk(F.col("doc_id")).alias("doc_key")
+    )
+    return negative_sample(pos, docs, doc_col="doc_key", k=4, oversample=10)

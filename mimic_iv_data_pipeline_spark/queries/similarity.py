@@ -1226,9 +1226,10 @@ def q152_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), scored AS (
       SELECT q.query_id, c.neighbor_id, q.qlab, c.clab,
-             round(list_dot_product(qv, cv)
+             floor(list_dot_product(qv, cv)
                    / (sqrt(list_dot_product(qv, qv))
-                      * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+                      * sqrt(list_dot_product(cv, cv))) * 1e6 + 0.5)
+               / 1e6 AS cos_sim
       FROM q, c
       WHERE q.query_id != c.neighbor_id
     ), topd AS (

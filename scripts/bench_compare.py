@@ -129,9 +129,20 @@ def main() -> None:
                          "(collapsed per-query-min; see min_of_runs)")
     ap.add_argument("--gate-ratio", type=float, default=1.3)
     ap.add_argument("--gate-abs", type=float, default=0.2)
+    ap.add_argument("--old-extra", nargs="*", default=[],
+                    help="additional same-code runs of the OLD side "
+                         "(e.g. bench_runs_r9/*.json) — collapsed with "
+                         "the old file via per-query min, so both sides "
+                         "of the gate use least-contended observations "
+                         "(r9 ADVICE: minima on only the new side can "
+                         "mask small genuine regressions below the "
+                         "contention noise floor)")
     args = ap.parse_args()
 
     old = load_bench(args.old)
+    if args.old_extra:
+        old = min_of_runs([old] + [load_bench(p) for p in args.old_extra])
+        print(f"old side: min-of-{old['n_runs']} committed runs")
     if len(args.new) == 1:
         new = load_bench(args.new[0])
     else:

@@ -103,7 +103,9 @@ def _canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -113,13 +115,18 @@ def main() -> int:
     )
     entry_mod = _load_entry()
 
-    t0 = time.time()
-    n = entry_mod.entry(spark).count()
-    print(f"entry(): {n} rows  [{time.time() - t0:.1f}s]")
-    assert n >= 0
+    if not only:
+        t0 = time.time()
+        n = entry_mod.entry(spark).count()
+        print(f"entry(): {n} rows  [{time.time() - t0:.1f}s]")
+        assert n >= 0
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:  # --only=substr (repeatable): fast single-query iteration
+        queries = {
+            k: v for k, v in queries.items() if any(s in k for s in only)
+        }
     print(f"{len(queries)} queries, {len(oracles)} oracles, sf={sf_dir}")
 
     failures = []

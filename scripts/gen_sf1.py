@@ -137,7 +137,37 @@ def main() -> None:
         .parquet(f"{OUT}/documents.parquet")
     )
 
-    for t in ("events", "customer", "lineitem", "documents"):
+    # embeddings (r10: q221/q222-family sf1 exponents need it): 10
+    # copies with shifted vec_ids; copies >0 get a deterministic
+    # per-dimension perturbation so near-dup structure scales without
+    # becoming exact duplicates (which would degenerate cosine ranks).
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.col("__copy"), i), F.lit(1000))
+            .cast("float")
+            / F.lit(10_000.0)
+            - F.lit(0.05)
+        )
+        * F.when(F.col("__copy") == 0, F.lit(0.0)).otherwise(F.lit(1.0)),
+    )
+    (
+        _copies(emb)
+        .select(
+            (F.col("vec_id") + F.col("__copy") * F.lit(2_000)).alias("vec_id"),
+            perturbed.alias("embedding"),
+            "label",
+            "__copy",
+        )
+        .drop("__copy")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/embeddings.parquet")
+    )
+
+    for t in ("events", "customer", "lineitem", "documents", "embeddings"):
         n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
         print(f"{t}: {n} rows", flush=True)
     spark.stop()

@@ -114,22 +114,40 @@ def main() -> None:
             # per-query MIN-of-3 (bench_compare multi-run mode) — the
             # protocol the r8 verdict used to settle q92/q142. Only a
             # min-of-3 flag fails the gate.
-            cmp_cmd = [
-                sys.executable, "scripts/bench_compare.py",
-                args.bench_old, args.bench_out,
-            ]
-            proc = subprocess.run(cmp_cmd, cwd=REPO)
+            # Symmetric minima (r9 ADVICE): when the old round committed
+            # its raw run set (bench_runs_r{N}/), collapse the old side
+            # with per-query min too — otherwise new-side minima vs a
+            # single old run can mask small genuine regressions below
+            # the contention noise floor.
+            old_extra: list[str] = []
+            m = re.search(r"BENCH_r0*(\d+)\.json$", args.bench_old or "")
+            if m:
+                old_extra = sorted(
+                    glob.glob(os.path.join(
+                        REPO, f"bench_runs_r{int(m.group(1))}", "*.json"))
+                )
+            old_flag = ["--old-extra", *old_extra] if old_extra else []
+
+            def cmp_cmd(new_paths: list[str]) -> list[str]:
+                # positionals first, --old-extra LAST (nargs='*' would
+                # otherwise swallow appended new-run paths)
+                return [
+                    sys.executable, "scripts/bench_compare.py",
+                    args.bench_old, *new_paths, *old_flag,
+                ]
+
+            proc = subprocess.run(cmp_cmd([args.bench_out]), cwd=REPO)
             if proc.returncode != 0:
-                print("[round_close] single-run compare flagged; "
-                      "escalating to min-of-3", flush=True)
+                print("[round_close] compare flagged; "
+                      "escalating with two more runs", flush=True)
                 extra = []
                 for i in (2, 3):
                     p = f"{args.bench_out}.run{i}"
                     run_bench(p)
                     extra.append(p)
                 stage(
-                    "bench-compare(min-of-3)",
-                    cmp_cmd + extra,
+                    "bench-compare(escalated)",
+                    cmp_cmd([args.bench_out, *extra]),
                 )
             else:
                 print("[round_close] bench-compare ok", flush=True)
