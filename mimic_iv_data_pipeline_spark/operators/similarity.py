@@ -259,16 +259,44 @@ def sampled_matrix(
     (the round-4 de-bias fix, now in one place). ``tag`` decorrelates
     draws of different trainers over the same corpus; ``key_expr``
     overrides the key when no natural id exists (e.g. a content hash).
+
+    Driver-transfer bound (r10 probe finding): TakeOrdered ships each
+    TASK's own top-``train_sample`` rows to the driver BEFORE the
+    merge, so the transfer is tasks × sample × row-width — the 5M-doc
+    / 64-partition ivf probe blew ``spark.driver.maxResultSize``
+    (1 GB) on exactly this. When the corpus is ≥ 4× the sample, a
+    hash-threshold pre-filter keeps only ~2× ``train_sample`` rows
+    (the hash is uniform on the signed-64 range, so the frontier sits
+    at min + 2·(sample/n)·2⁶⁴; P[survivors < sample] is Chernoff-
+    negligible at 2× margin, and a short-collect falls back to the
+    unfiltered draw for exactness). The filtered TakeOrdered returns
+    the SAME rows — the global top-``train_sample`` by hash is a
+    subset of any superset of the threshold survivors — so trained
+    centroids are bit-identical to the unfiltered draw. Costs one
+    count job, amortized into the training it bounds.
     """
     import numpy as np
 
     key = key_expr if key_expr is not None else F.col(id_col).cast("string")
-    rows = (
-        df.select(key.alias("__k"), F.col(vec_col).alias("__v"))
-        .orderBy(F.xxhash64(F.col("__k"), F.lit(tag)).asc(), F.col("__k").asc())
-        .limit(train_sample)
-        .collect()
-    )
+    base = df.select(key.alias("__k"), F.col(vec_col).alias("__v"))
+    h = F.xxhash64(F.col("__k"), F.lit(tag))
+
+    def take(src) -> list:
+        return (
+            src.orderBy(h.asc(), F.col("__k").asc())
+            .limit(train_sample)
+            .collect()
+        )
+
+    n = base.count()
+    if n >= 4 * train_sample:
+        frac = 2.0 * train_sample / n
+        thresh = int(-(1 << 63) + frac * float(1 << 64))
+        rows = take(base.filter(h < F.lit(thresh)))
+        if len(rows) < train_sample:  # astronomically rare; exactness net
+            rows = take(base)
+    else:
+        rows = take(base)
     return np.asarray([r["__v"] for r in rows], dtype=np.float64)
 
 

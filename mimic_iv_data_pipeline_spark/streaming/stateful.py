@@ -314,8 +314,11 @@ def stream_weighted_sample(
             for key, w in zip(pdf[key_col], pdf[weight_col]):
                 # pandas delivers SQL NULL as NaN, not None — and NaN
                 # passes both `is None` and `<= 0`, then poisons every
-                # pool comparison; the batch twin excludes null weights
-                if w is None or w != w or w <= 0:
+                # pool comparison; the batch twin excludes null weights.
+                # NULL keys are excluded too (int(None)/int(NaN) would
+                # raise mid-stream; the batch twin's md5 of a NULL key
+                # is NULL and drops the row the same way).
+                if key is None or key != key or w is None or w != w or w <= 0:
                     continue
                 h = int(
                     _md5(f"{salt}:{key}".encode()).hexdigest()[:8], 16

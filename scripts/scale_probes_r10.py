@@ -58,6 +58,8 @@ def synth_corpus(spark, n: int):
 
 
 def probe_a(spark) -> None:
+    import tempfile
+
     from mimic_iv_data_pipeline_spark.operators.sampling import (
         hard_negative_sample,
     )
@@ -67,17 +69,27 @@ def probe_a(spark) -> None:
     )
 
     n_docs, n_q, k, depth = 1_000_000, 1_000, 4, 16
-    corpus = synth_corpus(spark, n_docs)
-    queries = synth_corpus(spark, n_q).select(
-        (F.col("vec_id") + n_docs).alias("vec_id"),
+    # materialize the synthetic relations to parquet ONCE: the
+    # transform-lambda embedding generator runs interpreted per element
+    # (64 hashes/row), so regenerating on every retriever pass would
+    # dominate the probe (the first r10 run timed out exactly here)
+    tmp = tempfile.mkdtemp(prefix="probe_r10_")
+    t0 = time.time()
+    synth_corpus(spark, n_docs).repartition(64).write.parquet(f"{tmp}/c1m")
+    synth_corpus(spark, 5_000_000).repartition(64).write.parquet(f"{tmp}/c5m")
+    synth_corpus(spark, n_q).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x + F.lit(0.001)
         ).alias("embedding"),  # distinct from any corpus vector
-    )
+    ).repartition(4).write.parquet(f"{tmp}/q")
+    print(f"A.datagen: {time.time() - t0:.1f} s (one-off)", flush=True)
+    corpus = spark.read.parquet(f"{tmp}/c1m")
+    queries = spark.read.parquet(f"{tmp}/q")
     # 4 deterministic positives per query
     positives = (
         spark.range(n_q)
-        .select((F.col("id") + n_docs).alias("query_id"), F.col("id").alias("q"))
+        .select((F.col("id") + 10_000_000).alias("query_id"))
         .select(
             "query_id",
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
@@ -132,7 +144,7 @@ def probe_a(spark) -> None:
 
     # 5M docs: exact would score 5M x 1k pairs (~2.6 TFLOP + a full
     # corpus scan per mining run) — ivf-only, leak-checked
-    corpus5 = synth_corpus(spark, 5_000_000)
+    corpus5 = spark.read.parquet(f"{tmp}/c5m")
     t0 = time.time()
     out5 = hard_negative_sample(
         positives, queries, corpus5, k=k, depth=depth,

@@ -157,6 +157,37 @@ def test_corpus_index_numeric_distributed_matches_window(spark):
     assert [tuple(r) for r in win] == [tuple(r) for r in dist]
 
 
+# ---------------------------------------------------------------------------
+# 4. sampled_matrix driver-transfer bound (r10 probe finding)
+
+
+def test_sampled_matrix_threshold_filter_preserves_exact_draw(spark):
+    """The hash-threshold pre-filter (engaged when corpus >= 4x sample)
+    must return EXACTLY the global top-train_sample rows by
+    (xxhash64(key, tag), key) — the same draw the unfiltered TakeOrdered
+    produced before the r10 maxResultSize fix. Expected set computed
+    independently by collecting every hash."""
+    from mimic_iv_data_pipeline_spark.operators.similarity import sampled_matrix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), (F.col("id") * 2).cast("double")).alias(
+            "embedding"
+        ),
+    )
+    ref = sorted(
+        df.select(
+            F.xxhash64(F.col("vec_id").cast("string"), F.lit("t")).alias("h"),
+            F.col("vec_id").cast("string").alias("k"),
+            "embedding",
+        ).collect(),
+        key=lambda r: (r["h"], r["k"]),
+    )[:100]
+    X = sampled_matrix(df, "vec_id", "embedding", 100, "t")
+    assert X.shape == (100, 2)
+    assert [list(row) for row in X] == [list(r["embedding"]) for r in ref]
+
+
 def test_negative_sample_string_doc_ids_end_to_end(spark):
     from mimic_iv_data_pipeline_spark.operators.sampling import (
         build_corpus_index,
