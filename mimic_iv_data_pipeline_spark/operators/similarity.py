@@ -397,6 +397,8 @@ def ivf_topk(
     max_iter: int = 10,
     train_sample: int = 262_144,
     centroids=None,
+    score: str = "auto",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
@@ -438,25 +440,131 @@ def ivf_topk(
     def assign_cells(df: DataFrame, n: int) -> DataFrame:
         return _assign_cells_pandas(df, id_col, vec_col, centers, n)
 
-    c_assigned = assign_cells(corpus, 1).select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv"), "cell"
-    )
-    q_assigned = assign_cells(queries, n_probe).select(
-        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv"), "cell"
-    )
-    scored = (
-        c_assigned.join(F.broadcast(q_assigned), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    def _integral(df: DataFrame) -> bool:
+        t = df.schema[id_col].dataType.simpleString()
+        return t in ("tinyint", "smallint", "int", "bigint")
+
+    if score == "auto":
+        # vectorized scoring carries ids through a `long` schema;
+        # non-integral ids keep the type-generic expression path.
+        # Results are identical either way (the floor-round absorbs
+        # the op-order ulp; asserted in tests/test_similarity.py).
+        score = "pandas" if _integral(queries) and _integral(corpus) else "expr"
+    if score not in ("pandas", "expr"):
+        raise ValueError(f"ivf_topk: unknown score={score!r}")
+
+    if score == "expr":
+        c_assigned = assign_cells(corpus, 1).select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv"), "cell"
         )
-        # NO distinct: each corpus vector lives in exactly ONE cell
-        # (assign_cells(corpus, 1)), so a (query, neighbor) pair can
-        # meet in at most one probed cell — a distinct here would
-        # hash-shuffle the whole scored relation for zero dedup effect
-    )
+        q_assigned = assign_cells(queries, n_probe).select(
+            F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv"), "cell"
+        )
+        scored = (
+            c_assigned.join(F.broadcast(q_assigned), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            )
+            # NO distinct: each corpus vector lives in exactly ONE cell
+            # (assign_cells(corpus, 1)), so a (query, neighbor) pair can
+            # meet in at most one probed cell — a distinct here would
+            # hash-shuffle the whole scored relation for zero dedup effect
+        )
+    else:
+        # Vectorized scoring (r10): the expression path evaluates its
+        # aggregate/zip_with cosine INTERPRETED per candidate row — at
+        # the 1M-doc mining probe that is 31M × 64-element lambda
+        # evaluations and ~70% of the wall-clock. Here the probed-query
+        # matrices ship per CELL in one broadcast (the same driver
+        # bound the old broadcast-hash join already paid), and each
+        # corpus Arrow batch scores every cell-mate query as one numpy
+        # matmul, keeping per-batch per-query top-k before the global
+        # window (cosine_topk_pandas's map-side-combine, restricted by
+        # cell membership). Conventions copied from cosine_topk_pandas:
+        # floor(x·1e6+0.5)/1e6 rounding (dround twin), zero-norm → NULL
+        # (ranks last), self-match exclusion, (cos desc, id asc)
+        # tie-break — identical results to the expression path.
+        import numpy as np
+        import pandas as pd
+        from collections.abc import Iterator
+
+        q_rows = (
+            assign_cells(queries, n_probe)
+            .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell")
+            .limit(max_query_rows * n_probe + 1)
+            .collect()
+        )
+        if len(q_rows) > max_query_rows * n_probe:
+            raise ValueError(
+                f"ivf_topk broadcasts the probed-query matrices; got > "
+                f"{max_query_rows} query rows — raise max_query_rows or "
+                f"shard the query side."
+            )
+        grouped: dict[int, list] = {}
+        for r in q_rows:
+            grouped.setdefault(int(r["cell"]), []).append((r["qid"], r["qv"]))
+        by_cell: dict[int, tuple] = {}
+        for cell, items in grouped.items():
+            ids = np.array([i for i, _ in items], dtype=np.int64)
+            m = np.array([list(v) for _, v in items], dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            by_cell[cell] = (ids, mn)
+        bq = corpus.sparkSession.sparkContext.broadcast(by_cell)
+        out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+        def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            by = bq.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                frames = []
+                for cell, sub in pdf.groupby("cell"):
+                    entry = by.get(int(cell))
+                    if entry is None:
+                        continue
+                    ids, qn = entry
+                    c_ids = sub[id_col].to_numpy()
+                    c_mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c_norm = c_mat / np.linalg.norm(
+                            c_mat, axis=1, keepdims=True
+                        )
+                    sims = c_norm @ qn.T  # |cell batch| × |cell queries|
+                    sims_r = np.floor(sims.T.ravel() * 1e6 + 0.5) / 1e6
+                    frame = pd.DataFrame(
+                        {
+                            "query_id": np.repeat(ids, len(c_ids)),
+                            "neighbor_id": np.tile(c_ids, len(ids)),
+                            "cos_sim": (
+                                pd.array(sims_r, dtype="Float64")
+                                if np.isnan(sims_r).any()
+                                else sims_r
+                            ),
+                        }
+                    )
+                    frames.append(frame[frame.query_id != frame.neighbor_id])
+                if not frames:
+                    continue
+                out = pd.concat(frames, ignore_index=True)
+                yield (
+                    out.sort_values(
+                        ["query_id", "cos_sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id")
+                    .head(k)
+                )
+
+        scored = (
+            assign_cells(corpus, 1)
+            .select(id_col, vec_col, "cell")
+            .mapInPandas(score_fn, schema=out_schema)
+        )
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
