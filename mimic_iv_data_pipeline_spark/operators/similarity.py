@@ -384,6 +384,88 @@ def _assign_cells_pandas(
     return narrow.mapInPandas(assign, schema=out_schema)
 
 
+def _bucketed_topk_score_pandas(
+    c_keyed: DataFrame,
+    bucket_col: str,
+    q_rows: list,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared vectorized scorer for the bucketed ANN paths (IVF cells,
+    hyperplane-LSH buckets): group the collected query rows
+    ``(qid, qv, <bucket>)`` into per-bucket (ids, L2-normalized matrix)
+    pairs, broadcast the dict, and score each corpus Arrow batch's
+    bucket-mates as one numpy matmul, keeping per-batch per-query top-k
+    (the cosine_topk_pandas map-side-combine restricted by bucket
+    membership — exact: top-k of per-batch top-ks equals global top-k
+    under the (cos desc, id asc) total order). Conventions copied from
+    cosine_topk_pandas: floor(x·1e6+0.5)/1e6 rounding (dround twin),
+    zero-norm → NULL (ranks last in the desc window), self-match
+    exclusion. Output schema pins ids to long — callers gate on
+    integral ids and fall back to their expression path otherwise.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    grouped: dict[int, list] = {}
+    for r in q_rows:
+        grouped.setdefault(int(r[2]), []).append((r[0], r[1]))
+    by_bucket: dict[int, tuple] = {}
+    for bucket, items in grouped.items():
+        ids = np.array([i for i, _ in items], dtype=np.int64)
+        m = np.array([list(v) for _, v in items], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        by_bucket[bucket] = (ids, mn)
+    bq = c_keyed.sparkSession.sparkContext.broadcast(by_bucket)
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for bucket, sub in pdf.groupby(bucket_col):
+                entry = by.get(int(bucket))
+                if entry is None:
+                    continue
+                ids, qn = entry
+                c_ids = sub[id_col].to_numpy()
+                c_mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+                sims = c_norm @ qn.T  # |bucket batch| × |bucket queries|
+                sims_r = np.floor(sims.T.ravel() * 1e6 + 0.5) / 1e6
+                frame = pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, len(c_ids)),
+                        "neighbor_id": np.tile(c_ids, len(ids)),
+                        "cos_sim": (
+                            pd.array(sims_r, dtype="Float64")
+                            if np.isnan(sims_r).any()
+                            else sims_r
+                        ),
+                    }
+                )
+                frames.append(frame[frame.query_id != frame.neighbor_id])
+            if not frames:
+                continue
+            out = pd.concat(frames, ignore_index=True)
+            yield (
+                out.sort_values(
+                    ["query_id", "cos_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id")
+                .head(k)
+            )
+
+    return c_keyed.mapInPandas(score_fn, schema=out_schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     *,
@@ -481,16 +563,9 @@ def ivf_topk(
         # matrices ship per CELL in one broadcast (the same driver
         # bound the old broadcast-hash join already paid), and each
         # corpus Arrow batch scores every cell-mate query as one numpy
-        # matmul, keeping per-batch per-query top-k before the global
-        # window (cosine_topk_pandas's map-side-combine, restricted by
-        # cell membership). Conventions copied from cosine_topk_pandas:
-        # floor(x·1e6+0.5)/1e6 rounding (dround twin), zero-norm → NULL
-        # (ranks last), self-match exclusion, (cos desc, id asc)
-        # tie-break — identical results to the expression path.
-        import numpy as np
-        import pandas as pd
-        from collections.abc import Iterator
-
+        # matmul (see _bucketed_topk_score_pandas — shared with the
+        # LSH path). Identical results to the expression path;
+        # measured 3.9–11.8× at the 1M-doc dial (PERF r10).
         q_rows = (
             assign_cells(queries, n_probe)
             .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell")
@@ -503,66 +578,13 @@ def ivf_topk(
                 f"{max_query_rows} query rows — raise max_query_rows or "
                 f"shard the query side."
             )
-        grouped: dict[int, list] = {}
-        for r in q_rows:
-            grouped.setdefault(int(r["cell"]), []).append((r["qid"], r["qv"]))
-        by_cell: dict[int, tuple] = {}
-        for cell, items in grouped.items():
-            ids = np.array([i for i, _ in items], dtype=np.int64)
-            m = np.array([list(v) for _, v in items], dtype=np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            by_cell[cell] = (ids, mn)
-        bq = corpus.sparkSession.sparkContext.broadcast(by_cell)
-        out_schema = "query_id long, neighbor_id long, cos_sim double"
-
-        def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            by = bq.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                frames = []
-                for cell, sub in pdf.groupby("cell"):
-                    entry = by.get(int(cell))
-                    if entry is None:
-                        continue
-                    ids, qn = entry
-                    c_ids = sub[id_col].to_numpy()
-                    c_mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        c_norm = c_mat / np.linalg.norm(
-                            c_mat, axis=1, keepdims=True
-                        )
-                    sims = c_norm @ qn.T  # |cell batch| × |cell queries|
-                    sims_r = np.floor(sims.T.ravel() * 1e6 + 0.5) / 1e6
-                    frame = pd.DataFrame(
-                        {
-                            "query_id": np.repeat(ids, len(c_ids)),
-                            "neighbor_id": np.tile(c_ids, len(ids)),
-                            "cos_sim": (
-                                pd.array(sims_r, dtype="Float64")
-                                if np.isnan(sims_r).any()
-                                else sims_r
-                            ),
-                        }
-                    )
-                    frames.append(frame[frame.query_id != frame.neighbor_id])
-                if not frames:
-                    continue
-                out = pd.concat(frames, ignore_index=True)
-                yield (
-                    out.sort_values(
-                        ["query_id", "cos_sim", "neighbor_id"],
-                        ascending=[True, False, True],
-                    )
-                    .groupby("query_id")
-                    .head(k)
-                )
-
-        scored = (
-            assign_cells(corpus, 1)
-            .select(id_col, vec_col, "cell")
-            .mapInPandas(score_fn, schema=out_schema)
+        scored = _bucketed_topk_score_pandas(
+            assign_cells(corpus, 1).select(id_col, vec_col, "cell"),
+            "cell",
+            q_rows,
+            id_col,
+            vec_col,
+            k,
         )
 
     w = Window.partitionBy("query_id").orderBy(
@@ -585,10 +607,19 @@ def ann_lsh_topk(
     bits: int = 8,
     k: int = 5,
     plane_hash: str = "xxhash64",
+    score: str = "auto",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature, score only
     within the query's bucket. Recall is tunable via ``bits`` (fewer
-    bits → bigger buckets → higher recall, more compute)."""
+    bits → bigger buckets → higher recall, more compute).
+
+    ``score`` mirrors :func:`ivf_topk`'s r10 seam: ``"pandas"``
+    (default via ``"auto"`` for integral ids) scores each corpus Arrow
+    batch's bucket-mates as one numpy matmul via
+    :func:`_bucketed_topk_score_pandas` — identical results to the
+    interpreted-lambda expression join, which remains for non-integral
+    ids (``"expr"``)."""
     sig = lambda df, idc, vc: df.select(  # noqa: E731
         F.col(id_col).alias(idc),
         as_double_vec(F.col(vec_col)).alias(vc),
@@ -596,17 +627,51 @@ def ann_lsh_topk(
             F.col(vec_col), dims, bits, plane_hash=plane_hash
         ).alias("bucket"),
     )
-    q = sig(queries, "query_id", "qv")
-    c = sig(corpus, "neighbor_id", "cv")
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+
+    def _integral(df: DataFrame) -> bool:
+        t = df.schema[id_col].dataType.simpleString()
+        return t in ("tinyint", "smallint", "int", "bigint")
+
+    if score == "auto":
+        score = "pandas" if _integral(queries) and _integral(corpus) else "expr"
+    if score not in ("pandas", "expr"):
+        raise ValueError(f"ann_lsh_topk: unknown score={score!r}")
+
+    if score == "expr":
+        q = sig(queries, "query_id", "qv")
+        c = sig(corpus, "neighbor_id", "cv")
+        scored = (
+            c.join(F.broadcast(q), on="bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                dround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            )
         )
-    )
+    else:
+        q_rows = (
+            sig(queries, "qid", "qv")
+            .select("qid", "qv", "bucket")
+            .limit(max_query_rows + 1)
+            .collect()
+        )
+        if len(q_rows) > max_query_rows:
+            raise ValueError(
+                f"ann_lsh_topk broadcasts the bucketed query matrices; got > "
+                f"{max_query_rows} query rows — raise max_query_rows or "
+                f"shard the query side."
+            )
+        c_keyed = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_signature(
+                F.col(vec_col), dims, bits, plane_hash=plane_hash
+            ).alias("bucket"),
+        )
+        scored = _bucketed_topk_score_pandas(
+            c_keyed, "bucket", q_rows, id_col, vec_col, k
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
