@@ -1219,9 +1219,15 @@ def build_corpus_index(
         # in the total order — rank within each bucket, then add
         # per-bucket offsets from a prefix window over the tiny
         # bucket-count relation (≤|alphabet|² rows, single-partition OK
-        # there). NULL docs bucket to NULL, which sorts first in both
-        # the bucket window and orderBy("__doc") — consistent.
-        bucketed = docs.withColumn("__b", F.substring("__doc", 1, 2))
+        # there). NULL docs coalesce into the ""-prefix bucket: a plain
+        # equi-join on a NULL bucket silently DROPS the null doc (NULL
+        # != NULL — caught by the r10 unicode/null parity test), and ""
+        # keeps the bucket map monotone (null sorts first, "" is the
+        # smallest bucket; within-bucket orderBy("__doc") puts null
+        # before "" exactly like the window path's global order).
+        bucketed = docs.withColumn(
+            "__b", F.coalesce(F.substring("__doc", 1, 2), F.lit(""))
+        )
         ranked = bucketed.withColumn(
             "__r",
             F.row_number().over(Window.partitionBy("__b").orderBy("__doc")),

@@ -112,7 +112,14 @@ def build_vocab(sequences: DataFrame, special: list[str] | None = None) -> DataF
         [(i, tok) for i, tok in enumerate(specials)], "id long, token string"
     )
     toks = sequences.select(F.explode("tokens").alias("token")).distinct()
-    bucketed = toks.withColumn("__b", F.substring("token", 1, 2))
+    # NULL tokens (a null element inside a tokens array) coalesce into
+    # the ""-prefix bucket — a plain equi-join on a NULL bucket would
+    # silently drop the row (NULL != NULL; the r10 corpus-index parity
+    # test caught the identical bug in build_corpus_index). "" keeps
+    # the bucket map monotone under the nulls-first total order.
+    bucketed = toks.withColumn(
+        "__b", F.coalesce(F.substring("token", 1, 2), F.lit(""))
+    )
     ranked = bucketed.withColumn(
         "__r",
         F.row_number().over(Window.partitionBy("__b").orderBy("token")),

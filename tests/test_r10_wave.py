@@ -144,6 +144,30 @@ def test_corpus_index_string_distributed_matches_window(spark):
     assert all(r["__n"] == len(win) for r in win)
 
 
+def test_corpus_index_unicode_and_null_distributed_matches_window(spark):
+    """The 2-char-prefix bucket is contiguous under Spark's BINARY
+    collation even for multi-byte code points (a k-code-point prefix
+    respects byte-prefix ordering: the first differing byte lies either
+    inside both prefixes — same order — or beyond — equal prefixes).
+    NULL doc ids bucket to NULL, which sorts first in both paths."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import build_corpus_index
+
+    ids = [
+        "a", "aé", "aéx", "b", "éa", "日本語-doc", "日本", "ß", "ss",
+        "ź", "za", "", " lead-space", "doc-1", "doc-10", "doc-2",
+        None,
+    ] + [f"αβγ-{i}" for i in range(20)]
+    docs = spark.createDataFrame([(s,) for s in ids], "doc_key string")
+    win = build_corpus_index(docs, "doc_key").orderBy("__i").collect()
+    dist = (
+        build_corpus_index(docs, "doc_key", window_threshold=0)
+        .orderBy("__i")
+        .collect()
+    )
+    assert [tuple(r) for r in win] == [tuple(r) for r in dist]
+    assert [r["__i"] for r in win] == list(range(len(win)))
+
+
 def test_corpus_index_numeric_distributed_matches_window(spark):
     from mimic_iv_data_pipeline_spark.operators.sampling import build_corpus_index
 
