@@ -898,6 +898,14 @@ def semantic_dedup(
         assigned = materialize(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
+    # Deliberately NOT routed through the r10 vectorized ANN scorer
+    # (_bucketed_topk_score_pandas): this threshold compares the
+    # UNROUNDED cosine, and numpy's pairwise summation order differs
+    # from the expression fold's sequential order — a boundary-straddling
+    # pair could flip the prune flag and break the q134 hash twin. The
+    # interpreted cost here is bounded by the largest CLUSTER (the
+    # SemDeDup point), not the corpus; revisit only with a rounded
+    # threshold contract.
     pruned_ids = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")))
         .where(cosine(F.col("a.__v"), F.col("b.__v")) >= threshold)
