@@ -135,6 +135,11 @@ HEADLINE = [
     # six stage writes) — regression-guards the composed pipeline, not
     # just operator micro-queries. Single-run (see ONCE).
     "e2e_mimic_pipeline",
+    # round-11: the same composed pipeline with in-memory stage
+    # handoffs (localCheckpoint boundaries, lazy leaves) — the
+    # parquet/memory seam win tracked side by side with the
+    # file-handoff twin above. Single-run (see ONCE).
+    "e2e_mimic_pipeline_mem",
 ]
 
 
@@ -164,26 +169,11 @@ def _q180_bootstrap_xxhash(spark, sf_dir):
     )
 
 
-def _e2e_mimic_pipeline(spark, sf_dir):
-    """The reference's ACTUAL workload shape, end to end: cohort →
-    UoM/outlier cleaning → 48 h window → 2 h buckets → dense grid +
-    mean impute → feature matrix + tensor frame, six parquet stage
-    writes (plans/pipeline.py:run_pipeline). Inputs are a
-    declaratively generated MIMIC-shaped dataset scaled by sf (30k
+def _e2e_tables(spark, sf_dir):
+    """Declaratively generated MIMIC-shaped inputs scaled by sf (30k
     stays / ~3M chart events at sf0.1 — the r1 PERF.md probe shape),
-    deterministic via xxhash64. Run ONCE per bench (see ONCE below):
-    the entry is eager (it writes its stages), so warm-run timing
-    would triple the cost while measuring the same DAG.
-    """
-    import shutil
-    import tempfile
-
+    deterministic via xxhash64. Shared by both e2e handoff modes."""
     from pyspark.sql import functions as F
-
-    from mimic_iv_data_pipeline_spark.plans.pipeline import (
-        PipelineConfig,
-        run_pipeline,
-    )
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_stays = max(1_000, int(300_000 * sf))
@@ -263,36 +253,77 @@ def _e2e_mimic_pipeline(spark, sf_dir):
             .alias("valueuom"),
         )
     )
+    return {
+        "visits": icustays,
+        "patients": patients,
+        "admissions": admissions,
+        "events": events,
+    }
+
+
+def _run_e2e(spark, sf_dir, handoff):
+    import shutil
+    import tempfile
+
+    from mimic_iv_data_pipeline_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
     out_dir = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
         staged = run_pipeline(
             spark,
-            {
-                "visits": icustays,
-                "patients": patients,
-                "admissions": admissions,
-                "events": events,
-            },
+            _e2e_tables(spark, sf_dir),
             out_dir,
             PipelineConfig(include_hours=48, bucket_hours=2),
+            handoff=handoff,
         )
-        # force the terminal stage; everything upstream already wrote
+        if handoff == "memory":
+            # parquet mode forces every leaf by WRITING it; memory mode
+            # must force the same stage set explicitly so both modes
+            # compute summary + features + tensors end to end
+            staged["summary"].count()
+            staged["features"].count()
         n = staged["tensors"].count()
         return spark.range(n)  # bench counts this (cheap, stable)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _e2e_mimic_pipeline(spark, sf_dir):
+    """The reference's ACTUAL workload shape, end to end: cohort →
+    UoM/outlier cleaning → 48 h window → 2 h buckets → dense grid +
+    mean impute → feature matrix + tensor frame, six parquet stage
+    writes (plans/pipeline.py:run_pipeline — handoff="parquet", the
+    reference's csv.gz file-handoff semantics). Run ONCE per bench
+    (see ONCE below): the entry is eager (it writes its stages), so
+    warm-run timing would triple the cost while measuring the same DAG.
+    """
+    return _run_e2e(spark, sf_dir, "parquet")
+
+
+def _e2e_mimic_pipeline_mem(spark, sf_dir):
+    """The same composed pipeline with handoff="memory" (r10 verdict
+    item 6): multi-consumer stages pin via localCheckpoint instead of
+    parquet round-trips, leaves stay lazy. Benched next to the parquet
+    twin every round so the seam's win is a tracked number, not a
+    one-off probe. Values are mode-identical (tests/test_r11_wave.py).
+    """
+    return _run_e2e(spark, sf_dir, "memory")
+
+
 EXTRA = {
     "q92_edit_distance_nocap": _q92_edit_distance_nocap,
     "q180_bootstrap_xxhash": _q180_bootstrap_xxhash,
     "e2e_mimic_pipeline": _e2e_mimic_pipeline,
+    "e2e_mimic_pipeline_mem": _e2e_mimic_pipeline_mem,
 }
 
 # Entries that are eager end-to-end plans (stage writes inside): timed
 # with a single run, no codegen warm-up — the warm-up would re-execute
 # the whole pipeline for the same measurement.
-ONCE = {"e2e_mimic_pipeline"}
+ONCE = {"e2e_mimic_pipeline", "e2e_mimic_pipeline_mem"}
 
 
 def main() -> None:
@@ -387,10 +418,14 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {n: best_t[n] for n in HEADLINE if n in best_t},
-                # best (minimum) canaries across runs — the host
-                # estimate matching the per-query minima above
-                "canary_sec": min(c[0] for c in canaries),
-                "canary_end_sec": min(c[1] for c in canaries),
+                # the (start, end) canary PAIR of the fastest run (by
+                # run_total) — a real observed pair, so tooling that
+                # normalizes by max(start, end) sees one run's
+                # contention, not per-position minima mixed across
+                # runs (ADVICE r10); the full per-run pairs stay in
+                # "canaries" below
+                "canary_sec": canaries[run_totals.index(min(run_totals))][0],
+                "canary_end_sec": canaries[run_totals.index(min(run_totals))][1],
                 "runs": n_runs,
                 "run_totals": run_totals,  # ONCE entries count in run 1 only
                 "canaries": canaries,  # per-run (start, end) pairs

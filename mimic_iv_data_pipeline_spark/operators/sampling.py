@@ -1177,6 +1177,8 @@ def build_corpus_index(
     corpus: DataFrame,
     doc_col: str = "doc_id",
     window_threshold: int = 1_000_000,
+    skew_cap: int | None = None,
+    range_buckets: int | None = None,
 ) -> DataFrame:
     """Dense 0..N-1 index over the distinct corpus docs for
     :func:`negative_sample`: ``(__i, __doc, __n)`` where ``__n`` is
@@ -1194,6 +1196,29 @@ def build_corpus_index(
     contiguous in the binary-collation total order, so per-bucket ranks
     + prefix-summed bucket offsets compose to the exact global rank;
     real corpora key on string doc ids/URLs, r9 verdict item 3).
+
+    PREFIX SKEW (ADVICE r10): real string corpora are prefix-skewed —
+    URLs nearly all start ``"ht"`` — so a fixed 2-char bucketing can
+    degenerate into one giant bucket, i.e. exactly the single-partition
+    window this branch exists to avoid. The bucket-count relation
+    (bounded: ≤ |alphabet|² rows, collected in Spark's own binary-
+    collation order so no Python re-sort) therefore doubles as a skew
+    detector: if the largest prefix bucket exceeds ``skew_cap``
+    (default ``max(window_threshold, n // 8)``), the rank falls back to
+    a RANGE-bucketed recipe — ``repartitionByRange`` over the doc
+    string (Spark's sampled RangePartitioner picks data-driven
+    boundaries, immune to any prefix distribution),
+    ``spark_partition_id()`` as the bucket key, then the same
+    per-bucket rank + prefix-summed offsets. The ranged relation is
+    pinned via :func:`~mimic_iv_data_pipeline_spark.engine.materialize`
+    first because RangePartitioner re-samples per job — the rank job
+    and the offsets job must observe ONE bucketing. Output values are
+    identical on every path (bucket boundaries never affect the global
+    rank of a contiguous bucketing — parity-pinned in
+    tests/test_r11_wave.py), so which path fires is purely a physical
+    choice. ``range_buckets`` defaults to ~n/(window_threshold/4)
+    clamped to [64, 4096].
+
     ``window_threshold`` exists so tests can force the distributed
     paths at toy size (parity pins in tests/test_r10_wave.py); leave it
     at the default in production. Build once per corpus snapshot,
@@ -1217,40 +1242,81 @@ def build_corpus_index(
         # recipe): bucket by the 2-char prefix — a VALUE-deterministic
         # key that is a prefix of the sort key, so buckets are contiguous
         # in the total order — rank within each bucket, then add
-        # per-bucket offsets from a prefix window over the tiny
-        # bucket-count relation (≤|alphabet|² rows, single-partition OK
-        # there). NULL docs coalesce into the ""-prefix bucket: a plain
-        # equi-join on a NULL bucket silently DROPS the null doc (NULL
-        # != NULL — caught by the r10 unicode/null parity test), and ""
-        # keeps the bucket map monotone (null sorts first, "" is the
-        # smallest bucket; within-bucket orderBy("__doc") puts null
-        # before "" exactly like the window path's global order).
+        # per-bucket offsets computed from the bounded bucket-count
+        # relation (≤|alphabet|² rows). NULL docs coalesce into the
+        # ""-prefix bucket: a plain equi-join on a NULL bucket silently
+        # DROPS the null doc (NULL != NULL — caught by the r10
+        # unicode/null parity test), and "" keeps the bucket map
+        # monotone (null sorts first, "" is the smallest bucket;
+        # within-bucket orderBy("__doc") puts null before "" exactly
+        # like the window path's global order).
+        spark = docs.sparkSession
         bucketed = docs.withColumn(
             "__b", F.coalesce(F.substring("__doc", 1, 2), F.lit(""))
         )
-        ranked = bucketed.withColumn(
-            "__r",
-            F.row_number().over(Window.partitionBy("__b").orderBy("__doc")),
-        )
-        offsets = (
+        # ONE bounded collect serves the skew decision AND the offsets.
+        # Spark orders the rows (binary collation) so the Python running
+        # sum never re-sorts — no Python/UTF8 collation mismatch.
+        counts = (
             bucketed.groupBy("__b")
             .agg(F.count(F.lit(1)).alias("__bn"))
-            .withColumn(
-                "__off",
-                F.coalesce(
-                    F.sum("__bn").over(
-                        Window.orderBy("__b").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                ),
+            .orderBy("__b")
+            .collect()
+        )
+        cap = skew_cap if skew_cap is not None else max(window_threshold, n // 8)
+        if max(r["__bn"] for r in counts) <= cap:
+            off_rows, acc = [], 0
+            for r in counts:
+                off_rows.append((r["__b"], acc))
+                acc += r["__bn"]
+            offsets = spark.createDataFrame(off_rows, "__b string, __off long")
+            ranked = bucketed.withColumn(
+                "__r",
+                F.row_number().over(Window.partitionBy("__b").orderBy("__doc")),
             )
-            .select("__b", "__off")
-        )
-        indexed = ranked.join(F.broadcast(offsets), "__b").select(
-            (F.col("__off") + F.col("__r") - 1).alias("__i"), "__doc"
-        )
+            indexed = ranked.join(F.broadcast(offsets), "__b").select(
+                (F.col("__off") + F.col("__r") - 1).alias("__i"), "__doc"
+            )
+        else:
+            # prefix-skewed corpus (e.g. URLs — see docstring): fall
+            # back to sampled RANGE buckets. materialize() pins ONE
+            # bucketing (RangePartitioner re-samples per job; the rank
+            # job and offsets job must agree), and spark_partition_id()
+            # — evaluated post-exchange, never pushed below it (it is
+            # nondeterministic to Catalyst) — is the bucket key.
+            # Boundaries never affect the global rank of a contiguous
+            # bucketing, so output values are identical to the other
+            # paths (parity-pinned, tests/test_r11_wave.py).
+            from mimic_iv_data_pipeline_spark.engine import materialize
+
+            n_b = (
+                range_buckets
+                if range_buckets is not None
+                else max(64, min(4096, -(-n // max(1, window_threshold // 4))))
+            )
+            ranged = materialize(
+                docs.repartitionByRange(n_b, F.col("__doc")).withColumn(
+                    "__b", F.spark_partition_id()
+                )
+            )
+            roff = (
+                ranged.groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .orderBy("__b")
+                .collect()
+            )
+            off_rows, acc = [], 0
+            for r in roff:
+                off_rows.append((r["__b"], acc))
+                acc += r["__bn"]
+            offsets = spark.createDataFrame(off_rows, "__b int, __off long")
+            ranked = ranged.withColumn(
+                "__r",
+                F.row_number().over(Window.partitionBy("__b").orderBy("__doc")),
+            )
+            indexed = ranked.join(F.broadcast(offsets), "__b").select(
+                (F.col("__off") + F.col("__r") - 1).alias("__i"), "__doc"
+            )
     else:
         indexed = global_prefix_sum(
             docs, [F.col("__doc")], F.lit(1), "__cum", bucket_col="__doc"

@@ -391,6 +391,8 @@ def _bucketed_topk_score_pandas(
     id_col: str,
     vec_col: str,
     k: int,
+    query_id_type=None,
+    neighbor_id_type=None,
 ) -> DataFrame:
     """Shared vectorized scorer for the bucketed ANN paths (IVF cells,
     hyperplane-LSH buckets): group the collected query rows
@@ -402,8 +404,13 @@ def _bucketed_topk_score_pandas(
     under the (cos desc, id asc) total order). Conventions copied from
     cosine_topk_pandas: floor(x·1e6+0.5)/1e6 rounding (dround twin),
     zero-norm → NULL (ranks last in the desc window), self-match
-    exclusion. Output schema pins ids to long — callers gate on
-    integral ids and fall back to their expression path otherwise.
+    exclusion. Arrow transfer pins ids to long internally — callers
+    gate on integral ids and fall back to their expression path
+    otherwise — but the RESULT carries the input id types:
+    ``query_id_type`` / ``neighbor_id_type`` (the query-side and
+    corpus-side ``id_col`` DataTypes) are cast back after the map, so
+    int/smallint ids do not silently widen relative to the expression
+    path (ADVICE r10).
     """
     import numpy as np
     import pandas as pd
@@ -463,7 +470,16 @@ def _bucketed_topk_score_pandas(
                 .head(k)
             )
 
-    return c_keyed.mapInPandas(score_fn, schema=out_schema)
+    scored = c_keyed.mapInPandas(score_fn, schema=out_schema)
+    if query_id_type is not None:
+        scored = scored.withColumn(
+            "query_id", F.col("query_id").cast(query_id_type)
+        )
+    if neighbor_id_type is not None:
+        scored = scored.withColumn(
+            "neighbor_id", F.col("neighbor_id").cast(neighbor_id_type)
+        )
+    return scored
 
 
 def ivf_topk(
@@ -585,6 +601,8 @@ def ivf_topk(
             id_col,
             vec_col,
             k,
+            query_id_type=queries.schema[id_col].dataType,
+            neighbor_id_type=corpus.schema[id_col].dataType,
         )
 
     w = Window.partitionBy("query_id").orderBy(
@@ -670,7 +688,14 @@ def ann_lsh_topk(
             ).alias("bucket"),
         )
         scored = _bucketed_topk_score_pandas(
-            c_keyed, "bucket", q_rows, id_col, vec_col, k
+            c_keyed,
+            "bucket",
+            q_rows,
+            id_col,
+            vec_col,
+            k,
+            query_id_type=queries.schema[id_col].dataType,
+            neighbor_id_type=corpus.schema[id_col].dataType,
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

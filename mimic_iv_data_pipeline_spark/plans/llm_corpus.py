@@ -82,6 +82,11 @@ class CorpusStats:
     after_near_dedup: int = 0
     after_contamination: int = 0
     train_chunks: int = 0
+    # wall-clock seconds per stage boundary (the time from the previous
+    # boundary's action to this one's — i.e. what the stage ADDED,
+    # including the recompute of its lazy prefix; populated only when
+    # ``stats=True``). Keys mirror the count fields above.
+    stage_seconds: dict = field(default_factory=dict)
 
 
 def build_corpus(
@@ -96,10 +101,21 @@ def build_corpus(
     chunk_text, n_tokens)`` — one row per context window, each window
     wholly inside one document and one split.
     """
+    import time as _time
+
     cfg = config or CorpusConfig()
     st = CorpusStats()
+    _t0 = _time.perf_counter()
+
+    def _mark(field_name: str, n: int) -> int:
+        nonlocal _t0
+        now = _time.perf_counter()
+        st.stage_seconds[field_name] = round(now - _t0, 3)
+        _t0 = now
+        return n
+
     if stats:
-        st.input_docs = docs.count()
+        st.input_docs = _mark("input_docs", docs.count())
 
     # 1-2: canonicalize, then the cheap narrow gates first (quality,
     # language) so every later stage touches fewer rows
@@ -120,7 +136,7 @@ def build_corpus(
     )
     out = out.select(*docs.columns)
     if stats:
-        st.after_quality = out.count()
+        st.after_quality = _mark("after_quality", out.count())
 
     # 3: PII scrub (before dedup: two docs differing only in a phone
     # number SHOULD collapse once scrubbed)
@@ -134,14 +150,14 @@ def build_corpus(
     )
     out = out.join(keep_ids, "doc_id", "left_semi")
     if stats:
-        st.after_exact_dedup = out.count()
+        st.after_exact_dedup = _mark("after_exact_dedup", out.count())
 
     # 5: near dedup — thresholded pair list is tiny vs the corpus; the
     # closure takes the driver union-find fast path under driver_cap
     pairs = ngram_jaccard_pairs(out, "doc_id", n=3, threshold=cfg.jaccard_threshold)
     out = dedup_keep_canonical(out, pairs, id_col="doc_id")
     if stats:
-        st.after_near_dedup = out.count()
+        st.after_near_dedup = _mark("after_near_dedup", out.count())
 
     # 6: benchmark decontamination (GPT-3 appendix-C direction: drop
     # TRAINING docs overlapping the benchmark). The benchmark collapses
@@ -167,7 +183,7 @@ def build_corpus(
         )
         out = out.join(dirty, "doc_id", "left_anti")
     if stats:
-        st.after_contamination = out.count()
+        st.after_contamination = _mark("after_contamination", out.count())
 
     # 7: content-addressed split — stable under every upstream change
     # that doesn't touch the surviving doc_ids
@@ -182,7 +198,9 @@ def build_corpus(
         .join(toks.select("doc_id", "n_tokens"), "doc_id")
     )
     if stats:
-        st.train_chunks = result.filter(F.col("split") == "train").count()
+        st.train_chunks = _mark(
+            "train_chunks", result.filter(F.col("split") == "train").count()
+        )
     return result, st
 
 

@@ -79,18 +79,53 @@ def run_pipeline(
     tables: dict[str, DataFrame],
     out_dir: str,
     config: PipelineConfig | None = None,
+    handoff: str = "parquet",
 ) -> dict[str, DataFrame]:
     """Execute the full flow; returns the per-stage DataFrames and
-    writes each stage under ``out_dir`` (cohort/, events/, summary/,
-    timeseries/, features/, tensors/).
+    (``handoff="parquet"``) writes each stage under ``out_dir``
+    (cohort/, events/, summary/, timeseries/, features/, tensors/).
+
+    ``handoff`` picks the stage-boundary strategy (r10 verdict item 6):
+
+    * ``"parquet"`` (default) — write + re-read every stage, mirroring
+      the reference's csv.gz file handoffs (mainPipeline.ipynb →
+      feature_selection_*.py re-reads): stage-level restartability and
+      an inspectable on-disk artifact per stage, at the cost of six
+      serialize/deserialize round-trips.
+    * ``"memory"`` — no intermediate files: multi-consumer stages
+      (cohort, events, timeseries) are pinned via
+      :func:`~mimic_iv_data_pipeline_spark.engine.materialize`
+      (localCheckpoint here, reliable checkpoint on a cluster via the
+      ``spark.graft.materialize`` conf) so each is computed exactly
+      once, and leaf stages (summary, features, tensors) stay lazy for
+      the caller to consume or write. Same values as the parquet mode
+      (pinned by tests/test_r11_wave.py); ``out_dir`` is unused.
 
     ``tables`` needs: visits (icustays or admissions), patients,
     admissions, events (chart or lab shaped: id + charttime + itemid +
     valuenum + valueuom).
     """
+    if handoff not in ("parquet", "memory"):
+        raise ValueError(f"run_pipeline: handoff must be 'parquet' or 'memory', got {handoff!r}")
     cfg = config or PipelineConfig()
     id_col = "stay_id" if cfg.use_icu else "hadm_id"
     anchor = "intime" if cfg.use_icu else "admittime"
+
+    def _boundary(df: DataFrame, name: str) -> DataFrame:
+        """Multi-consumer stage boundary: parquet round-trip or an
+        in-memory materialization (computed once either way)."""
+        if handoff == "parquet":
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+            return spark.read.parquet(os.path.join(out_dir, name))
+        from mimic_iv_data_pipeline_spark.engine import materialize
+
+        return materialize(df)
+
+    def _leaf(df: DataFrame, name: str) -> DataFrame:
+        """Terminal stage: written in parquet mode, lazy in memory mode."""
+        if handoff == "parquet":
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        return df
 
     cohort = extract_cohort(
         tables["visits"],
@@ -102,8 +137,7 @@ def run_pipeline(
         los_threshold_hours=cfg.los_threshold_hours,
         min_age=cfg.min_age,
     )
-    cohort.write.mode("overwrite").parquet(os.path.join(out_dir, "cohort"))
-    cohort = spark.read.parquet(os.path.join(out_dir, "cohort"))
+    cohort = _boundary(cohort, "cohort")
 
     raw_events = tables["events"]
     if (
@@ -129,11 +163,9 @@ def run_pipeline(
 
         allow = spark.createDataFrame([(c,) for c in cfg.feature_codes], "itemid long")
         events = features_selection(events, allow, "itemid")
-    events.write.mode("overwrite").parquet(os.path.join(out_dir, "events"))
-    events = spark.read.parquet(os.path.join(out_dir, "events"))
+    events = _boundary(events, "events")
 
-    summary = generate_summary(events, id_col, "itemid", "valuenum")
-    summary.write.mode("overwrite").parquet(os.path.join(out_dir, "summary"))
+    summary = _leaf(generate_summary(events, id_col, "itemid", "valuenum"), "summary")
 
     dense = generate_timeseries(
         events.withColumnRenamed("event_time_from_admit", "t"),
@@ -145,19 +177,17 @@ def run_pipeline(
         anchor="last" if cfg.label == "readmission" else "first",
         impute=cfg.impute,
     )
-    dense.write.mode("overwrite").parquet(os.path.join(out_dir, "timeseries"))
-    dense = spark.read.parquet(os.path.join(out_dir, "timeseries"))
+    dense = _boundary(dense, "timeseries")
 
     codes = cfg.feature_codes or _collect_feature_vocab(
         dense, cap=cfg.max_feature_vocab
     )
-    features = ml_feature_matrix(
-        dense, id_col=id_col, feature_codes=codes, agg="mean"
+    features = _leaf(
+        ml_feature_matrix(dense, id_col=id_col, feature_codes=codes, agg="mean"),
+        "features",
     )
-    features.write.mode("overwrite").parquet(os.path.join(out_dir, "features"))
 
-    tensors = dl_tensor_frame(dense, id_col=id_col)
-    tensors.write.mode("overwrite").parquet(os.path.join(out_dir, "tensors"))
+    tensors = _leaf(dl_tensor_frame(dense, id_col=id_col), "tensors")
 
     return {
         "cohort": cohort,

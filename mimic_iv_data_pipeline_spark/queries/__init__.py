@@ -153,9 +153,18 @@ _MODULES = [
 #   rows (q118-q121, q123-q150 in name order — the fixed-twin block
 #   q123-q138 plus the warehouse/analytic r5 block). After r10 the
 #   oldest driver row is r5 (the q151+ tail).
-# r11 plan: (a) any r10 reds; (b) first rows for r11-new queries;
-#   (c) the 8-core only (odd round); (d) oldest-first aged rows to
-#   50 — the r5 remainder (q151+), then the r6 block. Rotation policy
+# r11 manifest (EXECUTED below): (a) no r10 reds — CORRECTNESS_r10
+#   was 50/50 green; (b) ONE never-checked query leads the window:
+#   q223 negative_sample over PREFIX-SKEWED url-style doc ids (new
+#   this round — the ADVICE-r10 range-bucketed-rank fallback's oracle
+#   twin); (c) the 8-core only (odd round — alternate-7 sit out);
+#   (d) the 41 oldest aged rows: the r5 remainder (q16 — q122 is
+#   rows-only, ineligible), the full r6 block (35 rows, name order),
+#   then the 5 oldest r7 rows (q02 q05 q06 q07 q09). After r11 the
+#   oldest driver row is r7.
+# r12 plan: (a) any r11 reds; (b) first rows for r12-new queries;
+#   (c) the 8-core + alternate-7 (even round); (d) oldest-first aged
+#   rows to 50 — the r7 remainder (q10+ in name order). Rotation policy
 #   (pinned by tests/test_manifest.py::test_aged_slots_are_oldest_first):
 #   after never-checked + core, every remaining slot goes to the oldest
 #   eligible (oracled) queries, oldest round first, name order within
@@ -165,11 +174,11 @@ _MODULES = [
 # this round, so the pin holds before and after the round's own
 # CORRECTNESS file lands (even a partial one from a crashed driver).
 # Bump together with the manifest each round.
-_MANIFEST_ROUND = 10
+_MANIFEST_ROUND = 11
 
 _PRIORITY = [
     # (b) never-checked first: new this round
-    "q222_negative_sample_str",
+    "q223_negative_sample_skewed",
     # (c) every-round 8-core — one per SURVEY §2 family
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -179,52 +188,51 @@ _PRIORITY = [
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q42_cosine_topk",
-    # (c) alternate-round core (even round)
-    "q08_outer_join_fill",
-    "q14_code_mapping",
-    "q15_mode_per_group",
-    "q17_topk_per_group",
-    "q26_vocab_build",
-    "q39_ngram_jaccard",
-    "q45_set_ops",
-    # (d) oldest aged rows — the r4 remainder (2 rows)
-    "q99_edit_distance_sparse",
-    "q117_hashed_linear_score",
-    # (d) oldest aged rows — the 32 oldest r5 rows (name order)
-    "q118_mask_layout",
-    "q119_scd_upsert",
-    "q120_clean_web_text",
-    "q121_doc_embeddings",
-    "q123_pq_encode_fixed",
-    "q124_pq_adc_fixed",
-    "q125_pq_rerank_fixed",
-    "q126_wordpiece_encode_fixed",
-    "q127_unigram_encode_fixed",
-    "q128_minhash_lsh_fixed",
-    "q129_rag_retrieve_exact",
-    "q130_incremental_dedup_fixed",
-    "q131_simhash_fixed",
-    "q132_ann_lsh_fixed",
-    "q133_ivf_fixed",
-    "q134_semantic_dedup_fixed",
-    "q135_bpe_encode_fixed",
-    "q136_ivfpq_fixed",
-    "q137_kmeans_step_fixed",
-    "q138_pca_project_fixed",
-    "q139_scd2_history",
-    "q140_profile_table",
-    "q141_expectations",
-    "q142_pagerank",
-    "q143_ann_recall",
-    "q144_pit_join",
-    "q145_bloom_join",
-    "q146_incremental_rollup",
-    "q147_unpivot",
-    "q148_retention_cohorts",
-    "q149_grouping_sets",
-    "q150_mmr_rerank",
+    # (d) oldest aged rows — the r5 remainder (1 eligible row)
+    "q16_outlier_clamp",
+    # (d) oldest aged rows — the full r6 block (35 rows, name order)
+    "q151_triangle_count",
+    "q152_ann_ndcg",
+    "q153_funnel",
+    "q154_target_encoding",
+    "q155_token_budget",
+    "q156_mad_outliers",
+    "q157_mutual_information",
+    "q158_cuped_ab",
+    "q159_label_propagation",
+    "q160_pareto_front",
+    "q161_temporal_split",
+    "q162_kaplan_meier",
+    "q163_logrank",
+    "q167_ks_statistic",
+    "q168_association_rules",
+    "q170_cdc_apply",
+    "q171_rolling_revenue",
+    "q173_ewma",
+    "q176_lift_gains",
+    "q177_grouped_linreg",
+    "q180_bootstrap_ci",
+    "q181_mann_whitney",
+    "q182_anova",
+    "q189_textrank_keywords",
+    "q190_naive_bayes",
+    "q193_attribution",
+    "q194_best_split",
+    "q196_isotonic",
+    "q198_epi_2x2",
+    "q200_shortest_paths",
+    "q201_benford",
+    "q203_radius_join",
+    "q204_golden_records",
+    "q205_concentration",
+    "q206_weibull_fit",
+    # (d) oldest aged rows — the 5 oldest r7 rows (name order)
+    "q02_filter_project",
+    "q05_anti_join",
+    "q06_dedup_first",
+    "q07_conditional_clamp",
+    "q09_union_branches",
 ]
-
 
 def _ordered(d: dict) -> dict:
     named = {k: d[k] for k in _PRIORITY if k in d}

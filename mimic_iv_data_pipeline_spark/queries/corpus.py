@@ -672,3 +672,90 @@ def q222_negative_sample_str(spark: SparkSession, sf_dir: str) -> DataFrame:
         dk(F.col("doc_id")).alias("doc_key")
     )
     return negative_sample(pos, docs, doc_col="doc_key", k=4, oversample=10)
+
+
+# --- q223: negative sampling over PREFIX-SKEWED string doc ids (r11) ---------
+# The ADVICE-r10 motivating case: every doc id is a URL under one
+# host, so every 2-char prefix bucket is "ht" and the prefix-bucketed
+# rank would degenerate into a single giant window partition.
+# build_corpus_index detects the dominant bucket (skew_cap forces the
+# detector at toy size) and falls back to the sampled RANGE-bucketed
+# rank (repartitionByRange + spark_partition_id + prefix-summed
+# offsets — operators/sampling.py:build_corpus_index). Bucket
+# boundaries never affect the global rank of a contiguous bucketing,
+# so the oracle replays the SAME dense-index row_number as q222: the
+# fixed-width zero-padded suffix after the constant URL prefix keeps
+# Spark's binary-collation order identical to DuckDB's varchar order.
+@register(
+    "q223_negative_sample_skewed",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT concat('https://corpus.example/doc/',
+                             lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS dk
+      FROM documents
+    ), idx AS (
+      SELECT dk, row_number() OVER (ORDER BY dk) - 1 AS i FROM corpus
+    ), nn AS (SELECT count(*) AS n FROM corpus),
+    pos AS (
+      SELECT DISTINCT user_id AS q,
+             concat('https://corpus.example/doc/',
+                    lpad(CAST(event_id % 997 AS VARCHAR), 8, '0')) AS dk
+      FROM events WHERE user_id % 13 = 0
+    ), qs AS (SELECT DISTINCT q FROM pos),
+    draws AS (
+      SELECT q, j FROM qs CROSS JOIN (SELECT unnest(range(0, 10)) AS j) r
+    ), tgt AS (
+      SELECT q, j,
+             CAST(concat('0x', substr(md5(concat('neg:', CAST(q AS VARCHAR),
+                  ':', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % nn.n AS i
+      FROM draws, nn
+    ), cand AS (
+      SELECT t.q, x.dk, t.j FROM tgt t JOIN idx x ON x.i = t.i
+    ), ex AS (
+      SELECT c.q, c.dk, c.j FROM cand c
+      LEFT JOIN pos p ON p.q = c.q AND p.dk = c.dk
+      WHERE p.q IS NULL
+    ), firstd AS (
+      SELECT q, dk, min(j) AS j FROM ex GROUP BY 1, 2
+    ), rk AS (
+      SELECT q, dk, row_number() OVER (PARTITION BY q ORDER BY j, dk) AS r
+      FROM firstd
+    )
+    SELECT CAST(q AS BIGINT) AS query_id, dk AS doc_key,
+           CAST(r - 1 AS INTEGER) AS neg_rank
+    FROM rk WHERE r <= 4
+    """,
+)
+def q223_negative_sample_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 uniform negatives over a URL-keyed corpus where EVERY id
+    shares the same 2-char prefix — skew_cap=1 pins the range-bucketed
+    fallback rank on the driver sheet (window_threshold=0 forces the
+    distributed path at sf0.01 corpus size; range_buckets=16 keeps the
+    toy-size task count sane — production defaults derive both from
+    the observed count)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        build_corpus_index,
+        negative_sample,
+    )
+
+    dk = lambda c: F.concat(  # noqa: E731
+        F.lit("https://corpus.example/doc/"), F.lpad(c.cast("string"), 8, "0")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .select(
+            F.col("user_id").alias("query_id"),
+            dk(F.col("event_id") % 997).alias("doc_key"),
+        )
+        .distinct()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        dk(F.col("doc_id")).alias("doc_key")
+    )
+    idx = build_corpus_index(
+        docs, "doc_key", window_threshold=0, skew_cap=1, range_buckets=16
+    )
+    return negative_sample(
+        pos, doc_col="doc_key", k=4, oversample=10, corpus_index=idx
+    )

@@ -221,3 +221,51 @@ def test_feature_vocab_cap(spark):
     # under the cap: returns the full vocabulary
     small = spark.range(5).select(F.col("id").alias("itemid"))
     assert sorted(_collect_feature_vocab(small, cap=10)) == [0, 1, 2, 3, 4]
+
+
+def test_run_pipeline_handoff_modes_value_equal(spark, mimic_fixture, tmp_path):
+    """handoff="memory" (localCheckpoint boundaries, lazy leaves) must
+    produce byte-for-byte the same stage relations as the default
+    parquet file handoffs — the r10-verdict seam is a PHYSICAL choice
+    only (plans/pipeline.py:run_pipeline)."""
+    from mimic_iv_data_pipeline_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    tables = {
+        "visits": mimic_fixture["icustays"],
+        "patients": mimic_fixture["patients"],
+        "admissions": mimic_fixture["admissions"],
+        "events": mimic_fixture["chartevents"],
+    }
+    cfg = PipelineConfig(
+        include_hours=24, bucket_hours=2, outlier_pcts=(0.05, 0.95)
+    )
+    disk = run_pipeline(spark, tables, str(tmp_path / "pq"), cfg)
+    mem = run_pipeline(spark, tables, str(tmp_path / "unused"), cfg, handoff="memory")
+
+    import os
+
+    assert not os.path.exists(str(tmp_path / "unused"))  # memory mode writes nothing
+
+    def rows(df, key_cols):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t[: len(key_cols)]),
+        )
+
+    for stage, keys in (
+        ("cohort", ["stay_id"]),
+        ("events", ["stay_id", "itemid", "charttime"]),
+        ("summary", ["itemid"]),
+        ("timeseries", ["stay_id", "itemid", "bucket"]),
+        ("features", ["stay_id"]),
+    ):
+        d, m = disk[stage], mem[stage]
+        assert d.columns == m.columns, stage
+        assert rows(d, keys) == rows(m, keys), stage
+    # tensors: map-typed series column — compare as sorted dict items
+    dt = {r[0]: sorted(r["series"].items()) for r in disk["tensors"].collect()}
+    mt = {r[0]: sorted(r["series"].items()) for r in mem["tensors"].collect()}
+    assert dt == mt

@@ -1,0 +1,151 @@
+"""Round-11 wave: prefix-skew fallback in build_corpus_index (ADVICE
+r10 medium) and ANN id-type preservation (ADVICE r10 low).
+
+1. ``build_corpus_index`` detects a dominant 2-char prefix bucket and
+   falls back to a sampled RANGE-bucketed rank. Bucket boundaries never
+   affect the global rank of a contiguous bucketing, so all three
+   string paths (window, prefix-bucketed, range-bucketed) must emit
+   IDENTICAL (__i, __doc) relations — pinned on a skewed URL corpus
+   (the motivating case: every id shares the "ht" prefix) and on a
+   NULL-bearing unicode corpus (the r10 NULL-drop regression class).
+2. ``ivf_topk`` / ``ann_lsh_topk`` with score="pandas" must return id
+   columns of the INPUT id type — the Arrow path works in long
+   internally but casts back, so int ids no longer widen relative to
+   the expression path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _index_rows(df):
+    return [(r["__i"], r["__doc"]) for r in df.orderBy("__i").collect()]
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    # every id shares the 'ht' prefix — one 2-char bucket holds ALL docs
+    return spark.range(0, 200).select(
+        F.concat(
+            F.lit("https://corpus.example/doc/"),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
+        ).alias("doc_key")
+    )
+
+
+def test_range_rank_matches_window_rank_on_skewed_corpus(spark, skewed_docs):
+    from mimic_iv_data_pipeline_spark.operators.sampling import build_corpus_index
+
+    win = _index_rows(build_corpus_index(skewed_docs, "doc_key"))
+    # skew_cap=1 forces the range fallback (every doc is in one bucket)
+    rng = _index_rows(
+        build_corpus_index(
+            skewed_docs, "doc_key", window_threshold=0, skew_cap=1, range_buckets=7
+        )
+    )
+    # skew_cap=10**9 forces the prefix path even on the skewed corpus
+    # (single bucket -> single window partition; correct, just slow)
+    pre = _index_rows(
+        build_corpus_index(
+            skewed_docs, "doc_key", window_threshold=0, skew_cap=10**9
+        )
+    )
+    assert win == rng == pre
+    assert [i for i, _ in win] == list(range(200))
+
+
+def test_skew_detector_dispatch(spark, skewed_docs):
+    """Auto dispatch: a dominant bucket routes to the range path (no
+    prefix-substring bucketing in the plan — the rank runs over the
+    materialized range partitioning), a uniform corpus stays on the
+    prefix path (substring bucket key in the plan)."""
+    from mimic_iv_data_pipeline_spark.operators.sampling import build_corpus_index
+
+    skewed = build_corpus_index(skewed_docs, "doc_key", window_threshold=0)
+    assert "substring(__doc" not in skewed._jdf.queryExecution().toString()
+
+    # reversed zero-padded ids: the leading 2 chars are the (uniform)
+    # low-order digits — 100 prefix buckets of 2 docs each
+    uniform = spark.range(0, 200).select(
+        F.reverse(F.lpad(F.col("id").cast("string"), 6, "0")).alias("doc_key")
+    )
+    # cap = max(0, 200//8) = 25 >> max bucket 2 -> prefix path
+    pre = build_corpus_index(uniform, "doc_key", window_threshold=0)
+    assert "substring(__doc" in pre._jdf.queryExecution().toString()
+    assert _index_rows(pre) == _index_rows(build_corpus_index(uniform, "doc_key"))
+
+
+def test_range_rank_null_and_unicode_parity(spark):
+    from mimic_iv_data_pipeline_spark.operators.sampling import build_corpus_index
+
+    docs = spark.createDataFrame(
+        [(None,), ("",), ("ht",), ("https://a/0",), ("https://a/1",),
+         ("https://a/é",), ("zz",)],
+        "doc_key string",
+    )
+    win = _index_rows(build_corpus_index(docs, "doc_key"))
+    rng = _index_rows(
+        build_corpus_index(
+            docs, "doc_key", window_threshold=0, skew_cap=1, range_buckets=3
+        )
+    )
+    assert win == rng
+    assert win[0][1] is None  # null ranks first on every path
+
+
+def test_negative_sample_identical_across_index_paths(spark, skewed_docs):
+    from mimic_iv_data_pipeline_spark.operators.sampling import (
+        build_corpus_index,
+        negative_sample,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, "https://corpus.example/doc/000003"),
+         (2, "https://corpus.example/doc/000007"),
+         (3, "https://corpus.example/doc/000011")],
+        "query_id long, doc_key string",
+    )
+    out = {}
+    for name, idx in (
+        ("window", build_corpus_index(skewed_docs, "doc_key")),
+        ("range", build_corpus_index(
+            skewed_docs, "doc_key", window_threshold=0, skew_cap=1, range_buckets=5
+        )),
+    ):
+        rows = (
+            negative_sample(pos, doc_col="doc_key", k=3, corpus_index=idx)
+            .orderBy("query_id", "neg_rank")
+            .collect()
+        )
+        out[name] = [tuple(r) for r in rows]
+    assert out["window"] == out["range"]
+    assert len(out["window"]) == 9
+
+
+def test_ann_pandas_path_preserves_id_type(spark):
+    import numpy as np
+
+    from mimic_iv_data_pipeline_spark.operators.similarity import (
+        ann_lsh_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    centroids = rng.normal(size=(4, 8))
+
+    for fn, kw in (
+        (ivf_topk, {"n_cells": 4, "n_probe": 4, "centroids": centroids}),
+        (ann_lsh_topk, {"dims": 8, "bits": 2}),
+    ):
+        pand = fn(emb, corpus=emb, k=3, score="pandas", **kw)
+        expr = fn(emb, corpus=emb, k=3, score="expr", **kw)
+        assert pand.schema["query_id"].dataType.simpleString() == "int"
+        assert pand.schema["neighbor_id"].dataType.simpleString() == "int"
+        # and the values still match the expression path exactly
+        key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+        assert sorted(map(tuple, pand.collect()), key=lambda t: (t[0], t[1])) == \
+            sorted(map(tuple, expr.collect()), key=lambda t: (t[0], t[1]))
