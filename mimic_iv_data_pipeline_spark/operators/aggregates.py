@@ -1773,21 +1773,32 @@ def smd_balance(
     (the anova_oneway failure mode) and no shift is needed. Exactly
     two groups (raises otherwise; bounded probe).
 
+    Null convention (r11 self-review fix): each covariate's n is its
+    NON-NULL count in that group (pairwise-complete, per covariate) —
+    the previous shared ``count(*)`` counted NULL-covariate rows in
+    the denominator while the sums skipped them, silently deflating
+    that covariate's mean and variance (exactly the anova_oneway
+    complete-case failure mode, pinned in tests/test_r11_wave.py).
+    NULL groups are excluded.
+
     Scale shape: ONE hash aggregate over the facts computing every
     covariate's (n, Σy, Σy²) per group, a 2-row relation reshaped
     plan-side. Returns one row per covariate:
-    ``(covariate, mean_a, mean_b, var_a, var_b, smd)`` — groups in
-    ascending label order; smd NULL when both variances are 0.
+    ``(covariate, n_a, n_b, mean_a, mean_b, var_a, var_b, smd)`` —
+    groups in ascending label order; smd NULL when both variances
+    are 0.
     """
+    df = df.filter(F.col(group_col).isNotNull())
     g = df.select(F.col(group_col).alias("__g")).distinct().limit(3).collect()
     groups = sorted(r["__g"] for r in g)
     if len(groups) != 2:
         raise ValueError(f"smd_balance: exactly 2 groups required, got {len(groups)}")
     ga, gb = groups
-    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    aggs = []
     for c in covariate_cols:
         y = F.col(c)
         y18 = y.cast("decimal(18,0)")
+        aggs.append(F.count(y).cast("long").alias(f"__n_{c}"))
         aggs.append(F.sum(y.cast("decimal(38,0)")).alias(f"__s_{c}"))
         aggs.append(F.sum(y18 * y18).alias(f"__ss_{c}"))
     per = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
@@ -1796,7 +1807,7 @@ def smd_balance(
     j = a.crossJoin(
         F.broadcast(
             b.select(
-                F.col("__n").alias("__nb"),
+                *[F.col(f"__n_{c}").alias(f"__nb_{c}") for c in covariate_cols],
                 *[F.col(f"__s_{c}").alias(f"__sb_{c}") for c in covariate_cols],
                 *[F.col(f"__ss_{c}").alias(f"__ssb_{c}") for c in covariate_cols],
             )
@@ -1805,7 +1816,7 @@ def smd_balance(
 
     def _stats(s, ss, n):
         nD = n.cast("double")
-        mean = s.cast("double") / nD
+        mean = F.when(n > 0, s.cast("double") / nD)
         # exact decimal numerator: no cancellation at any magnitude
         num = (n.cast("decimal(38,0)") * ss - s * s).cast("double")
         var = F.when(n > 1, num / (nD * (nD - F.lit(1.0))))
@@ -1813,12 +1824,14 @@ def smd_balance(
 
     rows = []
     for c in covariate_cols:
-        ma, va = _stats(F.col(f"__s_{c}"), F.col(f"__ss_{c}"), F.col("__n"))
-        mb, vb = _stats(F.col(f"__sb_{c}"), F.col(f"__ssb_{c}"), F.col("__nb"))
+        ma, va = _stats(F.col(f"__s_{c}"), F.col(f"__ss_{c}"), F.col(f"__n_{c}"))
+        mb, vb = _stats(F.col(f"__sb_{c}"), F.col(f"__ssb_{c}"), F.col(f"__nb_{c}"))
         pooled = (va + vb) / F.lit(2.0)
         rows.append(
             F.struct(
                 F.lit(c).alias("covariate"),
+                F.col(f"__n_{c}").alias("n_a"),
+                F.col(f"__nb_{c}").alias("n_b"),
                 ma.alias("mean_a"),
                 mb.alias("mean_b"),
                 va.alias("var_a"),

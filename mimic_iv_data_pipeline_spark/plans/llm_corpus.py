@@ -94,14 +94,34 @@ def build_corpus(
     benchmark: DataFrame | None = None,
     config: CorpusConfig | None = None,
     stats: bool = True,
+    reuse: bool = True,
 ) -> tuple[DataFrame, CorpusStats]:
     """Run the full recipe; returns ``(chunked_tokenized_corpus, stats)``.
 
     Output schema: ``(doc_id, split, chunk_id, n_chunk_tokens,
     chunk_text, n_tokens)`` — one row per context window, each window
     wholly inside one document and one split.
+
+    ``reuse=True`` (default) pins the four MULTI-CONSUMER stage
+    boundaries via :func:`~mimic_iv_data_pipeline_spark.engine.materialize`
+    (post-PII, post-exact-dedup, post-near-dedup, post-split). Without
+    it every stage that reads ``out`` more than once (dedup's
+    group+semi-join pair, contamination's shingle aggregate + anti
+    join, and stage 8's FOUR readers: BPE train, BPE encode, chunking,
+    the split join) re-executes the whole upstream chain, and the
+    recompute multiplies DOWN the chain — the r11 5M-doc probe measured
+    stage 8 alone at 67% of the composed wall-clock from exactly this
+    amplification (PERF r11). ``reuse=False`` keeps the old fully-lazy
+    single-plan behavior for one-shot sub-corpus calls. Values are
+    identical either way (materialize is a physical pin, not an
+    operator; the q129-family twins stay green).
     """
     import time as _time
+
+    from mimic_iv_data_pipeline_spark.engine import materialize
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return materialize(df) if reuse else df
 
     cfg = config or CorpusConfig()
     st = CorpusStats()
@@ -139,23 +159,24 @@ def build_corpus(
         st.after_quality = _mark("after_quality", out.count())
 
     # 3: PII scrub (before dedup: two docs differing only in a phone
-    # number SHOULD collapse once scrubbed)
+    # number SHOULD collapse once scrubbed). Pinned: stage 4 reads it
+    # twice (digest aggregate + semi join).
     out = with_pii_scrub(out, "text").withColumn("text", F.col("redacted"))
-    out = out.select(*docs.columns)
+    out = _pin(out.select(*docs.columns))
 
     # 4: exact dedup on the scrubbed canonical text — keep each digest
     # group's minimum id (one hash aggregate + a semi join)
     keep_ids = exact_dedup_groups(out, "doc_id", "text").select(
         F.col("canonical_id").alias("doc_id")
     )
-    out = out.join(keep_ids, "doc_id", "left_semi")
+    out = _pin(out.join(keep_ids, "doc_id", "left_semi"))
     if stats:
         st.after_exact_dedup = _mark("after_exact_dedup", out.count())
 
     # 5: near dedup — thresholded pair list is tiny vs the corpus; the
     # closure takes the driver union-find fast path under driver_cap
     pairs = ngram_jaccard_pairs(out, "doc_id", n=3, threshold=cfg.jaccard_threshold)
-    out = dedup_keep_canonical(out, pairs, id_col="doc_id")
+    out = _pin(dedup_keep_canonical(out, pairs, id_col="doc_id"))
     if stats:
         st.after_near_dedup = _mark("after_near_dedup", out.count())
 
@@ -172,12 +193,20 @@ def build_corpus(
         corpus_sh = out.select(
             "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("sh")
         )
-        hit = corpus_sh.join(bench_vocab, "sh", "left_semi").groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("__hits")
-        )
-        tot = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total"))
+        # ONE pass over the exploded shingles (r11): a left join against
+        # the DISTINCT benchmark vocabulary (cannot duplicate rows)
+        # carries a hit flag, so hits and totals come from a single
+        # aggregate — the old left_semi + second groupBy scanned the
+        # shingle relation twice
         dirty = (
-            tot.join(hit, "doc_id")
+            corpus_sh.join(
+                bench_vocab.withColumn("__hit", F.lit(1)), "sh", "left"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("__total"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).alias("__hits"),
+            )
             .filter(F.col("__hits") / F.col("__total") >= cfg.contamination_threshold)
             .select("doc_id")
         )
@@ -186,8 +215,9 @@ def build_corpus(
         st.after_contamination = _mark("after_contamination", out.count())
 
     # 7: content-addressed split — stable under every upstream change
-    # that doesn't touch the surviving doc_ids
-    out = hash_split(out, "doc_id", cfg.split_fractions)
+    # that doesn't touch the surviving doc_ids. Pinned: stage 8 reads
+    # it FOUR times (BPE train, BPE encode, chunking, the split join).
+    out = _pin(hash_split(out, "doc_id", cfg.split_fractions))
 
     # 8: BPE + chunking; chunks inherit the document's split
     merges = bpe_train(out, "text", num_merges=cfg.bpe_merges)

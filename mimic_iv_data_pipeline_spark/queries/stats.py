@@ -1075,7 +1075,10 @@ def q196_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_CENTS} AS cents, CAST(hour(ts) AS BIGINT) AS hr
       FROM events
     ), per AS (
-      SELECT g, CAST(count(*) AS BIGINT) AS n,
+      -- per-covariate NON-NULL counts (pairwise-complete, matching the
+      -- operator's r11 null convention), not a shared count(*)
+      SELECT g, CAST(count(cents) AS BIGINT) AS n_c,
+             CAST(count(hr) AS BIGINT) AS n_h,
              sum(CAST(cents AS DECIMAL(38,0))) AS s_c,
              sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
                AS ss_c,
@@ -1086,11 +1089,11 @@ def q196_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT * FROM per WHERE g = 'odd'),
     wide AS (
       SELECT 'cents' AS covariate,
-             a.n AS na, b.n AS nb, a.s_c AS sa, a.ss_c AS ssa,
+             a.n_c AS na, b.n_c AS nb, a.s_c AS sa, a.ss_c AS ssa,
              b.s_c AS sb, b.ss_c AS ssb
       FROM a CROSS JOIN b
       UNION ALL
-      SELECT 'hr', a.n, b.n, a.s_h, a.ss_h, b.s_h, b.ss_h
+      SELECT 'hr', a.n_h, b.n_h, a.s_h, a.ss_h, b.s_h, b.ss_h
       FROM a CROSS JOIN b
     ), e AS (
       SELECT covariate,
