@@ -844,6 +844,7 @@ def semantic_dedup(
     train_sample: int = 262_144,
     centroids=None,
     reuse: bool = True,
+    pairs: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     space, then deduplicate ONLY within clusters — pairwise cosine is
@@ -861,6 +862,36 @@ def semantic_dedup(
     SQL twin; ``centroids`` is the fixed-parameterization seam that
     lets q134 hash-verify everything AROUND the training: assignment,
     within-cell pairing, the cosine-threshold prune, the keep rule).
+
+    ``pairs`` picks the within-cell compare strategy (r11):
+
+    - ``"join"``: the original cell-key self-join with the expression
+      cosine — interpreted per pair (the r10 HOF-lambda cost), and the
+      pair relation MATERIALIZES as shuffle rows: ~Σ|cell|²/2 rows
+      plus a distinct. The hash-twin reference path.
+    - ``"pandas"``: one ``applyInPandas`` per cell — the Gram products
+      accumulate as dim-count vectorized rank-one updates **in Spark's
+      exact sequential fold order** (``acc += V[:,d]·V[:,d]``
+      reproduces ``aggregate(zip_with(a,b,x*y), 0.0, acc+v)`` element
+      for element, and IEEE-754 ops are deterministic given order), so
+      the UNROUNDED threshold compare is bit-identical to the
+      expression path — including ``try_divide``'s zero-denominator
+      NULL, NULL array elements (never prune; flagged Spark-side
+      before Arrow coerces them to NaN — the assignment pass upstream
+      already turns literal NaN elements into NULLs on its own Arrow
+      round-trip, identically for both strategies) and NaN cosines
+      from inf-norm overflow (always prune — Spark orders NaN above
+      every threshold; the kernel's isnan branch mirrors it). The pair
+      relation never ships: one shuffle on ``cell``, O(largest cell)
+      memory per group in bounded row chunks, pruned flags emitted
+      directly. This is deliberately NOT the r10 ANN scorer
+      (``_bucketed_topk_score_pandas``): that kernel uses BLAS matmul
+      whose pairwise summation would flip boundary pairs (the c675103
+      why-not); the per-dimension fold forgoes BLAS to keep the hash
+      contract, and is still vectorized across each cell's pair block.
+    - ``"auto"`` (default): ``"pandas"`` — bit-equality is pinned by
+      the expr==pandas parity suite (tests/test_r11_wave.py) and the
+      q134 fixed-centroid hash twin runs through it.
     """
     import numpy as np
 
@@ -892,20 +923,34 @@ def semantic_dedup(
     # long-lived sessions calling this on many distinct inputs
     # accumulate nothing (r9 verdict leak fix). ``reuse=False`` stays
     # fully lazy (no eager job at call time).
+    if pairs not in ("auto", "join", "pandas"):
+        raise ValueError(
+            f"semantic_dedup: pairs must be 'auto', 'join' or 'pandas', got {pairs!r}"
+        )
+    if pairs == "auto":
+        pairs = "pandas"
+    if pairs == "pandas":
+        if reuse:
+            # one consumer per cell group — but the Python/Arrow
+            # assignment pass upstream still feeds BOTH the grouping
+            # shuffle and nothing else; keep the pin only to spare a
+            # recompute when callers hold the result across actions
+            from mimic_iv_data_pipeline_spark.engine import materialize
+
+            assigned = materialize(assigned)
+        return _semantic_prune_pandas(assigned, threshold)
     if reuse:
         from mimic_iv_data_pipeline_spark.engine import materialize
 
         assigned = materialize(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
-    # Deliberately NOT routed through the r10 vectorized ANN scorer
-    # (_bucketed_topk_score_pandas): this threshold compares the
-    # UNROUNDED cosine, and numpy's pairwise summation order differs
-    # from the expression fold's sequential order — a boundary-straddling
-    # pair could flip the prune flag and break the q134 hash twin. The
-    # interpreted cost here is bounded by the largest CLUSTER (the
-    # SemDeDup point), not the corpus; revisit only with a rounded
-    # threshold contract.
+    # The r10 vectorized ANN scorer (_bucketed_topk_score_pandas) is
+    # still the WRONG tool here — its BLAS matmul sums in pairwise
+    # order and a boundary-straddling pair could flip the prune flag
+    # (the c675103 analysis). The pairs="pandas" kernel above solves
+    # this differently: per-dimension sequential accumulation IS the
+    # expression fold order, so it is bit-identical, not just close.
     pruned_ids = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")))
         .where(cosine(F.col("a.__v"), F.col("b.__v")) >= threshold)
@@ -919,3 +964,100 @@ def semantic_dedup(
             "id", "cell", F.coalesce("pruned", F.lit(False)).alias("pruned")
         )
     )
+
+
+def _semantic_prune_pandas(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell prune flags via one ``applyInPandas`` per cell,
+    bit-identical to the expression-path self-join (see
+    :func:`semantic_dedup`'s ``pairs`` contract for the why and the
+    fold-order argument). Input: ``(id, __v array<double>, cell)``;
+    output: ``(id, cell, pruned)`` with ``id``'s type preserved.
+
+    Memory per group is bounded: the Gram block is computed in row
+    chunks of ``~2M doubles / |cell|`` rows, so the peak accumulator is
+    ~16 MB regardless of cell size (the quadratic WORK is inherent to
+    SemDeDup and bounded by the largest cell — the memory no longer
+    is). NULL-element vectors are flagged Spark-side (``__hasnull``)
+    before Arrow coerces NULL to NaN: they never prune and are never
+    pruned (expression cosine is NULL). Literal NaN data elements never
+    reach either pair path (the assignment pass's Arrow round-trip
+    coerces them to NULL first); NaN cosines ARE still reachable via
+    inf-norm overflow, and the isnan branch prunes them exactly like
+    the expression path (NaN compares above every threshold in Spark's
+    ordering).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    id_field = assigned.schema["id"]
+    cell_field = assigned.schema["cell"]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("cell", cell_field.dataType, cell_field.nullable),
+            StructField("pruned", BooleanType(), False),
+        ]
+    )
+    flagged = assigned.withColumn(
+        "__hasnull",
+        F.coalesce(
+            F.exists("__v", lambda x: x.isNull()), F.lit(True)
+        ),
+    )
+    thr = float(threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+        c = len(pdf)
+        excl = pdf["__hasnull"].to_numpy(dtype=bool)
+        pruned = np.zeros(c, dtype=bool)
+        keep = ~excl
+        n_valid = int(keep.sum())
+        if n_valid >= 2:
+            # valid rows in id order; positions map back via vidx
+            vidx = np.flatnonzero(keep)
+            ids_unique = bool(pdf["id"].is_unique)
+            id_vals = pdf["id"].to_numpy()[vidx]
+            V = np.stack(pdf["__v"].to_numpy()[vidx]).astype(np.float64)
+            d = V.shape[1]
+            # norms: sqrt of the sequential fold of squares (index order)
+            acc = np.zeros(n_valid)
+            for k in range(d):
+                acc = acc + V[:, k] * V[:, k]
+            nrm = np.sqrt(acc)
+            rows_per_chunk = max(1, 2_000_000 // max(n_valid, 1))
+            vp = np.zeros(n_valid, dtype=bool)
+            for s in range(1, n_valid, rows_per_chunk):
+                e = min(s + rows_per_chunk, n_valid)
+                # Gram block rows [s,e) x cols [0,e): dim-count rank-one
+                # updates — the expression fold's exact addition order
+                num = np.zeros((e - s, e))
+                for k in range(d):
+                    num = num + np.multiply.outer(V[s:e, k], V[:e, k])
+                denom = np.multiply.outer(nrm[s:e], nrm[:e])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / denom
+                hit = ((cos >= thr) | np.isnan(cos)) & (denom != 0.0)
+                # strict lower triangle: the join's b.id < a.id is a VALUE
+                # compare — position order equals value order for unique
+                # ids (sorted), but duplicate ids must not pair
+                if ids_unique:
+                    lt = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+                else:
+                    lt = id_vals[None, :e] < id_vals[s:e, None]
+                vp[s:e] = (hit & lt).any(axis=1)
+            pruned[vidx] = vp
+            if not ids_unique:
+                # the join path flags EVERY row of a pruned id (its
+                # output join keys on id alone) — mirror that within the
+                # cell; unique ids are the operator's contract, and a
+                # duplicate id split ACROSS cells diverges (join path
+                # ORs globally, this kernel per cell)
+                hit_ids = set(pdf["id"].to_numpy()[pruned])
+                pruned = pdf["id"].isin(hit_ids).to_numpy()
+        return pd.DataFrame(
+            {"id": pdf["id"], "cell": pdf["cell"], "pruned": pruned}
+        )
+
+    return flagged.groupBy("cell").applyInPandas(prune, schema=out_schema)

@@ -12,13 +12,25 @@ no-data ticks Spark fires for stateful queries) — and asserts:
      ProcessingTimeTimeout branch).
   2. NO POST-EVICTION FALSE MERGES: phase B replays near-duplicates of
      phase-A docs AFTER the idle window — their buckets are gone, so
-     they must emit ZERO (doc, dup_of) pairs and silently re-register
-     as originals (the documented horizon trade-off).
+     they must emit ZERO pairs pointing at phase-A ids and silently
+     re-register as originals (the documented horizon trade-off).
   3. WITHIN-HORIZON DEDUP STILL FIRES: phase C sends near-duplicates
-     of the phase-B docs immediately (well inside the TTL) — every one
+     of the phase-B docs INTERLEAVED with phase B at a 5-doc lag —
+     each C doc lands ~5 micro-batches (≈30 s) after its B original,
+     far inside the TTL even under 4x host contention — and every one
      must emit a pair pointing at its phase-B original.
 
-Run:  python scripts/soak_r11_stream_ttl.py          (~4 min)
+The interleave is deliberate (second soak run's lesson): feeding all
+of B then all of C puts the FEED itself inside the TTL budget — 30
+one-doc batches at the observed ~5 s/batch is 150 s of a 240 s TTL,
+so single-batch jitter near the boundary flips individual pairs
+(observed: 1/30 missing solo, 25/30 missing under contention — both
+correct TTL behavior, not operator bugs). A B->C gap of 5 batches
+tests the same within-horizon property with margin that survives any
+realistic host drift; check 2 distinguishes false merges by the pair
+PARTNER id (phase-A ids), not by phase timing.
+
+Run:  python scripts/soak_r11_stream_ttl.py          (~25 min)
 """
 
 from __future__ import annotations
@@ -36,7 +48,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from mimic_iv_data_pipeline_spark import get_spark  # noqa: E402
 
-TTL_MIN = 1
+# 4-minute TTL: phase A feeds ~180 one-doc micro-batches at an
+# observed ~0.3-1.4 s each, and phases B+C (feed + catch-up) must both
+# fit INSIDE one TTL window while the idle gap exceeds it — a 1-minute
+# TTL evicted phase-B originals before their phase-C duplicates
+# arrived under load (first soak run)
+TTL_MIN = 4
 N_A, N_B = 180, 30
 
 
@@ -127,47 +144,64 @@ def main() -> None:
         rows_after_idle = state_rows(q)
         print(f"idle: state_rows {rows_after_a} -> {rows_after_idle}", flush=True)
 
-        # ---- phase B: near-dups of EVICTED phase-A docs -----------------
-        for j in range(N_B):
-            write_batch(
-                spark, src, N_A + j, 10_000 + j, doc_text(j) + " extra"
-            )
-        wait_caught_up(q, src)
-        pairs_after_b = spark.read.parquet(out_dir).count() if os.path.exists(out_dir) else 0
-        print(f"B: pairs so far = {pairs_after_b} (expect 0 — originals evicted)",
-              flush=True)
-
-        # ---- phase C: near-dups of phase-B docs, inside the TTL ---------
-        for j in range(N_B):
-            write_batch(
-                spark, src, N_A + N_B + j, 20_000 + j,
-                doc_text(j) + " extra more"
-            )
+        # ---- phases B+C interleaved: B_j (near-dup of the EVICTED
+        # phase-A doc j) at step j; C_j (near-dup of B_j) at step j+LAG —
+        # a ~LAG-batch gap, far inside the TTL -----------------------------
+        LAG = 5
+        step = 0
+        t_feed: dict[int, float] = {}
+        for j in range(N_B + LAG):
+            if j < N_B:
+                write_batch(spark, src, N_A + step, 10_000 + j,
+                            doc_text(j) + " extra")
+                t_feed[10_000 + j] = time.time()
+                step += 1
+            if j >= LAG:
+                c = j - LAG
+                # SAME text as B_c: identical signature -> every band
+                # collides, deterministically. A "+ extra more" variant
+                # is a worse probe: banding is probabilistic per word
+                # set, and seed j=10's variant deterministically
+                # collided in NONE of the 8 bands (est Jaccard 0.917,
+                # per-band p~0.7, miss p~7e-5 — realized) — an LSH
+                # recall property, not the TTL behavior under test
+                write_batch(spark, src, N_A + step, 20_000 + c,
+                            doc_text(c) + " extra")
+                t_feed[20_000 + c] = time.time()
+                step += 1
         wait_caught_up(q, src)
         final = spark.read.parquet(out_dir)
         pairs = {(r["doc_id"], r["dup_of"]) for r in final.collect()}
         n_batches = q.lastProgress["batchId"]
-        print(f"C: total distinct pairs = {len(pairs)}; batches run = {n_batches}",
-              flush=True)
+        max_gap = max(t_feed[20_000 + j] - t_feed[10_000 + j] for j in range(N_B))
+        print(f"B+C: total distinct pairs = {len(pairs)}; batches run = "
+              f"{n_batches}; max B->C feed gap = {max_gap:.0f} s "
+              f"(TTL {TTL_MIN * 60} s)", flush=True)
 
         ok = True
         if rows_after_idle >= rows_after_a:
             print(f"FAIL: state did not shrink after idle window "
                   f"({rows_after_a} -> {rows_after_idle})", flush=True)
             ok = False
-        if pairs_after_b != 0:
-            print(f"FAIL: {pairs_after_b} post-eviction false merges", flush=True)
+        # check 2: nothing may pair with an evicted phase-A original
+        false_merges = {p for p in pairs if p[1] < 10_000}
+        if false_merges:
+            print(f"FAIL: {len(false_merges)} post-eviction false merges "
+                  f"(pair with phase-A id): {sorted(false_merges)[:5]}",
+                  flush=True)
             ok = False
+        # check 3: every C doc pairs with its in-horizon B original
         c_expected = {(20_000 + j, 10_000 + j) for j in range(N_B)}
         missing = c_expected - pairs
-        extra = pairs - c_expected
+        extra = pairs - c_expected - false_merges
         if missing or extra:
-            print(f"FAIL: phase-C pairs missing={sorted(missing)[:5]} "
+            print(f"FAIL: in-horizon pairs missing={sorted(missing)[:5]} "
                   f"extra={sorted(extra)[:5]}", flush=True)
             ok = False
         print("SOAK " + ("PASS" if ok else "FAIL")
               + f": state {rows_after_a}->{rows_after_idle} after idle, "
-              f"0 false merges, {len(pairs & c_expected)}/{N_B} in-horizon pairs, "
+              f"{len(false_merges)} false merges, "
+              f"{len(pairs & c_expected)}/{N_B} in-horizon pairs, "
               f"{n_batches} micro-batches", flush=True)
         sys.exit(0 if ok else 1)
     finally:
