@@ -270,3 +270,195 @@ def test_holt_linear_matches_sequential_reference(spark):
             l = 0.5 * float(x[t]) + 0.5 * (l + b)
             b = 0.25 * (l - l_prev) + 0.75 * b
             assert got[(k, t)] == (l, b, l + b), f"{k} t={t}"
+
+
+# ---------------------------------------------------------------------------
+# second wave: chi-square independence, grouped linreg, seasonal z,
+# ACF, concentration metrics, Benford — same exact-reference discipline
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_independence_matches_numpy(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        chi_square_independence,
+    )
+
+    rng = np.random.default_rng(21)
+    # dependent categoricals with an EMPTY observed cell (x=2,y=0 never
+    # sampled below) — zero cells must still contribute e_xy
+    xs = rng.integers(0, 3, 900)
+    ys = np.where(
+        xs == 2, rng.integers(1, 3, 900), rng.integers(0, 3, 900)
+    )
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x int, y int"
+    )
+    g = chi_square_independence(df, "x", "y").collect()[0]
+
+    xv, yv = sorted(set(xs.tolist())), sorted(set(ys.tolist()))
+    n = len(xs)
+    chi2 = 0.0
+    for a in xv:
+        for b in yv:
+            o = int(((xs == a) & (ys == b)).sum())
+            e = ((xs == a).sum() * (ys == b).sum()) / n
+            chi2 += (o - e) ** 2 / e
+    assert g["n"] == n
+    assert g["dof"] == (len(xv) - 1) * (len(yv) - 1)
+    assert g["chi2"] == pytest.approx(chi2, rel=1e-12)
+    assert g["cramers_v"] == pytest.approx(
+        math.sqrt(chi2 / (n * min(len(xv) - 1, len(yv) - 1))), rel=1e-12
+    )
+
+
+def test_grouped_linreg_matches_exact_closed_form(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import grouped_linreg
+
+    rng = np.random.default_rng(22)
+    rows = []
+    for grp, (m, c) in {"a": (3, 7), "b": (-2, 100)}.items():
+        for _ in range(50):
+            x = int(rng.integers(-1000, 1000))
+            yv = m * x + c + int(rng.integers(-20, 21))
+            rows.append((grp, x, yv))
+    rows += [("flat", 5, v) for v in (1, 2, 3)]  # var(x)=0 -> NULLs
+    rows += [("consty", v, 9) for v in (1, 2, 3)]  # var(y)=0 -> r2 NULL
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in grouped_linreg(df, "g", "x", "y").collect()}
+
+    for grp in ("a", "b", "consty"):
+        pts = [(x, yv) for g2, x, yv in rows if g2 == grp]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(yv for _, yv in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(yv * yv for _, yv in pts)
+        sxy = sum(x * yv for x, yv in pts)
+        vx, vy, cov = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+        g2 = got[grp]
+        assert g2["slope"] == pytest.approx(cov / vx, rel=1e-12)
+        assert g2["intercept"] == pytest.approx(
+            (sy - (cov / vx) * sx) / n, rel=1e-12
+        )
+        if vy == 0:
+            assert g2["r2"] is None
+        else:
+            assert g2["r2"] == pytest.approx(cov * cov / (vx * vy), rel=1e-12)
+    assert got["flat"]["slope"] is None and got["flat"]["r2"] is None
+
+
+def test_seasonal_zscore_matches_cell_reference(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import seasonal_zscore
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for cell in range(4):
+        base = 100 * (cell + 1)
+        vals = list(rng.integers(base - 10, base + 11, 60))
+        vals[0] = base + 500  # planted anomaly per cell
+        rows += [(cell, int(v)) for v in vals]
+    rows += [(9, 5)]  # n=1 cell: no std, never flagged
+    df = spark.createDataFrame(rows, "cell int, v long")
+    got = {(r["cell"], r["v"]): r["z"] for r in
+           seasonal_zscore(df, "cell", "v", threshold=3.0).collect()}
+
+    expect = {}
+    for cell in range(4):
+        vs = [v for c, v in rows if c == cell]
+        n = len(vs)
+        mean = sum(vs) / n
+        var = (n * sum(v * v for v in vs) - sum(vs) ** 2) / (n * (n - 1))
+        std = math.sqrt(var)
+        for v in set(vs):
+            z = (v - mean) / std
+            if abs(z) >= 3.0:
+                expect[(cell, v)] = z
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], rel=1e-12)
+
+
+def test_acf_matches_pearson_on_positional_lags(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import acf
+
+    rng = np.random.default_rng(24)
+    x = (np.round(100 * np.sin(np.arange(80) * 0.5)) + rng.integers(-5, 6, 80)).astype(
+        int
+    )
+    rows = [("s", int(t), int(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, ts int, v long")
+    got = {r["lag"]: r for r in acf(df, "k", "ts", "v", max_lag=5).collect()}
+
+    for lag in range(1, 6):
+        xs, ys = x[:-lag].tolist(), x[lag:].tolist()
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        vx = n * sum(a * a for a in xs) - sx * sx
+        vy = n * sum(b * b for b in ys) - sy * sy
+        cov = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+        g = got[lag]
+        assert g["n_pairs"] == n
+        assert g["r"] == pytest.approx(cov / math.sqrt(vx * vy), rel=1e-12)
+
+
+def test_concentration_metrics_matches_lorenz_reference(spark):
+    from mimic_iv_data_pipeline_spark.operators.aggregates import (
+        concentration_metrics,
+    )
+
+    rng = np.random.default_rng(25)
+    # pareto-ish totals over 40 keys, multiple rows per key, ties planted
+    rows = []
+    totals = {}
+    for i in range(40):
+        k = f"k{i:02d}"
+        t = int(np.floor(1000 / (i + 1))) if i < 38 else 7  # two tied at 7
+        totals[k] = t
+        a = int(rng.integers(0, t + 1))
+        rows += [(k, a), (k, t - a)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    g = concentration_metrics(df, "k", "v").collect()[0]
+
+    per = sorted(totals.items(), key=lambda kv: (kv[1], kv[0]))  # v asc, k asc
+    n, tot = len(per), sum(totals.values())
+    iv = sum((i + 1) * v for i, (_, v) in enumerate(per))
+    gini = (2 * iv) / (n * tot) - (n + 1) / n
+    hhi_pico = sum(
+        math.floor((v / tot) ** 2 * 1e12 + 0.5) for v in totals.values()
+    )
+    top_k = math.ceil(n / 10)
+    by_desc = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = sum(v for _, v in by_desc[:top_k])
+    assert (g["n_keys"], g["total"]) == (n, tot)
+    assert g["gini"] == pytest.approx(gini, rel=1e-12)
+    assert g["hhi"] == hhi_pico / 1e12
+    assert g["top_decile_share"] == pytest.approx(top / tot, rel=1e-12)
+
+
+def test_benford_digit_test_matches_reference(spark):
+    from mimic_iv_data_pipeline_spark.operators.profiling import benford_digit_test
+
+    rng = np.random.default_rng(26)
+    # organic multi-scale magnitudes (log-uniform -> near-Benford) plus
+    # excluded rows (negative, zero, NULL)
+    vals = np.exp(rng.uniform(0, 12, 700))
+    rows = [(float(v),) for v in vals] + [(-5.0,), (0.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_digit_test(df, "v").collect()
+    got = {r["digit"]: r for r in out}
+
+    digits = [int(str(v).lstrip("0.").lstrip("0")[0]) for v in vals]
+    n = len(digits)
+    terms_micro = 0
+    for d in range(1, 10):
+        nd = digits.count(d)
+        obs, exp = nd / n, math.log10(1 + 1 / d)
+        if nd:
+            g = got[d]
+            assert g["n_digit"] == nd and g["n"] == n
+            assert g["observed"] == pytest.approx(obs, rel=1e-12)
+            assert g["expected"] == pytest.approx(exp, rel=1e-12)
+        terms_micro += math.floor((obs - exp) ** 2 / exp * 1e9 + 0.5)
+    chi2 = n * (terms_micro / 1e9)
+    for r in out:
+        assert r["chi2"] == pytest.approx(chi2, rel=1e-12)
