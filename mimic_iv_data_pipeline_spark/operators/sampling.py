@@ -81,7 +81,12 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
-    u = hash_unit(F.col(key_col), salt)
+    # materialize the digest once (its own projection) instead of
+    # inlining it into every WHEN condition — conditions evaluate
+    # sequentially, so an inlined u re-hashes per split boundary
+    # (the q180 poisson_count lesson; same values, fewer md5 evals)
+    tmp = f"__{out_col}_u"
+    u = F.col(tmp)
     expr: Column | None = None
     acc = 0.0
     names = list(fractions)
@@ -90,7 +95,11 @@ def hash_split(
         cond = u < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
-    return df.withColumn(out_col, expr)
+    return (
+        df.withColumn(tmp, hash_unit(F.col(key_col), salt))
+        .withColumn(out_col, expr)
+        .drop(tmp)
+    )
 
 
 def stratified_sample(
@@ -1075,7 +1084,21 @@ def poisson_bootstrap_ci(
         u = F.pmod(F.xxhash64(F.lit(salt), key), F.lit(2**32)) / F.lit(float(2**32))
     else:
         raise ValueError(f"poisson_bootstrap_ci: unknown hasher {hasher!r}")
-    weighted = rows.withColumn("__w", poisson_count(u))
+    # Materialize u in its own projection BEFORE the inverse-CDF WHEN
+    # chain: poisson_count references u in every one of its 9 branch
+    # conditions, and with u inlined the digest expression appears 8×
+    # in the plan — CaseWhen conditions evaluate sequentially, so the
+    # md5 ran ~2× per row on average (measured: q180 6.84 s → the fix
+    # cut the digest stage roughly in half). As a named column the
+    # digest is computed once; CollapseProject keeps the projection
+    # separate because the expression is non-cheap and multiply
+    # referenced. Same values bit-for-bit — only evaluation count
+    # changes.
+    weighted = (
+        rows.withColumn("__u", u)
+        .withColumn("__w", poisson_count(F.col("__u")))
+        .drop("__u")
+    )
     per_rep = weighted.groupBy(*groups, "__b").agg(
         F.sum("__w").cast("long").alias("__sw"),
         F.sum((F.col("__w") * F.col("__y")).cast("decimal(38,0)")).alias("__swy"),

@@ -11,14 +11,13 @@ presentation steps (pivot_features / assemble_map_tensor).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mimic_iv_data_pipeline_spark.operators.temporal import (
     bucketize_events,
     truncate_observation_window,
 )
-from mimic_iv_data_pipeline_spark.operators.windows import impute_cascade
 
 
 def generate_timeseries(
@@ -77,34 +76,76 @@ def generate_timeseries(
     # observed in-window (the reference's reindex(range(los)) likewise
     # drops out-of-range rows without adding columns for them).
     binned = binned.filter(F.col("bucket") < n_buckets)
-    # Grid per (id, code-observed-for-id): mirrors the reference, which
-    # reindexes only columns that appeared for the visit
-    # (data_generation_icu.py:475-483). explode(sequence) is a narrow
-    # generate — no extra shuffle before the left join.
-    grid = (
-        binned.select(id_col, code_col)
-        .distinct()
-        .select(
-            id_col,
-            code_col,
-            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
-        )
+    # Densify + impute per (id, code-observed-for-id) in ARRAY form —
+    # one aggregate keyed by (id, code), then narrow array expressions
+    # (optimization r11, guide §2.4). The previous shape built the grid
+    # as distinct→explode→left join→window cascade: four exchanges
+    # (bucket agg, grid distinct, grid-side join shuffle, window sort
+    # on (id, code)) with the bucket agg subtree consumed twice. Here
+    # the bucket agg keeps its exchange and ONE further exchange packs
+    # each (id, code) series into a bucket→(value, n_events) map; the
+    # dense 0..n_buckets-1 grid, the ffill→bfill→default cascade and
+    # the explode back to long rows are all narrow (2 exchanges total,
+    # and the |ids·codes·buckets| dense relation never shuffles at
+    # all). Values are bit-identical to the join/window form: ffill /
+    # bfill only MOVE existing doubles (no arithmetic), and
+    # coalesce(ffill, bfill, default) ≡ the sequential cascade because
+    # post-ffill nulls exist only before the first observation, where
+    # bfill-of-original equals bfill-of-ffilled (parity pinned by
+    # tests/test_timeseries.py + the pipeline mode-parity suite).
+    if impute is not None and str(impute).lower() not in ("mean", "median"):
+        # keep impute_cascade's validation contract on the array path
+        raise ValueError(f"unknown impute strategy: {impute}")
+    entries = binned.groupBy(id_col, code_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("bucket"), F.struct(F.col("value"), F.col("n_events")))
+            )
+        ).alias("__m")
     )
-    dense = grid.join(binned, on=[id_col, code_col, "bucket"], how="left")
-    dense = dense.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
-    if impute is not None:
-        dense = impute_cascade(
-            dense,
-            "value",
-            partition_by=[id_col, code_col],
-            order_by=["bucket"],
-            # pass through verbatim: impute_cascade lowercases and
-            # VALIDATES ('Mean'/'Median' accepted, junk raises) — the
-            # old in-expression coercion silently rewrote typos to None
-            strategy=impute,
-            default=0.0,
+    seq = F.sequence(F.lit(0), F.lit(n_buckets - 1))
+    raw_vals = F.transform(seq, lambda b: F.col("__m")[b]["value"])
+    n_events = F.transform(
+        seq, lambda b: F.coalesce(F.col("__m")[b]["n_events"], F.lit(0))
+    )
+
+    def _arr_ffill(a: Column) -> Column:
+        # running last-non-null: ANSI-safe (element_at guarded by size)
+        return F.aggregate(
+            a,
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(
+                        x, F.when(F.size(acc) > 0, F.element_at(acc, F.size(acc)))
+                    )
+                ),
+            ),
         )
-    return dense
+
+    series = entries.withColumn("__v", raw_vals).withColumn("__ne", n_events).drop("__m")
+    if impute is not None:
+        filled = F.zip_with(
+            _arr_ffill(F.col("__v")),
+            F.reverse(_arr_ffill(F.reverse(F.col("__v")))),
+            lambda a, b: F.coalesce(a, b, F.lit(0.0)),
+        )
+        series = series.withColumn("__v", filled)
+    return series.select(
+        id_col,
+        code_col,
+        F.inline(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda b: F.struct(
+                    b.alias("bucket"),
+                    F.col("__v")[b].alias("value"),
+                    F.col("__ne")[b].alias("n_events"),
+                ),
+            )
+        ),
+    )
 
 
 def medication_signal(
