@@ -282,10 +282,22 @@ def _run_e2e(spark, sf_dir, handoff):
         if handoff == "memory":
             # parquet mode forces every leaf by WRITING it; memory mode
             # must force the same stage set explicitly so both modes
-            # compute summary + features + tensors end to end
-            staged["summary"].count()
-            staged["features"].count()
-        n = staged["tensors"].count()
+            # compute summary + features + tensors end to end. The three
+            # leaves are independent consumers of pinned boundaries, so
+            # they run from a small thread pool (guide §2.6 back-fill —
+            # same DAGs computed, the driver just stops serializing
+            # their stage tails; parquet mode gets the same treatment
+            # inside run_pipeline's _leaf).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as tp:
+                fs = [
+                    tp.submit(staged[k].count)
+                    for k in ("summary", "features", "tensors")
+                ]
+                n = [f.result() for f in fs][-1]
+        else:
+            n = staged["tensors"].count()
         return spark.range(n)  # bench counts this (cheap, stable)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -76,3 +76,31 @@ def materialize(df: DataFrame) -> DataFrame:
             f"{MATERIALIZE_CONF} must be 'local' or 'reliable', got {mode!r}"
         )
     return df.localCheckpoint(eager=True)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism
+    when (and only when) the input has fewer partitions — the guide-§2.5
+    "one huge unsplittable file" remedy, applied at the operators whose
+    next step is CPU-heavy narrow work (digest chains, shingle/variant
+    explodes, tokenization).
+
+    Why an operator-level seam and not a reader default: measured at
+    sf0.1, fanning out EVERY scan regresses join/aggregate-bound queries
+    (q01 0.55→1.27 s, q03 1.21→2.12 s — the keyless repartition pays a
+    local sort plus an exchange that buys nothing when the downstream
+    work is one hash aggregate), while the compute-bound paths win big
+    (q180 md5 chain 5.75→1.49 s; n-gram shingling 1.44→0.98 s). The
+    condition makes it a no-op at scale: a 100 TB scan already has
+    orders of magnitude more partitions than cores, so this only fires
+    for small single-file (or single-row-group) inputs whose scan Spark
+    cannot split — exactly where per-row-heavy work would otherwise run
+    single-threaded. Content-addressed operators are partitioning-
+    independent by repo discipline, so values are unchanged.
+    """
+    if df.isStreaming:  # no .rdd on streaming plans; micro-batches are
+        return df       # already sized by the source
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

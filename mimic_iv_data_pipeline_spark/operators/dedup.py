@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import fan_out
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
 
@@ -34,6 +35,10 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     Canonical row = min id (deterministic). One hash aggregate.
     """
     return (
+        # NOT fanned out (optimization r11): one md5 per doc is ~0.1 s of
+        # CPU at sf0.1 — the repartition costs more than it buys
+        # (interleaved A/B 1.9× slower with it); contrast
+        # exploded_shingles below where the per-row chain is seconds
         df.withColumn("digest", F.md5(F.col(text_col)))
         .groupBy("digest")
         .agg(
@@ -87,7 +92,11 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     0..max(k−n, 0); shorter-than-n docs yield one partial gram
     (``concat_ws`` skips the null leads).
     """
-    toked = df.select(
+    # fan_out before tokenize+posexplode: the pre-window narrow chain
+    # (regex tokenize, generate) otherwise runs in the scan's task count
+    # when the input is one unsplittable file (no-op at ≥ cores
+    # partitions; the doc window below re-shuffles regardless)
+    toked = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
     )
     pos = toked.select(

@@ -105,7 +105,14 @@ def edit_distance_join(
     the bucket-count aggregate and both self-join sides; pass False in
     long-lived sessions that manage caching themselves.
     """
-    sides = df.select(
+    from mimic_iv_data_pipeline_spark.engine import fan_out
+
+    # fan out BEFORE the O(L^k) variant explode: an unsplittable small
+    # scan otherwise leaves the explode, the hash-join probe over the
+    # persisted relation, and the levenshtein verify all in ONE task
+    # (measured: a single 4.4 s CPU-bound stage at sf0.1); no-op when
+    # the input already has ≥ cores partitions
+    sides = fan_out(df.select(id_col, str_col)).select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.explode(deletion_variants(F.col(str_col), max_dist)).alias("__vs"),

@@ -157,15 +157,16 @@ def bm25_search(
     # narrow scan: (avgdl, N) in one broadcast row. __dl > 0 keeps
     # N/avgdl identical to the tf-derived formulation (empty docs
     # never had a tf row)
+    src = df.select(id_col, text_col)
     stats = (
-        df.select(F.size(toks).alias("__dl"))
+        src.select(F.size(toks).alias("__dl"))
         .filter(F.col("__dl") > 0)
         .agg(F.avg("__dl").alias("__avgdl"), F.count(F.lit(1)).alias("__n"))
     )
     # tokenize ONCE per doc in a projection BELOW the Generate; putting
     # size(toks) next to explode(toks) in one select makes Catalyst
     # evaluate the whole split per EXPLODED row (plan-verified)
-    occ = df.select(
+    occ = src.select(
         F.col(id_col).alias("doc"),
         F.size(toks).alias("__dl"),
         toks.alias("__toks"),

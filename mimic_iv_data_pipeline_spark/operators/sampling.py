@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mimic_iv_data_pipeline_spark.engine import fan_out
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
 __all__ = [
@@ -240,7 +241,9 @@ def dsir_log_weights(
     collect.
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(
+    # fan_out: tokenize + unigram/bigram explode is the heavy narrow
+    # chain before the (doc, bucket) aggregate's exchange
+    base = fan_out(df.select(id_col, text_col, target_col)).select(
         F.col(id_col).alias("doc"), F.col(target_col).alias("__t"), w.alias("__w")
     )
     uni = base.select("doc", "__t", F.explode("__w").alias("feat")).filter(
@@ -1072,9 +1075,14 @@ def poisson_bootstrap_ci(
     """
     groups = [group_by] if isinstance(group_by, str) else list(group_by)
     b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))).alias("__b")
-    rows = df.select(
-        *groups, F.col(value_col).alias("__y"), F.col(id_col).alias("__id"), b
+    # fan out BEFORE the B× explode: n·B digests after an unsplittable
+    # small scan otherwise run in that scan's task count (measured
+    # single-task at sf0.1 — 5.75 s → 1.49 s with the repartition);
+    # no-op whenever the input already has ≥ cores partitions
+    narrow = fan_out(
+        df.select(*groups, F.col(value_col).alias("__y"), F.col(id_col).alias("__id"))
     )
+    rows = narrow.select(*narrow.columns, b)
     key = F.concat(
         F.col("__id").cast("string"), F.lit(":"), F.col("__b").cast("string")
     )

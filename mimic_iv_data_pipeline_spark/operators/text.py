@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mimic_iv_data_pipeline_spark.engine import fan_out
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
 # Deterministic marker-word lists for the language-ID heuristic. Tiny on
@@ -250,7 +251,7 @@ def url_frequency(
     — the standard crawl-dedup signal (the same page fetched under
     scheme/www/query variants collapses to one key). One explode + one
     vocabulary-bounded hash aggregate."""
-    occ = df.select(
+    occ = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__doc"),
         F.explode(extract_urls(F.col(text_col))).alias("__raw"),
     ).select("__doc", normalize_url(F.col("__raw")).alias("url"))
@@ -584,7 +585,10 @@ def chunk_documents(
     empty/whitespace-only documents yield no chunks.
     """
     toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    base = df.select(
+    # fan_out: chunking is embarrassingly parallel and otherwise has NO
+    # exchange anywhere — an unsplittable single-file scan would run the
+    # whole tokenize+slice chain in one task (no-op at ≥ cores parts)
+    base = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
     ).where(F.col("__n") > 0)
     last = F.greatest(F.col("__n") - window, F.lit(0))

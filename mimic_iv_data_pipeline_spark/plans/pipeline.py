@@ -111,6 +111,21 @@ def run_pipeline(
     id_col = "stay_id" if cfg.use_icu else "hadm_id"
     anchor = "intime" if cfg.use_icu else "admittime"
 
+    # Leaf writes overlap (guide §2.6: actions are only sequential
+    # because the driver calls them sequentially): summary depends only
+    # on the events boundary, so its write back-fills executors while
+    # the timeseries boundary computes; features and tensors (both
+    # consumers of the dense boundary) overlap each other. Two in-flight
+    # jobs is enough to fill stage tails without fighting for cores.
+    # Same writes, same artifacts, same return values — only the
+    # driver-side sequencing changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool: ThreadPoolExecutor | None = (
+        ThreadPoolExecutor(max_workers=2) if handoff == "parquet" else None
+    )
+    leaf_futures: list = []
+
     def _boundary(df: DataFrame, name: str) -> DataFrame:
         """Multi-consumer stage boundary: parquet round-trip or an
         in-memory materialization (computed once either way)."""
@@ -122,9 +137,15 @@ def run_pipeline(
         return materialize(df)
 
     def _leaf(df: DataFrame, name: str) -> DataFrame:
-        """Terminal stage: written in parquet mode, lazy in memory mode."""
+        """Terminal stage: written in parquet mode (asynchronously — the
+        futures are joined before run_pipeline returns), lazy in memory
+        mode."""
         if handoff == "parquet":
-            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+            leaf_futures.append(
+                pool.submit(
+                    df.write.mode("overwrite").parquet, os.path.join(out_dir, name)
+                )
+            )
         return df
 
     cohort = extract_cohort(
@@ -188,6 +209,13 @@ def run_pipeline(
     )
 
     tensors = _leaf(dl_tensor_frame(dense, id_col=id_col), "tensors")
+
+    if pool is not None:
+        try:
+            for f in leaf_futures:
+                f.result()  # propagate the first write failure, if any
+        finally:
+            pool.shutdown(wait=True)
 
     return {
         "cohort": cohort,

@@ -19,6 +19,10 @@ from mimic_iv_data_pipeline_spark.queries import register
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned out (optimization r11): interleaved A/B measured the
+    # repartition 1.3–2.3× SLOWER for q42/q53 — the 2k-vector corpus is
+    # too small for the exchange to pay for itself, and the ANN kernels
+    # are Arrow-batched (already amortized per partition)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
