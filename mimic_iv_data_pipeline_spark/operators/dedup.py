@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
-from mimic_iv_data_pipeline_spark.engine import fan_out
 from mimic_iv_data_pipeline_spark.operators.text import tokens
 
 
@@ -92,11 +91,14 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     0..max(k−n, 0); shorter-than-n docs yield one partial gram
     (``concat_ws`` skips the null leads).
     """
-    # fan_out before tokenize+posexplode: the pre-window narrow chain
-    # (regex tokenize, generate) otherwise runs in the scan's task count
-    # when the input is one unsplittable file (no-op at ≥ cores
-    # partitions; the doc window below re-shuffles regardless)
-    toked = fan_out(df.select(id_col, text_col)).select(
+    # NOT fanned out (optimization r11): an engine.fan_out here measured
+    # 0.6× on q39/q88 in interleaved A/B probes but FLAT on both under
+    # the bench's own protocol while regressing q83 1.6× and q65 1.2×
+    # canary-adjusted — the doc window below re-shuffles immediately, so
+    # the extra exchange only pays when the tokenize itself dominates,
+    # which it does not on this corpus shape. The bench protocol is the
+    # authority; see OPTIMIZATION_r11.md.
+    toked = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
     )
     pos = toked.select(

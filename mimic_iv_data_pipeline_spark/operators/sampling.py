@@ -241,9 +241,7 @@ def dsir_log_weights(
     collect.
     """
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # fan_out: tokenize + unigram/bigram explode is the heavy narrow
-    # chain before the (doc, bucket) aggregate's exchange
-    base = fan_out(df.select(id_col, text_col, target_col)).select(
+    base = df.select(
         F.col(id_col).alias("doc"), F.col(target_col).alias("__t"), w.alias("__w")
     )
     uni = base.select("doc", "__t", F.explode("__w").alias("feat")).filter(
