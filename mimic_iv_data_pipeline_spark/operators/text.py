@@ -448,12 +448,21 @@ def bigram_lm_scores(
         .select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
     )
     if reuse:
-        # feeds the two count aggregates, the vocab size AND the
-        # scoring join probe — one tokenize pass instead of four
+        # feeds the bigram-count aggregate AND the scoring join probe —
+        # one tokenize pass instead of two (ctx and the vocab size
+        # derive from the count matrix below, r11)
         pairs = pairs.persist()
+    # Optimization r11 (guide §2.4): c(prev) = Σ_w c(prev, w) and the
+    # vocabulary is the distinct tok set of the count matrix, so both
+    # derive from the vocab²-bounded ``big`` instead of two more passes
+    # over the corpus-sized pair relation (same longs, same doubles).
     big = pairs.groupBy("prev", "tok").agg(F.count("*").alias("__c2"))
-    ctx = pairs.groupBy("prev").agg(F.count("*").alias("__c1"))
-    voc = pairs.agg(F.countDistinct("tok").alias("__v"))
+    if reuse:
+        from mimic_iv_data_pipeline_spark.engine import materialize
+
+        big = materialize(big)
+    ctx = big.groupBy("prev").agg(F.sum("__c2").alias("__c1"))
+    voc = big.agg(F.countDistinct("tok").alias("__v"))
     lp = F.log(
         (F.col("__c2") + F.lit(add_k)) / (F.col("__c1") + F.lit(add_k) * F.col("__v"))
     )
@@ -666,14 +675,24 @@ def kneser_ney_scores(
     )
     if reuse:
         pairs = pairs.persist()
+    # Optimization r11 (guide §2.4): every KN training statistic is an
+    # exact aggregation of the bigram-count matrix — c(prev) = Σ_w
+    # c(prev, w); N1+(prev,·) = rows per prev of the matrix (it has one
+    # row per seen (prev, w)); N1+(·,w) = rows per tok; N1+(·,·) = its
+    # row count — so they derive from the vocab²-bounded ``big``
+    # instead of three further passes over the corpus-sized pair
+    # relation (pairs' consumers drop 5 → 2). big is pinned under
+    # ``reuse`` so its aggregate runs once for its four consumers.
     big = pairs.groupBy("prev", "tok").agg(F.count("*").alias("__c2"))
-    ctx = pairs.groupBy("prev").agg(
-        F.count("*").alias("__c1"), F.countDistinct("tok").alias("__n1p_ctx")
+    if reuse:
+        from mimic_iv_data_pipeline_spark.engine import materialize
+
+        big = materialize(big)
+    ctx = big.groupBy("prev").agg(
+        F.sum("__c2").alias("__c1"), F.count("*").alias("__n1p_ctx")
     )
-    cont = pairs.groupBy("tok").agg(F.countDistinct("prev").alias("__n1p_tok"))
-    tot = pairs.select("prev", "tok").distinct().agg(
-        F.count("*").alias("__n1p_all")
-    )
+    cont = big.groupBy("tok").agg(F.count("*").alias("__n1p_tok"))
+    tot = big.agg(F.count("*").alias("__n1p_all"))
     d = F.lit(discount)
     p_kn = (F.col("__c2") - d) / F.col("__c1") + (
         d * F.col("__n1p_ctx") / F.col("__c1")
@@ -1009,17 +1028,28 @@ def naive_bayes_scores(
     tok = toks.select(id_col, "__y", F.explode("__w").alias("__t"))
     if reuse:
         tok = tok.persist()
-    # training statistics (the corpus is its own training set)
+    # training statistics (the corpus is its own training set).
+    # Optimization r11 (guide §2.4): the class totals and the vocabulary
+    # count are EXACT aggregations of the (word, class) count matrix —
+    # N_c = Σ_t c(t, c) and V = |distinct t in wc| — so they derive from
+    # the vocab-bounded wc relation instead of re-scanning the
+    # corpus-sized token relation (two fewer full passes; tok's
+    # consumers drop 5 → 3). wc is pinned (engine.materialize) under
+    # reuse so its aggregate runs once for its three consumers.
     wc = tok.groupBy(F.col("__t"), F.col("__y").alias("__c")).agg(
         F.count(F.lit(1)).cast("long").alias("__cnt")
     )
-    class_tot = tok.groupBy(F.col("__y").alias("__c")).agg(
-        F.count(F.lit(1)).cast("long").alias("__nc")
+    if reuse:
+        from mimic_iv_data_pipeline_spark.engine import materialize
+
+        wc = materialize(wc)
+    class_tot = wc.groupBy("__c").agg(
+        F.sum("__cnt").cast("long").alias("__nc")
     )
     priors = toks.groupBy(F.col("__y").alias("__c")).agg(
         F.count(F.lit(1)).cast("long").alias("__dc")
     )
-    vocab_n = tok.select("__t").distinct().agg(
+    vocab_n = wc.select("__t").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("__v")
     )
     n_docs = toks.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
