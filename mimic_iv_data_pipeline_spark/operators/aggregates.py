@@ -121,6 +121,112 @@ def clamp_outliers(
     raise ValueError(f"unknown outlier mode: {mode}")
 
 
+def majority_unit_clamp(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str,
+    cutoff: float = 0.95,
+    lower_pct: float = 0.02,
+    upper_pct: float = 0.98,
+    mode: str = "clamp",
+    exact: bool = True,
+) -> DataFrame:
+    """Fused A7+A8: ``filter_majority_unit`` followed by
+    ``clamp_outliers`` in ONE aggregate pass over the input (guide
+    §2.4 — shuffle/scan fewer bytes; optimization r11).
+
+    The sequential pair scans the (typically join-heavy) event relation
+    three times: mode election, post-filter percentile bounds, and the
+    final probe. But the majority filter is a GROUP-LEVEL dichotomy:
+    each group either keeps ALL its rows (no election or share ≤
+    cutoff) or keeps exactly its (group, mode-unit) rows — so the
+    "percentiles of the filtered relation" are derivable from one
+    GROUPING SETS ((group, unit), (group)) aggregate computing counts
+    and exact percentiles for both granularities, and the whole
+    operator becomes two scans: the fused aggregate and the final
+    filter+clamp probe.
+
+    Value-identity argument (pinned by tests/test_clean_fused.py):
+    when share > cutoff the filtered multiset is exactly the (group,
+    mode-unit) rows (NULL units fail ``==``), i.e. that grouping-set
+    cell; otherwise the filtered multiset is the whole group including
+    NULL-unit rows, i.e. the (group) cell. ``percentile`` sorts its
+    buffer, so equal multisets give bit-identical doubles; the share
+    is the same long/long division as ``mode_per_group``. The extra
+    cost is the Expand duplicating aggregate input 2× — strictly
+    cheaper than re-deriving the event relation per pass once the
+    input is join-derived (the e2e clean stage) and neutral enough on
+    raw scans that the sequential operators remain for single-stage
+    callers.
+    """
+    if mode not in ("clamp", "drop"):
+        raise ValueError(f"unknown outlier mode: {mode}")
+    fn = "percentile" if exact else "percentile_approx"
+    stats = df.groupingSets(
+        [[group_col, unit_col], [group_col]], group_col, unit_col
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count(unit_col).alias("__cnt_unit"),
+        F.expr(f"{fn}({value_col}, {lower_pct})").alias("__lo"),
+        F.expr(f"{fn}({value_col}, {upper_pct})").alias("__hi"),
+        F.grouping(unit_col).alias("__gflag"),
+    )
+    cand = stats.filter(
+        (F.col("__gflag") == 0) & F.col(unit_col).isNotNull()
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__cnt").desc(), F.col(unit_col).asc()
+    )
+    mode_rows = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col(unit_col).alias("__mode_unit"),
+            F.col("__cnt").alias("__mode_cnt"),
+            F.col("__lo").alias("__lo_m"),
+            F.col("__hi").alias("__hi_m"),
+        )
+    )
+    totals = stats.filter(F.col("__gflag") == 1).select(
+        group_col,
+        F.col("__cnt_unit").alias("__tot_unit"),
+        F.col("__lo").alias("__lo_all"),
+        F.col("__hi").alias("__hi_all"),
+    )
+    # share mirrors mode_per_group exactly: top count / non-null total
+    # (NULL when the group never elected — all-NULL-unit groups).
+    info = totals.join(mode_rows, on=group_col, how="left").select(
+        group_col,
+        "__mode_unit",
+        (F.col("__mode_cnt") / F.col("__tot_unit")).alias("__share"),
+        F.when(
+            F.col("__mode_cnt") / F.col("__tot_unit") > cutoff, F.col("__lo_m")
+        ).otherwise(F.col("__lo_all")).alias("__lo"),
+        F.when(
+            F.col("__mode_cnt") / F.col("__tot_unit") > cutoff, F.col("__hi_m")
+        ).otherwise(F.col("__hi_all")).alias("__hi"),
+    )
+    out = df.join(F.broadcast(info), on=group_col, how="left").filter(
+        F.col("__share").isNull()
+        | (F.col("__share") <= cutoff)
+        | (F.col(unit_col) == F.col("__mode_unit"))
+    )
+    if mode == "clamp":
+        clamped = (
+            F.when(F.col(value_col) < F.col("__lo"), F.col("__lo"))
+            .when(F.col(value_col) > F.col("__hi"), F.col("__hi"))
+            .otherwise(F.col(value_col))
+        )
+        return out.withColumn(value_col, clamped).drop(
+            "__mode_unit", "__share", "__lo", "__hi"
+        )
+    return out.filter(
+        F.col(value_col).between(F.col("__lo"), F.col("__hi"))
+    ).drop("__mode_unit", "__share", "__lo", "__hi")
+
+
 def quantile_bins(
     df: DataFrame,
     group_by: str | list[str],

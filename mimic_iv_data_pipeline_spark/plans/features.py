@@ -240,27 +240,32 @@ def generate_summary(
     (``labs['valuenum']==0``, ``feature_selection_hosp.py:177``)
     evaluates NaN == 0 as False, so null values do NOT count as missing.
     Rounded outputs use ``dround`` (the repo's engine-consistent binary
-    rounding, commit b2309dd convention) so a DuckDB twin matches."""
+    rounding, commit b2309dd convention) so a DuckDB twin matches.
+
+    Optimization r11 (guide §2.4): the per-code totals are EXACT sums
+    of the per-(code, visit) partials — ``total_count = Σ
+    per_visit_cnt`` and the zero-value count sums the same way — so the
+    whole summary is ONE two-level aggregate chain over events instead
+    of two scans joined back together (integer sums are associative ⇒
+    identical longs, and both dround-ed doubles divide the same longs;
+    pinned by tests/test_clean_fused.py::test_summary_single_pass)."""
     from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
-    per_visit = events.groupBy(code_col, visit_col).agg(
-        F.count(F.lit(1)).alias("per_visit_cnt")
-    )
-    freq = per_visit.groupBy(code_col).agg(
-        dround(F.avg("per_visit_cnt"), 6).alias("mean_frequency")
-    )
-    aggs = [F.count(F.lit(1)).alias("total_count")]
+    pv_aggs = [F.count(F.lit(1)).alias("per_visit_cnt")]
     if value_col is not None:
-        aggs.append(
+        pv_aggs.append(
+            F.sum(F.when(F.col(value_col) == 0, 1).otherwise(0)).alias("__zero_cnt")
+        )
+    per_visit = events.groupBy(code_col, visit_col).agg(*pv_aggs)
+    out_aggs = [F.sum("per_visit_cnt").alias("total_count")]
+    if value_col is not None:
+        out_aggs.append(
             dround(
-                F.sum(F.when(F.col(value_col) == 0, 1).otherwise(0))
-                * 100.0
-                / F.count(F.lit(1)),
-                6,
+                F.sum("__zero_cnt") * 100.0 / F.sum("per_visit_cnt"), 6
             ).alias("missing_pct")
         )
-    totals = events.groupBy(code_col).agg(*aggs)
-    return totals.join(freq, on=code_col, how="left")
+    out_aggs.append(dround(F.avg("per_visit_cnt"), 6).alias("mean_frequency"))
+    return per_visit.groupBy(code_col).agg(*out_aggs)
 
 
 def features_selection(
@@ -282,8 +287,31 @@ def clean_events(
 ) -> DataFrame:
     """Cleaning stage: UoM majority filter (A7,
     ``uom_conversion.py:11-28``) then per-itemid percentile outlier
-    handling (A8, ``outlier_removal.py:11-37``)."""
+    handling (A8, ``outlier_removal.py:11-37``).
+
+    When BOTH stages are active they run as the fused
+    :func:`~mimic_iv_data_pipeline_spark.operators.aggregates.majority_unit_clamp`
+    (optimization r11): one GROUPING SETS aggregate + one probe instead
+    of three scans of the (join-derived) event relation — bit-identical
+    values (tests/test_clean_fused.py pins fused == sequential)."""
     out = events
+    if uom_col is not None and outlier_pcts is not None:
+        from mimic_iv_data_pipeline_spark.operators.aggregates import (
+            majority_unit_clamp,
+        )
+
+        lo, hi = outlier_pcts
+        return majority_unit_clamp(
+            out,
+            code_col,
+            uom_col,
+            value_col,
+            cutoff=uom_cutoff,
+            lower_pct=lo,
+            upper_pct=hi,
+            mode=outlier_mode,
+            exact=True,
+        )
     if uom_col is not None:
         out = filter_majority_unit(out, code_col, uom_col, cutoff=uom_cutoff)
     if outlier_pcts is not None:
