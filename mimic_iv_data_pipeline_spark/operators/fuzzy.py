@@ -132,13 +132,22 @@ def edit_distance_join(
         # recomputes per consumer (the dedup.py reuse=True pattern)
         sides = sides.persist()
     if max_bucket is not None:
-        ok = (
+        # Optimization r11 (guide §3.1/§3.2): filter by the HOT-bucket
+        # complement, not the OK-bucket list. ``n <= cap`` keeps almost
+        # every bucket, so joining on the OK list shuffles the full
+        # variant relation against a near-full key list (two more
+        # exchanges on __v); the equivalent ``NOT IN hot`` set is tiny —
+        # at most |sides|/cap keys, zero on every non-adversarial corpus
+        # measured — so it broadcasts and the cap costs one aggregate +
+        # one broadcast anti probe. Survivors identical by definition
+        # (n <= cap ⟺ __v not in hot).
+        hot = (
             sides.groupBy("__v")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
+            .filter(F.col("__n") > max_bucket)
             .select("__v")
         )
-        sides = sides.join(ok, "__v")
+        sides = sides.join(F.broadcast(hot), "__v", "left_anti")
     a = sides.select(
         F.col("__v"),
         F.col("__id").alias("id_a"),
