@@ -288,14 +288,29 @@ def _run_e2e(spark, sf_dir, handoff):
             # same DAGs computed, the driver just stops serializing
             # their stage tails; parquet mode gets the same treatment
             # inside run_pipeline's _leaf).
+            #
+            # Measurement fix (optimization r11, guide §1.4): the leaves
+            # were previously forced with .count(), which lets the
+            # optimizer PRUNE the aggregate payloads — a count() over
+            # dl_tensor_frame computes only distinct ids, never the
+            # collect_list/sort_array tensors (verified by plan), so the
+            # mem twin under-measured exactly the work the parquet twin
+            # pays for by writing. The noop sink computes every column
+            # of every row without sink cost; pre-fix numbers are kept
+            # in bench_runs_r11/ (see OPTIMIZATION_r11.md).
             from concurrent.futures import ThreadPoolExecutor
+
+            def _force(df):
+                df.write.format("noop").mode("overwrite").save()
 
             with ThreadPoolExecutor(max_workers=3) as tp:
                 fs = [
-                    tp.submit(staged[k].count)
+                    tp.submit(_force, staged[k])
                     for k in ("summary", "features", "tensors")
                 ]
-                n = [f.result() for f in fs][-1]
+                for f in fs:
+                    f.result()
+            n = 1
         else:
             n = staged["tensors"].count()
         return spark.range(n)  # bench counts this (cheap, stable)

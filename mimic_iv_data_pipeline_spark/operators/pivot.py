@@ -54,9 +54,22 @@ def assemble_map_tensor(
 
     ``sort_array`` over (time, value) structs gives time-ordered arrays
     without a window; two hash aggregates, both keyed by id.
+
+    One exchange, not two (optimization r11, guide §2.3/§2.4): both
+    aggregates are collect-type, so partial aggregation ships every
+    element either way — there is no map-side reduction to preserve.
+    Keying the single shuffle by ``id`` up front lets BOTH hash
+    aggregates run exchange-free (HashPartitioning(id) satisfies
+    ClusteredDistribution(id, key) — partitioning expressions are a
+    subset of the clustering keys), halving the bytes this operator
+    moves: the old shape shuffled the full (time, value) payload on
+    (id, key) and then the full per-key arrays again on (id). Values
+    are partitioning-independent: ``sort_array`` over full structs
+    makes both collected arrays a pure function of the row multiset.
     """
     per_key = (
-        df.groupBy(id_col, key_col)
+        df.repartition(F.col(id_col))
+        .groupBy(id_col, key_col)
         .agg(
             F.sort_array(F.collect_list(F.struct(time_col, value_col))).alias("__tv")
         )

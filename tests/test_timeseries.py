@@ -204,3 +204,29 @@ def test_interval_signal_matches_join_form(spark):
             any(i == gid and s <= t < e for i, s, d in ivs for e in [s + d])
         )
         assert out[(gid, t)] == want, (gid, t)
+
+
+def test_wide_pack_matches_map_fallback(spark, chart_events, ts_cohort):
+    """Optimization r11: generate_timeseries has two implementations —
+    the ≤96-bucket wide conditional-aggregate codegen path and the
+    >96-bucket map/HOF fallback. They must be the same function: with
+    all events far below bucket 96, the fallback run's grid restricted
+    to the wide run's buckets must match cell-for-cell (same doubles,
+    same counts) for every impute mode."""
+    for imp in (None, "mean", "median"):
+        wide = generate_timeseries(
+            chart_events, ts_cohort, include_hours=96, bucket_hours=1, impute=imp
+        )  # n_buckets = 96 → wide path
+        fb = generate_timeseries(
+            chart_events, ts_cohort, include_hours=100, bucket_hours=1, impute=imp
+        )  # n_buckets = 100 → map/HOF fallback
+        a = {
+            (r["stay_id"], r["itemid"], r["bucket"]): (r["value"], r["n_events"])
+            for r in wide.collect()
+        }
+        b = {
+            (r["stay_id"], r["itemid"], r["bucket"]): (r["value"], r["n_events"])
+            for r in fb.collect()
+            if r["bucket"] < 96
+        }
+        assert a == b
