@@ -49,6 +49,12 @@ Deployment seams (set at submit time, no code changes):
     (``max_bucket`` on the LSH/edit-distance candidate generators,
     ``max_df`` on n-gram Jaccard) because AQE can only split a
     skewed JOIN, not un-skew a quadratic candidate set.
+
+``spark.driver.memory`` (harness: 16g — LOCAL ONLY)
+    ``local[n]`` runs every task in the driver JVM; Spark's 1 GB
+    default starves 32 concurrent tasks (guide §5). On a cluster the
+    equivalent knob is ``spark.executor.memory`` at submit time; this
+    entry is only honored when the session creates the JVM.
 """
 
 from __future__ import annotations

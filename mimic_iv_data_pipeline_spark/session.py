@@ -37,6 +37,27 @@ DEFAULT_CONFIG: dict[str, str] = {
     # value would mean ~12M scan tasks, pure scheduler poison. The
     # scale-invariant rule is partitions ≈ a few × total cores.
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    # LOCAL-HARNESS sizing (guide §5/§9: size memory to the machine, not
+    # the default): local[n] executes every task inside the driver JVM,
+    # whose Spark default heap is 1 GB — with 32 concurrent tasks that
+    # is ~20 MB of execution+storage memory each, so aggregates spill,
+    # localCheckpoint blocks evict, and the whole bench pays a constant
+    # GC tax (measured: a 12-query battery at 16 g is 0.60-0.65× the
+    # 1 GB default under identical interleaved conditions, every query
+    # at or below parity). 16 g is ~12% of the 128 GiB harness box. On
+    # a real cluster this conf is set at submit time per executor
+    # (spark.executor.memory) and this entry — honored only when the
+    # session actually creates the JVM — is simply superseded.
+    "spark.driver.memory": "16g",
+    # LOCAL-HARNESS GC (guide §5): batch throughput beats pause-time
+    # goals here — ParallelGC measured 0.85-0.94× the JDK-17 G1
+    # default on interleaved 14-query batteries at 16 g and ~0.9× on
+    # the cold e2e entry, with no latency SLO to protect in a bench
+    # process. A cluster sets the executor collector via
+    # spark.executor.extraJavaOptions (keep G1 for latency-sensitive
+    # long-lived services); like driver.memory this is only honored
+    # at JVM creation.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }
 
 
