@@ -76,16 +76,33 @@ def _fake_decode(payload: bytes) -> dict:
     n = len(payload)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
-    hist = [0.0] * 8
-    for b in payload:
-        hist[b % 8] += 1.0
-    total = float(n) or 1.0
     return {
         "byte_len": n,
         "width": width,
         "height": height,
-        "feature": [h / total for h in hist],
+        "feature": _byte_hist8(payload),
     }
+
+
+def _byte_hist8(payload: bytes) -> list[float]:
+    """Unit-normalized 8-bin byte histogram — the per-payload feature
+    kernel shared by the decode stand-ins.
+
+    Vectorized (optimization r11, guide §4.2): the previous
+    ``for b in payload`` Python loop was the per-row hot path of the
+    decode stage — one interpreted iteration PER BYTE of media.
+    ``np.bincount(arr & 7)`` counts in C; the counts are exact int64s
+    and the one float division per bin is unchanged, so the output is
+    bit-identical to the loop (pinned by
+    tests/test_multimodal_streaming.py::test_byte_hist_matches_loop).
+    """
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        return [0.0] * 8
+    counts = np.bincount(np.frombuffer(payload, dtype=np.uint8) & 7, minlength=8)
+    return (counts / float(n)).tolist()
 
 
 def image_header_decode(payload: bytes) -> dict:
@@ -131,16 +148,12 @@ def image_header_decode(payload: bytes) -> dict:
             raise ValueError("JPEG without SOF frame header")
     else:
         raise ValueError("unrecognized image container (want PNG/GIF/JPEG)")
-    hist = [0.0] * 8
-    for b in payload:
-        hist[b % 8] += 1.0
-    total = float(n) or 1.0
     return {
         "byte_len": n,
         "width": int(width),
         "height": int(height),
         "mode": mode,
-        "feature": [h / total for h in hist],
+        "feature": _byte_hist8(payload),
     }
 
 
@@ -184,9 +197,16 @@ def decode_media(
     partition, exactly the medspacy-pipeline pattern). Output rows map
     1:1 to inputs, so the stage is a narrow map — no shuffle, scales
     linearly with executors.
+
+    Only the three consumed columns cross the Arrow boundary
+    (optimization r11, guide §4.2): ``mapInPandas`` is a black box to
+    Catalyst — it cannot prune the input projection itself — so an
+    unprojected call serialized the ``meta`` map (and any extra caller
+    columns) to Python and back for every row, pure boundary waste.
     """
 
     _pickle_module_by_value()
+    media = media.select("media_id", "media_type", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (real codecs: initialize the decoder/model HERE, once per task)
@@ -303,10 +323,15 @@ def decode_audio(
     """Audio twin of :func:`decode_media`: Arrow-batched narrow map,
     1 row in → 1 row out, no shuffle — linear in executors. Swap
     ``decode_fn`` for an ffmpeg-backed callable for compressed codecs.
+
+    Only ``media_id`` + ``payload`` cross the Arrow boundary (same
+    guide-§4.2 projection as :func:`decode_media` — the function
+    consumes nothing else and Catalyst cannot prune into the map).
     """
 
     _pickle_module_by_value()  # default decode_fn is module-level (as
     # in decode_media): workers must not need the package importable
+    media = media.select("media_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -990,3 +990,45 @@ def test_stream_holt_matches_batch_across_batches(spark, tmp_path):
     # across the batch boundary
     later = [e for (u, e) in got if u == 1 and e > 33]
     assert later and all(got[(1, e)][0] is None for e in later)
+
+
+def test_byte_hist_matches_loop():
+    """The vectorized 8-bin byte histogram (optimization r11) is
+    bit-identical to the original per-byte Python loop — counts are
+    exact int64s, one float division per bin, same order."""
+    import random
+
+    from mimic_iv_data_pipeline_spark.operators.multimodal import _byte_hist8
+
+    def loop_hist(payload: bytes) -> list[float]:
+        hist = [0.0] * 8
+        for b in payload:
+            hist[b % 8] += 1.0
+        total = float(len(payload)) or 1.0
+        return [h / total for h in hist]
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"\x00",
+        b"\xff" * 7,
+        bytes(range(256)) * 3,
+        bytes(rng.randrange(256) for _ in range(10_001)),
+    ]
+    for payload in cases:
+        assert _byte_hist8(payload) == loop_hist(payload)
+
+
+def test_decode_media_prunes_input_columns(spark, sf_dir):
+    """decode_media/decode_audio project their inputs before the Arrow
+    boundary (guide §4.2) — extra caller columns (meta maps, join
+    leftovers) must neither break the map nor cross it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = documents_as_media(docs).withColumn("extra", F.lit("x"))
+    out = decode_media(media)
+    # the plan's Python boundary sees only the three consumed columns
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "meta" not in plan.split("MapInPandas")[0] or "meta#" not in plan
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-9 for r in rows)
