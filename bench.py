@@ -20,6 +20,12 @@ the contention story stays auditable; ``canary_sec``/``canary_end_sec``
 keep their old meaning on the best run (minima), so older tooling and
 ``bench_compare.py`` read the file unchanged. Pass ``--runs 1`` for
 the quick iteration loop.
+
+Note (ADVICE r11): the two e2e twins' RETURNED row counts are not
+cross-mode comparable — parquet mode returns range(tensors count) (its
+count() is part of the r10-continuity timed region), memory mode
+returns range(1) (its leaves are noop-forced). Cross-mode value parity
+is the oracle sweep's job (tests/test_r11_wave.py), not this counter's.
 """
 
 from __future__ import annotations

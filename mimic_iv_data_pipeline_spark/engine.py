@@ -59,9 +59,20 @@ Deployment seams (set at submit time, no code changes):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 MATERIALIZE_CONF = "spark.graft.materialize"
+
+# Logical-plan node names that introduce (or sit above) an exchange —
+# matched at tree-line starts so expression text (e.g. a column named
+# sort_array(...)) cannot false-positive. Used by fan_out's probe guard.
+_SHUFFLEY_NODE = re.compile(
+    r"(?m)^[\s:+\-]*(?:Join|Aggregate|Window|Deduplicate|Distinct|"
+    r"Repartition|RepartitionByExpression|Sort|Intersect|Except|"
+    r"GlobalLimit|CoGroup|FlatMapGroups|ApplyInPandas)\b"
+)
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -107,6 +118,15 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.isStreaming:  # no .rdd on streaming plans; micro-batches are
         return df       # already sized by the source
     sc = df.sparkSession.sparkContext
+    # Probe guard (ADVICE r11): df.rdd forces physical planning, and on
+    # an AQE plan containing exchanges it MATERIALIZES the upstream
+    # query stages — which the returned (unpersisted) DataFrame then
+    # recomputes. Probe only narrow-over-scan plans (where .rdd is pure
+    # planning, ~ms); anything with a shuffle-introducing node already
+    # has ≥ shuffle.partitions upstream partitioning, so the fan would
+    # be a no-op there anyway.
+    if _SHUFFLEY_NODE.search(df._jdf.queryExecution().analyzed().toString()):
+        return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df

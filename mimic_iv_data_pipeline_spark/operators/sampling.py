@@ -87,6 +87,11 @@ def hash_split(
     # sequentially, so an inlined u re-hashes per split boundary
     # (the q180 poisson_count lesson; same values, fewer md5 evals)
     tmp = f"__{out_col}_u"
+    # uniquify against the input (ADVICE r11: a fixed temp name would
+    # silently withColumn-replace — then drop — a caller column that
+    # happens to collide, corrupting input data)
+    while tmp in df.columns:
+        tmp = "_" + tmp
     u = F.col(tmp)
     expr: Column | None = None
     acc = 0.0

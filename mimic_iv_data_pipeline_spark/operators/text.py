@@ -15,7 +15,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mimic_iv_data_pipeline_spark.engine import fan_out
 from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
 # Deterministic marker-word lists for the language-ID heuristic. Tiny on
@@ -251,7 +250,15 @@ def url_frequency(
     — the standard crawl-dedup signal (the same page fetched under
     scheme/www/query variants collapses to one key). One explode + one
     vocabulary-bounded hash aggregate."""
-    occ = fan_out(df.select(id_col, text_col)).select(
+    # NOT fanned out (optimization r12): the r11 fan_out here was
+    # driver-flagged and the r12 interleaved A/B read fan ON/OFF 1.51×
+    # (min-of-6, every rep ON slower) — the regex explode is cheap
+    # enough that the keyless repartition's local sort + exchange costs
+    # more than the widened parallelism buys. A multi-file corpus scan
+    # at scale already has ≥ cores partitions; only an unsplittable
+    # single-file corpus would serialize, and that is an ingest-layout
+    # problem to fix at the source (guide §2.5), not per-operator.
+    occ = df.select(id_col, text_col).select(
         F.col(id_col).alias("__doc"),
         F.explode(extract_urls(F.col(text_col))).alias("__raw"),
     ).select("__doc", normalize_url(F.col("__raw")).alias("url"))
@@ -594,10 +601,15 @@ def chunk_documents(
     empty/whitespace-only documents yield no chunks.
     """
     toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    # fan_out: chunking is embarrassingly parallel and otherwise has NO
-    # exchange anywhere — an unsplittable single-file scan would run the
-    # whole tokenize+slice chain in one task (no-op at ≥ cores parts)
-    base = fan_out(df.select(id_col, text_col)).select(
+    # NOT fanned out (optimization r12): the r11 fan_out here regressed
+    # q95 0.69× in the driver's ground truth and the r12 interleaved
+    # A/B confirmed (fan ON/OFF 1.12 min-of-6, ON ≥ OFF in most reps) —
+    # the bench protocol overrules the r11 "never a loss" A/Bs. The
+    # scale argument (an unsplittable single-file corpus would chunk in
+    # ONE task because chunking has no exchange anywhere) remains true
+    # but is an ingest-layout problem (guide §2.5 "fix at the source");
+    # a caller with that pathology can fan_out its input explicitly.
+    base = df.select(id_col, text_col).select(
         F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
     ).where(F.col("__n") > 0)
     last = F.greatest(F.col("__n") - window, F.lit(0))

@@ -148,6 +148,27 @@ def run_pipeline(
             )
         return df
 
+    # The whole body runs under try/finally (ADVICE r11): if any stage
+    # after a _leaf submit raises (e.g. the feature-vocab cap), the
+    # in-flight leaf writes must be joined before the exception reaches
+    # the caller — otherwise caller cleanup (bench's rmtree of out_dir)
+    # races the still-running writes and masks the original error with
+    # confusing secondary failures. cancel_futures drops queued-but-
+    # unstarted writes; shutdown(wait=True) joins the running ones.
+    try:
+        return _run_pipeline_body(
+            spark, tables, out_dir, cfg, handoff, id_col, anchor,
+            _boundary, _leaf, leaf_futures,
+        )
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True, cancel_futures=True)
+
+
+def _run_pipeline_body(
+    spark, tables, out_dir, cfg, handoff, id_col, anchor,
+    _boundary, _leaf, leaf_futures,
+) -> dict[str, DataFrame]:
     cohort = extract_cohort(
         tables["visits"],
         tables["patients"],
@@ -210,12 +231,8 @@ def run_pipeline(
 
     tensors = _leaf(dl_tensor_frame(dense, id_col=id_col), "tensors")
 
-    if pool is not None:
-        try:
-            for f in leaf_futures:
-                f.result()  # propagate the first write failure, if any
-        finally:
-            pool.shutdown(wait=True)
+    for f in leaf_futures:
+        f.result()  # propagate the first write failure, if any
 
     return {
         "cohort": cohort,

@@ -162,9 +162,16 @@ _MODULES = [
 #   rows-only, ineligible), the full r6 block (35 rows, name order),
 #   then the 5 oldest r7 rows (q02 q05 q06 q07 q09). After r11 the
 #   oldest driver row is r7.
-# r12 plan: (a) any r11 reds; (b) first rows for r12-new queries;
-#   (c) the 8-core + alternate-7 (even round); (d) oldest-first aged
-#   rows to 50 — the r7 remainder (q10+ in name order). Rotation policy
+# r12 manifest (EXECUTED below): (a) no r11 reds — CORRECTNESS_r11
+#   was 50/50 green; (b) no r12-new queries (optimization round — no
+#   new features, so no never-checked rows exist); (c) the 8-core +
+#   alternate-7 (even round); (d) the 35 oldest aged rows: the full
+#   r7 remainder (q10 q11 q12 q164-q166 q169 q172 q174 q175 q178 q179
+#   q183-q188 q191 q192 q195 q197 q199 q202 q207-q217 in name order).
+#   After r12 the oldest driver row is r8.
+# r13 plan: (a) any r12 reds; (b) first rows for r13-new queries;
+#   (c) the 8-core only (odd round — alternate-7 sit out); (d) oldest-
+#   first aged rows to 50 — the r8 block next. Rotation policy
 #   (pinned by tests/test_manifest.py::test_aged_slots_are_oldest_first):
 #   after never-checked + core, every remaining slot goes to the oldest
 #   eligible (oracled) queries, oldest round first, name order within
@@ -174,11 +181,9 @@ _MODULES = [
 # this round, so the pin holds before and after the round's own
 # CORRECTNESS file lands (even a partial one from a crashed driver).
 # Bump together with the manifest each round.
-_MANIFEST_ROUND = 11
+_MANIFEST_ROUND = 12
 
 _PRIORITY = [
-    # (b) never-checked first: new this round
-    "q223_negative_sample_skewed",
     # (c) every-round 8-core — one per SURVEY §2 family
     "q03_revenue_by_nation",
     "q04_semi_join",
@@ -188,50 +193,50 @@ _PRIORITY = [
     "q32_pivot_wide",
     "q34_dedup_exact",
     "q42_cosine_topk",
-    # (d) oldest aged rows — the r5 remainder (1 eligible row)
-    "q16_outlier_clamp",
-    # (d) oldest aged rows — the full r6 block (35 rows, name order)
-    "q151_triangle_count",
-    "q152_ann_ndcg",
-    "q153_funnel",
-    "q154_target_encoding",
-    "q155_token_budget",
-    "q156_mad_outliers",
-    "q157_mutual_information",
-    "q158_cuped_ab",
-    "q159_label_propagation",
-    "q160_pareto_front",
-    "q161_temporal_split",
-    "q162_kaplan_meier",
-    "q163_logrank",
-    "q167_ks_statistic",
-    "q168_association_rules",
-    "q170_cdc_apply",
-    "q171_rolling_revenue",
-    "q173_ewma",
-    "q176_lift_gains",
-    "q177_grouped_linreg",
-    "q180_bootstrap_ci",
-    "q181_mann_whitney",
-    "q182_anova",
-    "q189_textrank_keywords",
-    "q190_naive_bayes",
-    "q193_attribution",
-    "q194_best_split",
-    "q196_isotonic",
-    "q198_epi_2x2",
-    "q200_shortest_paths",
-    "q201_benford",
-    "q203_radius_join",
-    "q204_golden_records",
-    "q205_concentration",
-    "q206_weibull_fit",
-    # (d) oldest aged rows — the 5 oldest r7 rows (name order)
-    "q02_filter_project",
-    "q05_anti_join",
-    "q06_dedup_first",
-    "q07_conditional_clamp",
-    "q09_union_branches",
+    # (c) alternate-7 (even round)
+    "q08_outer_join_fill",
+    "q14_code_mapping",
+    "q15_mode_per_group",
+    "q17_topk_per_group",
+    "q26_vocab_build",
+    "q39_ngram_jaccard",
+    "q45_set_ops",
+    # (d) oldest aged rows — the full r7 remainder (35 rows, name order)
+    "q10_distinct_counts",
+    "q11_string_fns",
+    "q12_date_fns",
+    "q164_funnel_lag",
+    "q165_chi_square",
+    "q166_psi_drift",
+    "q169_transition_matrix",
+    "q172_merge_intervals",
+    "q174_cusum",
+    "q175_roc_pr_curve",
+    "q178_seasonal_anomalies",
+    "q179_daily_acf",
+    "q183_bh_fdr",
+    "q184_pmi_collocations",
+    "q185_item_neighbors",
+    "q186_bfs_levels",
+    "q187_holt_trend",
+    "q188_session_stats",
+    "q191_rfm",
+    "q192_seasonal_decompose",
+    "q195_woe_iv",
+    "q197_smd_balance",
+    "q199_forecast_backtest",
+    "q202_time_decay",
+    "q207_geo_knn",
+    "q208_welch_ttest",
+    "q209_mixture_temperature",
+    "q210_geo_clusters",
+    "q211_trimmed_mean",
+    "q212_markov_stationary",
+    "q213_cmh_pooled_or",
+    "q214_spearman",
+    "q215_exact_percentiles",
+    "q216_anonymity_report",
+    "q217_date_shift",
 ]
 
 def _ordered(d: dict) -> dict:

@@ -48,7 +48,9 @@ DEFAULT_CONFIG: dict[str, str] = {
     # a real cluster this conf is set at submit time per executor
     # (spark.executor.memory) and this entry — honored only when the
     # session actually creates the JVM — is simply superseded.
-    "spark.driver.memory": "16g",
+    # Env-overridable (ADVICE r11: a consumer on a smaller machine can
+    # set SPARK_GRAFT_DRIVER_MEMORY without forking the library).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
     # LOCAL-HARNESS GC (guide §5): batch throughput beats pause-time
     # goals here — ParallelGC measured 0.85-0.94× the JDK-17 G1
     # default on interleaved 14-query batteries at 16 g and ~0.9× on
@@ -56,8 +58,11 @@ DEFAULT_CONFIG: dict[str, str] = {
     # process. A cluster sets the executor collector via
     # spark.executor.extraJavaOptions (keep G1 for latency-sensitive
     # long-lived services); like driver.memory this is only honored
-    # at JVM creation.
-    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    # at JVM creation. Env-overridable for the same reason as the heap
+    # (and so a cold-JVM A/B can toggle the collector per process).
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"
+    ),
 }
 
 

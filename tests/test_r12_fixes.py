@@ -1,0 +1,102 @@
+"""Focused pins for the round-12 ADVICE fixes (optimization round 2).
+
+Each test pins one behavioral contract the r12 fixes introduced:
+fan_out's probe guard, hash_split's temp-name collision guard, and
+run_pipeline's exception-path pool shutdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_data_pipeline_spark.engine import fan_out
+from mimic_iv_data_pipeline_spark.operators.sampling import hash_split
+
+
+def test_fan_out_fires_on_narrow_over_scan(spark, sf_smoke):
+    df = spark.read.parquet(f"{sf_smoke}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    out = fan_out(df)
+    # the smoke input is a single small file -> fewer partitions than
+    # defaultParallelism, so the fan must fire (a new frame) and widen
+    assert out is not df
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_skips_shuffle_derived_inputs(spark, sf_smoke):
+    """ADVICE r11: df.rdd on an AQE plan with exchanges materializes
+    upstream query stages the returned frame then recomputes — so
+    fan_out must return shuffle-derived inputs UNPROBED (identity)."""
+    base = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    joined = base.join(
+        base.select("c_custkey", F.col("c_name").alias("b")), "c_custkey"
+    )
+    assert fan_out(joined) is joined
+    agg = base.groupBy("c_nationkey").count()
+    assert fan_out(agg) is agg
+    win = base.withColumn(
+        "rk",
+        F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("c_nationkey").orderBy(
+                "c_custkey"
+            )
+        ),
+    )
+    assert fan_out(win) is win
+
+
+def test_fan_out_not_fooled_by_expression_names(spark):
+    """Expression text containing node-like words (sort_array, a column
+    literally named 'Join') must not suppress the fan — the guard
+    matches node heads at tree-line starts only."""
+    df = (
+        spark.range(0, 5, 1, 1)  # ONE input partition so the fan must fire
+        .select(
+            F.array(F.col("id")).alias("a"),
+            F.col("id").alias("Join"),
+        )
+        .select(F.sort_array(F.col("a")).alias("sort_array(a)"), "Join")
+    )
+    out = fan_out(df)
+    assert out is not df  # narrow plan over range: the probe ran and fired
+
+
+def test_hash_split_temp_name_collision(spark):
+    """A caller column equal to the internal temp name must survive
+    with its values intact (it used to be replaced then dropped)."""
+    df = spark.range(20).select(
+        F.col("id"),
+        F.lit("keep-me").alias("__split_u"),
+    )
+    out = hash_split(df, "id", {"train": 0.5, "test": 0.5})
+    assert "__split_u" in out.columns
+    vals = {r["__split_u"] for r in out.collect()}
+    assert vals == {"keep-me"}
+    # and the split itself still works / is deterministic
+    assert {r["split"] for r in out.collect()} <= {"train", "test"}
+
+
+def test_run_pipeline_joins_leaf_writes_on_exception(spark, tmp_path):
+    """If a stage AFTER a leaf submit raises, run_pipeline must join the
+    in-flight leaf writes before propagating, so caller cleanup can't
+    race them (ADVICE r11). Trigger: a feature-vocab cap of 1 raises in
+    _collect_feature_vocab, which runs after the summary leaf submit."""
+    import os
+
+    from mimic_iv_data_pipeline_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    from bench import _e2e_tables
+
+    tables = _e2e_tables(spark, "/root/testdata/sf0.001")
+    out_dir = str(tmp_path / "pipe")
+    cfg = PipelineConfig(include_hours=4, bucket_hours=2, max_feature_vocab=1)
+    with pytest.raises(ValueError, match="feature vocabulary exceeds"):
+        run_pipeline(spark, tables, out_dir, cfg, handoff="parquet")
+    # the summary leaf write was submitted before the raise; the finally
+    # must have joined it — its _SUCCESS marker is complete on disk
+    assert os.path.exists(os.path.join(out_dir, "summary", "_SUCCESS"))
