@@ -1046,15 +1046,36 @@ def naive_bayes_scores(
     # N_c = Σ_t c(t, c) and V = |distinct t in wc| — so they derive from
     # the vocab-bounded wc relation instead of re-scanning the
     # corpus-sized token relation (two fewer full passes; tok's
-    # consumers drop 5 → 3). wc is pinned (engine.materialize) under
-    # reuse so its aggregate runs once for its three consumers.
-    wc = tok.groupBy(F.col("__t"), F.col("__y").alias("__c")).agg(
-        F.count(F.lit(1)).cast("long").alias("__cnt")
+    # consumers drop 5 → 3).
+    # Optimization r12 (guide §2.4, the r11 ledger's deferred item,
+    # profiled first per the verdict): the per-doc token counts fold
+    # into the SAME corpus pass via GROUPING SETS ((token, class),
+    # (id)) — the feared Expand ×2 adds only ~5% to the one pass while
+    # a separate doc-length aggregate costs a full scan plus its own
+    # exchange and job (measured at sf0.1, min-of-3 noop: fresh tok
+    # 0.208 vs 0.389 s, PERSISTED tok 0.169 vs 0.241 s — the fold wins
+    # BOTH regimes, contradicting the r11 risk note). Counts at both
+    # granularities are exact longs of the same rows, so values are
+    # bit-identical (pinned by tests/test_r12_fixes.py). tok's
+    # consumers drop 3 → 2 (this pass + the scoring join); the combined
+    # stats relation is pinned (engine.materialize) under reuse so the
+    # aggregate runs once for wc's three consumers and nd's two.
+    stats = tok.groupingSets(
+        [["__t", "__y"], [id_col]], "__t", "__y", id_col
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.grouping_id().alias("__gid"),
     )
     if reuse:
         from mimic_iv_data_pipeline_spark.engine import materialize
 
-        wc = materialize(wc)
+        stats = materialize(stats)
+    # grouping_id bits follow the groupBy column order (__t, __y, id):
+    # the (token, class) set aggregates id away -> 0b001 = 1; the (id)
+    # set aggregates __t and __y away -> 0b110 = 6.
+    wc = stats.filter(F.col("__gid") == 1).select(
+        "__t", F.col("__y").alias("__c"), "__cnt"
+    )
     class_tot = wc.groupBy("__c").agg(
         F.sum("__cnt").cast("long").alias("__nc")
     )
@@ -1123,7 +1144,9 @@ def naive_bayes_scores(
         .groupBy(id_col, "__c")
         .agg(F.sum("__d").alias("__s"))
     )
-    nd = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    nd = stats.filter(F.col("__gid") == 6).select(
+        F.col(id_col), F.col("__cnt").alias("__n")
+    )
     # Background winner per DISTINCT doc length: argmax_c of the line
     # prior_c + n·lp0_c (ties: ascending class, matching the final
     # argmax tie-break).

@@ -100,3 +100,65 @@ def test_run_pipeline_joins_leaf_writes_on_exception(spark, tmp_path):
     # the summary leaf write was submitted before the raise; the finally
     # must have joined it — its _SUCCESS marker is complete on disk
     assert os.path.exists(os.path.join(out_dir, "summary", "_SUCCESS"))
+
+
+def test_naive_bayes_grouping_sets_fold_matches_two_pass(spark, sf_smoke):
+    """r12 optimization pin: the GROUPING SETS fold inside
+    naive_bayes_scores must yield EXACTLY the two-pass statistics —
+    the (token, class) count matrix rows and the per-doc token counts
+    (this guards the grouping_id bit arithmetic: (__t,__y) set -> 1,
+    (id) set -> 6)."""
+    from pyspark.sql import functions as F
+
+    from mimic_iv_data_pipeline_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    tok = docs.select(
+        F.col("doc_id"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(5)).alias("__y"),
+        F.explode(tokens(F.col("text"))).alias("__t"),
+    )
+    stats = tok.groupingSets(
+        [["__t", "__y"], ["doc_id"]], "__t", "__y", "doc_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"),
+          F.grouping_id().alias("__gid"))
+    wc_fold = {
+        (r["__t"], r["__y"], r["__cnt"])
+        for r in stats.filter(F.col("__gid") == 1).collect()
+    }
+    nd_fold = {
+        (r["doc_id"], r["__cnt"])
+        for r in stats.filter(F.col("__gid") == 6).collect()
+    }
+    wc_ref = {
+        (r["__t"], r["__y"], r["__cnt"])
+        for r in tok.groupBy("__t", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .collect()
+    }
+    nd_ref = {
+        (r["doc_id"], r["__n"])
+        for r in tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .collect()
+    }
+    assert wc_fold == wc_ref and len(wc_fold) > 0
+    assert nd_fold == nd_ref and len(nd_fold) > 0
+    # and no third grouping id leaks through
+    gids = {r["__gid"] for r in stats.select("__gid").distinct().collect()}
+    assert gids == {1, 6}
+
+
+def test_naive_bayes_reuse_paths_agree(spark, sf_smoke):
+    """reuse=True (materialized stats) and reuse=False must produce
+    identical predictions after the r12 fold."""
+    from mimic_iv_data_pipeline_spark.operators.text import naive_bayes_scores
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("string").alias("lang")
+    )
+    a = {tuple(r) for r in naive_bayes_scores(docs, reuse=True).collect()}
+    b = {tuple(r) for r in naive_bayes_scores(docs, reuse=False).collect()}
+    assert a == b and len(a) > 0
