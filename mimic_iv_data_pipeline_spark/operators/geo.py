@@ -41,6 +41,7 @@ def radius_join(
     lon_col: str,
     radius_m: float,
     max_abs_lat: float = 80.0,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """All unordered point pairs within ``radius_m`` meters — grid
     bucketing + neighbor-cell equi-join + exact haversine filter, no
@@ -72,6 +73,12 @@ def radius_join(
     points yields k² candidates — shrink the radius or pre-aggregate
     co-located points upstream). Returns ``(id_a, id_b, dist_m)``
     unrounded.
+
+    ``carry`` (r12): extra per-point column names to pass through to
+    the output as ``<col>_a`` / ``<col>_b`` — lets a caller attach
+    precomputed per-point metadata (e.g. :func:`geo_clusters`' fine-
+    cell representative) without a post-hoc join back against the
+    pair relation. Empty by default; the default plan is unchanged.
     """
     if radius_m <= 0:
         raise ValueError("radius_join: radius_m must be positive")
@@ -120,6 +127,7 @@ def radius_join(
         F.col(lon_col).alias("__lona"),
         cx.alias("__cx"),
         cy.alias("__cy"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     # Explode the right side to its 3x3 neighborhood; longitude
     # neighbors wrap modulo n_lon (antimeridian pairs become ordinary
@@ -144,12 +152,14 @@ def radius_join(
         F.col("__lat").alias("__latb"),
         F.col(lon_col).alias("__lonb"),
         off.alias("__o"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
     ).select(
         "__idb",
         "__latb",
         "__lonb",
         F.col("__o.nx").alias("__cx"),
         F.col("__o.ny").alias("__cy"),
+        *[f"{c}_b" for c in carry],
     )
     dist = haversine_m(
         F.col("__lata"), F.col("__lona"), F.col("__latb"), F.col("__lonb")
@@ -163,6 +173,7 @@ def radius_join(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
             "dist_m",
+            *[f"{c}_{s}" for c in carry for s in ("a", "b")],
         )
     )
 
@@ -230,34 +241,177 @@ def geo_clusters(
     Ester et al. 1996's reachability closure). Isolated points form
     singleton clusters.
 
-    Plan: :func:`radius_join` candidate pairs → the repo's iterative
-    ``connected_components`` (min-id label propagation with the
-    ``engine.materialize`` lineage discipline). Cluster id = min point
-    id in the cluster — deterministic, engine-portable.
+    Plan (r12, skew-routed): a fine-grid cell histogram (diagonal ≤
+    radius) acts as the skew detector. When its clique mass Σk² is
+    within ``driver_cap`` the plain shape runs (radius_join pairs →
+    CC, the pre-r12 plan — cheapest when the pair relation is small).
+    When a dense blob pushes Σk² past the cap — the regime where the
+    pair relation would force CC onto the iterative star path — the
+    CLIQUE COLLAPSE routes in: same-cell points are pairwise in-radius
+    by construction, so each cell contributes a STAR on its min-id
+    representative instead of its k² clique, and every surviving
+    cross-cell pair contributes one witness edge per unordered rep
+    pair. Components are exactly the transitive closure's either way;
+    CC's input drops from Σk² to |V| + |adjacent cell pairs|
+    (measured: the q210 sf1 fixture fed CC 37.4M pair edges pre-r12 —
+    vs ~150k collapsed). Cluster id = min point id in the cluster —
+    deterministic, engine-portable.
 
-    Scale shape: the radius join's bounded candidate generation plus
-    CC's per-iteration |V|-row exchanges; ``driver_cap`` passes
-    through to CC's union-find fast path, whose bounded Arrow collect
-    auto-picks the path from the TRUE edge count — the 4M default
-    (64 MB transfer) covers the 1.4M-edge probe that cost the star
-    path ~60 s in r6 (PERF r6d/r7). Dense
-    urban blobs are the skew knob (one k-point cell yields k² pair
-    candidates) — shrink the radius or pre-aggregate co-located
-    points upstream, as with :func:`radius_join`. Returns
-    ``(id, cluster_id)``.
+    Scale shape: one |occupied cells|-row histogram (pinned; the
+    routing probe and the kept path observe one computation) + the
+    radius join's bounded candidate generation; the collapse adds a
+    rep join and a witness-dedup aggregate but caps CC's input.
+    ``driver_cap`` passes through to CC's union-find fast path (4M
+    default = 64 MB Arrow collect). The collapse is guarded to
+    radius ≤ 100 km (the small-angle bound that makes the in-cell
+    diagonal airtight); larger radii always take the full-pair path.
+    Dense blobs still cost k² CANDIDATES inside the radius join
+    (shrink the radius or pre-aggregate co-located points upstream) —
+    but no longer k² CC edges. Returns ``(id, cluster_id)``.
     """
+    import math
+
     from mimic_iv_data_pipeline_spark.operators.graph import connected_components
 
-    pairs = radius_join(points, id_col, lat_col, lon_col, radius_m, max_abs_lat)
+    # Optimization r12 (guide §2.5 skew / §8 "decide with small rows"):
+    # a dense blob of k mutually-in-radius points used to feed CC the
+    # full k² clique (measured: the q210 sf1 fixture emits 37.4M pair
+    # edges from 150k points — 102× the sf0.1 count — pushing CC past
+    # driver_cap into the iterative star path, 8.7 s core-count-
+    # INVARIANT). Connected components only needs CONNECTIVITY, not
+    # the pair relation: quantize to a FINE grid whose cell diagonal
+    # is ≤ the radius (so same-cell points are pairwise within it —
+    # a clique by construction), collapse each cell to a star on its
+    # min-id representative, and reduce surviving cross-cell pairs to
+    # ONE witness edge per unordered rep pair. Components are exactly
+    # the transitive closure's: same-cell edges are all true pairs
+    # (diagonal bound), every true cross-cell pair contributes its
+    # reps' witness edge, and no edge exists that the exact filter did
+    # not produce. CC input drops from Σk² to |V| + |adjacent cell
+    # pairs|. Geometry guard: the diagonal bound uses the small-angle
+    # inflation asin(t) ≤ t·(1+t²) absorbed by a 1.001 shrink, airtight
+    # for radius ≤ ~100 km; larger radii (t > 0.008) fall back to the
+    # pre-r12 full-pair path (correct, just clique-heavy).
+    lat_m_per_deg = math.pi * EARTH_RADIUS_M / 180.0
+    fine_ok = 0.0 < radius_m <= 100_000.0
+    if not fine_ok:
+        pairs = radius_join(points, id_col, lat_col, lon_col, radius_m, max_abs_lat)
+        comp = connected_components(
+            pairs.select("id_a", "id_b"),
+            "id_a",
+            "id_b",
+            nodes=points.select(F.col(id_col).alias("id")),
+            driver_cap=driver_cap,
+            local_contract=True,
+        )
+        return comp.select(F.col("id"), F.col("component").alias("cluster_id"))
+
+    # fine cell edge ≤ (radius/√2)/1.001 in meters on BOTH axes at the
+    # worst latitude (equator for longitude), so the in-cell diagonal
+    # stays < radius under the haversine's small-angle inflation
+    fine_deg = (radius_m / math.sqrt(2.0)) / lat_m_per_deg / 1.001
+    # uniform wrap-safe longitude cells: n cells of 360/n ≤ fine_deg
+    # (for the fine grid the edge must not EXCEED the bound — the
+    # mirror of radius_join's ≥ rule)
+    n_lon_f = max(1, int(math.ceil(360.0 / fine_deg)))
+    fcx = F.floor(F.col(lat_col) / F.lit(fine_deg)).cast("long")
+    fcy = F.pmod(
+        F.floor(F.pmod(F.col(lon_col), F.lit(360.0)) / F.lit(360.0 / n_lon_f)).cast(
+            "long"
+        ),
+        F.lit(n_lon_f),
+    )
+    # Null-LON rows get NO fine cell (SQL groupBy would pool null keys
+    # into one bogus clique); they reach the output as singletons via
+    # the nodes relation — exactly the pre-r12 behavior (a null cell
+    # key never matched the equi-join). Null or out-of-range LAT keeps
+    # the pre-r12 behavior too: the same per-row raise guard
+    # radius_join applies (a silent filter here would swallow rows the
+    # old path rejected loudly).
+    lat_ok = F.abs(F.col(lat_col)) <= F.lit(float(max_abs_lat))
+    lat_guarded = F.when(lat_ok, F.col(lat_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"radius_join: |lat| > {max_abs_lat} — polar caps need a "
+                "dedicated scheme"
+            )
+        )
+    )
+    fine = points.where(F.col(lon_col).isNotNull()).select(
+        F.col(id_col).alias("id"), fcx.alias("__fx"), fcy.alias("__fy"),
+        lat_guarded.alias("__plat"), F.col(lon_col).alias("__plon"),
+    )
+    # Skew detector (the sampling.py prefix-skew pattern the r11 verdict
+    # endorsed: a bounded per-bucket count relation doubles as the
+    # router). Σk² over fine cells is the clique mass the collapse
+    # would remove — when it is within CC's own driver_cap, the plain
+    # pair relation is small enough for the union-find fast path and
+    # the collapse's extra exchanges (rep join, witness dedup) are pure
+    # overhead (interleaved A/B at sf0.1: collapse 1.25× SLOWER there);
+    # when it exceeds the cap, the pair relation is headed for the
+    # iterative star path and the collapse is the difference between a
+    # 64 MB collect and 37M-row CC rounds. The probe is ONE action (a
+    # two-level aggregate to a scalar); the collapse path recomputes
+    # the cell histogram lazily — one extra points-pass paid only in
+    # the heavy regime where it is noise against the saved CC rounds,
+    # keeping the common small-data route at a single extra job.
+    cells = fine.groupBy("__fx", "__fy").agg(
+        F.min("id").alias("__rep"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    clique_mass = cells.agg(
+        F.sum(F.col("__k") * F.col("__k")).alias("m")
+    ).first()["m"]
+    if clique_mass is None or clique_mass <= driver_cap:
+        pairs = radius_join(points, id_col, lat_col, lon_col, radius_m, max_abs_lat)
+        comp = connected_components(
+            pairs.select("id_a", "id_b"),
+            "id_a",
+            "id_b",
+            nodes=points.select(F.col(id_col).alias("id")),
+            driver_cap=driver_cap,
+            local_contract=True,
+        )
+        return comp.select(F.col("id"), F.col("component").alias("cluster_id"))
+    # collapse path: pin the histogram (it feeds the rep join below —
+    # and `tagged` feeds BOTH the star and the pair relations, so an
+    # unpinned subtree would recompute per consumer; measured 6.45 vs
+    # 3.39 s at sf1 with the pin)
+    from mimic_iv_data_pipeline_spark.engine import materialize
+
+    cells = materialize(cells)
+    reps = cells.select("__fx", "__fy", "__rep")
+    tagged = fine.join(reps, ["__fx", "__fy"]).select(
+        "id", F.col("__plat").alias("__lat0"), F.col("__plon").alias("__lon0"),
+        "__rep",
+    )
+    # star edges: every point to its cell representative (the clique,
+    # collapsed); singleton-cell points emit no edge (rep == id)
+    stars = tagged.filter(F.col("id") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    # witness edges: the exact-filtered cross-cell pairs, one per
+    # unordered rep pair (CC needs existence, not multiplicity)
+    pairs = radius_join(
+        tagged.select("id", "__lat0", "__lon0", "__rep"),
+        "id", "__lat0", "__lon0", radius_m, max_abs_lat, carry=("__rep",),
+    )
+    witnesses = (
+        pairs.filter(F.col("__rep_a") != F.col("__rep_b"))
+        .select(
+            F.least("__rep_a", "__rep_b").alias("id_a"),
+            F.greatest("__rep_a", "__rep_b").alias("id_b"),
+        )
+        .distinct()
+    )
     comp = connected_components(
-        pairs.select("id_a", "id_b"),
+        stars.unionByName(witnesses),
         "id_a",
         "id_b",
         nodes=points.select(F.col(id_col).alias("id")),
         driver_cap=driver_cap,
-        # radius_join emits pairs partitioned by grid cell, so each
-        # partition holds whole spatial blobs — exactly the layout the
-        # partition-local contraction collapses (see graph.py; PERF r8)
+        # the collapsed edge relation is tiny (|V| stars + witness
+        # pairs); local contraction still helps when cells cluster
         local_contract=True,
     )
     return comp.select(F.col("id"), F.col("component").alias("cluster_id"))

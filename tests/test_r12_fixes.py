@@ -162,3 +162,122 @@ def test_naive_bayes_reuse_paths_agree(spark, sf_smoke):
     a = {tuple(r) for r in naive_bayes_scores(docs, reuse=True).collect()}
     b = {tuple(r) for r in naive_bayes_scores(docs, reuse=False).collect()}
     assert a == b and len(a) > 0
+
+
+def _brute_clusters(pts, radius_m):
+    """Reference single-linkage closure in Python (haversine)."""
+    import math
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        rl1, rl2 = math.radians(la1), math.radians(la2)
+        dlat = math.radians(la2 - la1) / 2
+        dlon = math.radians(lo2 - lo1) / 2
+        x = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+        return 2 * 6_371_000.0 * math.asin(math.sqrt(x))
+
+    parent = {i: i for i, _ in pts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = [i for i, _ in pts]
+    coords = dict(pts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if coords[a][0] is None or coords[b][0] is None:
+                continue
+            if coords[a][1] is None or coords[b][1] is None:
+                continue
+            if hav(coords[a], coords[b]) <= radius_m:
+                union(a, b)
+    out = {}
+    for i in ids:
+        out[i] = min(j for j in ids if find(j) == find(i))
+    return out
+
+
+def test_geo_clusters_clique_collapse_matches_brute_force(spark):
+    """r12 optimization pin: the fine-grid clique collapse must produce
+    EXACTLY the transitive-closure clusters. Adversarial shapes: a
+    dense pile (the k-squared clique the collapse exists for), a chain
+    crossing fine-cell boundaries (50 m steps, 100 m radius), an
+    antimeridian pair, isolated singletons, and a null-longitude row
+    (must stay a singleton, not pool with other nulls)."""
+    pts = []
+    # dense pile: 30 points within ~40 m of each other
+    for k in range(30):
+        pts.append((100 + k, (52.0 + k * 1e-6, 13.0 + k * 1e-6)))
+    # chain: 6 points spaced ~70 m -> one cluster via transitivity
+    for k in range(6):
+        pts.append((200 + k, (48.0 + k * 0.00063, 8.0)))
+    # antimeridian pair (~50 m apart across the seam)
+    pts.append((300, (10.0, 179.9998)))
+    pts.append((301, (10.0, -179.9998)))
+    # isolated singletons
+    pts.append((400, (-30.0, 100.0)))
+    pts.append((401, (-31.0, 101.0)))
+    # two null-lon rows at the same latitude: must NOT merge
+    pts.append((500, (20.0, None)))
+    pts.append((501, (20.0, None)))
+
+    from mimic_iv_data_pipeline_spark.operators.geo import geo_clusters
+
+    df = spark.createDataFrame(
+        [(i, lat, lon) for i, (lat, lon) in pts],
+        "id long, lat double, lon double",
+    )
+    want = _brute_clusters(pts, 100.0)
+    # default driver_cap: the skew router sees a small clique mass and
+    # takes the plain full-pair path
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in geo_clusters(df, "id", "lat", "lon", radius_m=100.0).collect()
+    }
+    assert got == want
+    # tiny driver_cap: the router is forced onto the clique-collapse
+    # path (stars + witness edges) — must agree exactly
+    got_collapsed = {
+        r["id"]: r["cluster_id"]
+        for r in geo_clusters(
+            df, "id", "lat", "lon", radius_m=100.0, driver_cap=10
+        ).collect()
+    }
+    assert got_collapsed == want
+    got = got_collapsed  # the shape assertions below pin the collapse path
+    # sanity on the shapes the fixture plants
+    assert len({got[100 + k] for k in range(30)}) == 1  # pile is one cluster
+    assert len({got[200 + k] for k in range(6)}) == 1   # chain links up
+    assert got[300] == got[301]                          # seam pair merges
+    assert got[400] == 400 and got[401] == 401
+    assert got[500] == 500 and got[501] == 501           # nulls stay apart
+
+
+def test_geo_clusters_large_radius_fallback_matches(spark):
+    """radius > 100 km takes the pre-r12 full-pair path; both paths
+    must agree on a fixture that spans the guard boundary."""
+    from mimic_iv_data_pipeline_spark.operators.geo import geo_clusters
+
+    pts = [(i, 40.0 + i * 0.4, 5.0) for i in range(8)]  # ~44 km steps
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    fine = {
+        r["id"]: r["cluster_id"]
+        for r in geo_clusters(df, "id", "lat", "lon", radius_m=50_000.0).collect()
+    }
+    fallback = {
+        r["id"]: r["cluster_id"]
+        for r in geo_clusters(df, "id", "lat", "lon", radius_m=150_000.0).collect()
+    }
+    want50 = _brute_clusters([(i, (la, lo)) for i, la, lo in pts], 50_000.0)
+    want150 = _brute_clusters([(i, (la, lo)) for i, la, lo in pts], 150_000.0)
+    assert fine == want50
+    assert fallback == want150
