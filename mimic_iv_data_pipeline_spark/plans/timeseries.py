@@ -116,36 +116,42 @@ def generate_timeseries(
     # multiset parity; tests/test_timeseries.py pins wide == map).
     # Beyond the width bound the map/HOF form below keeps unbounded
     # grids working (coalesce chains grow O(n²) in codegen size).
+    # The wide expressions are built as parsed SQL strings, not Column
+    # algebra (optimization r12, guide §5): the Column form issued
+    # O(n_buckets²) py4j round-trips — ~1.5 s of single-threaded DRIVER
+    # time per call at 24 buckets, measured larger than the job's own
+    # executor wall — while one F.expr parse is milliseconds. The parsed
+    # form is plan-identical (DataFrame.sameSemantics == True vs the
+    # Column form; pinned by tests), so executors see the same codegen.
     if n_buckets <= 96:
         vcols = [
-            F.max(F.when(F.col("bucket") == b, F.col("value"))).alias(f"__v{b}")
+            F.expr(f"max(CASE WHEN bucket = {b} THEN value END)").alias(f"__v{b}")
             for b in range(n_buckets)
         ]
         ncols = [
-            F.max(F.when(F.col("bucket") == b, F.col("n_events"))).alias(f"__n{b}")
+            F.expr(f"max(CASE WHEN bucket = {b} THEN n_events END)").alias(f"__n{b}")
             for b in range(n_buckets)
         ]
         packed = binned.groupBy(id_col, code_col).agg(*vcols, *ncols)
 
-        def _filled(b: int) -> Column:
+        def _filled_sql(b: int) -> str:
             if impute is None:
-                return F.col(f"__v{b}")
+                return f"`__v{b}`"
             order = (
-                [F.col(f"__v{i}") for i in range(b, -1, -1)]
-                + [F.col(f"__v{i}") for i in range(b + 1, n_buckets)]
-                + [F.lit(0.0)]
+                [f"`__v{i}`" for i in range(b, -1, -1)]
+                + [f"`__v{i}`" for i in range(b + 1, n_buckets)]
+                + ["0.0D"]
             )
-            return F.coalesce(*order)
+            return "coalesce(" + ", ".join(order) + ")"
 
-        structs = [
-            F.struct(
-                F.lit(b).alias("bucket"),
-                _filled(b).alias("value"),
-                F.coalesce(F.col(f"__n{b}"), F.lit(0)).cast("long").alias("n_events"),
-            )
+        struct_sql = ", ".join(
+            f"named_struct('bucket', {b}, 'value', {_filled_sql(b)}, "
+            f"'n_events', CAST(coalesce(`__n{b}`, 0) AS BIGINT))"
             for b in range(n_buckets)
-        ]
-        return packed.select(id_col, code_col, F.inline(F.array(*structs)))
+        )
+        return packed.select(
+            id_col, code_col, F.expr(f"inline(array({struct_sql}))")
+        )
     entries = binned.groupBy(id_col, code_col).agg(
         F.map_from_entries(
             F.collect_list(

