@@ -178,85 +178,73 @@ def _q180_bootstrap_xxhash(spark, sf_dir):
 def _e2e_tables(spark, sf_dir):
     """Declaratively generated MIMIC-shaped inputs scaled by sf (30k
     stays / ~3M chart events at sf0.1 — the r1 PERF.md probe shape),
-    deterministic via xxhash64. Shared by both e2e handoff modes."""
-    from pyspark.sql import functions as F
+    deterministic via xxhash64. Shared by both e2e handoff modes.
 
+    Built from parsed SQL strings (r12, guide §5): this builder runs
+    inside BOTH e2e entries' timed regions, and the Column-algebra form
+    cost ~0.9 s of single-threaded driver time per run (py4j chatter +
+    one eager JVM re-analysis per Dataset op). The expressions — and
+    therefore every generated value — are identical
+    (tests/test_r12_fixes.py pins old-form == new-form row multisets)."""
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_stays = max(1_000, int(300_000 * sf))
     n_subjects = max(500, n_stays // 2)
-    base = F.to_timestamp(F.lit("2150-01-01 00:00:00"))
+    base = "to_timestamp('2150-01-01 00:00:00')"
 
-    def h(*cols):
-        return F.xxhash64(*cols)
-
-    stays = spark.range(n_stays).select(
-        F.col("id").alias("stay_id"),
-        F.pmod(h("id"), F.lit(n_subjects)).alias("subject_id"),
-        F.lit(None).cast("long").alias("_pad"),
+    stays_sql = [
+        "id AS stay_id",
+        f"pmod(xxhash64(id), {n_subjects}) AS subject_id",
+        "CAST(NULL AS BIGINT) AS _pad",
+    ]
+    admit = (
+        f"timestamp_seconds(unix_timestamp({base})"
+        f" + pmod(xxhash64(stay_id, 1), {300 * 86400}))"
     )
-    admit = F.timestamp_seconds(
-        F.unix_timestamp(base)
-        + F.pmod(h("stay_id", F.lit(1)), F.lit(300 * 86400))
-    )
-    los_h = (F.pmod(h("stay_id", F.lit(2)), F.lit(264)) + 24).cast("int")  # 1-12 d
-    icustays = stays.select(
+    los_h = "CAST(pmod(xxhash64(stay_id, 2), 264) + 24 AS INT)"  # 1-12 d
+    icustays = spark.range(n_stays).selectExpr(*stays_sql).selectExpr(
         "subject_id",
-        F.col("stay_id").alias("hadm_id"),
+        "stay_id AS hadm_id",
         "stay_id",
-        admit.alias("intime"),
-        F.timestamp_seconds(
-            F.unix_timestamp(admit) + los_h.cast("long") * 3600
-        ).alias("outtime"),
-        (los_h / F.lit(24.0)).alias("los"),
+        f"{admit} AS intime",
+        f"timestamp_seconds(unix_timestamp({admit})"
+        f" + CAST({los_h} AS BIGINT) * 3600) AS outtime",
+        f"{los_h} / 24.0D AS los",
     )
-    admissions = icustays.select(
+    admissions = icustays.selectExpr(
         "subject_id",
         "hadm_id",
-        F.col("intime").alias("admittime"),
-        F.col("outtime").alias("dischtime"),
-        F.lit(None).cast("timestamp").alias("deathtime"),
-        (F.pmod(h("hadm_id", F.lit(3)), F.lit(20)) == 0).cast("int").alias(
-            "hospital_expire_flag"
-        ),
-        F.lit("Private").alias("insurance"),
-        F.lit("OTHER").alias("ethnicity"),
+        "intime AS admittime",
+        "outtime AS dischtime",
+        "CAST(NULL AS TIMESTAMP) AS deathtime",
+        "CAST(pmod(xxhash64(hadm_id, 3), 20) = 0 AS INT) AS hospital_expire_flag",
+        "'Private' AS insurance",
+        "'OTHER' AS ethnicity",
     )
-    patients = (
-        icustays.select("subject_id").distinct().select(
-            "subject_id",
-            F.when(F.pmod(h("subject_id", F.lit(4)), F.lit(2)) == 0, "M")
-            .otherwise("F")
-            .alias("gender"),
-            (F.pmod(h("subject_id", F.lit(5)), F.lit(85)) + 5)
-            .cast("int")
-            .alias("anchor_age"),  # ~15% minors, filtered by min_age
-            F.lit(2150).cast("int").alias("anchor_year"),
-            F.lit("2008 - 2010").alias("anchor_year_group"),
-            F.lit(None).cast("timestamp").alias("dod"),
-        )
+    patients = icustays.select("subject_id").distinct().selectExpr(
+        "subject_id",
+        "CASE WHEN pmod(xxhash64(subject_id, 4), 2) = 0 THEN 'M' ELSE 'F' END"
+        " AS gender",
+        # ~15% minors, filtered by min_age
+        "CAST(pmod(xxhash64(subject_id, 5), 85) + 5 AS INT) AS anchor_age",
+        "CAST(2150 AS INT) AS anchor_year",
+        "'2008 - 2010' AS anchor_year_group",
+        "CAST(NULL AS TIMESTAMP) AS dod",
     )
     ev_per_stay = 100
     events = (
         spark.range(n_stays * ev_per_stay)
-        .select((F.col("id") / ev_per_stay).cast("long").alias("stay_id"),
-                F.col("id").alias("eid"))
+        .selectExpr(f"CAST(id / {ev_per_stay} AS BIGINT) AS stay_id", "id AS eid")
         .join(icustays.select("stay_id", "intime", "los"), "stay_id")
-        .select(
+        .selectExpr(
             "stay_id",
-            F.timestamp_seconds(
-                F.unix_timestamp("intime")
-                + F.pmod(h("eid", F.lit(6)), (F.col("los") * 86400 + 14400).cast("long"))
-                - F.lit(7200)
-            ).alias("charttime"),
-            (F.pmod(h("eid", F.lit(7)), F.lit(3)) + 220045).alias("itemid"),
-            F.when(
-                F.pmod(h("eid", F.lit(8)), F.lit(50)) == 0, F.lit(9999.0)
-            ).otherwise(
-                70.0 + F.pmod(h("eid", F.lit(9)), F.lit(2000)) / 100.0
-            ).alias("valuenum"),
-            F.when(F.pmod(h("eid", F.lit(10)), F.lit(30)) == 0, "BPM")
-            .otherwise("bpm")
-            .alias("valueuom"),
+            "timestamp_seconds(unix_timestamp(intime)"
+            " + pmod(xxhash64(eid, 6), CAST(los * 86400 + 14400 AS BIGINT))"
+            " - 7200) AS charttime",
+            "pmod(xxhash64(eid, 7), 3) + 220045 AS itemid",
+            "CASE WHEN pmod(xxhash64(eid, 8), 50) = 0 THEN 9999.0D"
+            " ELSE 70.0D + pmod(xxhash64(eid, 9), 2000) / 100.0D END AS valuenum",
+            "CASE WHEN pmod(xxhash64(eid, 10), 30) = 0 THEN 'BPM' ELSE 'bpm' END"
+            " AS valueuom",
         )
     )
     return {

@@ -22,5 +22,16 @@ from pyspark.sql import functions as F
 
 def dround(col: Column | str, scale: int = 0) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    factor = F.lit(float(10**scale))
-    return F.floor(c * factor + F.lit(0.5)) / factor
+    # plain Python floats: Column ops lift literals JVM-side, identical
+    # to F.lit(...) but one py4j round-trip cheaper per operand (r12 —
+    # dround is on nearly every query's build path)
+    factor = float(10**scale)
+    return F.floor(c * factor + 0.5) / factor
+
+
+def dround_sql(expr: str, scale: int = 0) -> str:
+    """SQL-string twin of :func:`dround` (r12, guide §5) — the same
+    floor(x·10ⁿ + 0.5)/10ⁿ tree from one parser call. ``expr`` is a SQL
+    snippet (column name or parenthesized expression)."""
+    factor = repr(float(10**scale))
+    return f"FLOOR(({expr}) * {factor}D + 0.5D) / {factor}D"

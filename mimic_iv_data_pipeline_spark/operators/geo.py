@@ -34,6 +34,21 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """SQL-string twin of :func:`haversine_m` (r12, guide §5): the same
+    expression tree — same literals, same IEEE order — produced by one
+    parser call instead of ~20 py4j round-trips. Args are SQL snippets
+    (column names or parenthesized expressions)."""
+    dlat = f"RADIANS({lat2} - {lat1}) / 2"
+    dlon = f"RADIANS({lon2} - {lon1}) / 2"
+    a = (
+        f"SIN({dlat}) * SIN({dlat})"
+        f" + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+        f" * SIN({dlon}) * SIN({dlon})"
+    )
+    return f"{2.0 * EARTH_RADIUS_M!r}D * ASIN(SQRT({a}))"
+
+
 def radius_join(
     points: DataFrame,
     id_col: str,
@@ -99,35 +114,33 @@ def radius_join(
     # correct: strictly more candidates, never fewer).
     n_lon = max(1, int(math.floor(360.0 / lon_deg_min)))
     lon_deg = 360.0 / n_lon
-    lat_ok = F.abs(F.col(lat_col)) <= F.lit(float(max_abs_lat))
-    guarded = points.withColumn(
-        "__lat",
-        F.when(lat_ok, F.col(lat_col)).otherwise(
-            F.raise_error(
-                F.lit(
-                    f"radius_join: |lat| > {max_abs_lat} — polar caps need a "
-                    "dedicated scheme"
-                )
-            )
-        ),
+    # The cell indices, neighbor array and haversine are built as parsed
+    # SQL strings (r12, guide §5): the Column-algebra forms cost ~270
+    # py4j round-trips per call (the 9-struct neighbor array inlines the
+    # cell expressions twice per entry); the parsed forms carry the same
+    # literals in the same IEEE order (q203/q210 oracle-pinned).
+    guarded = points.selectExpr(
+        "*",
+        f"CASE WHEN abs(`{lat_col}`) <= {float(max_abs_lat)!r}D"
+        f" THEN `{lat_col}` ELSE raise_error("
+        f"'radius_join: |lat| > {max_abs_lat} — polar caps need a "
+        "dedicated scheme') END AS __lat",
     )
-    cx = F.floor(F.col("__lat") / F.lit(lat_deg)).cast("long")
+    cx = f"CAST(FLOOR(__lat / {lat_deg!r}D) AS BIGINT)"
     # Longitude index modulo n_lon (pmod → always in [0, n_lon)); the
     # outer pmod also absorbs the float edge where pmod(lon,360)/edge
     # rounds up to exactly n_lon.
-    cy = F.pmod(
-        F.floor(F.pmod(F.col(lon_col), F.lit(360.0)) / F.lit(lon_deg)).cast(
-            "long"
-        ),
-        F.lit(n_lon),
+    cy = (
+        f"pmod(CAST(FLOOR(pmod(`{lon_col}`, 360.0D) / {lon_deg!r}D)"
+        f" AS BIGINT), {n_lon})"
     )
-    left = guarded.select(
-        F.col(id_col).alias("__ida"),
-        F.col("__lat").alias("__lata"),
-        F.col(lon_col).alias("__lona"),
-        cx.alias("__cx"),
-        cy.alias("__cy"),
-        *[F.col(c).alias(f"{c}_a") for c in carry],
+    left = guarded.selectExpr(
+        f"`{id_col}` AS __ida",
+        "__lat AS __lata",
+        f"`{lon_col}` AS __lona",
+        f"{cx} AS __cx",
+        f"{cy} AS __cy",
+        *[f"`{c}` AS `{c}_a`" for c in carry],
     )
     # Explode the right side to its 3x3 neighborhood; longitude
     # neighbors wrap modulo n_lon (antimeridian pairs become ordinary
@@ -136,44 +149,39 @@ def radius_join(
     # never collide); only the degenerate n_lon < 3 globe-spanning
     # radius needs array_distinct to avoid duplicate candidate pairs —
     # keep the per-row distinct off the common path.
-    neighbors = F.array(
-        *[
-            F.struct(
-                (cx + F.lit(dx)).alias("nx"),
-                F.pmod(cy + F.lit(dy), F.lit(n_lon)).alias("ny"),
-            )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    off = F.explode(F.array_distinct(neighbors) if n_lon < 3 else neighbors)
-    right = guarded.select(
-        F.col(id_col).alias("__idb"),
-        F.col("__lat").alias("__latb"),
-        F.col(lon_col).alias("__lonb"),
-        off.alias("__o"),
-        *[F.col(c).alias(f"{c}_b") for c in carry],
-    ).select(
+    neighbors = "array(" + ", ".join(
+        f"named_struct('nx', {cx} + {dx}, 'ny', pmod({cy} + {dy}, {n_lon}))"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ) + ")"
+    off = f"array_distinct({neighbors})" if n_lon < 3 else neighbors
+    right = guarded.selectExpr(
+        f"`{id_col}` AS __idb",
+        "__lat AS __latb",
+        f"`{lon_col}` AS __lonb",
+        f"explode({off}) AS __o",
+        *[f"`{c}` AS `{c}_b`" for c in carry],
+    ).selectExpr(
         "__idb",
         "__latb",
         "__lonb",
-        F.col("__o.nx").alias("__cx"),
-        F.col("__o.ny").alias("__cy"),
-        *[f"{c}_b" for c in carry],
-    )
-    dist = haversine_m(
-        F.col("__lata"), F.col("__lona"), F.col("__latb"), F.col("__lonb")
+        "__o.nx AS __cx",
+        "__o.ny AS __cy",
+        *[f"`{c}_b`" for c in carry],
     )
     return (
         left.join(right, ["__cx", "__cy"])
-        .filter(F.col("__ida") < F.col("__idb"))
-        .withColumn("dist_m", dist)
-        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
-        .select(
-            F.col("__ida").alias("id_a"),
-            F.col("__idb").alias("id_b"),
+        .filter(F.expr("__ida < __idb"))
+        .selectExpr(
+            "*",
+            _haversine_sql("__lata", "__lona", "__latb", "__lonb") + " AS dist_m",
+        )
+        .filter(F.expr(f"dist_m <= {float(radius_m)!r}D"))
+        .selectExpr(
+            "__ida AS id_a",
+            "__idb AS id_b",
             "dist_m",
-            *[f"{c}_{s}" for c in carry for s in ("a", "b")],
+            *[f"`{c}_{s}`" for c in carry for s in ("a", "b")],
         )
     )
 
@@ -314,12 +322,10 @@ def geo_clusters(
     # (for the fine grid the edge must not EXCEED the bound — the
     # mirror of radius_join's ≥ rule)
     n_lon_f = max(1, int(math.ceil(360.0 / fine_deg)))
-    fcx = F.floor(F.col(lat_col) / F.lit(fine_deg)).cast("long")
-    fcy = F.pmod(
-        F.floor(F.pmod(F.col(lon_col), F.lit(360.0)) / F.lit(360.0 / n_lon_f)).cast(
-            "long"
-        ),
-        F.lit(n_lon_f),
+    fcx = f"CAST(FLOOR(`{lat_col}` / {fine_deg!r}D) AS BIGINT)"
+    fcy = (
+        f"pmod(CAST(FLOOR(pmod(`{lon_col}`, 360.0D) / {360.0 / n_lon_f!r}D)"
+        f" AS BIGINT), {n_lon_f})"
     )
     # Null-LON rows get NO fine cell (SQL groupBy would pool null keys
     # into one bogus clique); they reach the output as singletons via
@@ -328,18 +334,18 @@ def geo_clusters(
     # the pre-r12 behavior too: the same per-row raise guard
     # radius_join applies (a silent filter here would swallow rows the
     # old path rejected loudly).
-    lat_ok = F.abs(F.col(lat_col)) <= F.lit(float(max_abs_lat))
-    lat_guarded = F.when(lat_ok, F.col(lat_col)).otherwise(
-        F.raise_error(
-            F.lit(
-                f"radius_join: |lat| > {max_abs_lat} — polar caps need a "
-                "dedicated scheme"
-            )
-        )
+    lat_guarded = (
+        f"CASE WHEN abs(`{lat_col}`) <= {float(max_abs_lat)!r}D"
+        f" THEN `{lat_col}` ELSE raise_error("
+        f"'radius_join: |lat| > {max_abs_lat} — polar caps need a "
+        "dedicated scheme') END"
     )
-    fine = points.where(F.col(lon_col).isNotNull()).select(
-        F.col(id_col).alias("id"), fcx.alias("__fx"), fcy.alias("__fy"),
-        lat_guarded.alias("__plat"), F.col(lon_col).alias("__plon"),
+    fine = points.where(F.col(lon_col).isNotNull()).selectExpr(
+        f"`{id_col}` AS id",
+        f"{fcx} AS __fx",
+        f"{fcy} AS __fy",
+        f"{lat_guarded} AS __plat",
+        f"`{lon_col}` AS __plon",
     )
     # Skew detector (the sampling.py prefix-skew pattern the r11 verdict
     # endorsed: a bounded per-bucket count relation doubles as the

@@ -40,11 +40,8 @@ def _canon(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge list: ``(max, min)`` pairs, no
     self-loops, distinct — a stable, comparable set representation."""
     return (
-        edges.select(
-            F.greatest(F.col("u"), F.col("v")).alias("u"),
-            F.least(F.col("u"), F.col("v")).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
+        edges.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+        .where(F.expr("u != v"))
         .distinct()
     )
 
@@ -65,24 +62,22 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     pairs always have the smaller id second (``m ≤ u < v`` /
     ``m ≤ v``), i.e. they are already canonical.
     """
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = edges.union(edges.selectExpr("v AS u", "u AS v"))
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("__mv"))
-        .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+        .selectExpr("u", "least(__mv, u) AS m")
     )
     joined = sym.join(mins, "u")
     if large:
-        out = joined.where(F.col("v") > F.col("u")).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
+        out = joined.where(F.expr("v > u")).selectExpr("v AS u", "m AS v")
     else:
         out = (
-            joined.where(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            joined.where(F.expr("v < u"))
+            .selectExpr("v AS u", "m AS v")
+            .union(mins.selectExpr("u", "m AS v"))
         )
-    return out.where(F.col("u") != F.col("v")).distinct()
+    return out.where(F.expr("u != v")).distinct()
 
 
 _BY_VALUE_REGISTERED = False
@@ -391,13 +386,11 @@ def connected_components(
     # appears on the u side of the canonical list — a groupBy over only
     # that side would silently drop one id per component (the driver
     # union-find path labels it, so the two paths would disagree).
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    sym = edges.union(edges.selectExpr("v AS u", "u AS v"))
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("__mv"))
-        .select(F.col("u").alias("id"), F.least(F.col("__mv"), F.col("u")).alias("component"))
+        .selectExpr("u AS id", "least(__mv, u) AS component")
     )
     if nodes is not None:
         node_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
@@ -511,16 +504,24 @@ def pagerank(
     ranks = base.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
 
+    # Loop-body expressions as parsed SQL strings (r12, guide §5): the
+    # Column-algebra forms re-issued ~10 py4j round-trips per iteration
+    # per expression; the parsed forms are expression-identical (same
+    # literals, same IEEE order — q142 oracle-pinned), just built in one
+    # parse each.
+    rank_sql = (
+        f"{teleport!r}D + {damping!r}D"
+        f" * (coalesce(__in, 0.0D) + __dm / {n_nodes}) AS rank"
+    )
     for _ in range(iterations):
         dangling = (
             ranks.join(dang_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            .agg(F.expr("coalesce(sum(rank), 0.0D)").alias("__dm"))
         )
         contrib = (
             e.join(
-                weights.join(ranks, "node").select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("outdeg")).alias("__c"),
+                weights.join(ranks, "node").selectExpr(
+                    "node AS src", "rank / outdeg AS __c"
                 ),
                 "src",
             )
@@ -530,17 +531,7 @@ def pagerank(
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dm") / n_nodes
-                    )
-                ).alias("rank"),
-            )
+            .selectExpr("node", rank_sql)
             .transform(materialize)
         )
     return ranks
@@ -578,84 +569,61 @@ def triangle_count(
     count. Counts are exact.
     """
     und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        edges.selectExpr(
+            f"least(`{src_col}`, `{dst_col}`) AS a",
+            f"greatest(`{src_col}`, `{dst_col}`) AS b",
         )
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.expr("a != b"))
         .distinct()
     )
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
+        und.selectExpr("a AS node")
+        .unionByName(und.selectExpr("b AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     # Orient each edge from the (deg, node)-lexicographically smaller
     # endpoint; both degree lookups are |N|-row joins (broadcastable
     # for dimension-scale graphs, hash-joined otherwise).
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    da = deg.selectExpr("node AS a", "deg AS __da")
+    db = deg.selectExpr("node AS b", "deg AS __db")
+    smaller_first = "__da < __db OR (__da = __db AND a < b)"
     oriented = (
         und.join(da, "a")
         .join(db, "b")
-        .select(
-            F.when(
-                (F.col("__da") < F.col("__db"))
-                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
-                F.col("a"),
-            )
-            .otherwise(F.col("b"))
-            .alias("u"),
-            F.when(
-                (F.col("__da") < F.col("__db"))
-                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
-                F.col("b"),
-            )
-            .otherwise(F.col("a"))
-            .alias("v"),
+        .selectExpr(
+            f"CASE WHEN {smaller_first} THEN a ELSE b END AS u",
+            f"CASE WHEN {smaller_first} THEN b ELSE a END AS v",
         )
     )
-    o1 = oriented.select(F.col("u").alias("u"), F.col("v").alias("v"))
-    o2 = oriented.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    o2 = oriented.selectExpr("u", "v AS w")
     # Wedges centered at u with a deterministic v<w order in the
     # ORIENTATION order (degree, node) — enumerate each unordered pair
     # once. Orientation order is encoded by re-joining degrees once.
     wedges = (
-        o1.join(o2, "u")
-        .filter(F.col("v") != F.col("w"))
-        .join(
-            deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv")), "v"
-        )
-        .join(
-            deg.select(F.col("node").alias("w"), F.col("deg").alias("__dw")), "w"
-        )
-        .filter(
-            (F.col("__dv") < F.col("__dw"))
-            | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
-        )
+        oriented.join(o2, "u")
+        .filter(F.expr("v != w"))
+        .join(deg.selectExpr("node AS v", "deg AS __dv"), "v")
+        .join(deg.selectExpr("node AS w", "deg AS __dw"), "w")
+        .filter(F.expr("__dv < __dw OR (__dv = __dw AND v < w)"))
         .select("u", "v", "w")
     )
     closed = wedges.join(
-        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
-        ["v", "w"],
-        "left_semi",
+        oriented.selectExpr("u AS v", "v AS w"), ["v", "w"], "left_semi"
     )
     if not per_node:
         return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     members = (
-        closed.select(F.col("u").alias("node"))
-        .unionByName(closed.select(F.col("v").alias("node")))
-        .unionByName(closed.select(F.col("w").alias("node")))
+        closed.selectExpr("u AS node")
+        .unionByName(closed.selectExpr("v AS node"))
+        .unionByName(closed.selectExpr("w AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("__t"))
     )
     return (
         deg.select("node")
         .join(members, "node", "left")
-        .select(
-            "node", F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("triangles")
-        )
+        .selectExpr("node", "CAST(coalesce(__t, 0) AS BIGINT) AS triangles")
     )
 
 

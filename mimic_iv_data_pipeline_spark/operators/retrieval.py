@@ -324,34 +324,35 @@ def association_rules(
     # EQUALS the threshold; count/n vs the same double literal is
     # boundary-exact and engine-portable (both engines round the one
     # division identically)
-    nb = F.lit(float(n_baskets))
-    ms = F.lit(float(min_support))
+    # expression-dense tail as parsed SQL (r12, guide §5): same literal
+    # doubles (repr round-trips), same IEEE order — q168 oracle-pinned
+    nb = f"{float(n_baskets)!r}D"
+    ms = f"{float(min_support)!r}D"
     supp = pairs_src.groupBy("__i").agg(F.count(F.lit(1)).alias("__s"))
     frequent = pairs_src.join(
-        F.broadcast(supp.filter(F.col("__s") / nb >= ms)), "__i"
+        F.broadcast(supp.filter(F.expr(f"__s / {nb} >= {ms}"))), "__i"
     )
-    a = frequent.select("__b", F.col("__i").alias("item_a"), F.col("__s").alias("__sa"))
-    b = frequent.select("__b", F.col("__i").alias("item_b"), F.col("__s").alias("__sb"))
+    a = frequent.selectExpr("__b", "__i AS item_a", "__s AS __sa")
+    b = frequent.selectExpr("__b", "__i AS item_b", "__s AS __sb")
     pair_counts = (
         a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        .filter(F.expr("item_a < item_b"))
         .groupBy("item_a", "item_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_ab"),
             F.first("__sa").alias("__sa"),
             F.first("__sb").alias("__sb"),
         )
-        .filter(F.col("n_ab") / nb >= ms)
+        .filter(F.expr(f"n_ab / {nb} >= {ms}"))
     )
-    n = F.lit(float(n_baskets))
-    return pair_counts.select(
+    return pair_counts.selectExpr(
         "item_a",
         "item_b",
         "n_ab",
-        (F.col("n_ab") / n).alias("support"),
-        (F.col("n_ab") / F.col("__sa")).alias("conf_a_to_b"),
-        (F.col("n_ab") / F.col("__sb")).alias("conf_b_to_a"),
-        (F.col("n_ab") * n / (F.col("__sa") * F.col("__sb"))).alias("lift"),
+        f"n_ab / {nb} AS support",
+        "n_ab / __sa AS conf_a_to_b",
+        "n_ab / __sb AS conf_b_to_a",
+        f"n_ab * {nb} / (__sa * __sb) AS lift",
     )
 
 

@@ -437,13 +437,13 @@ def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mimic_iv_data_pipeline_spark.operators.graph import pagerank
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    edges = li.select(
-        (F.col("l_suppkey") % 40).alias("src"), (F.col("l_partkey") % 40).alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
+    edges = li.selectExpr(
+        "l_suppkey % 40 AS src", "l_partkey % 40 AS dst"
+    ).filter(F.expr("src != dst"))
     ranks = pagerank(edges, iterations=3, damping=0.85)
-    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround_sql
 
-    return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))
+    return ranks.selectExpr("node", dround_sql("rank", 6) + " AS rank")
 
 
 # --- q151: exact triangle counting ------------------------------------------

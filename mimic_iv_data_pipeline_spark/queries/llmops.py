@@ -1769,20 +1769,19 @@ def q168_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the basket self-join, supports broadcast back)."""
     from mimic_iv_data_pipeline_spark.operators.retrieval import association_rules
 
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround_sql
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    src = li.select(
-        F.col("l_orderkey").alias("basket"),
-        (F.col("l_partkey") % 50).alias("item"),
-    )
+    src = li.selectExpr("l_orderkey AS basket", "l_partkey % 50 AS item")
     out = association_rules(src, "basket", "item", min_support=0.005)
-    return out.select(
-        F.col("item_a"),
-        F.col("item_b"),
+    return out.selectExpr(
+        "item_a",
+        "item_b",
         "n_ab",
-        dround(F.col("support"), 6).alias("support"),
-        dround(F.col("conf_a_to_b"), 6).alias("conf_a_to_b"),
-        dround(F.col("conf_b_to_a"), 6).alias("conf_b_to_a"),
-        dround(F.col("lift"), 6).alias("lift"),
+        dround_sql("support", 6) + " AS support",
+        dround_sql("conf_a_to_b", 6) + " AS conf_a_to_b",
+        dround_sql("conf_b_to_a", 6) + " AS conf_b_to_a",
+        dround_sql("lift", 6) + " AS lift",
     )
 
 

@@ -1930,18 +1930,12 @@ def q210_geo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative connected components)."""
     from mimic_iv_data_pipeline_spark.operators.geo import geo_clusters
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("id"),
-        (
-            52.0
-            + (F.col("c_custkey") % 300 % 20).cast("double") * 0.01
-            + F.expr("c_custkey div 300").cast("double") * 0.000001
-        ).alias("lat"),
-        (
-            13.0
-            + F.expr("(c_custkey % 300) div 20").cast("double") * 0.01
-            + F.expr("c_custkey div 300").cast("double") * 0.000001
-        ).alias("lon"),
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS id",
+        "52.0D + CAST(c_custkey % 300 % 20 AS DOUBLE) * 0.01D"
+        " + CAST(c_custkey div 300 AS DOUBLE) * 1e-06D AS lat",
+        "13.0D + CAST((c_custkey % 300) div 20 AS DOUBLE) * 0.01D"
+        " + CAST(c_custkey div 300 AS DOUBLE) * 1e-06D AS lon",
     )
     out = geo_clusters(cust, "id", "lat", "lon", radius_m=100.0)
     return out.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(

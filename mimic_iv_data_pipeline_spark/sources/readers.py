@@ -14,10 +14,38 @@ S1/S3/S8 are one-liner declarative reads with *explicit* schemas — never
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# In-process parquet SCHEMA catalog (optimization r12, guide §5/§6).
+# ``spark.read.parquet`` without a schema re-resolves the datasource and
+# re-reads a file footer on the DRIVER on every call — measured ~60 ms
+# per read here, paid once per table per query. Production engines put
+# table schemas in a catalog (metastore) precisely so per-query reads
+# are schema-full; this dict is that catalog for the path-addressed
+# testdata layout. It holds ONLY StructType metadata — never data, rows
+# or plans — and self-invalidates when the file changes (key includes
+# size + mtime_ns). Disable with SPARK_GRAFT_SCHEMA_CATALOG=0 to force
+# per-read inference.
+_SCHEMA_CATALOG: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _catalog_schema(spark: SparkSession, path: str) -> T.StructType | None:
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CATALOG", "1") == "0":
+        return None
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # glob/remote path — let Spark resolve it
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    schema = _SCHEMA_CATALOG.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CATALOG[key] = schema
+    return schema
 
 TESTDATA_TABLES = (
     "region",
@@ -46,7 +74,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    # schema catalog: inferred AFTER the nanos shim conf is set, so the
+    # cached StructType reflects the same reading the inference did
+    schema = _catalog_schema(spark, path)
+    raw = (
+        spark.read.schema(schema).parquet(path)
+        if schema is not None
+        else spark.read.parquet(path)
+    )
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long under the shim
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -63,7 +99,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Single-table loader; routes ``events`` through the nanos shim."""
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _catalog_schema(spark, path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_tables(

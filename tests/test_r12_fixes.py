@@ -351,3 +351,156 @@ def test_timeseries_wide_sql_form_matches_column_algebra(spark):
         want = column_algebra(binned, impute)
         assert got.schema == want.schema
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_schema_catalog_matches_inference_and_invalidates(spark, sf_smoke, tmp_path):
+    """r12: load_table resolves schemas through the in-process catalog
+    (metadata only). Pin: same schema and rows as bare inference, the
+    events nanos shim still applies, and the catalog key invalidates
+    when the file changes."""
+    import os
+    import shutil
+
+    from mimic_iv_data_pipeline_spark.sources import readers
+
+    for name in ("customer", "events"):
+        got = readers.load_table(spark, sf_smoke, name)
+        want = (
+            readers.read_events.__wrapped__(spark, sf_smoke)
+            if hasattr(readers.read_events, "__wrapped__")
+            else spark.read.parquet(f"{sf_smoke}/{name}.parquet")
+        )
+        if name == "events":
+            # compare against a fresh no-catalog read through the shim
+            os.environ["SPARK_GRAFT_SCHEMA_CATALOG"] = "0"
+            try:
+                want = readers.load_table(spark, sf_smoke, name)
+            finally:
+                os.environ.pop("SPARK_GRAFT_SCHEMA_CATALOG", None)
+        assert got.schema == want.schema
+        assert got.count() == want.count()
+
+    # invalidation: same path, changed content -> fresh inference
+    p = tmp_path / "t.parquet"
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(str(p))
+    s1 = readers.load_table(spark, str(tmp_path), "t").schema
+    assert s1.fieldNames() == ["a"]
+    shutil.rmtree(p)
+    spark.range(3).selectExpr("id AS b", "id AS c").write.mode("overwrite").parquet(
+        str(p)
+    )
+    s2 = readers.load_table(spark, str(tmp_path), "t").schema
+    assert s2.fieldNames() == ["b", "c"]
+
+
+def test_e2e_tables_sql_form_matches_column_algebra(spark):
+    """r12: bench._e2e_tables is built from parsed SQL strings; pin that
+    every generated table is BIT-identical to the Column-algebra form it
+    replaced (schema + count + order-insensitive full-row hash)."""
+    from bench import _e2e_tables
+
+    def old_form(spark, sf_dir):
+        import os as _os
+
+        sf = float(_os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+        n_stays = max(1_000, int(300_000 * sf))
+        n_subjects = max(500, n_stays // 2)
+        base = F.to_timestamp(F.lit("2150-01-01 00:00:00"))
+
+        def h(*cols):
+            return F.xxhash64(*cols)
+
+        stays = spark.range(n_stays).select(
+            F.col("id").alias("stay_id"),
+            F.pmod(h("id"), F.lit(n_subjects)).alias("subject_id"),
+            F.lit(None).cast("long").alias("_pad"),
+        )
+        admit = F.timestamp_seconds(
+            F.unix_timestamp(base)
+            + F.pmod(h("stay_id", F.lit(1)), F.lit(300 * 86400))
+        )
+        los_h = (F.pmod(h("stay_id", F.lit(2)), F.lit(264)) + 24).cast("int")
+        icustays = stays.select(
+            "subject_id",
+            F.col("stay_id").alias("hadm_id"),
+            "stay_id",
+            admit.alias("intime"),
+            F.timestamp_seconds(
+                F.unix_timestamp(admit) + los_h.cast("long") * 3600
+            ).alias("outtime"),
+            (los_h / F.lit(24.0)).alias("los"),
+        )
+        admissions = icustays.select(
+            "subject_id",
+            "hadm_id",
+            F.col("intime").alias("admittime"),
+            F.col("outtime").alias("dischtime"),
+            F.lit(None).cast("timestamp").alias("deathtime"),
+            (F.pmod(h("hadm_id", F.lit(3)), F.lit(20)) == 0).cast("int").alias(
+                "hospital_expire_flag"
+            ),
+            F.lit("Private").alias("insurance"),
+            F.lit("OTHER").alias("ethnicity"),
+        )
+        patients = (
+            icustays.select("subject_id").distinct().select(
+                "subject_id",
+                F.when(F.pmod(h("subject_id", F.lit(4)), F.lit(2)) == 0, "M")
+                .otherwise("F")
+                .alias("gender"),
+                (F.pmod(h("subject_id", F.lit(5)), F.lit(85)) + 5)
+                .cast("int")
+                .alias("anchor_age"),
+                F.lit(2150).cast("int").alias("anchor_year"),
+                F.lit("2008 - 2010").alias("anchor_year_group"),
+                F.lit(None).cast("timestamp").alias("dod"),
+            )
+        )
+        ev_per_stay = 100
+        events = (
+            spark.range(n_stays * ev_per_stay)
+            .select((F.col("id") / ev_per_stay).cast("long").alias("stay_id"),
+                    F.col("id").alias("eid"))
+            .join(icustays.select("stay_id", "intime", "los"), "stay_id")
+            .select(
+                "stay_id",
+                F.timestamp_seconds(
+                    F.unix_timestamp("intime")
+                    + F.pmod(h("eid", F.lit(6)),
+                             (F.col("los") * 86400 + 14400).cast("long"))
+                    - F.lit(7200)
+                ).alias("charttime"),
+                (F.pmod(h("eid", F.lit(7)), F.lit(3)) + 220045).alias("itemid"),
+                F.when(
+                    F.pmod(h("eid", F.lit(8)), F.lit(50)) == 0, F.lit(9999.0)
+                ).otherwise(
+                    70.0 + F.pmod(h("eid", F.lit(9)), F.lit(2000)) / 100.0
+                ).alias("valuenum"),
+                F.when(F.pmod(h("eid", F.lit(10)), F.lit(30)) == 0, "BPM")
+                .otherwise("bpm")
+                .alias("valueuom"),
+            )
+        )
+        return {
+            "visits": icustays,
+            "patients": patients,
+            "admissions": admissions,
+            "events": events,
+        }
+
+    def digest(df):
+        # order-insensitive exact fingerprint: count + sum of full-row
+        # hashes (xxhash64 over every column, cast to decimal so the
+        # sum cannot overflow-wrap differently between the two sides)
+        row = df.selectExpr(
+            "count(*) AS n",
+            "sum(CAST(xxhash64(*) AS DECIMAL(38, 0))) AS h",
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    new = _e2e_tables(spark, "/root/testdata/sf0.001")
+    old = old_form(spark, "/root/testdata/sf0.001")
+    assert set(new) == set(old)
+    for name in new:
+        assert new[name].schema == old[name].schema, name
+        assert digest(new[name]) == digest(old[name]), name
