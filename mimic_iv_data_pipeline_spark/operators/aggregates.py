@@ -172,58 +172,58 @@ def majority_unit_clamp(
         F.expr(f"{fn}({value_col}, {upper_pct})").alias("__hi"),
         F.grouping(unit_col).alias("__gflag"),
     )
-    cand = stats.filter(
-        (F.col("__gflag") == 0) & F.col(unit_col).isNotNull()
-    )
+    # tail expressions as parsed SQL (r12, guide §5) — identical trees,
+    # one parse per select instead of per-operand py4j chatter
+    cand = stats.filter(F.expr(f"__gflag = 0 AND `{unit_col}` IS NOT NULL"))
     w = Window.partitionBy(group_col).orderBy(
         F.col("__cnt").desc(), F.col(unit_col).asc()
     )
     mode_rows = (
         cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            group_col,
-            F.col(unit_col).alias("__mode_unit"),
-            F.col("__cnt").alias("__mode_cnt"),
-            F.col("__lo").alias("__lo_m"),
-            F.col("__hi").alias("__hi_m"),
+        .filter(F.expr("__rn = 1"))
+        .selectExpr(
+            f"`{group_col}`",
+            f"`{unit_col}` AS __mode_unit",
+            "__cnt AS __mode_cnt",
+            "__lo AS __lo_m",
+            "__hi AS __hi_m",
         )
     )
-    totals = stats.filter(F.col("__gflag") == 1).select(
-        group_col,
-        F.col("__cnt_unit").alias("__tot_unit"),
-        F.col("__lo").alias("__lo_all"),
-        F.col("__hi").alias("__hi_all"),
+    totals = stats.filter(F.expr("__gflag = 1")).selectExpr(
+        f"`{group_col}`",
+        "__cnt_unit AS __tot_unit",
+        "__lo AS __lo_all",
+        "__hi AS __hi_all",
     )
     # share mirrors mode_per_group exactly: top count / non-null total
     # (NULL when the group never elected — all-NULL-unit groups).
-    info = totals.join(mode_rows, on=group_col, how="left").select(
-        group_col,
+    cutoff_sql = f"{float(cutoff)!r}D"
+    info = totals.join(mode_rows, on=group_col, how="left").selectExpr(
+        f"`{group_col}`",
         "__mode_unit",
-        (F.col("__mode_cnt") / F.col("__tot_unit")).alias("__share"),
-        F.when(
-            F.col("__mode_cnt") / F.col("__tot_unit") > cutoff, F.col("__lo_m")
-        ).otherwise(F.col("__lo_all")).alias("__lo"),
-        F.when(
-            F.col("__mode_cnt") / F.col("__tot_unit") > cutoff, F.col("__hi_m")
-        ).otherwise(F.col("__hi_all")).alias("__hi"),
+        "__mode_cnt / __tot_unit AS __share",
+        f"CASE WHEN __mode_cnt / __tot_unit > {cutoff_sql}"
+        " THEN __lo_m ELSE __lo_all END AS __lo",
+        f"CASE WHEN __mode_cnt / __tot_unit > {cutoff_sql}"
+        " THEN __hi_m ELSE __hi_all END AS __hi",
     )
     out = df.join(F.broadcast(info), on=group_col, how="left").filter(
-        F.col("__share").isNull()
-        | (F.col("__share") <= cutoff)
-        | (F.col(unit_col) == F.col("__mode_unit"))
+        F.expr(
+            f"__share IS NULL OR __share <= {cutoff_sql}"
+            f" OR `{unit_col}` = __mode_unit"
+        )
     )
     if mode == "clamp":
-        clamped = (
-            F.when(F.col(value_col) < F.col("__lo"), F.col("__lo"))
-            .when(F.col(value_col) > F.col("__hi"), F.col("__hi"))
-            .otherwise(F.col(value_col))
+        clamped = F.expr(
+            f"CASE WHEN `{value_col}` < __lo THEN __lo"
+            f" WHEN `{value_col}` > __hi THEN __hi"
+            f" ELSE `{value_col}` END"
         )
         return out.withColumn(value_col, clamped).drop(
             "__mode_unit", "__share", "__lo", "__hi"
         )
     return out.filter(
-        F.col(value_col).between(F.col("__lo"), F.col("__hi"))
+        F.expr(f"`{value_col}` BETWEEN __lo AND __hi")
     ).drop("__mode_unit", "__share", "__lo", "__hi")
 
 

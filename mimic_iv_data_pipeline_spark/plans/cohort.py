@@ -50,16 +50,16 @@ def visits_with_demographics(
         on="subject_id",
         how="inner",
     )
-    out = out.withColumn("Age", F.col("anchor_age"))
-    out = out.filter(F.col("Age") >= min_age)
-    if not use_icu:
-        out = out.withColumn(
-            "los_hours", hours_between(F.col(disch_col), F.col(admit_col))
-        )
-    else:
-        out = out.withColumn(
-            "los_hours", (F.col("los") * 24).cast("long")
-        )
+    # one projection for Age + los_hours (r12, guide §5 — each
+    # withColumn is an eager JVM re-analysis of the whole tree)
+    los_sql = (
+        hours_between(F.col(disch_col), F.col(admit_col))
+        if not use_icu
+        else F.expr("CAST(los * 24 AS BIGINT)")
+    )
+    out = out.select(
+        "*", F.col("anchor_age").alias("Age"), los_sql.alias("los_hours")
+    ).filter(F.expr(f"Age >= {int(min_age)}"))
     if admissions is not None and use_icu:
         # attach ethnicity/insurance from the admission dim (J1 shape,
         # day_intervals_cohort.py:88-89)

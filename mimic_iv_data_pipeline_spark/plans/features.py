@@ -249,22 +249,26 @@ def generate_summary(
     of two scans joined back together (integer sums are associative ⇒
     identical longs, and both dround-ed doubles divide the same longs;
     pinned by tests/test_clean_fused.py::test_summary_single_pass)."""
-    from mimic_iv_data_pipeline_spark.functions.rounding import dround
+    from mimic_iv_data_pipeline_spark.functions.rounding import dround_sql
 
     pv_aggs = [F.count(F.lit(1)).alias("per_visit_cnt")]
     if value_col is not None:
         pv_aggs.append(
-            F.sum(F.when(F.col(value_col) == 0, 1).otherwise(0)).alias("__zero_cnt")
+            F.expr(
+                f"sum(CASE WHEN `{value_col}` = 0 THEN 1 ELSE 0 END)"
+            ).alias("__zero_cnt")
         )
     per_visit = events.groupBy(code_col, visit_col).agg(*pv_aggs)
     out_aggs = [F.sum("per_visit_cnt").alias("total_count")]
     if value_col is not None:
         out_aggs.append(
-            dround(
-                F.sum("__zero_cnt") * 100.0 / F.sum("per_visit_cnt"), 6
+            F.expr(
+                dround_sql("sum(__zero_cnt) * 100.0D / sum(per_visit_cnt)", 6)
             ).alias("missing_pct")
         )
-    out_aggs.append(dround(F.avg("per_visit_cnt"), 6).alias("mean_frequency"))
+    out_aggs.append(
+        F.expr(dround_sql("avg(per_visit_cnt)", 6)).alias("mean_frequency")
+    )
     return per_visit.groupBy(code_col).agg(*out_aggs)
 
 
