@@ -744,15 +744,24 @@ def global_prefix_sums(
     if bounds:
         # codegen WHEN chain (first bound >= key), not an array-filter
         # lambda — higher-order functions run interpreted per row (the
-        # PERF.md lambda trap; this expression touches every fact row)
-        bucket = F.lit(len(bounds))
+        # PERF.md lambda trap; this expression touches every fact row).
+        # Built as ONE parsed SQL string over a named key column (r12,
+        # guide §5): the Column-by-Column fold issued ~340 py4j
+        # round-trips per call at 32 buckets; the parsed nested CASE is
+        # the identical expression tree.
+        chain = f"{len(bounds)}"
         for i in range(len(bounds) - 1, -1, -1):
-            bucket = F.when(key <= F.lit(float(bounds[i])), F.lit(i)).otherwise(
-                bucket
+            chain = (
+                f"CASE WHEN __gps_key <= {float(bounds[i])!r}D"
+                f" THEN {i} ELSE {chain} END"
             )
+        withpid = (
+            df.withColumn("__gps_key", key)
+            .withColumn("__pid", F.expr(chain))
+            .drop("__gps_key")
+        )
     else:
-        bucket = F.lit(0)
-    withpid = df.withColumn("__pid", bucket)
+        withpid = df.withColumn("__pid", F.lit(0))
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_exprs)
@@ -911,14 +920,21 @@ def pareto_front_2d(
         else []
     )
     if bounds:
-        bucket = F.lit(len(bounds))
+        # one parsed WHEN chain over a named key column (r12, guide §5
+        # — same rewrite as global_prefix_sums above)
+        chain = f"{len(bounds)}"
         for i in range(len(bounds) - 1, -1, -1):
-            bucket = F.when(key <= F.lit(float(bounds[i])), F.lit(i)).otherwise(
-                bucket
+            chain = (
+                f"CASE WHEN __pf_key <= {float(bounds[i])!r}D"
+                f" THEN {i} ELSE {chain} END"
             )
+        withb = (
+            firsts.withColumn("__pf_key", key)
+            .withColumn("__pid", F.expr(chain))
+            .drop("__pf_key")
+        )
     else:
-        bucket = F.lit(0)
-    withb = firsts.withColumn("__pid", bucket)
+        withb = firsts.withColumn("__pid", F.lit(0))
     wp = (
         Window.partitionBy("__pid")
         .orderBy(F.col("__q").desc())
