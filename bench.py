@@ -266,44 +266,38 @@ def _run_e2e(spark, sf_dir, handoff):
 
     out_dir = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
+        # Memory mode forces every leaf the parquet mode forces by
+        # writing — same stage set end to end — via run_pipeline's
+        # leaf_consumer overlap hook (optimization r12, guide §2.6):
+        # each leaf's noop job is submitted from the pipeline's own
+        # 2-thread pool the moment its input boundary is pinned, so
+        # summary's job back-fills executors WHILE the timeseries
+        # boundary computes (the parquet twin's async leaf writes have
+        # had this shape since r11; the mem twin used to serialize
+        # summary after the dense materialization and then force all
+        # three leaves post-hoc). Same DAGs computed, same noop sink.
+        #
+        # Measurement fix (optimization r11, guide §1.4): the leaves
+        # were previously forced with .count(), which lets the
+        # optimizer PRUNE the aggregate payloads — a count() over
+        # dl_tensor_frame computes only distinct ids, never the
+        # collect_list/sort_array tensors (verified by plan), so the
+        # mem twin under-measured exactly the work the parquet twin
+        # pays for by writing. The noop sink computes every column
+        # of every row without sink cost; pre-fix numbers are kept
+        # in bench_runs_r11/ (see OPTIMIZATION_r11.md).
+        def _force(df, _name):
+            df.write.format("noop").mode("overwrite").save()
+
         staged = run_pipeline(
             spark,
             _e2e_tables(spark, sf_dir),
             out_dir,
             PipelineConfig(include_hours=48, bucket_hours=2),
             handoff=handoff,
+            leaf_consumer=_force if handoff == "memory" else None,
         )
         if handoff == "memory":
-            # parquet mode forces every leaf by WRITING it; memory mode
-            # must force the same stage set explicitly so both modes
-            # compute summary + features + tensors end to end. The three
-            # leaves are independent consumers of pinned boundaries, so
-            # they run from a small thread pool (guide §2.6 back-fill —
-            # same DAGs computed, the driver just stops serializing
-            # their stage tails; parquet mode gets the same treatment
-            # inside run_pipeline's _leaf).
-            #
-            # Measurement fix (optimization r11, guide §1.4): the leaves
-            # were previously forced with .count(), which lets the
-            # optimizer PRUNE the aggregate payloads — a count() over
-            # dl_tensor_frame computes only distinct ids, never the
-            # collect_list/sort_array tensors (verified by plan), so the
-            # mem twin under-measured exactly the work the parquet twin
-            # pays for by writing. The noop sink computes every column
-            # of every row without sink cost; pre-fix numbers are kept
-            # in bench_runs_r11/ (see OPTIMIZATION_r11.md).
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _force(df):
-                df.write.format("noop").mode("overwrite").save()
-
-            with ThreadPoolExecutor(max_workers=3) as tp:
-                fs = [
-                    tp.submit(_force, staged[k])
-                    for k in ("summary", "features", "tensors")
-                ]
-                for f in fs:
-                    f.result()
             n = 1
         else:
             n = staged["tensors"].count()

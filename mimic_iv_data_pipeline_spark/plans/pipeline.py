@@ -47,6 +47,31 @@ class PipelineConfig:
     max_feature_vocab: int = 50_000    # cap on the pivoted feature vocabulary
 
 
+def _as_nullable(schema):
+    """Parquet read-back schema: files are read with every column
+    nullable (Spark relaxes file-source schemas), so a writer-known
+    schema must be relaxed the same way before being handed to
+    ``spark.read.schema`` — otherwise the re-read would silently claim
+    non-null guarantees the scan does not enforce."""
+    from pyspark.sql import types as T
+
+    def _null_type(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _null_type(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_null_type(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(_null_type(dt.keyType), _null_type(dt.valueType), True)
+        return dt
+
+    return _null_type(schema)
+
+
 def _collect_feature_vocab(dense: DataFrame, cap: int = 50_000) -> list:
     """Distinct feature codes for the pivot, with a hard cap.
 
@@ -80,6 +105,7 @@ def run_pipeline(
     out_dir: str,
     config: PipelineConfig | None = None,
     handoff: str = "parquet",
+    leaf_consumer=None,
 ) -> dict[str, DataFrame]:
     """Execute the full flow; returns the per-stage DataFrames and
     (``handoff="parquet"``) writes each stage under ``out_dir``
@@ -104,6 +130,15 @@ def run_pipeline(
     ``tables`` needs: visits (icustays or admissions), patients,
     admissions, events (chart or lab shaped: id + charttime + itemid +
     valuenum + valueuom).
+
+    ``leaf_consumer`` (memory mode only): optional ``fn(df, name)``
+    submitted to the overlap pool per leaf stage, so a caller that is
+    going to FORCE the leaves anyway (the bench's noop sink; a user
+    writing them to their own store) gets the same §2.6 back-fill the
+    parquet mode's async leaf writes already have — summary's job
+    overlaps the timeseries boundary instead of serializing after it.
+    All consumer futures are joined before run_pipeline returns; the
+    returned leaf DataFrames are unchanged (still the lazy plans).
     """
     if handoff not in ("parquet", "memory"):
         raise ValueError(f"run_pipeline: handoff must be 'parquet' or 'memory', got {handoff!r}")
@@ -122,30 +157,64 @@ def run_pipeline(
     from concurrent.futures import ThreadPoolExecutor
 
     pool: ThreadPoolExecutor | None = (
-        ThreadPoolExecutor(max_workers=2) if handoff == "parquet" else None
+        ThreadPoolExecutor(max_workers=2)
+        if handoff == "parquet" or leaf_consumer is not None
+        else None
     )
     leaf_futures: list = []
 
+    sc = spark.sparkContext
+
     def _boundary(df: DataFrame, name: str) -> DataFrame:
         """Multi-consumer stage boundary: parquet round-trip or an
-        in-memory materialization (computed once either way)."""
-        if handoff == "parquet":
-            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
-            return spark.read.parquet(os.path.join(out_dir, name))
-        from mimic_iv_data_pipeline_spark.engine import materialize
+        in-memory materialization (computed once either way). Jobs are
+        labelled per stage (guide §1.5) so the UI/REST timeline
+        attributes the pipeline's wall to stages, not anonymous actions."""
+        sc.setJobDescription(f"pipeline: {name} boundary ({handoff})")
+        try:
+            if handoff == "parquet":
+                df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+                # Re-read with the schema we just wrote (nullable-
+                # normalized: parquet read-back reports every file
+                # column nullable) instead of re-inferring it from the
+                # footer — the inference is a driver-side file-listing
+                # + footer read per boundary (guide §5/§6; same move as
+                # readers.py's schema catalog, but here the writer
+                # already KNOWS the schema, so no catalog is needed).
+                return spark.read.schema(_as_nullable(df.schema)).parquet(
+                    os.path.join(out_dir, name)
+                )
+            from mimic_iv_data_pipeline_spark.engine import materialize
 
-        return materialize(df)
+            return materialize(df)
+        finally:
+            sc.setJobDescription(None)
 
     def _leaf(df: DataFrame, name: str) -> DataFrame:
         """Terminal stage: written in parquet mode (asynchronously — the
         futures are joined before run_pipeline returns), lazy in memory
-        mode."""
+        mode (handed to ``leaf_consumer`` on the same pool if given)."""
         if handoff == "parquet":
-            leaf_futures.append(
-                pool.submit(
-                    df.write.mode("overwrite").parquet, os.path.join(out_dir, name)
-                )
-            )
+
+            def _write(d=df, n=name):
+                # descriptions are thread-local: label inside the pool thread
+                sc.setJobDescription(f"pipeline: {n} leaf write")
+                try:
+                    d.write.mode("overwrite").parquet(os.path.join(out_dir, n))
+                finally:
+                    sc.setJobDescription(None)
+
+            leaf_futures.append(pool.submit(_write))
+        elif leaf_consumer is not None:
+
+            def _consume(d=df, n=name):
+                sc.setJobDescription(f"pipeline: {n} leaf consume")
+                try:
+                    leaf_consumer(d, n)
+                finally:
+                    sc.setJobDescription(None)
+
+            leaf_futures.append(pool.submit(_consume))
         return df
 
     # The whole body runs under try/finally (ADVICE r11): if any stage

@@ -51,17 +51,23 @@ DEFAULT_CONFIG: dict[str, str] = {
     # Env-overridable (ADVICE r11: a consumer on a smaller machine can
     # set SPARK_GRAFT_DRIVER_MEMORY without forking the library).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
-    # LOCAL-HARNESS GC (guide §5): batch throughput beats pause-time
-    # goals here — ParallelGC measured 0.85-0.94× the JDK-17 G1
-    # default on interleaved 14-query batteries at 16 g and ~0.9× on
-    # the cold e2e entry, with no latency SLO to protect in a bench
-    # process. A cluster sets the executor collector via
-    # spark.executor.extraJavaOptions (keep G1 for latency-sensitive
-    # long-lived services); like driver.memory this is only honored
-    # at JVM creation. Env-overridable for the same reason as the heap
-    # (and so a cold-JVM A/B can toggle the collector per process).
+    # GC (guide §5): back to the JDK-17 G1 default (optimization r12,
+    # third session). The r11 ParallelGC choice was adjudicated twice
+    # on cold-JVM MINIMA and both A/Bs read parity (PGC/G1 0.986 one
+    # round, G1/PGC 0.974 the next — inside the host's noise both
+    # times). What minima cannot see is the TAIL: per-query GC MXBean
+    # attribution over a full battery showed ParallelGC spending
+    # 25.5% of battery wall in GC (64.8 s / 253.7 s) with 15-25 s
+    # stop-the-world storms landing inside individual timed windows
+    # (q39 best 8.1 s vs 1.6 s, e2e_mem +6 s GC), vs 2.7% (6.6 s)
+    # under G1 — and the two e2e entries execute ONCE per bench, so a
+    # storm there goes straight into the committed number (observed:
+    # PGC e2e reps 14.0/14.2/17.3 s vs G1 13.3/12.9/13.7). Equal
+    # expected throughput + an order-of-magnitude thinner GC tail ⇒
+    # G1. Env-overridable so a cold-JVM A/B can toggle the collector
+    # per process (SPARK_GRAFT_GC_OPTS="-XX:+UseParallelGC").
     "spark.driver.extraJavaOptions": os.environ.get(
-        "SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"
+        "SPARK_GRAFT_GC_OPTS", "-XX:+UseG1GC"
     ),
     # DRIVER-side DataFrame construction cost (guide §5): with this
     # public conf at its default (true), EVERY classic Column/DataFrame

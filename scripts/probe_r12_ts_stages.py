@@ -85,7 +85,10 @@ def main() -> None:
     for s in rows:
         print(
             f"  stage {s['stageId']:>4}: run {s['executorRunTime']/1000:7.2f}s "
-            f"cpu {s.get('executorCpuTime',0)/1e9:7.2f}s tasks {s['numCompleteTasks']:>4} "
+            f"cpu {s.get('executorCpuTime',0)/1e9:7.2f}s gc {s.get('jvmGcTime',0)/1000:6.2f}s "
+            f"deser {s.get('executorDeserializeTime',0)/1000:6.2f}s "
+            f"fetch {s.get('shuffleFetchWaitTime',0)/1000:5.2f}s "
+            f"tasks {s['numCompleteTasks']:>4} "
             f"in {s.get('inputBytes',0)>>20}MB shR {s.get('shuffleReadBytes',0)>>20}MB "
             f"shW {s.get('shuffleWriteBytes',0)>>20}MB  {s['name'][:70]}"
         )
