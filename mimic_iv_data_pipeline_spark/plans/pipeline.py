@@ -287,6 +287,13 @@ def _run_pipeline_body(
         bucket_hours=cfg.bucket_hours,
         anchor="last" if cfg.label == "readmission" else "first",
         impute=cfg.impute,
+        # widen the densify/inline expansion tail to the shuffle width
+        # the session was sized for — AQE would coalesce it by packed
+        # BYTES and serialize the n_buckets× expansion (see the
+        # operator comment; 1-task tail observed in the memory twin)
+        expand_parallelism=int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        ),
     )
     dense = _boundary(dense, "timeseries")
 

@@ -32,6 +32,7 @@ def generate_timeseries(
     bucket_hours: int = 1,
     anchor: str = "first",
     impute: str | None = None,
+    expand_parallelism: int | None = None,
 ) -> DataFrame:
     """T2+T3+T4+T6 composed: dense per-(id, code) hourly signal.
 
@@ -133,6 +134,26 @@ def generate_timeseries(
             for b in range(n_buckets)
         ]
         packed = binned.groupBy(id_col, code_col).agg(*vcols, *ncols)
+        # Optional explicit width for the expansion tail (optimization
+        # r12, guide §2.5): the packed relation is tiny in BYTES (48
+        # numeric columns per (id, code)) but the stage that consumes
+        # it does ~n_buckets× the work per byte — the coalesce-chain
+        # fill, the n_buckets-struct inline explode (24× the rows out)
+        # and the boundary write/serialize. AQE coalesces the packed
+        # exchange by its byte size, blind to that expansion: at
+        # pipeline scale factors the whole tail collapsed to 1-10
+        # tasks (a 1-task 2.5 s serial region observed in the memory
+        # twin). A caller that knows the regime passes the shuffle
+        # width it sized for the cluster (run_pipeline passes
+        # spark.sql.shuffle.partitions); the explicit user repartition
+        # is exempt from AQE coalescing, the moved bytes are ~1/24 of
+        # the stage's OUTPUT, and packed values are partitioning-
+        # independent (per-group max/conditional aggregates), so the
+        # result is unchanged (pinned by tests/test_r12_s3.py).
+        if expand_parallelism:
+            packed = packed.repartition(
+                int(expand_parallelism), F.col(id_col), F.col(code_col)
+            )
 
         def _filled_sql(b: int) -> str:
             if impute is None:

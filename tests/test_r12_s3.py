@@ -64,6 +64,30 @@ def test_funnel_fused_is_one_job(spark):
     assert "Join" in plan
 
 
+def test_timeseries_expand_parallelism_value_parity(spark):
+    """The explicit expansion-width repartition must not change a
+    single dense row (packed values are partitioning-independent)."""
+    from mimic_iv_data_pipeline_spark.plans.timeseries import generate_timeseries
+
+    ev = spark.createDataFrame(
+        [(1, 10, float(t), float(v)) for t, v in
+         [(0.5, 5.0), (1.5, 7.0), (5.5, 9.0)]]
+        + [(2, 10, 2.5, 4.0), (2, 11, 0.5, 1.0)],
+        "stay_id long, itemid long, t double, valuenum double",
+    )
+    cohort = spark.createDataFrame(
+        [(1, 30.0), (2, 30.0)], "stay_id long, los_hours double"
+    )
+    kw = dict(id_col="stay_id", time_col="t", include_hours=8,
+              bucket_hours=2, anchor="first", impute="mean")
+    plain = generate_timeseries(ev, cohort, **kw)
+    wide = generate_timeseries(ev, cohort, expand_parallelism=16, **kw)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, wide.collect()))
+    assert a == b
+    assert len(a) == 3 * 4  # 3 observed (id, code) series × 4 buckets
+
+
 def test_boundary_schema_reuse_matches_inferred_read(spark, tmp_path):
     """_as_nullable(df.schema) handed to spark.read.schema must yield
     the same schema AND rows as the inferred read of the same files,
